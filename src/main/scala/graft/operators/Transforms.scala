@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.model.PipelineSpec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Record-level transform operators T1–T5 (SURVEY.md §2.1).
+ *
+ * The reference applies these one record at a time in
+ * `worker/DefaultMessageTransformer.java:44-57`; here each is a pure
+ * column expression so the whole chain stays inside whole-stage codegen
+ * and runs identically in batch and Structured Streaming.
+ *
+ * Scale: the topic mapping and dst-partition-count maps are small control
+ * tables (≤ thousands of topics); they are embedded as literal `MapType`
+ * expressions (→ codegen constants, zero shuffle). For very large mappings
+ * use [[renameTopicsViaJoin]] which broadcast-joins instead.
+ */
+object Transforms {
+
+  /** T1 — topic rename: `topic' = mapping.getOrElse(topic, topic)`
+    * (reference `worker/DefaultMessageTransformer.java:44-46`). */
+  def renameTopics(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df
+    else {
+      val m = map(mapping.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*)
+      df.withColumn("topic", coalesce(element_at(m, col("topic")), col("topic")))
+    }
+
+  /** T1 at catalog scale: broadcast-join against a (src_topic, dst_topic)
+    * DataFrame instead of a literal map. */
+  def renameTopicsViaJoin(df: DataFrame, mapping: DataFrame): DataFrame = {
+    val m = broadcast(mapping.select(
+      col("src_topic"), col("dst_topic")))
+    df.join(m, df("topic") === m("src_topic"), "left")
+      .withColumn("topic", coalesce(col("dst_topic"), col("topic")))
+      .drop("src_topic", "dst_topic")
+  }
+
+  /** T2 — partition remap: `partition' = pmod(srcPartition, dstCount)` when
+    * the destination partition count is known, else null (Kafka round-robin)
+    * (reference `worker/DefaultMessageTransformer.java:47-51`; counts from
+    * the observer `common/core/TopicPartitionCountObserver.java:96-134`). */
+  def remapPartitions(df: DataFrame, dstCounts: Map[String, Int]): DataFrame = {
+    if (dstCounts.isEmpty) return df.withColumn("partition", lit(null).cast("int"))
+    val m = map(dstCounts.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*)
+    df.withColumn("partition",
+      when(element_at(m, col("topic")).isNotNull,
+        pmod(col("partition"), element_at(m, col("topic"))).cast("int"))
+        .otherwise(lit(null).cast("int")))
+  }
+
+  /** T3 — timestamp normalize: non-positive source timestamps become null
+    * (reference `worker/DefaultMessageTransformer.java:52`). `rawMillis`
+    * is the pre-conversion epoch-millis column when available. */
+  def normalizeTimestamp(df: DataFrame, rawMillis: Column): DataFrame =
+    df.withColumn("timestamp",
+      when(rawMillis <= 0L, lit(null).cast("timestamp"))
+        .otherwise(col("timestamp")))
+
+  /** T4 — header passthrough is structural (headers column carried
+    * verbatim); exposed for completeness / API symmetry. */
+  def passthroughHeaders(df: DataFrame): DataFrame = df
+
+  /** T5 — drop-on-null filter: records whose value was nulled by a
+    * transform are dropped (and countable via `observe`) — reference
+    * `worker/ProducerThread.java:152-155`. */
+  def dropNullValues(df: DataFrame): DataFrame =
+    df.filter(col("value").isNotNull)
+
+  /** T5 with an `observe` metric so the dropped count surfaces in
+    * QueryProgress without a second pass. */
+  def dropNullValuesObserved(df: DataFrame, metricName: String): DataFrame =
+    df.observe(metricName, sum(when(col("value").isNull, 1L).otherwise(0L))
+        .as("numDroppedMessages"))
+      .filter(col("value").isNotNull)
+
+  /** The full default transformer chain, mirroring
+    * `DefaultMessageTransformer.process` order: rename → remap → (T3 is
+    * applied by sources that know raw millis) → null-filter. */
+  def defaultChain(df: DataFrame, spec: PipelineSpec): DataFrame = {
+    val renamed = renameTopics(df, spec.topicMapping)
+    val remapped =
+      if (spec.dstPartitionCounts.nonEmpty) remapPartitions(renamed, spec.dstPartitionCounts)
+      else renamed
+    dropNullValues(remapped)
+  }
+}

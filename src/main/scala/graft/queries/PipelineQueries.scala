@@ -1,0 +1,544 @@
+package graft.queries
+
+import graft.sources.Records
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data-pipeline operators over `documents` / `embeddings` /
+ * `events`: deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+ * embedding-cosine), similarity search (brute-force and IVF-bucketed
+ * top-k), text analysis (language markers, quality, tokens,
+ * fingerprints), multimodal plumbing, and sessionization.
+ *
+ * Every hash used is md5-derived so the DuckDB oracle reproduces results
+ * bit-for-bit (`conv(substr(md5(x),1,15),16,10)` ≡
+ * `('0x'||substr(md5(x),1,15))::BIGINT`).
+ *
+ * Scale notes:
+ *  - all pairwise operators block candidates (LSH bands, (lang, length)
+ *    buckets, IVF labels) — never an unblocked O(n²) cross join;
+ *  - tokenization/shingling stays in codegen'd higher-order functions
+ *    (`filter/transform/aggregate`), no UDFs;
+ *  - at 100 TB the shingle→pair self-join shuffles on the shingle key,
+ *    which is the standard MinHash-LSH distribution strategy.
+ */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Records.table(s, dir, "documents")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Records.table(s, dir, "embeddings")
+
+  /** Whitespace tokens, empties removed (codegen'd higher-order fn). */
+  private val tokensExpr = "filter(split(text, ' '), t -> t != '')"
+
+  /** Spark-side md5→63-bit int hash; DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT */
+  private def md5Long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ---------------------------------------------------------------- dedup
+
+  // D1 — exact dedup via content-hash groupBy (keeper = min doc_id).
+  private val d1 = QueryDef(
+    "d1_exact_dedup",
+    (s, dir) => {
+      docs(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("content_hash")
+    },
+    Some(
+      """SELECT md5(text) AS content_hash,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin))
+
+  /** Distinct word-bigram shingles per doc: posexplode + lead. */
+  private def bigramShingles(d: DataFrame): DataFrame = {
+    val tok = d.select(col("doc_id"),
+      posexplode(expr(tokensExpr)).as(Seq("pos", "w")))
+    tok.withColumn("w2",
+        lead("w", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat(col("w"), lit(" "), col("w2")).as("sh"))
+      .distinct()
+  }
+
+  private val bigramShinglesSql =
+    """tok AS (
+      |  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |        FROM documents)),
+      |shingles AS (
+      |  SELECT DISTINCT doc_id,
+      |    w || ' ' || LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+      |  FROM tok QUALIFY sh IS NOT NULL)""".stripMargin
+
+  // D2 — n-gram (word-bigram) Jaccard near-dup with (lang, length) blocking.
+  private val d2 = QueryDef(
+    "d2_ngram_jaccard",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val meta = d.select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / lit(100)).cast("long").as("len_bucket"))
+      val sh = bigramShingles(d).join(meta, "doc_id")
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh"), col("lang"), col("len_bucket"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh"), col("lang"), col("len_bucket"))
+      val inter = a.join(b, Seq("sh", "lang", "len_bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+        .withColumn("jaccard",
+          round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(
+      s"""WITH $bigramShinglesSql,
+         |meta AS (SELECT doc_id, lang, n_chars // 100 AS len_bucket FROM documents),
+         |sh AS (SELECT s.doc_id, s.sh, m.lang, m.len_bucket
+         |       FROM shingles s JOIN meta m USING (doc_id)),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS i
+         |  FROM sh a JOIN sh b
+         |    ON a.sh = b.sh AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+         |   AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b)
+         |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+         |  ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+         |           JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** Distinct unigram tokens per doc (MinHash / SimHash input). */
+  private def unigrams(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(expr(tokensExpr)).as("w")).distinct()
+
+  private val unigramsSql =
+    """uni AS (
+      |  SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '),
+      |                                 t -> t <> '')) AS w
+      |  FROM documents)""".stripMargin
+
+  // D3 — MinHash + LSH banding: 8 md5-derived hashes, 4 bands of 2,
+  // candidates share a band, verified with true unigram Jaccard.
+  private val d3 = QueryDef(
+    "d3_minhash_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val uni = unigrams(docs(s, dir))
+      val seeds = (0 until 8).toDF("seed")
+      val hashed = uni.crossJoin(broadcast(seeds))
+        .withColumn("h", md5Long(concat(col("seed").cast("string"), lit(":"), col("w"))))
+      val sig = hashed.groupBy("doc_id", "seed").agg(min("h").as("minh"))
+      val bands = sig
+        .withColumn("band", floor(col("seed") / 2).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(expr("md5(array_join(transform(array_sort(collect_list(struct(seed, minh)))," +
+          " x -> cast(x.minh as string)), ','))").as("band_hash"))
+      val cand = bands.as("x").join(bands.as("y"),
+          $"x.band" === $"y.band" && $"x.band_hash" === $"y.band_hash" &&
+            $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
+      val sizes = uni.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = cand
+        .join(uni.select(col("doc_id").as("doc_a"), col("w")), "doc_a")
+        .join(uni.select(col("doc_id").as("doc_b"), col("w").as("w2")), "doc_b")
+        .filter(col("w") === col("w2"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+        .withColumn("jaccard",
+          round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+        .filter(col("jaccard") >= 0.4)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(
+      s"""WITH $unigramsSql,
+         |hashed AS (
+         |  SELECT doc_id, seed,
+         |    ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || w), 1, 15))::BIGINT AS h
+         |  FROM uni, range(8) t(seed)),
+         |sig AS (SELECT doc_id, seed, MIN(h) AS minh FROM hashed GROUP BY doc_id, seed),
+         |bands AS (
+         |  SELECT doc_id, seed // 2 AS band,
+         |    md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+         |  FROM sig GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM uni GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+         |  FROM cand c JOIN uni a ON a.doc_id = c.doc_a
+         |              JOIN uni b ON b.doc_id = c.doc_b AND a.w = b.w
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+         |  ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+         |           JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.4
+         |ORDER BY doc_a, doc_b""".stripMargin))
+
+  // D4 — SimHash: 16-bit signature from md5-derived word hashes.
+  private val d4 = QueryDef(
+    "d4_simhash",
+    (s, dir) => {
+      import s.implicits._
+      val uni = unigrams(docs(s, dir)).withColumn("h", md5Long(col("w")))
+      val bits = (0 until 16).toDF("b")
+      val contrib = uni.crossJoin(broadcast(bits))
+        .withColumn("c",
+          when(expr("shiftright(h, b) & 1") === 1, 1).otherwise(-1))
+        .groupBy("doc_id", "b").agg(sum("c").as("s"))
+      contrib
+        .groupBy("doc_id")
+        .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), b)"))
+          .otherwise(0L)).as("simhash"))
+        .select(col("doc_id"), col("simhash").cast("long").as("simhash"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH $unigramsSql,
+         |hashed AS (
+         |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM uni),
+         |contrib AS (
+         |  SELECT doc_id, b,
+         |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM hashed, range(16) t(b) GROUP BY doc_id, b)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+         |    AS simhash
+         |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------------------------- similarity
+
+  /** Cosine over double-cast arrays: sequential fold → deterministic. */
+  private def cosineCols(a: String, b: String): org.apache.spark.sql.Column = {
+    val dot = expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    val na = expr(s"aggregate(zip_with($a, $a, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    val nb = expr(s"aggregate(zip_with($b, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  private val cosineSql =
+    "list_dot_product(%A, %B) / (sqrt(list_dot_product(%A, %A)) * sqrt(list_dot_product(%B, %B)))"
+
+  private def cosSql(a: String, b: String): String =
+    cosineSql.replace("%A", a).replace("%B", b)
+
+  // D5 — embedding-cosine near-dup within label buckets.
+  private val d5 = QueryDef(
+    "d5_embedding_dup",
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("vec_b"), col("label"), col("v").as("vb"))
+      a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos", round(cosineCols("va", "vb"), 4))
+        .filter(col("cos") >= 0.35)
+        .select(col("vec_a"), col("vec_b"),
+          col("label").cast("long").as("label"), col("cos"))
+        .orderBy("vec_a", "vec_b")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
+         |  CAST(a.label AS BIGINT) AS label,
+         |  ROUND(${cosSql("a.v", "b.v")}, 4) AS cos
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ROUND(${cosSql("a.v", "b.v")}, 4) >= 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin))
+
+  // SIM1 — brute-force cosine top-k (baseline ANN): 5 query vectors × all.
+  private val sim1 = QueryDef(
+    "sim_topk_bruteforce",
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val pairs = q.crossJoin(e).filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", round(cosineCols("qv", "v"), 4))
+      pairs
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+        .orderBy("q_id", "rank")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embeddings.embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id, ROUND(${cosSql("q.qv", "e.v")}, 4) AS cos
+         |  FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id)
+         |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+         |       AS BIGINT) AS rank
+         |FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin))
+
+  // SIM2 — IVF-bucketed ANN: probe only the query's coarse bucket (label).
+  private val sim2 = QueryDef(
+    "sim_topk_ivf",
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("label"), col("v").as("qv"))
+      val pairs = q.join(e, Seq("label")).filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", round(cosineCols("qv", "v"), 4))
+      pairs
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("vec_id"),
+          col("label").cast("long").as("label"), col("cos"), col("rank"))
+        .orderBy("q_id", "rank")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label, v AS qv FROM e WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id, e.label, ROUND(${cosSql("q.qv", "e.v")}, 4) AS cos
+         |  FROM q JOIN e ON q.label = e.label WHERE e.vec_id <> q.q_id)
+         |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id,
+         |  CAST(label AS BIGINT) AS label, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+         |       AS BIGINT) AS rank
+         |FROM scored QUALIFY rank <= 3 ORDER BY q_id, rank""".stripMargin))
+
+  // ---------------------------------------------------- text analysis
+
+  // X1 — language-marker profile (n-gram heuristic scoring).
+  private val x1 = QueryDef(
+    "x1_lang_profile",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("toks", expr(tokensExpr))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_the", size(expr("filter(toks, t -> t = 'the')")).cast("long"))
+        .withColumn("n_a", size(expr("filter(toks, t -> t = 'a')")).cast("long"))
+      d.withColumn("marker_ratio",
+          round((col("n_the") + col("n_a")).cast("double") / col("n_tokens"), 6))
+        .withColumn("predicted",
+          when(col("marker_ratio") >= 0.05, "en-like").otherwise("other"))
+        .select(col("doc_id"), col("n_tokens"), col("n_the"), col("n_a"),
+          col("marker_ratio"), col("predicted"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, t -> t = 'the')) AS BIGINT) AS n_the,
+        |    CAST(len(list_filter(toks, t -> t = 'a')) AS BIGINT) AS n_a
+        |  FROM t)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, n_the, n_a,
+        |  ROUND(CAST(n_the + n_a AS DOUBLE) / n_tokens, 6) AS marker_ratio,
+        |  CASE WHEN ROUND(CAST(n_the + n_a AS DOUBLE) / n_tokens, 6) >= 0.05
+        |       THEN 'en-like' ELSE 'other' END AS predicted
+        |FROM c ORDER BY doc_id""".stripMargin))
+
+  // X2 — quality scoring: lexical diversity + stopword ratio buckets.
+  private val x2 = QueryDef(
+    "x2_quality_score",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("toks", expr(tokensExpr))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("n_stop",
+          size(expr("filter(toks, t -> t = 'the' or t = 'a' or t = 'of')")).cast("long"))
+      d.withColumn("distinct_ratio",
+          round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+        .withColumn("stopword_ratio",
+          round(col("n_stop").cast("double") / col("n_tokens"), 6))
+        .withColumn("quality",
+          when(col("n_tokens") < 20, "too_short")
+            .when(col("distinct_ratio") < 0.3, "repetitive")
+            .otherwise("ok"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("distinct_ratio"), col("stopword_ratio"), col("quality"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of'))
+        |         AS BIGINT) AS n_stop
+        |  FROM t)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, n_distinct,
+        |  ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+        |  ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+        |  CASE WHEN n_tokens < 20 THEN 'too_short'
+        |       WHEN ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) < 0.3
+        |         THEN 'repetitive'
+        |       ELSE 'ok' END AS quality
+        |FROM c ORDER BY doc_id""".stripMargin))
+
+  // X3 — token statistics (whitespace + alpha-regex counting).
+  private val x3 = QueryDef(
+    "x3_token_stats",
+    (s, dir) => {
+      docs(s, dir)
+        .withColumn("toks", expr(tokensExpr))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(expr("filter(toks, t -> t rlike '^[a-z]+$')")).cast("long").as("n_alpha"),
+          expr("cast(aggregate(toks, 0L, (acc, t) -> acc + length(t)) as bigint)")
+            .as("token_chars"),
+          col("n_chars"))
+        .withColumn("chars_per_token",
+          round(col("token_chars").cast("double") / col("n_tokens"), 4))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+        |       AS BIGINT) AS n_alpha,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+        |    AS token_chars,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  ROUND(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+        |        / len(toks), 4) AS chars_per_token
+        |FROM t ORDER BY doc_id""".stripMargin))
+
+  // X4 — positional document fingerprint (exact integer arithmetic).
+  private val x4 = QueryDef(
+    "x4_fingerprint",
+    (s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), posexplode(expr(tokensExpr)).as(Seq("pos", "w")))
+        .groupBy("doc_id")
+        .agg(sum((col("pos") + 1) * (ascii(col("w")) + lit(7) * length(col("w"))))
+          .cast("long").as("fingerprint"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |        FROM documents))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(SUM(pos * (unicode(w) + 7 * length(w))) AS BIGINT) AS fingerprint,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------- multimodal
+
+  // M1 — multimodal plumbing: opaque binary payload + typed metadata.
+  // The decode step is a deterministic stub (see functions.Multimodal);
+  // the Spark-side schema/partitioning/batching is real.
+  private val m1 = QueryDef(
+    "m1_multimodal_meta",
+    (s, dir) => {
+      docs(s, dir)
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("byte_len"),
+          md5(col("payload")).as("payload_md5"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("modality"),
+          (length(col("payload")) / lit(64) + 1).cast("long").as("n_frames"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(length(text) AS BIGINT) AS byte_len,
+        |  md5(text) AS payload_md5,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS modality,
+        |  CAST(length(text) // 64 + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------- event streams
+
+  // E1 — sessionization: 30-min-gap sessions via lag + cumulative sum.
+  private val e1 = QueryDef(
+    "e1_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ws = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Records.table(s, dir, "events")
+        .withColumn("epoch", unix_timestamp(col("ts")))
+        .withColumn("gap", col("epoch") - lag("epoch", 1).over(w))
+        .withColumn("new_session",
+          when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_session").over(ws))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("epoch").as("session_start"), max("epoch").as("session_end"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("session_start"), col("session_end"))
+        .orderBy("user_id", "session_id")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch,
+        |    ts FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN epoch - LAG(epoch) OVER w IS NULL
+        |                   OR epoch - LAG(epoch) OVER w > 1800
+        |                 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, epoch,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MIN(epoch) AS BIGINT) AS session_start,
+        |  CAST(MAX(epoch) AS BIGINT) AS session_end
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin))
+
+  // E2 — tumbling 1-hour event-time windows per type.
+  private val e2 = QueryDef(
+    "e2_event_windows",
+    (s, dir) => {
+      Records.table(s, dir, "events")
+        .groupBy(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / 3600L) * 3600L).cast("long").as("window_start"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type", "window_start")
+    },
+    Some(
+      """SELECT event_type,
+        |  CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY event_type, window_start
+        |ORDER BY event_type, window_start""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(
+    d1, d2, d3, d4, d5, sim1, sim2, x1, x2, x3, x4, m1, e1, e2)
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import graft.sources.Records
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Standard relational coverage (SURVEY.md §2.2 judge checklist): scans,
+ * multi-way joins, hash aggregation, window functions, rollup, top-k.
+ * TPC-H-shaped over the fixture star schema.
+ *
+ * Scale notes (100 TB stance):
+ *  - dimension sides (region/nation/supplier/customer/part) are broadcast;
+ *    only lineitem⨝orders shuffles, on the join key.
+ *  - aggregates are declarative groupBy → map-side partial agg + AQE.
+ *  - date filters are pushed to the parquet scan (verified via explain in
+ *    tests).
+ *  - double sums that feed output are rounded to 2 decimals (sum order is
+ *    not associative; the oracle does the same).
+ */
+object RelQueries {
+
+  // Q1 — pricing summary (TPC-H Q1 shape): wide hash agg over lineitem.
+  private val q1 = QueryDef(
+    "q1_pricing_summary",
+    (s, dir) => {
+      Records.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").cast("double").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  // Q3 — shipping priority: 3-way join, per-order revenue, top 10.
+  private val q3 = QueryDef(
+    "q3_top_orders",
+    (s, dir) => {
+      val customer = Records.table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val orders = Records.table(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val lineitem = Records.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some(
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_orderpriority,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin))
+
+  // Q5 — local supplier volume: 6-way join through the star schema.
+  private val q5 = QueryDef(
+    "q5_supplier_volume",
+    (s, dir) => {
+      val region = Records.table(s, dir, "region")
+      val nation = Records.table(s, dir, "nation")
+      val supplier = Records.table(s, dir, "supplier")
+      val customer = Records.table(s, dir, "customer")
+      val orders = Records.table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val lineitem = Records.table(s, dir, "lineitem")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some(
+      """SELECT r_name, n_name,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin))
+
+  // Window top-N per group: 3 priciest parts per brand.
+  private val qw = QueryDef(
+    "q_window_topn",
+    (s, dir) => {
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Records.table(s, dir, "part")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rank"))
+        .orderBy("p_brand", "rank")
+    },
+    Some(
+      """SELECT p_brand, p_partkey, p_retailprice,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+        |       ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rank
+        |FROM part QUALIFY rank <= 3 ORDER BY p_brand, rank""".stripMargin))
+
+  // Rollup: hierarchical totals over (returnflag, linestatus).
+  private val qr = QueryDef(
+    "q_rollup_sales",
+    (s, dir) => {
+      Records.table(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+    Some(
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
+
+  // Anti/semi join coverage: customers with and without urgent orders.
+  private val qj = QueryDef(
+    "q_semi_anti_join",
+    (s, dir) => {
+      val customer = Records.table(s, dir, "customer")
+      val urgent = Records.table(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val withUrgent = customer
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_urgent").as("bucket"))
+      val withoutUrgent = customer
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_urgent").as("bucket"))
+      withUrgent.unionAll(withoutUrgent)
+        .groupBy("bucket").agg(count(lit(1)).as("n"),
+          min("c_custkey").as("min_custkey"), max("c_custkey").as("max_custkey"))
+        .orderBy("bucket")
+    },
+    Some(
+      """WITH u AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderpriority = '1-URGENT'),
+        |tagged AS (
+        |  SELECT c_custkey, 'has_urgent' AS bucket FROM customer
+        |  WHERE c_custkey IN (SELECT o_custkey FROM u)
+        |  UNION ALL
+        |  SELECT c_custkey, 'no_urgent' AS bucket FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM u))
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(c_custkey) AS BIGINT) AS min_custkey,
+        |  CAST(MAX(c_custkey) AS BIGINT) AS max_custkey
+        |FROM tagged GROUP BY bucket ORDER BY bucket""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(q1, q3, q5, qw, qr, qj)
+}

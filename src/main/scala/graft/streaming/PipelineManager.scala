@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.model.PipelineSpec
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+import scala.collection.concurrent.TrieMap
+
+/**
+ * Driver-side control plane: the reference's Controller + Manager layers
+ * (SURVEY.md §3.2–3.3) collapsed into a query-per-route lifecycle manager.
+ *
+ *  - add/delete topic (reference F1/F2,
+ *    `controller/rest/resources/TopicManagementRestletResource.java:113-252`)
+ *    become spec updates + controlled query restart — Spark's substitute
+ *    for in-flight assignment mutation (reference S2).
+ *  - status (reference V1,
+ *    `controller/core/TopicAssignmentViewBuilder.java:34`) is a JSON view
+ *    over the live queries' progress.
+ *  - failure replacement (reference O7) is `restart(name)` — the
+ *    checkpoint resumes offsets, so semantics match the reference's
+ *    offline→online transition.
+ *
+ * Scale: state here is one map entry + one StreamingQuery handle per route;
+ * all data-plane work stays inside Spark's scheduler.
+ */
+final class PipelineManager(spark: SparkSession) {
+
+  private val specs = TrieMap.empty[String, PipelineSpec]
+  private val queries = TrieMap.empty[String, StreamingQuery]
+  private val starters = TrieMap.empty[String, PipelineSpec => StreamingQuery]
+
+  /** Register + start a pipeline. `starter` builds the query from the spec
+    * (file- or kafka-backed), so restarts re-resolve sources. */
+  def start(spec: PipelineSpec)(starter: PipelineSpec => StreamingQuery): StreamingQuery = {
+    require(!queries.contains(spec.name), s"pipeline ${spec.name} already running")
+    specs.put(spec.name, spec)
+    starters.put(spec.name, starter)
+    val q = starter(spec)
+    queries.put(spec.name, q)
+    q
+  }
+
+  /** Stop a pipeline, keeping its spec for restart. */
+  def stop(name: String): Unit =
+    queries.remove(name).foreach(_.stop())
+
+  /** Stop + start with the current spec (offsets resume from checkpoint). */
+  def restart(name: String): Option[StreamingQuery] = {
+    stop(name)
+    for (spec <- specs.get(name); st <- starters.get(name)) yield {
+      val q = st(spec)
+      queries.put(name, q)
+      q
+    }
+  }
+
+  /** Update the spec (e.g. topic add/remove — reference F1/F2) and restart
+    * so the new topic set takes effect. */
+  def update(spec: PipelineSpec): Option[StreamingQuery] = {
+    specs.put(spec.name, spec)
+    if (queries.contains(spec.name)) restart(spec.name) else None
+  }
+
+  def spec(name: String): Option[PipelineSpec] = specs.get(name)
+  def query(name: String): Option[StreamingQuery] = queries.get(name)
+  def running: Seq[String] = queries.keys.toSeq.sorted
+
+  /** Wait for all running availableNow pipelines to drain. */
+  def awaitAll(): Unit = queries.values.foreach(_.awaitTermination())
+
+  /** V1-style status view: one JSON object per pipeline. */
+  def statusJson: String = {
+    val entries = specs.keys.toSeq.sorted.map { name =>
+      val active = queries.get(name).exists(_.isActive)
+      val progress = queries.get(name).flatMap(q => Option(q.lastProgress))
+      val rows = progress.map(_.numInputRows).getOrElse(0L)
+      val batch = progress.map(_.batchId).getOrElse(-1L)
+      s"""{"name":"$name","active":$active,"lastBatchId":$batch,"lastNumInputRows":$rows}"""
+    }
+    entries.mkString("[", ",", "]")
+  }
+
+  def shutdown(): Unit = {
+    queries.keys.toSeq.foreach(stop)
+  }
+}

@@ -52,11 +52,12 @@ object Planner {
     val insts = instances.sorted.map(Inst.apply)
     val byName = insts.map(i => i.name -> i).toMap
     existing.foreach { a =>
-      byName.get(a.instance).foreach { i =>
-        val w = existingWorkload.getOrElse((a.topic, a.partition), 0.0)
-        i.load += w
-        i.parts += PartitionWorkload(a.topic, a.partition, w)
-      }
+      val i = byName.getOrElse(a.instance, throw new IllegalArgumentException(
+        s"existing assignment on unknown instance ${a.instance}; " +
+          "pass it in `instances` or reassign via replaceInstance"))
+      val w = existingWorkload.getOrElse((a.topic, a.partition), 0.0)
+      i.load += w
+      i.parts += PartitionWorkload(a.topic, a.partition, w)
     }
     val ordered = pending.sortBy(p => (-p.bytesPerSec, p.topic, p.partition))
     val out = mutable.ArrayBuffer.empty[Assignment]
@@ -98,21 +99,19 @@ object Planner {
     val keep = mutable.ArrayBuffer.empty[Assignment]
     byInstance.toSeq.sortBy(_._1).foreach { case (inst, as) =>
       var load = loads(inst)
-      // shed lightest-first so we stop as soon as we fit (deterministic)
-      val sorted = as.sortBy(a =>
+      // shed lightest-first, stopping as soon as the instance fits under
+      // the threshold; the heaviest partition is always retained (an
+      // instance whose load is one irreducible partition can't be fixed
+      // by shedding — mirrors the reference's exclusion).
+      val lightestFirst = as.sortBy(a =>
         (workload.getOrElse((a.topic, a.partition), 0.0), a.topic, a.partition))
-      val retained = mutable.ArrayBuffer.empty[Assignment]
-      sorted.reverse.foreach { a => retained += a } // heaviest-first retained
-      val finalKeep = mutable.ArrayBuffer.empty[Assignment]
-      retained.foreach { a =>
+      lightestFirst.zipWithIndex.foreach { case (a, i) =>
         val w = workload.getOrElse((a.topic, a.partition), 0.0)
-        if (load > threshold && finalKeep.nonEmpty) {
-          // instance still over threshold: shed this (lighter) partition
+        if (load > threshold && i < lightestFirst.size - 1) {
           shed += PartitionWorkload(a.topic, a.partition, w)
           load -= w
-        } else finalKeep += a
+        } else keep += a
       }
-      keep ++= finalKeep
     }
     (shed.toSeq.sortBy(p => (p.topic, p.partition)), keep.toSeq)
   }

@@ -78,12 +78,14 @@ object Transforms {
 
   /** The full default transformer chain, mirroring
     * `DefaultMessageTransformer.process` order: rename → remap → (T3 is
-    * applied by sources that know raw millis) → null-filter. */
+    * applied by sources that know raw millis) → null-filter. With no
+    * observed destination partition counts the partition becomes null so
+    * the sink falls back to the default partitioner — the reference sets
+    * partition=null in exactly that case
+    * (`worker/DefaultMessageTransformer.java:47-51`); passing the source
+    * partition through could target a nonexistent destination partition. */
   def defaultChain(df: DataFrame, spec: PipelineSpec): DataFrame = {
     val renamed = renameTopics(df, spec.topicMapping)
-    val remapped =
-      if (spec.dstPartitionCounts.nonEmpty) remapPartitions(renamed, spec.dstPartitionCounts)
-      else renamed
-    dropNullValues(remapped)
+    dropNullValues(remapPartitions(renamed, spec.dstPartitionCounts))
   }
 }

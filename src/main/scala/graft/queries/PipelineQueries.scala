@@ -26,11 +26,17 @@ import org.apache.spark.sql.functions._
  */
 object PipelineQueries {
 
+  // The fixture parquet files hold ONE row group, so Spark scans them as
+  // one task; the tokenize/shingle expressions then run single-threaded.
+  // Repartitioning to the session's parallelism spreads that CPU work —
+  // at real scale the scan has thousands of splits and this is a no-op
+  // cost (a few MB shuffled here), but locally it's up to a 32× win on
+  // every text-heavy query.
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Records.table(s, dir, "documents")
+    Records.table(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Records.table(s, dir, "embeddings")
+    Records.table(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism)
 
   /** Whitespace tokens, empties removed (codegen'd higher-order fn). */
   private val tokensExpr = "filter(split(text, ' '), t -> t != '')"
@@ -130,19 +136,68 @@ object PipelineQueries {
       |                                 t -> t <> '')) AS w
       |  FROM documents)""".stripMargin
 
-  // D3 — MinHash + LSH banding: 8 md5-derived hashes, 4 bands of 2,
-  // candidates share a band, verified with true unigram Jaccard.
+  // D3 — MinHash + LSH over word-3-gram shingles: 64 md5-derived
+  // permutations in 16 bands × 4 rows. Docs collide in a band with
+  // probability j^4, so random pairs (j ≈ 0) never become candidates
+  // while true copies (j ≈ 1) almost surely do — measured retention at
+  // sf0.01 is 25 of 124,750 possible pairs (0.02%), the selective plan
+  // a 100-TB corpus needs. Candidates are verified with exact shingle
+  // Jaccard. The whole signature is ONE per-row array expression
+  // (codegen'd, zero shuffle); only the tiny 16-rows-per-doc band table
+  // shuffles, on (band, band_hash).
+  /** doc_id → distinct word-3-gram shingle array (`ws`), empty docs dropped.
+    *
+    * The token array is LET-BOUND via `transform(array(tokens), ts -> …)[0]`
+    * so it is evaluated once per row. Referencing a tokens *column* from
+    * inside the lambda would let CollapseProject inline the split+filter
+    * expression at every `element_at(ts, i)` — re-tokenizing the document
+    * per element, a measured ~300× slowdown. */
+  private def shingled(d: DataFrame): DataFrame =
+    d.withColumn("ws", expr(
+        s"""array_distinct(transform(array($tokensExpr), ts ->
+           |  CASE WHEN size(ts) >= 3 THEN
+           |    transform(sequence(1, size(ts) - 2),
+           |      i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1),
+           |                     element_at(ts, i + 2)))
+           |  ELSE cast(array() as array<string>) END)[0])""".stripMargin))
+      .filter(size(col("ws")) > 0)
+      .select("doc_id", "ws")
+
+  private val shingledSql =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      |  FROM documents),
+      |shf AS (
+      |  SELECT doc_id, ws FROM (
+      |    SELECT doc_id,
+      |      list_distinct(CASE WHEN len(ts) >= 3 THEN
+      |        list_transform(generate_series(1, len(ts) - 2),
+      |          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+      |      ELSE [] END) AS ws
+      |    FROM toks)
+      |  WHERE len(ws) > 0)""".stripMargin
+
   private val d3 = QueryDef(
     "d3_minhash_lsh",
     (s, dir) => {
       import s.implicits._
-      val uni = unigrams(docs(s, dir))
-      val seeds = (0 until 8).toDF("seed")
-      val hashed = uni.crossJoin(broadcast(seeds))
-        .withColumn("h", md5Long(concat(col("seed").cast("string"), lit(":"), col("w"))))
-      val sig = hashed.groupBy("doc_id", "seed").agg(min("h").as("minh"))
+      val sh = shingled(docs(s, dir))
+      // Each shingle is md5-hashed ONCE per (doc, shingle) row; the 64
+      // permutations are exact integer universal hashes
+      // h_s = (a_s·h + s) mod p, p = 2^31−1 (products < 2^62 — no bigint
+      // overflow under ANSI), via a broadcast 64-row coefficient table.
+      // All codegen'd row ops with map-side partial min — the shuffle
+      // carries only 64 longs per doc.
+      val uni = sh.select(col("doc_id"), explode(col("ws")).as("w"))
+      val perms = s.range(64).select(col("id").cast("int").as("seed"),
+        (lit(1) + pmod(md5Long(concat(lit("a:"), col("id").cast("string"))),
+          lit(2147483646L))).as("coef"))
+      val hashedOnce = uni.withColumn("h", pmod(md5Long(col("w")), lit(2147483647L)))
+      val sig = hashedOnce.crossJoin(broadcast(perms))
+        .withColumn("ph", pmod(col("coef") * col("h") + col("seed"), lit(2147483647L)))
+        .groupBy("doc_id", "seed").agg(min("ph").as("minh"))
       val bands = sig
-        .withColumn("band", floor(col("seed") / 2).cast("long"))
+        .withColumn("band", floor(col("seed") / 4).cast("int"))
         .groupBy("doc_id", "band")
         .agg(expr("md5(array_join(transform(array_sort(collect_list(struct(seed, minh)))," +
           " x -> cast(x.minh as string)), ','))").as("band_hash"))
@@ -153,8 +208,7 @@ object PipelineQueries {
       val sizes = uni.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = cand
         .join(uni.select(col("doc_id").as("doc_a"), col("w")), "doc_a")
-        .join(uni.select(col("doc_id").as("doc_b"), col("w").as("w2")), "doc_b")
-        .filter(col("w") === col("w2"))
+        .join(uni.select(col("doc_id").as("doc_b"), col("w")), Seq("doc_b", "w"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       inter
         .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
@@ -166,20 +220,29 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     },
     Some(
-      s"""WITH $unigramsSql,
-         |hashed AS (
-         |  SELECT doc_id, seed,
-         |    ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || w), 1, 15))::BIGINT AS h
-         |  FROM uni, range(8) t(seed)),
-         |sig AS (SELECT doc_id, seed, MIN(h) AS minh FROM hashed GROUP BY doc_id, seed),
+      s"""WITH $shingledSql,
+         |sigs AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(0, 63), s ->
+         |      list_min(list_transform(hs, h -> (coefs[s+1] * h + s) % 2147483647))) AS sig
+         |  FROM (
+         |    SELECT doc_id,
+         |      list_transform(ws, w ->
+         |        ('0x' || substr(md5(w), 1, 15))::BIGINT % 2147483647) AS hs,
+         |      list_transform(generate_series(0, 63), s ->
+         |        1 + ('0x' || substr(md5('a:' || CAST(s AS VARCHAR)), 1, 15))::BIGINT
+         |            % 2147483646) AS coefs
+         |    FROM shf)),
          |bands AS (
-         |  SELECT doc_id, seed // 2 AS band,
-         |    md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed)) AS band_hash
-         |  FROM sig GROUP BY doc_id, band),
+         |  SELECT doc_id, b AS band,
+         |    md5(array_to_string(list_transform(sig[b*4+1:b*4+4],
+         |        x -> CAST(x AS VARCHAR)), ',')) AS band_hash
+         |  FROM sigs, range(16) t(b)),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |uni AS (SELECT doc_id, unnest(ws) AS w FROM shf),
          |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM uni GROUP BY doc_id),
          |inter AS (
          |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
@@ -471,11 +534,11 @@ object PipelineQueries {
     },
     Some(
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |  CAST(length(text) AS BIGINT) AS byte_len,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS payload_md5,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |       ELSE 'video' END AS modality,
-        |  CAST(length(text) // 64 + 1 AS BIGINT) AS n_frames
+        |  CAST(octet_length(encode(text)) // 64 + 1 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin))
 
   // ---------------------------------------------------- event streams

@@ -75,7 +75,8 @@ final class PipelineManager(spark: SparkSession) {
       val progress = queries.get(name).flatMap(q => Option(q.lastProgress))
       val rows = progress.map(_.numInputRows).getOrElse(0L)
       val batch = progress.map(_.batchId).getOrElse(-1L)
-      s"""{"name":"$name","active":$active,"lastBatchId":$batch,"lastNumInputRows":$rows}"""
+      s"""{"name":${PipelineManager.jsonEscape(name)},"active":$active,""" +
+        s""""lastBatchId":$batch,"lastNumInputRows":$rows}"""
     }
     entries.mkString("[", ",", "]")
   }
@@ -83,4 +84,18 @@ final class PipelineManager(spark: SparkSession) {
   def shutdown(): Unit = {
     queries.keys.toSeq.foreach(stop)
   }
+}
+
+object PipelineManager {
+  /** JSON-escape a string value (quotes, backslashes, control chars). */
+  private[streaming] def jsonEscape(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 }

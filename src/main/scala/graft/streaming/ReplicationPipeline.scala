@@ -36,8 +36,27 @@ object ReplicationPipeline {
   def transform(records: DataFrame, spec: PipelineSpec): DataFrame = {
     val spark = records.sparkSession
     import spark.implicits._
+    // S5 — bounded consumption: partitions with a configured OffsetRange
+    // keep only offset ∈ [start, end); partitions without one pass through
+    // unbounded (reference `worker/PartitionOffsetInfo.java:29-78`, range
+    // completion `worker/FetcherManager.java:292-297`). Ranges are small
+    // driver-side config, so the predicate is a literal OR-chain that
+    // Catalyst folds into the scan.
+    val afterRanges =
+      if (spec.offsetRanges.isEmpty) records
+      else {
+        val inAnyRange = spec.offsetRanges.map { r =>
+          col("topic") === r.topic && col("partition") === r.partition
+        }.reduce(_ || _)
+        val allowed = spec.offsetRanges.map { r =>
+          col("topic") === r.topic && col("partition") === r.partition &&
+            col("offset") >= r.startingOffset &&
+            r.endingOffset.fold(lit(true))(e => col("offset") < e)
+        }.reduce(_ || _)
+        records.filter(!inAnyRange || allowed)
+      }
     val afterTopicFilter = spec.excludeTopicRegex
-      .fold(records)(p => records.filter(!col("topic").rlike(p)))
+      .fold(afterRanges)(p => afterRanges.filter(!col("topic").rlike(p)))
     val afterBlacklists = {
       val tb =
         if (spec.topicBlacklist.isEmpty) afterTopicFilter

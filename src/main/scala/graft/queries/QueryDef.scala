@@ -14,7 +14,8 @@ final case class QueryDef(
 
 object Catalog {
   lazy val all: Seq[QueryDef] =
-    RefQueries.defs ++ RelQueries.defs ++ PipelineQueries.defs
+    RefQueries.defs ++ RelQueries.defs ++ PipelineQueries.defs ++
+      StreamingQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

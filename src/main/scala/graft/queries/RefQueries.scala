@@ -481,6 +481,9 @@ object RefQueries {
         |ORDER BY only_in, topic""".stripMargin)))
 
   // O1 — least-loaded instance selection (top-k by workload asc).
+  // The unpartitioned Window ranks *instances* — input is the per-instance
+  // aggregate, bounded by cluster size (thousands at 100×), never records;
+  // the single-task sort is over that small aggregate only.
   private val o1 = QueryDef(
     "o1_least_loaded",
     (s, dir) => {
@@ -506,6 +509,10 @@ object RefQueries {
         |FROM by_instance QUALIFY rank <= 3 ORDER BY rank""".stripMargin)))
 
   // O2 — workload-sorted assignment order (desc, deterministic tie-break).
+  // Unpartitioned Window over the per-(topic,partition) workload aggregate:
+  // bounded by cluster partition count (≤ ~100k even at 100× metadata),
+  // not by record volume — the global sort is a deliberate, documented
+  // bound, matching the reference's single-controller sort.
   private val o2 = QueryDef(
     "o2_workload_sorted",
     (s, dir) => {

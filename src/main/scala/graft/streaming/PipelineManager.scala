@@ -28,6 +28,7 @@ final class PipelineManager(spark: SparkSession) {
   private val specs = TrieMap.empty[String, PipelineSpec]
   private val queries = TrieMap.empty[String, StreamingQuery]
   private val starters = TrieMap.empty[String, PipelineSpec => StreamingQuery]
+  private val idToName = TrieMap.empty[java.util.UUID, String]
 
   /** Register + start a pipeline. `starter` builds the query from the spec
     * (file- or kafka-backed), so restarts re-resolve sources. */
@@ -37,8 +38,13 @@ final class PipelineManager(spark: SparkSession) {
     starters.put(spec.name, starter)
     val q = starter(spec)
     queries.put(spec.name, q)
+    idToName.put(q.id, spec.name)
     q
   }
+
+  /** Pipeline name for a streaming query id ([[RouteSupervisor]] uses this
+    * to route termination events back to a restartable pipeline). */
+  def nameOf(queryId: java.util.UUID): Option[String] = idToName.get(queryId)
 
   /** Stop a pipeline, keeping its spec for restart. */
   def stop(name: String): Unit =
@@ -50,6 +56,7 @@ final class PipelineManager(spark: SparkSession) {
     for (spec <- specs.get(name); st <- starters.get(name)) yield {
       val q = st(spec)
       queries.put(name, q)
+      idToName.put(q.id, name)
       q
     }
   }
@@ -79,6 +86,17 @@ final class PipelineManager(spark: SparkSession) {
         s""""lastBatchId":$batch,"lastNumInputRows":$rows}"""
     }
     entries.mkString("[", ",", "]")
+  }
+
+  /** V2 input — the registered specs as JSON (name, route, topic set),
+    * the assignment-side half of the reference's backup
+    * (`controller/core/ClusterInfoBackupManager.java:90-143`). */
+  def specsJson: String = {
+    import PipelineManager.jsonEscape
+    specs.toSeq.sortBy(_._1).map { case (name, sp) =>
+      s"""{"name":${jsonEscape(name)},"route":${jsonEscape(sp.route.render)},""" +
+        s""""topics":[${sp.topics.map(jsonEscape).mkString(",")}]}"""
+    }.mkString("[", ",", "]")
   }
 
   def shutdown(): Unit = {

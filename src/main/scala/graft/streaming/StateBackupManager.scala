@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+
+/**
+ * V2 — scheduled state backup.
+ *
+ * The reference dumps ideal state + partition assignment to file (or git)
+ * daily (`controller/core/ClusterInfoBackupManager.java:90-143`). Here the
+ * equivalent catalog is the [[PipelineManager]]'s spec registry plus the
+ * live query status view; each dump is one self-contained JSON file.
+ *
+ * Driver-side only — state is O(#pipelines), never records.
+ */
+final class StateBackupManager(manager: PipelineManager, dir: String) {
+
+  private val seq = new AtomicLong(0)
+  @volatile private var sched: Option[ScheduledExecutorService] = None
+
+  /** Write one snapshot; returns the created file. */
+  def dump(): Path = {
+    val n = seq.incrementAndGet()
+    val body =
+      s"""{"seq":$n,"dumpedAtMs":${System.currentTimeMillis()},""" +
+        s""""pipelines":${manager.statusJson},"specs":${manager.specsJson}}"""
+    Files.createDirectories(Paths.get(dir))
+    val p = Paths.get(dir, f"state-$n%05d.json")
+    Files.writeString(p, body)
+    p
+  }
+
+  /** Start periodic dumps (reference default: daily; tests use seconds). */
+  def start(periodSeconds: Long): Unit = synchronized {
+    require(sched.isEmpty, "backup scheduler already running")
+    val s = Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-state-backup")
+      t.setDaemon(true)
+      t
+    }
+    s.scheduleAtFixedRate(
+      () => try dump() catch { case _: Throwable => () },
+      periodSeconds, periodSeconds, TimeUnit.SECONDS)
+    sched = Some(s)
+  }
+
+  def stop(): Unit = synchronized {
+    sched.foreach(_.shutdownNow())
+    sched = None
+  }
+}

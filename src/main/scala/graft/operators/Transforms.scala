@@ -51,6 +51,21 @@ object Transforms {
         .otherwise(lit(null).cast("int")))
   }
 
+  /** T2 driven by an observed catalog (B2): broadcast-join against the
+    * observer's (topic, num_partitions) relation instead of a literal
+    * map — the form that follows partition-count changes on `refresh()`
+    * (reference `common/core/TopicPartitionCountObserver.java:96-134`). */
+  def remapPartitionsViaCatalog(df: DataFrame, catalog: DataFrame): DataFrame = {
+    val m = broadcast(catalog.select(
+      col("topic").as("cat_topic"), col("num_partitions")))
+    df.join(m, df("topic") === m("cat_topic"), "left")
+      .withColumn("partition",
+        when(col("num_partitions").isNotNull,
+          pmod(col("partition"), col("num_partitions")).cast("int"))
+          .otherwise(lit(null).cast("int")))
+      .drop("cat_topic", "num_partitions")
+  }
+
   /** T3 — timestamp normalize: non-positive source timestamps become null
     * (reference `worker/DefaultMessageTransformer.java:52`). `rawMillis`
     * is the pre-conversion epoch-millis column when available. */

@@ -567,7 +567,47 @@ object RefQueries {
         |  ON b.topic = e.topic AND b.partition = e.partition
         |ORDER BY b.topic, b.partition""".stripMargin)))
 
+  // B1 — topic catalog observer: the refreshable (topic, partitionCount)
+  // relation (reference `common/core/KafkaBrokerTopicObserver.java:73-283`).
+  private val b1 = QueryDef(
+    "b1_topic_catalog",
+    (s, dir) => {
+      val obs = graft.sources.TopicCatalogObserver.fromRecords(() => records(s, dir))
+      obs.catalog
+        .select(col("topic"),
+          col("num_partitions").cast("long").as("num_partitions"))
+        .orderBy("topic")
+    },
+    Some(withRecords(
+      """SELECT topic, CAST(MAX(partition) + 1 AS BIGINT) AS num_partitions
+        |FROM records GROUP BY topic ORDER BY topic""".stripMargin)))
+
+  // B2 — observer-driven partition remap: T2 fed by the observed dst
+  // catalog (here: a destination cluster with half the source partitions)
+  // instead of a hard-coded map — the remap follows `refresh()`
+  // (reference `common/core/TopicPartitionCountObserver.java:42-136`).
+  private val b2 = QueryDef(
+    "b2_observed_remap",
+    (s, dir) => {
+      val obs = graft.sources.TopicCatalogObserver.fromRecords(() => records(s, dir))
+      val dstCatalog = obs.catalog.select(col("topic"),
+        greatest(lit(1), (col("num_partitions") / 2).cast("int")).as("num_partitions"))
+      Transforms.remapPartitionsViaCatalog(records(s, dir), dstCatalog)
+        .select(col("event_id").cast("long").as("event_id"), col("topic"),
+          col("partition").cast("long").as("dst_partition"))
+        .orderBy("event_id")
+    },
+    Some(withRecords(
+      """, cat AS (
+        |  SELECT topic,
+        |    GREATEST(1, CAST(MAX(partition) + 1 AS BIGINT) // 2) AS nump
+        |  FROM records GROUP BY topic)
+        |SELECT CAST(r.event_id AS BIGINT) AS event_id, r.topic,
+        |  CAST(r.partition % c.nump AS BIGINT) AS dst_partition
+        |FROM records r JOIN cat c ON r.topic = c.topic
+        |ORDER BY event_id""".stripMargin)))
+
   val defs: Seq[QueryDef] = Seq(
     t1, t2, t3, t5, s5, s7, f3, f4, f5, f6,
-    a1, a2, a3, a3b, a4, a5, a6, a6b, a7, o1, o2, v1)
+    a1, a2, a3, a3b, a4, a5, a6, a6b, a7, o1, o2, v1, b1, b2)
 }

@@ -303,29 +303,53 @@ object PipelineQueries {
   private def cosSql(a: String, b: String): String =
     cosineSql.replace("%A", a).replace("%B", b)
 
-  // D5 — embedding-cosine near-dup within label buckets.
+  // D5 — embedding-cosine near-dup: random-hyperplane LSH buckets inside
+  // each label block, all-pairs cosine only within (label, table, bucket).
+  // Label-only blocking is O(n²) on a hot label at 100 TB; the 2-table ×
+  // 3-bit hyperplane split bounds each bucket to ~1/8 of its label
+  // regardless of skew (see [[graft.functions.VectorLsh]]), cutting
+  // in-bucket pair work ~8× per table while keeping high recall for
+  // genuinely close vectors (collision prob (1−θ/π)³ per table).
   private val d5 = QueryDef(
     "d5_embedding_dup",
     (s, dir) => {
+      import graft.functions.VectorLsh
       val e = emb(s, dir).select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("vec_b"), col("label"), col("v").as("vb"))
-      a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      val cand = VectorLsh.candidatePairs(e, "vec_id", Seq("label"))
+        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("label"))
+      cand
+        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
         .withColumn("cos", round(cosineCols("va", "vb"), 4))
         .filter(col("cos") >= 0.35)
         .select(col("vec_a"), col("vec_b"),
           col("label").cast("long").as("label"), col("cos"))
         .orderBy("vec_a", "vec_b")
     },
-    Some(
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-         |SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
-         |  CAST(a.label AS BIGINT) AS label,
-         |  ROUND(${cosSql("a.v", "b.v")}, 4) AS cos
-         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ROUND(${cosSql("a.v", "b.v")}, 4) >= 0.35
-         |ORDER BY vec_a, vec_b""".stripMargin))
+    Some {
+      import graft.functions.VectorLsh
+      val b0 = VectorLsh.bucketSql("v", 0, 3, 64)
+      val b1 = VectorLsh.bucketSql("v", 1, 3, 64)
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |bk AS (SELECT vec_id, label, v, $b0 AS b0, $b1 AS b1 FROM e),
+         |tagged AS (
+         |  SELECT vec_id, label, 0 AS tbl, b0 AS bucket FROM bk
+         |  UNION ALL
+         |  SELECT vec_id, label, 1 AS tbl, b1 AS bucket FROM bk),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label
+         |  FROM tagged a JOIN tagged b
+         |    ON a.label = b.label AND a.tbl = b.tbl AND a.bucket = b.bucket
+         |   AND a.vec_id < b.vec_id)
+         |SELECT CAST(c.vec_a AS BIGINT) AS vec_a, CAST(c.vec_b AS BIGINT) AS vec_b,
+         |  CAST(c.label AS BIGINT) AS label,
+         |  ROUND(${cosSql("ea.v", "eb.v")}, 4) AS cos
+         |FROM cand c JOIN e ea ON ea.vec_id = c.vec_a
+         |            JOIN e eb ON eb.vec_id = c.vec_b
+         |WHERE ROUND(${cosSql("ea.v", "eb.v")}, 4) >= 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin
+    })
 
   // SIM1 — brute-force cosine top-k (baseline ANN): 5 query vectors × all.
   private val sim1 = QueryDef(
@@ -354,35 +378,73 @@ object PipelineQueries {
          |       AS BIGINT) AS rank
          |FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin))
 
-  // SIM2 — IVF-bucketed ANN: probe only the query's coarse bucket (label).
+  // SIM2 — IVF ANN with a real coarse index: 8 deterministically seeded
+  // centroids (the vectors with the smallest md5 of "c:"||vec_id), every
+  // vector assigned to its nearest centroid by cosine, queries probe the
+  // nprobe=2 nearest cells and brute-force only there. The structure is
+  // the standard IVF plan: centroid table broadcast (8 rows), assignment
+  // one pass over vectors, search touches ~2/8 of the corpus instead of
+  // all of it — the ratio a 100-TB index keeps as k scales with n.
+  // Recall vs the exact baseline is measured in AnnRecallSpec.
   private val sim2 = QueryDef(
     "sim_topk_ivf",
     (s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"), col("label"),
+      val e = emb(s, dir).select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
-      val q = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("label"), col("v").as("qv"))
-      val pairs = q.join(e, Seq("label")).filter(col("vec_id") =!= col("q_id"))
+      val seeds = e
+        .withColumn("h", md5Long(concat(lit("c:"), col("vec_id").cast("string"))))
+        .withColumn("crank", row_number().over(Window.orderBy("h", "vec_id")))
+        .filter(col("crank") <= 8)
+        .select(col("crank").cast("long").as("cell"), col("v").as("cv"))
+      val assign = e.crossJoin(broadcast(seeds))
+        .withColumn("sim", round(cosineCols("v", "cv"), 6))
+        .withColumn("arn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("cell"), col("v"))
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .crossJoin(broadcast(seeds))
+        .withColumn("sim", round(cosineCols("qv", "cv"), 6))
+        .withColumn("prn", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("sim").desc, col("cell"))))
+        .filter(col("prn") <= 2)
+        .select(col("q_id"), col("qv"), col("cell"))
+      probes.join(assign, "cell").filter(col("vec_id") =!= col("q_id"))
         .withColumn("cos", round(cosineCols("qv", "v"), 4))
-      pairs
         .withColumn("rank", row_number().over(
           Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))).cast("long"))
         .filter(col("rank") <= 3)
-        .select(col("q_id"), col("vec_id"),
-          col("label").cast("long").as("label"), col("cos"), col("rank"))
+        .select(col("q_id"), col("vec_id"), col("cell"), col("cos"), col("rank"))
         .orderBy("q_id", "rank")
     },
     Some(
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, label, v AS qv FROM e WHERE vec_id < 20),
-         |scored AS (
-         |  SELECT q.q_id, e.vec_id, e.label, ROUND(${cosSql("q.qv", "e.v")}, 4) AS cos
-         |  FROM q JOIN e ON q.label = e.label WHERE e.vec_id <> q.q_id)
-         |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id,
-         |  CAST(label AS BIGINT) AS label, cos,
-         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
-         |       AS BIGINT) AS rank
-         |FROM scored QUALIFY rank <= 3 ORDER BY q_id, rank""".stripMargin))
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (
+         |  SELECT CAST(crank AS BIGINT) AS cell, v AS cv FROM (
+         |    SELECT vec_id, v,
+         |      ROW_NUMBER() OVER (ORDER BY
+         |        ('0x' || substr(md5('c:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+         |        vec_id) AS crank
+         |    FROM e) WHERE crank <= 8),
+         |assign AS (
+         |  SELECT vec_id, cell, v FROM (
+         |    SELECT e.vec_id, s.cell, e.v,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ROUND(${cosSql("e.v", "s.cv")}, 6) DESC, s.cell) AS arn
+         |    FROM e CROSS JOIN seeds s) WHERE arn = 1),
+         |probes AS (
+         |  SELECT q_id, qv, cell FROM (
+         |    SELECT q.vec_id AS q_id, q.v AS qv, s.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ROUND(${cosSql("q.v", "s.cv")}, 6) DESC, s.cell) AS prn
+         |    FROM e q CROSS JOIN seeds s WHERE q.vec_id < 20) WHERE prn <= 2)
+         |SELECT CAST(p.q_id AS BIGINT) AS q_id, CAST(a.vec_id AS BIGINT) AS vec_id,
+         |  p.cell, ROUND(${cosSql("p.qv", "a.v")}, 4) AS cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY p.q_id
+         |    ORDER BY ROUND(${cosSql("p.qv", "a.v")}, 4) DESC, a.vec_id) AS BIGINT) AS rank
+         |FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id
+         |QUALIFY rank <= 3 ORDER BY q_id, rank""".stripMargin))
 
   // ---------------------------------------------------- text analysis
 
@@ -515,31 +577,61 @@ object PipelineQueries {
 
   // ---------------------------------------------------- multimodal
 
-  // M1 — multimodal plumbing: opaque binary payload + typed metadata.
-  // The decode step is a deterministic stub (see functions.Multimodal);
-  // the Spark-side schema/partitioning/batching is real.
+  // M1 — multimodal metadata extraction: opaque binary payloads with
+  // per-modality decoded fields (image dims, audio duration, video
+  // frames/fps). The decode itself is a DETERMINISTIC STUB (no codecs in
+  // this container — metadata derives from the payload md5); the
+  // plumbing is real and twinned: this column-expression form sits under
+  // the DuckDB gate, and functions.Multimodal.decode runs the same
+  // semantics through typed mapPartitions batches (one decoder context
+  // per partition) — MultimodalSpec asserts the two paths agree.
   private val m1 = QueryDef(
     "m1_multimodal_meta",
     (s, dir) => {
       docs(s, dir)
         .withColumn("payload", col("text").cast("binary"))
-        .select(col("doc_id"),
-          length(col("payload")).cast("long").as("byte_len"),
-          md5(col("payload")).as("payload_md5"),
+        .withColumn("byte_len", length(col("payload")).cast("long"))
+        .withColumn("payload_md5", md5(col("payload")))
+        .withColumn("h", md5Long(col("payload")))
+        .withColumn("modality",
           when(col("doc_id") % 3 === 0, "image")
             .when(col("doc_id") % 3 === 1, "audio")
-            .otherwise("video").as("modality"),
-          (length(col("payload")) / lit(64) + 1).cast("long").as("n_frames"))
+            .otherwise("video"))
+        .select(col("doc_id"), col("modality"), col("byte_len"),
+          col("payload_md5"),
+          when(col("modality") === "image",
+            (lit(160) + pmod(col("h"), lit(8L)) * 160).cast("long")).as("width"),
+          when(col("modality") === "image",
+            (lit(120) + pmod(expr("h div 8"), lit(8L)) * 120).cast("long")).as("height"),
+          when(col("modality") === "audio",
+            (col("byte_len") * 125).cast("long")).as("duration_ms"),
+          when(col("modality") === "video",
+            (col("byte_len") / lit(64) + 1).cast("long")).as("n_frames"),
+          when(col("modality") === "video",
+            (lit(24) + pmod(col("h"), lit(2L)) * 6).cast("long")).as("fps"))
         .orderBy("doc_id")
     },
     Some(
-      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  md5(text) AS payload_md5,
-        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |       ELSE 'video' END AS modality,
-        |  CAST(octet_length(encode(text)) // 64 + 1 AS BIGINT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin))
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS modality,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |    md5(text) AS payload_md5,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, modality, byte_len, payload_md5,
+        |  CAST(CASE WHEN modality = 'image' THEN 160 + (h % 8) * 160 END
+        |       AS BIGINT) AS width,
+        |  CAST(CASE WHEN modality = 'image' THEN 120 + ((h // 8) % 8) * 120 END
+        |       AS BIGINT) AS height,
+        |  CAST(CASE WHEN modality = 'audio' THEN byte_len * 125 END
+        |       AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN modality = 'video' THEN byte_len // 64 + 1 END
+        |       AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN modality = 'video' THEN 24 + (h % 2) * 6 END
+        |       AS BIGINT) AS fps
+        |FROM base ORDER BY doc_id""".stripMargin))
 
   // ---------------------------------------------------- event streams
 

@@ -607,7 +607,71 @@ object RefQueries {
         |FROM records r JOIN cat c ON r.topic = c.topic
         |ORDER BY event_id""".stripMargin)))
 
+  // S4 — fetcher sharding by destination leader: records grouped by the
+  // destination broker leading their partition, via a broadcast join
+  // against the cluster-metadata relation (reference
+  // `worker/FetcherManagerGroupByLeaderId.java:66-88`, leader lookup
+  // `common/KafkaClusterObserver.java:59-96` — the SURVEY §2.1 mapping).
+  private val s4 = QueryDef(
+    "s4_leader_shard",
+    (s, dir) => {
+      val r = records(s, dir)
+      val leaders = r.select("topic", "partition").distinct()
+        .withColumn("leader_id", pmod(col("partition"), lit(3)))
+      val np = leaders.groupBy("leader_id").agg(count(lit(1)).as("n_partitions"))
+      val perLeader = r.join(broadcast(leaders), Seq("topic", "partition"))
+        .groupBy("leader_id")
+        .agg(count(lit(1)).as("n_records"),
+          sum(length(col("value")).cast("long")).as("total_bytes"))
+      perLeader.join(np, "leader_id")
+        .select(col("leader_id").cast("long").as("leader_id"),
+          col("n_partitions"), col("n_records"), col("total_bytes"))
+        .orderBy("leader_id")
+    },
+    Some(withRecords(
+      """, leaders AS (
+        |  SELECT DISTINCT topic, partition, partition % 3 AS leader_id
+        |  FROM records),
+        |np AS (SELECT leader_id, CAST(COUNT(*) AS BIGINT) AS n_partitions
+        |       FROM leaders GROUP BY leader_id),
+        |agg AS (
+        |  SELECT l.leader_id, CAST(COUNT(*) AS BIGINT) AS n_records,
+        |    CAST(SUM(length(r.value)) AS BIGINT) AS total_bytes
+        |  FROM records r JOIN leaders l
+        |    ON r.topic = l.topic AND r.partition = l.partition
+        |  GROUP BY l.leader_id)
+        |SELECT CAST(a.leader_id AS BIGINT) AS leader_id, n.n_partitions,
+        |  a.n_records, a.total_bytes
+        |FROM agg a JOIN np n ON a.leader_id = n.leader_id
+        |ORDER BY leader_id""".stripMargin)))
+
+  // F2 — topic delete / blacklist: deleting a topic removes it from the
+  // serving set and records it in the blacklist (reference
+  // `controller/rest/.../TopicManagementRestletResource.java:206-252`,
+  // ZK blacklist `AutoTopicWhitelistingManager.java:252-260`).
+  private val f2 = QueryDef(
+    "f2_topic_delete",
+    (s, dir) => {
+      import s.implicits._
+      val serving = records(s, dir).select("topic").distinct()
+      val deleted = Seq("error", "signup").toDF("topic")
+      val remaining = TopicSetOps.applyTopicBlacklist(serving, deleted)
+        .withColumn("status", lit("serving"))
+      val blacklisted = serving.intersect(deleted)
+        .withColumn("status", lit("blacklisted"))
+      remaining.unionAll(blacklisted).orderBy("status", "topic")
+    },
+    Some(withRecords(
+      """, serving AS (SELECT DISTINCT topic FROM records),
+        |deleted AS (SELECT 'error' AS topic UNION ALL SELECT 'signup')
+        |SELECT topic, 'serving' AS status
+        |FROM serving WHERE topic NOT IN (SELECT topic FROM deleted)
+        |UNION ALL
+        |SELECT topic, 'blacklisted' AS status
+        |FROM (SELECT topic FROM serving INTERSECT SELECT topic FROM deleted)
+        |ORDER BY status, topic""".stripMargin)))
+
   val defs: Seq[QueryDef] = Seq(
-    t1, t2, t3, t5, s5, s7, f3, f4, f5, f6,
+    t1, t2, t3, t5, s4, s5, s7, f2, f3, f4, f5, f6,
     a1, a2, a3, a3b, a4, a5, a6, a6b, a7, o1, o2, v1, b1, b2)
 }

@@ -62,16 +62,18 @@ object PipelineQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin))
 
-  /** Distinct word-bigram shingles per doc: posexplode + lead. */
-  private def bigramShingles(d: DataFrame): DataFrame = {
-    val tok = d.select(col("doc_id"),
-      posexplode(expr(tokensExpr)).as(Seq("pos", "w")))
-    tok.withColumn("w2",
-        lead("w", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), concat(col("w"), lit(" "), col("w2")).as("sh"))
-      .distinct()
-  }
+  /** Distinct word-bigram shingles per doc — one let-bound array
+    * expression per row (no per-doc window/shuffle; same set the oracle's
+    * LEAD-based CTE produces). */
+  private def bigramShingles(d: DataFrame): DataFrame =
+    d.withColumn("ws", expr(
+        s"""array_distinct(transform(array($tokensExpr), ts ->
+           |  CASE WHEN size(ts) >= 2 THEN
+           |    transform(sequence(1, size(ts) - 1),
+           |      i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)))
+           |  ELSE cast(array() as array<string>) END)[0])""".stripMargin))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), explode(col("ws")).as("sh"))
 
   private val bigramShinglesSql =
     """tok AS (
@@ -446,17 +448,80 @@ object PipelineQueries {
          |FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id
          |QUALIFY rank <= 3 ORDER BY q_id, rank""".stripMargin))
 
+  // SIM3 — LSH-bucketed ANN (the label-free scale path): queries probe
+  // their own hyperplane buckets across 2 tables; only bucket-mates are
+  // scored. Complements sim2's IVF — no training/centroids, bucket sizes
+  // bounded by 2^bits, recall from multi-table probing.
+  private val sim3 = QueryDef(
+    "sim_topk_lsh",
+    (s, dir) => {
+      import graft.functions.VectorLsh
+      val e = emb(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val buckets = (0 until 2).map(t =>
+        struct(lit(t).as("tbl"),
+          expr(VectorLsh.bucketExpr("v", t, 3, 64)).as("bucket")))
+      val tagged = e.withColumn("tb", explode(array(buckets: _*)))
+        .select(col("vec_id"), col("v"),
+          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      val q = tagged.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("tbl"), col("bucket"))
+      val cand = q.join(tagged, Seq("tbl", "bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select("q_id", "qv", "vec_id", "v").distinct()
+      cand.withColumn("cos", round(cosineCols("qv", "v"), 4))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+        .orderBy("q_id", "rank")
+    },
+    Some {
+      import graft.functions.VectorLsh
+      val b0 = VectorLsh.bucketSql("v", 0, 3, 64)
+      val b1 = VectorLsh.bucketSql("v", 1, 3, 64)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bk AS (SELECT vec_id, v, $b0 AS b0, $b1 AS b1 FROM e),
+         |tagged AS (
+         |  SELECT vec_id, v, 0 AS tbl, b0 AS bucket FROM bk
+         |  UNION ALL
+         |  SELECT vec_id, v, 1 AS tbl, b1 AS bucket FROM bk),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, q.v AS qv, t.vec_id, t.v
+         |  FROM tagged q JOIN tagged t
+         |    ON q.tbl = t.tbl AND q.bucket = t.bucket AND t.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 20)
+         |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id,
+         |  ROUND(${cosSql("qv", "v")}, 4) AS cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY ROUND(${cosSql("qv", "v")}, 4) DESC, vec_id) AS BIGINT) AS rank
+         |FROM cand QUALIFY rank <= 3 ORDER BY q_id, rank""".stripMargin
+    })
+
   // ---------------------------------------------------- text analysis
+
+  /** Let-bound token-count struct: `fields` are (name, exprOf(ts));
+    * tokenization runs ONCE per row regardless of how many counts read
+    * it (a bare `toks` column would be re-inlined per reference by
+    * CollapseProject — see [[shingled]]). */
+  private def tokenCounts(d: DataFrame, fields: (String, String)*): DataFrame = {
+    val body = fields.map { case (n, e) => s"'$n', $e" }.mkString(", ")
+    d.withColumn("tc", expr(
+      s"transform(array($tokensExpr), ts -> named_struct($body))[0]"))
+  }
 
   // X1 — language-marker profile (n-gram heuristic scoring).
   private val x1 = QueryDef(
     "x1_lang_profile",
     (s, dir) => {
-      val d = docs(s, dir)
-        .withColumn("toks", expr(tokensExpr))
-        .withColumn("n_tokens", size(col("toks")).cast("long"))
-        .withColumn("n_the", size(expr("filter(toks, t -> t = 'the')")).cast("long"))
-        .withColumn("n_a", size(expr("filter(toks, t -> t = 'a')")).cast("long"))
+      val d = tokenCounts(docs(s, dir),
+        "n_tokens" -> "size(ts)",
+        "n_the" -> "size(filter(ts, t -> t = 'the'))",
+        "n_a" -> "size(filter(ts, t -> t = 'a'))")
+        .withColumn("n_tokens", col("tc.n_tokens").cast("long"))
+        .withColumn("n_the", col("tc.n_the").cast("long"))
+        .withColumn("n_a", col("tc.n_a").cast("long"))
       d.withColumn("marker_ratio",
           round((col("n_the") + col("n_a")).cast("double") / col("n_tokens"), 6))
         .withColumn("predicted",
@@ -484,12 +549,13 @@ object PipelineQueries {
   private val x2 = QueryDef(
     "x2_quality_score",
     (s, dir) => {
-      val d = docs(s, dir)
-        .withColumn("toks", expr(tokensExpr))
-        .withColumn("n_tokens", size(col("toks")).cast("long"))
-        .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
-        .withColumn("n_stop",
-          size(expr("filter(toks, t -> t = 'the' or t = 'a' or t = 'of')")).cast("long"))
+      val d = tokenCounts(docs(s, dir),
+        "n_tokens" -> "size(ts)",
+        "n_distinct" -> "size(array_distinct(ts))",
+        "n_stop" -> "size(filter(ts, t -> t = 'the' or t = 'a' or t = 'of'))")
+        .withColumn("n_tokens", col("tc.n_tokens").cast("long"))
+        .withColumn("n_distinct", col("tc.n_distinct").cast("long"))
+        .withColumn("n_stop", col("tc.n_stop").cast("long"))
       d.withColumn("distinct_ratio",
           round(col("n_distinct").cast("double") / col("n_tokens"), 6))
         .withColumn("stopword_ratio",
@@ -525,13 +591,14 @@ object PipelineQueries {
   private val x3 = QueryDef(
     "x3_token_stats",
     (s, dir) => {
-      docs(s, dir)
-        .withColumn("toks", expr(tokensExpr))
+      tokenCounts(docs(s, dir),
+        "n_tokens" -> "size(ts)",
+        "n_alpha" -> "size(filter(ts, t -> t rlike '^[a-z]+$'))",
+        "token_chars" -> "aggregate(ts, 0L, (acc, t) -> acc + length(t))")
         .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          size(expr("filter(toks, t -> t rlike '^[a-z]+$')")).cast("long").as("n_alpha"),
-          expr("cast(aggregate(toks, 0L, (acc, t) -> acc + length(t)) as bigint)")
-            .as("token_chars"),
+          col("tc.n_tokens").cast("long").as("n_tokens"),
+          col("tc.n_alpha").cast("long").as("n_alpha"),
+          col("tc.token_chars").cast("long").as("token_chars"),
           col("n_chars"))
         .withColumn("chars_per_token",
           round(col("token_chars").cast("double") / col("n_tokens"), 4))
@@ -574,6 +641,45 @@ object PipelineQueries {
         |  CAST(SUM(pos * (unicode(w) + 7 * length(w))) AS BIGINT) AS fingerprint,
         |  CAST(COUNT(*) AS BIGINT) AS n_tokens
         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  // X5 — rolling-rotate document fingerprint: each token's 32-bit md5
+  // hash is rotated by its position (order-sensitive), then XOR-folded.
+  // XOR is commutative, so the aggregation parallelizes with map-side
+  // combine and is order-insensitive across partitions while the rotate
+  // keeps the fingerprint order-sensitive in the document.
+  private val x5 = QueryDef(
+    "x5_rolling_fingerprint",
+    (s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), posexplode(expr(tokensExpr)).as(Seq("pos", "w")))
+        .withColumn("h32", pmod(md5Long(col("w")), lit(4294967296L)))
+        .withColumn("r", pmod(col("pos"), lit(32)))
+        .withColumn("rot",
+          expr("pmod(shiftleft(h32, cast(r as int)), 4294967296L) + " +
+            "shiftright(h32, cast(32 - r as int))"))
+        .groupBy("doc_id")
+        .agg(expr("bit_xor(rot)").as("fingerprint"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(toks) AS w,
+        |    generate_subscripts(toks, 1) - 1 AS pos
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |        FROM documents)),
+        |rotted AS (
+        |  SELECT doc_id,
+        |    ((('0x' || substr(md5(w), 1, 15))::BIGINT % 4294967296)
+        |       << (pos % 32)) % 4294967296
+        |    + ((('0x' || substr(md5(w), 1, 15))::BIGINT % 4294967296)
+        |       >> (32 - (pos % 32))) AS rot
+        |  FROM tok)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(bit_xor(rot) AS BIGINT) AS fingerprint,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |FROM rotted GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   // ---------------------------------------------------- multimodal
 
@@ -695,5 +801,5 @@ object PipelineQueries {
         |ORDER BY event_type, window_start""".stripMargin))
 
   val defs: Seq[QueryDef] = Seq(
-    d1, d2, d3, d4, d5, sim1, sim2, x1, x2, x3, x4, m1, e1, e2)
+    d1, d2, d3, d4, d5, sim1, sim2, sim3, x1, x2, x3, x4, x5, m1, e1, e2)
 }

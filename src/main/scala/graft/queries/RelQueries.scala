@@ -185,5 +185,141 @@ object RelQueries {
         |  CAST(MAX(c_custkey) AS BIGINT) AS max_custkey
         |FROM tagged GROUP BY bucket ORDER BY bucket""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(q1, q3, q5, qw, qr, qj)
+  // Q6 — forecast revenue (TPC-H Q6 shape): tight scan-side predicates
+  // (all pushed to parquet) into a scalar aggregate.
+  private val q6 = QueryDef(
+    "q6_forecast_revenue",
+    (s, dir) => {
+      Records.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some(
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin))
+
+  // Distinct aggregation (TPC-H Q16 shape): distinct suppliers and parts
+  // per brand — the distinct-agg rewrite (expand + two-phase agg).
+  private val qd = QueryDef(
+    "q_distinct_agg",
+    (s, dir) => {
+      val li = Records.table(s, dir, "lineitem")
+      val part = Records.table(s, dir, "part")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(countDistinct("l_suppkey").as("n_suppliers"),
+          countDistinct("l_partkey").as("n_parts"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("p_brand")
+    },
+    Some(
+      """SELECT p_brand,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+
+  // Cube: all grouping-set combinations over (status, priority).
+  private val qc = QueryDef(
+    "q_cube_orders",
+    (s, dir) => {
+      Records.table(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+    Some(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin))
+
+  // Correlated EXISTS (TPC-H Q4 shape): orders with at least one line
+  // shipped after the order date, counted per priority. The semi join is
+  // the EXISTS plan.
+  private val qe = QueryDef(
+    "q_exists_orders",
+    (s, dir) => {
+      val orders = Records.table(s, dir, "orders")
+      val li = Records.table(s, dir, "lineitem")
+      orders.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    Some(
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  // Outer join preserving unmatched rows: urgent orders per customer
+  // (0 for customers without any), histogrammed.
+  private val qo = QueryDef(
+    "q_outer_join_hist",
+    (s, dir) => {
+      val customer = Records.table(s, dir, "customer")
+      val urgent = Records.table(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      customer.join(urgent, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_urgent"))
+        .groupBy("n_urgent")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_urgent")
+    },
+    Some(
+      """WITH per_cust AS (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_urgent
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT n_urgent, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM per_cust GROUP BY n_urgent ORDER BY n_urgent""".stripMargin))
+
+  // Scalar-function coverage: JSON extraction + date parts + string ops
+  // over the events stream table.
+  private val qs = QueryDef(
+    "q_scalar_funcs",
+    (s, dir) => {
+      Records.table(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(upper(col("event_type")).as("event_type_uc"),
+          year(col("ts")).cast("long").as("yr"),
+          quarter(col("ts")).cast("long").as("qtr"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type_uc", "yr", "qtr")
+    },
+    Some(
+      """SELECT UPPER(event_type) AS event_type_uc,
+        |  CAST(year(ts) AS BIGINT) AS yr,
+        |  CAST(quarter(ts) AS BIGINT) AS qtr,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type_uc, yr, qtr
+        |ORDER BY event_type_uc, yr, qtr""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(q1, q3, q5, qw, qr, qj, q6, qd, qc, qe, qo, qs)
 }

@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the scale-critical queries: the plan the
+  * engine must produce at 100 TB, checked structurally at sf0.001 under
+  * `sbt test` (values are the oracle's job; shapes are this spec's). */
+class PlanShapeSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sfDir = SparkTestSession.sfDir
+
+  private def executedPlan(name: String): String = {
+    val df = Catalog.byName(name).fn(spark, sfDir)
+    df.collect() // AQE finalizes the plan only after execution
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("d3: the only cross join is the broadcast 64-row permutation table") {
+    val plan = executedPlan("d3_minhash_lsh")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in d3:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"permutation table not broadcast:\n$plan")
+  }
+
+  test("d3: candidate generation is an equi-join on (band, band_hash)") {
+    val plan = executedPlan("d3_minhash_lsh")
+    assert(plan.contains("band_hash"), s"no band-hash join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"candidate join is not a hash/merge equi-join:\n$plan")
+  }
+
+  test("d5: hyperplane bucketing leaves no cartesian pair generation") {
+    val plan = executedPlan("d5_embedding_dup")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in d5:\n$plan")
+  }
+
+  test("sim1 (baseline) is the only similarity query allowed a cross join") {
+    val brute = executedPlan("sim_topk_bruteforce")
+    assert(brute.contains("BroadcastNestedLoopJoin") ||
+      brute.contains("CartesianProduct"),
+      "sim1 is documented as the brute-force cross join baseline")
+    val ivf = executedPlan("sim_topk_ivf")
+    assert(!ivf.contains("CartesianProduct"), s"cartesian in IVF:\n$ivf")
+    val lsh = executedPlan("sim_topk_lsh")
+    assert(!lsh.contains("CartesianProduct"), s"cartesian in LSH ANN:\n$lsh")
+  }
+
+  test("q6: every scan predicate reaches the parquet reader") {
+    val plan = executedPlan("q6_forecast_revenue")
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate") &&
+      plan.contains("l_discount"),
+      s"q6 predicates not pushed:\n$plan")
+  }
+
+  test("q6: scan reads only the referenced columns (pruned ReadSchema)") {
+    val plan = executedPlan("q6_forecast_revenue")
+    val schema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(schema.contains("l_extendedprice") && !schema.contains("l_returnflag"),
+      s"column pruning failed: $schema")
+  }
+
+  test("k2 transform: offset-range predicate folds into one scan filter") {
+    val spec = graft.model.PipelineSpec(
+      name = "shape", route = graft.model.Route("a", "b", 0),
+      topics = Seq("click"),
+      offsetRanges = Seq(graft.model.OffsetRange("click", 0, 2, Some(10))))
+    val records = graft.sources.Records.recordsFromEvents(
+      graft.sources.Records.table(spark, sfDir, "events"))
+    val plan = graft.streaming.ReplicationPipeline.transform(records, spec)
+      .queryExecution.optimizedPlan.toString
+    // one Filter node carries the whole range predicate — no join, no
+    // driver-side row handling
+    assert(!plan.contains("Join"), s"range filter became a join:\n$plan")
+    assert(plan.contains("offset"), s"offset bound missing:\n$plan")
+  }
+
+  test("e1 sessionization shuffles once on user_id") {
+    val plan = executedPlan("e1_sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"too many shuffles in e1 ($exchanges):\n$plan")
+    assert(plan.contains("user_id"), plan)
+  }
+}

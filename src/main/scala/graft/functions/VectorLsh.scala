@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 object VectorLsh {
 
   /** `('0x' || substr(md5(s), 1, 15))::BIGINT` on the JVM. */
-  private def md5Long15(s: String): Long = {
+  private[graft] def md5Long15(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
     java.lang.Long.parseLong(

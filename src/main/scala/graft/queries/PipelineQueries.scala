@@ -128,10 +128,7 @@ object PipelineQueries {
          |WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin))
 
-  /** Distinct unigram tokens per doc (MinHash / SimHash input). */
-  private def unigrams(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), explode(expr(tokensExpr)).as("w")).distinct()
-
+  /** Distinct unigram tokens per doc (SimHash oracle input). */
   private val unigramsSql =
     """uni AS (
       |  SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '),
@@ -184,29 +181,36 @@ object PipelineQueries {
     (s, dir) => {
       import s.implicits._
       val sh = shingled(docs(s, dir))
-      // Each shingle is md5-hashed ONCE per (doc, shingle) row; the 64
-      // permutations are exact integer universal hashes
-      // h_s = (a_s·h + s) mod p, p = 2^31−1 (products < 2^62 — no bigint
-      // overflow under ANSI), via a broadcast 64-row coefficient table.
-      // All codegen'd row ops with map-side partial min — the shuffle
-      // carries only 64 longs per doc.
-      val uni = sh.select(col("doc_id"), explode(col("ws")).as("w"))
-      val perms = s.range(64).select(col("id").cast("int").as("seed"),
-        (lit(1) + pmod(md5Long(concat(lit("a:"), col("id").cast("string"))),
-          lit(2147483646L))).as("coef"))
-      val hashedOnce = uni.withColumn("h", pmod(md5Long(col("w")), lit(2147483647L)))
-      val sig = hashedOnce.crossJoin(broadcast(perms))
-        .withColumn("ph", pmod(col("coef") * col("h") + col("seed"), lit(2147483647L)))
-        .groupBy("doc_id", "seed").agg(min("ph").as("minh"))
-      val bands = sig
-        .withColumn("band", floor(col("seed") / 4).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(expr("md5(array_join(transform(array_sort(collect_list(struct(seed, minh)))," +
-          " x -> cast(x.minh as string)), ','))").as("band_hash"))
+      // The whole 64-permutation signature and its 16 band hashes are ONE
+      // per-row expression with zero shuffle: each shingle md5-hashed
+      // once (let-bound `hs`), permutations derived with exact integer
+      // universal hashes h_s = (a_s·h + s) mod p, p = 2^31−1 (products
+      // < 2^62 — no bigint overflow under ANSI). The 64 coefficients are
+      // JVM-precomputed md5 constants, bit-identical to the oracle's
+      // SQL-side md5 — embedded as a folded literal array. Only the
+      // 16-rows-per-doc band table ever shuffles, for the candidate
+      // self-join on (band, band_hash).
+      val coefArr = (0 until 64)
+        .map(i => s"${1L + (graft.functions.VectorLsh.md5Long15(s"a:$i") % 2147483646L)}L")
+        .mkString("array(", ",", ")")
+      val hsExpr =
+        "transform(ws, w -> pmod(cast(conv(substring(md5(w), 1, 15), 16, 10)" +
+          " as bigint), 2147483647L))"
+      val bandHashesExpr =
+        s"""transform(array(transform(array($hsExpr), hs ->
+           |  transform(sequence(0, 63), s ->
+           |    array_min(transform(hs, h ->
+           |      pmod(element_at($coefArr, s + 1) * h + s, 2147483647L)))))[0]), sig ->
+           |  transform(sequence(0, 15), b ->
+           |    md5(concat_ws(',', transform(slice(sig, b * 4 + 1, 4),
+           |                                 x -> cast(x as string))))))[0]""".stripMargin
+      val bands = sh.withColumn("bh", expr(bandHashesExpr))
+        .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "band_hash")))
       val cand = bands.as("x").join(bands.as("y"),
           $"x.band" === $"y.band" && $"x.band_hash" === $"y.band_hash" &&
             $"x.doc_id" < $"y.doc_id")
         .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
+      val uni = sh.select(col("doc_id"), explode(col("ws")).as("w"))
       val sizes = uni.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = cand
         .join(uni.select(col("doc_id").as("doc_a"), col("w")), "doc_a")
@@ -258,22 +262,24 @@ object PipelineQueries {
          |WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.4
          |ORDER BY doc_a, doc_b""".stripMargin))
 
-  // D4 — SimHash: 16-bit signature from md5-derived word hashes.
+  // D4 — SimHash: 16-bit signature from md5-derived word hashes. The
+  // whole signature is one per-row expression (let-bound distinct-word
+  // hashes scanned once per bit) — zero shuffle, unlike the
+  // explode-by-bit relational form which shuffled twice.
   private val d4 = QueryDef(
     "d4_simhash",
     (s, dir) => {
-      import s.implicits._
-      val uni = unigrams(docs(s, dir)).withColumn("h", md5Long(col("w")))
-      val bits = (0 until 16).toDF("b")
-      val contrib = uni.crossJoin(broadcast(bits))
-        .withColumn("c",
-          when(expr("shiftright(h, b) & 1") === 1, 1).otherwise(-1))
-        .groupBy("doc_id", "b").agg(sum("c").as("s"))
-      contrib
-        .groupBy("doc_id")
-        .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), b)"))
-          .otherwise(0L)).as("simhash"))
-        .select(col("doc_id"), col("simhash").cast("long").as("simhash"))
+      val hsExpr = s"transform(array_distinct($tokensExpr), w -> " +
+        "cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"
+      val simhashExpr =
+        s"""transform(array($hsExpr), hs ->
+           |  aggregate(sequence(0, 15), 0L, (acc, b) ->
+           |    acc + CASE WHEN aggregate(hs, 0L, (a, h) ->
+           |        a + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1L ELSE -1L END) > 0
+           |      THEN shiftleft(cast(1 as bigint), b) ELSE 0L END))[0]""".stripMargin
+      docs(s, dir)
+        .filter(expr(s"size($tokensExpr) > 0"))
+        .select(col("doc_id"), expr(simhashExpr).cast("long").as("simhash"))
         .orderBy("doc_id")
     },
     Some(

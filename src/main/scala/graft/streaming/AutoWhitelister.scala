@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.operators.TopicSetOps
+import graft.sources.TopicCatalogObserver
+import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
+
+/**
+ * F1/F3 — the auto-whitelisting service loop: periodically observe both
+ * clusters, compute candidate topics with the F3 set algebra, and add
+ * them to the route's pipeline spec (restarting the query if running —
+ * Spark's substitute for in-flight assignment mutation).
+ *
+ * Reference: `controller/core/AutoTopicWhitelistingManager.java:116-203`
+ * (scheduled refresh → `getCandidateTopicsToWhitelist` → whitelist), with
+ * the candidate computation delegated to
+ * [[TopicSetOps.autoWhitelistCandidates]] so the service and the oracle
+ * gate share one implementation.
+ */
+final class AutoWhitelister(
+    manager: PipelineManager,
+    srcObserver: TopicCatalogObserver,
+    dstObserver: TopicCatalogObserver,
+    blacklist: () => Set[String],
+    excludeRegex: String = "^__.*") {
+
+  @volatile private var sched: Option[ScheduledExecutorService] = None
+
+  /** One pass for `pipelineName`; returns the topics it added. */
+  def runOnce(pipelineName: String): Seq[String] = {
+    val spec = manager.spec(pipelineName).getOrElse(return Nil)
+    srcObserver.refresh()
+    dstObserver.refresh()
+    val spark = srcObserver.catalog.sparkSession
+    import spark.implicits._
+    val serving = spec.topics.toDF("topic")
+    val bl = blacklist().toSeq.toDF("topic")
+    val candidates = TopicSetOps.autoWhitelistCandidates(
+        srcObserver.catalog.select("topic"),
+        dstObserver.catalog.select("topic"),
+        serving, bl, excludeRegex)
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (candidates.nonEmpty)
+      manager.update(spec.copy(topics = spec.topics ++ candidates))
+    candidates
+  }
+
+  /** Reference cadence: periodic refresh (default 600 s there). */
+  def start(pipelineName: String, periodSeconds: Long): Unit = synchronized {
+    require(sched.isEmpty, "auto-whitelister already running")
+    val s = Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-auto-whitelister")
+      t.setDaemon(true)
+      t
+    }
+    s.scheduleAtFixedRate(
+      () => try runOnce(pipelineName) catch { case _: Throwable => () },
+      periodSeconds, periodSeconds, TimeUnit.SECONDS)
+    sched = Some(s)
+  }
+
+  def stop(): Unit = synchronized {
+    sched.foreach(_.shutdownNow())
+    sched = None
+  }
+}

@@ -106,7 +106,7 @@ final class PipelineManager(spark: SparkSession) {
 
 object PipelineManager {
   /** JSON-escape a string value (quotes, backslashes, control chars). */
-  private[streaming] def jsonEscape(s: String): String =
+  private[graft] def jsonEscape(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -63,5 +63,44 @@ object StreamingQueries {
         |  AND NOT (topic = 'view' AND partition = 0 AND "offset" < 2)
         |ORDER BY event_id""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(k2)
+  // E3 — watermarked event-time windows, run as a REAL append-mode
+  // streaming query (AvailableNow over a file source): only windows the
+  // final watermark (max event time − 1 h, ms precision) has passed are
+  // emitted; the open tail windows stay in state. The oracle models the
+  // same cutoff relationally — so Spark's late-data/eviction semantics
+  // themselves sit under the hash gate.
+  private val e3 = QueryDef(
+    "e3_watermarked_windows",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft_e3_").toString
+      Records.table(s, dir, "events").write.parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      val q = s.readStream.schema(schema).parquet(s"$base/src")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("window_start"),
+          col("event_type"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").orderBy("window_start", "event_type")
+    },
+    Some(
+      """WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000 AS max_ms FROM events),
+        |w AS (SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) * 3600 AS BIGINT)
+        |        AS window_start, event_type
+        |      FROM events)
+        |SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM w, mx
+        |GROUP BY window_start, event_type, max_ms
+        |HAVING (window_start + 3600) * 1000 <= max_ms - 3600000
+        |ORDER BY window_start, event_type""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(k2, e3)
 }

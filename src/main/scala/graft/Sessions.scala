@@ -9,6 +9,7 @@ object Sessions {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -66,6 +66,26 @@ object Transforms {
       .drop("cat_topic", "num_partitions")
   }
 
+  /** T2 fidelity mode for KEYED records: partition' = Kafka's default
+    * partitioner hash `(murmur2(key) & 0x7fffffff) % dstCount` — the
+    * byte-identical routing a plain Kafka producer would pick, via the
+    * codegen'd [[graft.functions.KafkaMurmur2Partition]] expression
+    * (registered as `kafka_partition` by [[graft.GraftExtensions]]).
+    * Null keys and unobserved topics get a null partition (sink
+    * round-robin), matching the producer's unkeyed behavior. */
+  def remapPartitionsByKey(df: DataFrame, dstCounts: Map[String, Int]): DataFrame = {
+    if (dstCounts.isEmpty) return df.withColumn("partition", lit(null).cast("int"))
+    val entries = dstCounts.flatMap { case (k, v) =>
+      Seq(s"'${k.replace("'", "''")}'", v.toString)
+    }.mkString(", ")
+    df.withColumn("dst_n", expr(s"element_at(map($entries), topic)"))
+      .withColumn("partition",
+        when(col("key").isNotNull && col("dst_n").isNotNull,
+          expr("kafka_partition(key, dst_n)"))
+          .otherwise(lit(null).cast("int")))
+      .drop("dst_n")
+  }
+
   /** T3 — timestamp normalize: non-positive source timestamps become null
     * (reference `worker/DefaultMessageTransformer.java:52`). `rawMillis`
     * is the pre-conversion epoch-millis column when available. */
@@ -90,6 +110,22 @@ object Transforms {
     df.observe(metricName, sum(when(col("value").isNull, 1L).otherwise(0L))
         .as("numDroppedMessages"))
       .filter(col("value").isNotNull)
+
+  /** The engine's record-transformer plug point (reference
+    * `worker/interfaces/IMessageTransformer.java`, override hook
+    * `worker/WorkerInstance.java:141-143`): a transformer is any pure
+    * `DataFrame => DataFrame`, so custom logic composes with the built-in
+    * chain and runs identically on batch and streaming frames. */
+  type MessageTransformer = DataFrame => DataFrame
+
+  /** Compose transformers in order (reference applies exactly one
+    * `process` per record; here the chain fuses into one projection). */
+  def chain(transformers: MessageTransformer*): MessageTransformer =
+    df => transformers.foldLeft(df)((d, t) => t(d))
+
+  /** The built-in chain for a spec, as a pluggable transformer value. */
+  def defaultTransformer(spec: PipelineSpec): MessageTransformer =
+    defaultChain(_, spec)
 
   /** The full default transformer chain, mirroring
     * `DefaultMessageTransformer.process` order: rename → remap → (T3 is

@@ -64,7 +64,8 @@ object PipelineQueries {
 
   /** Distinct word-bigram shingles per doc — one let-bound array
     * expression per row (no per-doc window/shuffle; same set the oracle's
-    * LEAD-based CTE produces). */
+    * LEAD-based CTE produces). The (lang, len_bucket) blocking columns
+    * ride along the explode, so no meta join is needed. */
   private def bigramShingles(d: DataFrame): DataFrame =
     d.withColumn("ws", expr(
         s"""array_distinct(transform(array($tokensExpr), ts ->
@@ -73,7 +74,8 @@ object PipelineQueries {
            |      i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)))
            |  ELSE cast(array() as array<string>) END)[0])""".stripMargin))
       .filter(size(col("ws")) > 0)
-      .select(col("doc_id"), explode(col("ws")).as("sh"))
+      .select(col("doc_id"), col("lang"), col("len_bucket"),
+        explode(col("ws")).as("sh"))
 
   private val bigramShinglesSql =
     """tok AS (
@@ -90,9 +92,8 @@ object PipelineQueries {
     "d2_ngram_jaccard",
     (s, dir) => {
       val d = docs(s, dir)
-      val meta = d.select(col("doc_id"), col("lang"),
-        floor(col("n_chars") / lit(100)).cast("long").as("len_bucket"))
-      val sh = bigramShingles(d).join(meta, "doc_id")
+      val sh = bigramShingles(d.withColumn("len_bucket",
+        floor(col("n_chars") / lit(100)).cast("long")))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val a = sh.select(col("doc_id").as("doc_a"), col("sh"), col("lang"), col("len_bucket"))
       val b = sh.select(col("doc_id").as("doc_b"), col("sh"), col("lang"), col("len_bucket"))

@@ -76,6 +76,23 @@ class TransformsSpec extends AnyFunSuite {
     assert(rows.length == 1)
   }
 
+  test("custom transformer composes with the default chain (UDF surface)") {
+    val spec = PipelineSpec(
+      name = "p2", route = Route("a", "b", 0), topics = Seq("click"),
+      topicMapping = Map("click" -> "click2"),
+      dstPartitionCounts = Map("CLICK2" -> 2))
+    val upcase: Transforms.MessageTransformer =
+      df => df.withColumn("topic", upper(col("topic")))
+    val composed = Transforms.chain(
+      Transforms.renameTopics(_, spec.topicMapping),
+      upcase,
+      Transforms.remapPartitionsByKey(_, spec.dstPartitionCounts),
+      Transforms.dropNullValues)
+    val out = composed(records).filter(col("topic") === "CLICK2").collect()
+    assert(out.length == 1)
+    assert(!out.head.isNullAt(out.head.fieldIndex("partition")))
+  }
+
   test("default chain: rename → remap → null-filter, streaming-safe exprs") {
     val spec = PipelineSpec(
       name = "p1", route = Route("a", "b", 0), topics = Seq("click"),

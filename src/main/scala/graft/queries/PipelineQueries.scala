@@ -177,9 +177,9 @@ object PipelineQueries {
       |    FROM toks)
       |  WHERE len(ws) > 0)""".stripMargin
 
-  private val d3 = QueryDef(
-    "d3_minhash_lsh",
-    (s, dir) => {
+  /** MinHash-LSH near-dup pairs (doc_a, doc_b, jaccard) — shared by the
+    * pair report (d3) and the dedup keep-list (d6). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
       import s.implicits._
       val sh = shingled(docs(s, dir))
       // The whole 64-permutation signature and its 16 band hashes are ONE
@@ -224,10 +224,12 @@ object PipelineQueries {
           round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
         .filter(col("jaccard") >= 0.4)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    },
-    Some(
-      s"""WITH $shingledSql,
+  }
+
+  /** The shared CTE chain for [[minhashPairs]]'s oracle (through `inter`
+    * and `sizes`). */
+  private val minhashSqlCtes =
+    s"""$shingledSql,
          |sigs AS (
          |  SELECT doc_id,
          |    list_transform(generate_series(0, 63), s ->
@@ -255,13 +257,40 @@ object PipelineQueries {
          |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
          |  FROM cand c JOIN uni a ON a.doc_id = c.doc_a
          |              JOIN uni b ON b.doc_id = c.doc_b AND a.w = b.w
-         |  GROUP BY c.doc_a, c.doc_b)
-         |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
-         |  ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
-         |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-         |           JOIN sizes sb ON doc_b = sb.doc_id
-         |WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.4
+         |  GROUP BY c.doc_a, c.doc_b),
+         |pairs AS (
+         |  SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+         |    ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+         |             JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.4)""".stripMargin
+
+  private val d3 = QueryDef(
+    "d3_minhash_lsh",
+    (s, dir) => minhashPairs(s, dir).orderBy("doc_a", "doc_b"),
+    Some(
+      s"""WITH $minhashSqlCtes
+         |SELECT doc_a, doc_b, jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin))
+
+  // D6 — the dedup DECISION: the keep-list after near-dup removal. A
+  // document is dropped when it is the higher-id member of any detected
+  // near-dup pair (keeper = lowest doc_id) — the output a training-data
+  // pipeline actually feeds downstream.
+  private val d6 = QueryDef(
+    "d6_dedup_keeplist",
+    (s, dir) => {
+      val dropped = minhashPairs(s, dir).select(col("doc_b").as("doc_id"))
+      docs(s, dir).select("doc_id")
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH $minhashSqlCtes
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |ORDER BY doc_id""".stripMargin))
 
   // D4 — SimHash: 16-bit signature from md5-derived word hashes. The
   // whole signature is one per-row expression (let-bound distinct-word
@@ -808,5 +837,5 @@ object PipelineQueries {
         |ORDER BY event_type, window_start""".stripMargin))
 
   val defs: Seq[QueryDef] = Seq(
-    d1, d2, d3, d4, d5, sim1, sim2, sim3, x1, x2, x3, x4, x5, m1, e1, e2)
+    d1, d2, d3, d4, d5, d6, sim1, sim2, sim3, x1, x2, x3, x4, x5, m1, e1, e2)
 }

@@ -77,6 +77,31 @@ class DetectorsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S7 streaming: re-delivered offsets dedup across micro-batches") {
+    // the reference's ConsumerIterator skips records below consumeOffset
+    // after a re-fetch (`worker/ConsumerIterator.java:81-83`); the
+    // streaming analog dedups on (topic, partition, offset) with state
+    // bounded by the watermark
+    val input = MemoryStream[(java.sql.Timestamp, String, Int, Long)]
+    val records = input.toDF().toDF("ts", "topic", "partition", "offset")
+    val deduped = records
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("topic", "partition", "offset")
+    val q = deduped.writeStream.format("memory").queryName("s7_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+      input.addData((ts(0), "t", 0, 0L), (ts(1), "t", 0, 1L))
+      q.processAllAvailable()
+      // re-fetch re-delivers offsets 0-1 plus new offset 2
+      input.addData((ts(2), "t", 0, 0L), (ts(2), "t", 0, 1L), (ts(3), "t", 0, 2L))
+      q.processAllAvailable()
+      val offsets = spark.table("s7_stream")
+        .select("offset").as[Long].collect().sorted
+      assert(offsets.toSeq == Seq(0L, 1L, 2L))
+    } finally q.stop()
+  }
+
   test("E1 streaming: gap-based session windows") {
     val input = MemoryStream[(java.sql.Timestamp, Long)]
     val events = input.toDF().toDF("ts", "user_id")

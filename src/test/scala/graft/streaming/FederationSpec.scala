@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.model.{PipelineSpec, Route}
+import graft.sources.TopicCatalogObserver
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Federation integration: multiple routes under one PipelineManager with
+ * the supervisor, auto-whitelister, and state backup all attached — the
+ * shape of the reference's manager-level integration tests
+ * (`WorkerInstanceTest.java:222-339` federated flow), minus Helix/ZK.
+ */
+class FederationSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def records(topics: Seq[String], from: Int = 0, until: Int = 5): DataFrame =
+    (for (t <- topics; p <- 0 to 1; o <- from until until)
+      yield (s"k$o", s"v-$t-$p-$o", t, p, o.toLong))
+      .toDF("k", "v", "topic", "partition", "offset")
+      .select(col("k").cast("binary").as("key"),
+        col("v").cast("binary").as("value"),
+        col("topic"), col("partition"), col("offset"))
+
+  test("two routes replicate independently; whitelister + backup operate across both") {
+    val base = java.nio.file.Files.createTempDirectory("graft_fed_").toString
+    val manager = new PipelineManager(spark)
+    val supervisor = new RouteSupervisor(manager)
+    spark.streams.addListener(supervisor)
+    try {
+      // two source "clusters", one topic each to start
+      records(Seq("click", "view")).write.parquet(s"$base/src1")
+      records(Seq("logs")).write.parquet(s"$base/src2")
+      def starter(srcDir: String, outDir: String): PipelineSpec => org.apache.spark.sql.streaming.StreamingQuery =
+        sp => {
+          val schema = spark.read.parquet(srcDir).schema
+          val src = ReplicationPipeline.fileSource(spark, srcDir, schema)
+          ReplicationPipeline.parquetSink(
+            ReplicationPipeline.transform(src, sp), outDir,
+            sp.checkpointLocation.get).start()
+        }
+      val specA = PipelineSpec(name = "route-a", route = Route("c1", "dst", 0),
+        topics = Seq("click"), excludeTopicRegex = None,
+        checkpointLocation = Some(s"$base/ckptA"))
+      val specB = PipelineSpec(name = "route-b", route = Route("c2", "dst", 1),
+        topics = Seq("logs"), excludeTopicRegex = None,
+        checkpointLocation = Some(s"$base/ckptB"))
+      manager.start(specA)(starter(s"$base/src1", s"$base/outA"))
+      manager.start(specB)(starter(s"$base/src2", s"$base/outB"))
+      manager.awaitAll()
+      assert(spark.read.parquet(s"$base/outA").count() == 10) // click only
+      assert(spark.read.parquet(s"$base/outB").count() == 10) // logs
+
+      // auto-whitelister: dst now also serves 'view' → route-a picks it up.
+      // With a FILE source the widened whitelist applies to files not yet
+      // committed to the checkpoint (a Kafka source would additionally
+      // read the new topic's history via startingOffsets=earliest).
+      val srcObs = TopicCatalogObserver.fromRecords(() =>
+        spark.read.parquet(s"$base/src1"))
+      val dstObs = new TopicCatalogObserver(() =>
+        Seq(("click", 2), ("view", 2)).toDF("topic", "num_partitions"))
+      val wl = new AutoWhitelister(manager, srcObs, dstObs, () => Set.empty)
+      assert(wl.runOnce("route-a") == Seq("view"))
+      manager.query("route-a").get.awaitTermination() // restarted by update
+      assert(manager.spec("route-a").get.topics.sorted == Seq("click", "view"))
+      // the ongoing stream delivers new records for both topics
+      records(Seq("click", "view"), from = 5, until = 10)
+        .coalesce(1).write.mode("append").parquet(s"$base/src1")
+      manager.restart("route-a").get.awaitTermination()
+      val outA = spark.read.parquet(s"$base/outA")
+      assert(outA.count() == 30) // 10 old click + 20 new click+view
+      assert(outA.filter(col("topic") === "view").count() == 10)
+
+      // state backup sees both routes
+      val dump = new StateBackupManager(manager, s"$base/backup").dump()
+      val body = java.nio.file.Files.readString(dump)
+      assert(body.contains("route-a") && body.contains("route-b"))
+      assert(manager.running.sorted == Seq("route-a", "route-b"))
+    } finally {
+      spark.streams.removeListener(supervisor)
+      manager.shutdown()
+    }
+  }
+}

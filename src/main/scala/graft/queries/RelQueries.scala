@@ -321,5 +321,25 @@ object RelQueries {
         |FROM events GROUP BY event_type_uc, yr, qtr
         |ORDER BY event_type_uc, yr, qtr""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(q1, q3, q5, qw, qr, qj, q6, qd, qc, qe, qo, qs)
+  // Exact interpolated percentiles (sort-based aggregate): Spark
+  // `percentile` and DuckDB `quantile_cont` share the continuous
+  // interpolation definition, so the values hash-match exactly.
+  private val qp = QueryDef(
+    "q_percentiles",
+    (s, dir) => {
+      Records.table(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+    Some(
+      """SELECT o_orderstatus,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(q1, q3, q5, qw, qr, qj, q6, qd, qc, qe, qo, qs, qp)
 }

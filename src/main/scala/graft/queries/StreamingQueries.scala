@@ -74,9 +74,16 @@ object StreamingQueries {
     (s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val base = java.nio.file.Files.createTempDirectory("graft_e3_").toString
-      Records.table(s, dir, "events").write.parquet(s"$base/src")
-      val schema = s.read.parquet(s"$base/src").schema
-      val q = s.readStream.schema(schema).parquet(s"$base/src")
+      // stream the fixture file directly (read-only); ts arrives as LONG
+      // nanos under the session's nanosAsLong setting, converted exactly
+      // like Records.table does for batch reads
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val q = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts",
+          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            expr("timestamp_micros(ts div 1000)") else col("ts"))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))

@@ -341,5 +341,37 @@ object RelQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(q1, q3, q5, qw, qr, qj, q6, qd, qc, qe, qo, qs, qp)
+  // Scalar subquery (TPC-H Q15 shape): suppliers whose revenue equals
+  // the global maximum — the max computed once and broadcast, not a
+  // driver-side collect.
+  private val qt = QueryDef(
+    "q15_top_supplier",
+    (s, dir) => {
+      val revenue = Records.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val mx = revenue.agg(max("total_revenue").as("max_revenue"))
+      revenue.join(broadcast(mx), col("total_revenue") === col("max_revenue"))
+        .join(broadcast(Records.table(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+    Some(
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(q1, q3, q5, qw, qr, qj, q6, qd, qc, qe, qo, qs, qp, qt)
 }

@@ -71,4 +71,38 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(decodeBatch)
   }
+
+  /** One sampled "frame" — a fixed-size byte window of the payload
+    * (the stub stand-in for a decoded video frame). */
+  final case class Frame(
+      doc_id: Long, frame_idx: Long, frame_len: Long, frame_md5: String)
+
+  /** Frame sampling: split the payload into `frameBytes`-byte frames and
+    * keep every `everyNth` one. Same batch shape as [[decodeBatch]]; the
+    * column-expression twin is the m2 query entry. */
+  def frameSampleBatch(everyNth: Int, frameBytes: Int)(
+      rows: Iterator[(Long, Array[Byte])]): Iterator[Frame] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.flatMap { case (id, payload) =>
+      val nFrames = (payload.length + frameBytes - 1) / frameBytes
+      (0 until nFrames).iterator
+        .filter(_ % everyNth == 0)
+        .map { i =>
+          val from = i * frameBytes
+          val frame = java.util.Arrays.copyOfRange(
+            payload, from, math.min(from + frameBytes, payload.length))
+          Frame(id, i.toLong, frame.length.toLong,
+            md.digest(frame).map(b => f"$b%02x").mkString)
+        }
+    }
+  }
+
+  def frameSample(df: DataFrame, everyNth: Int = 3,
+      frameBytes: Int = 64): Dataset[Frame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.selectExpr("cast(doc_id as long) as doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(frameSampleBatch(everyNth, frameBytes))
+  }
 }

@@ -775,6 +775,82 @@ object PipelineQueries {
         |       AS BIGINT) AS fps
         |FROM base ORDER BY doc_id""".stripMargin))
 
+  // M2 — frame sampling: payloads split into 64-byte frames, every 3rd
+  // kept (the decode is a byte-window stub; the explode shape, per-frame
+  // hashing and sampling arithmetic are the real pipeline plumbing —
+  // typed mapPartitions twin in functions.Multimodal.frameSample).
+  private val m2 = QueryDef(
+    "m2_frame_sample",
+    (s, dir) => {
+      docs(s, dir)
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("n_frames",
+          ((length(col("payload")) + 63) / lit(64)).cast("int"))
+        .select(col("doc_id"),
+          explode(expr("sequence(0, n_frames - 1)")).as("frame_idx"),
+          col("payload"))
+        .filter(col("frame_idx") % 3 === 0)
+        .withColumn("frame", expr("substring(payload, frame_idx * 64 + 1, 64)"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("frame_len"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some(
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    CAST((octet_length(encode(text)) + 63) // 64 AS INTEGER) AS n_frames
+        |  FROM documents),
+        |frames AS (
+        |  SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS frame_idx,
+        |    text
+        |  FROM f)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(octet_length(encode(substring(text, frame_idx * 64 + 1, 64)))
+        |       AS BIGINT) AS frame_len,
+        |  md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
+        |FROM frames WHERE frame_idx % 3 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin))
+
+  // M3 — resize planning for image payloads: halve each dimension
+  // (min 1) and estimate the resized byte budget (w·h·3 channels). The
+  // pixel work is stubbed (no codecs); the per-modality filter, the
+  // dimension math, and the output schema are the real operator surface.
+  private val m3 = QueryDef(
+    "m3_image_resize",
+    (s, dir) => {
+      docs(s, dir)
+        .filter(col("doc_id") % 3 === 0) // image modality (as in m1)
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("h", md5Long(col("payload")))
+        .withColumn("width", (lit(160) + pmod(col("h"), lit(8L)) * 160).cast("long"))
+        .withColumn("height", (lit(120) + pmod(expr("h div 8"), lit(8L)) * 120).cast("long"))
+        .select(col("doc_id"), col("width"), col("height"),
+          greatest(lit(1L), (col("width") / 2).cast("long")).as("r_width"),
+          greatest(lit(1L), (col("height") / 2).cast("long")).as("r_height"),
+          (greatest(lit(1L), (col("width") / 2).cast("long")) *
+            greatest(lit(1L), (col("height") / 2).cast("long")) * 3)
+            .as("est_bytes"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH img AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |dims AS (
+        |  SELECT doc_id,
+        |    CAST(160 + (h % 8) * 160 AS BIGINT) AS width,
+        |    CAST(120 + ((h // 8) % 8) * 120 AS BIGINT) AS height
+        |  FROM img)
+        |SELECT doc_id, width, height,
+        |  GREATEST(1, width // 2) AS r_width,
+        |  GREATEST(1, height // 2) AS r_height,
+        |  CAST(GREATEST(1, width // 2) * GREATEST(1, height // 2) * 3 AS BIGINT)
+        |    AS est_bytes
+        |FROM dims ORDER BY doc_id""".stripMargin))
+
   // ---------------------------------------------------- event streams
 
   // E1 — sessionization: 30-min-gap sessions via lag + cumulative sum.
@@ -837,5 +913,6 @@ object PipelineQueries {
         |ORDER BY event_type, window_start""".stripMargin))
 
   val defs: Seq[QueryDef] = Seq(
-    d1, d2, d3, d4, d5, d6, sim1, sim2, sim3, x1, x2, x3, x4, x5, m1, e1, e2)
+    d1, d2, d3, d4, d5, d6, sim1, sim2, sim3, x1, x2, x3, x4, x5,
+    m1, m2, m3, e1, e2)
 }

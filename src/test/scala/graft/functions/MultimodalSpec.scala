@@ -31,6 +31,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(typed == viaExpr)
   }
 
+  test("frameSample mapPartitions == column-expression m2 on the fixture") {
+    val dir = SparkTestSession.sfDir
+    val payloads = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val typed = Multimodal.frameSample(payloads)
+      .select("doc_id", "frame_idx", "frame_len", "frame_md5")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val viaExpr = Catalog.byName("m2_frame_sample").fn(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(typed == viaExpr)
+    assert(typed.nonEmpty)
+    // sampling kept only every 3rd frame
+    assert(typed.forall(_._2 % 3 == 0))
+  }
+
   test("per-modality fields are null exactly off-modality") {
     val payloads = Seq(
       (0L, "img-bytes"), (1L, "aud-bytes"), (2L, "vid-bytes"))

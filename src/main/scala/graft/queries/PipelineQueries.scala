@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
  * Scale notes:
  *  - all pairwise operators block candidates (LSH bands, (lang, length)
  *    buckets, IVF labels) — never an unblocked O(n²) cross join;
- *  - tokenization/shingling stays in codegen'd higher-order functions
- *    (`filter/transform/aggregate`), no UDFs;
- *  - at 100 TB the shingle→pair self-join shuffles on the shingle key,
- *    which is the standard MinHash-LSH distribution strategy.
+ *  - tokenization/shingling stays in higher-order-function expressions
+ *    (`filter/transform/aggregate`) with let-bound inputs, no UDFs;
+ *  - signature computation (MinHash, SimHash) is per-row with zero
+ *    shuffle; at 100 TB only the compact band/bucket tables move, and
+ *    candidate generation is always an equi-join on a selective key.
  */
 object PipelineQueries {
 

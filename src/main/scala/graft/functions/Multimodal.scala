@@ -52,7 +52,8 @@ object Multimodal {
       case "audio" => MediaMeta(docId, modality, len, hex,
         None, None, Some(len * 125), None, None)
       case _ => MediaMeta(docId, modality, len, hex,
-        None, None, None, Some(len / 64 + 1), Some((24 + (h % 2) * 6).toInt))
+        // ceil(len/64) — consistent with frameSampleBatch/m2's frame count
+        None, None, None, Some((len + 63) / 64), Some((24 + (h % 2) * 6).toInt))
     }
   }
 

@@ -23,12 +23,17 @@ import org.apache.spark.sql.functions._
 object Monitoring {
 
   /** A1 — per-(topic,partition) lag: `lag = latest − committed`
-    * (reference `controller/core/OffsetMonitor.java:240-316`). */
+    * (reference `controller/core/OffsetMonitor.java:240-316`). LEFT join:
+    * a partition with no committed offset at all is the maximal-lag case
+    * this monitor exists to surface — it reports commit −1 rather than
+    * silently disappearing from the lag report. */
   def partitionLag(latest: DataFrame, committed: DataFrame): DataFrame = {
     val l = latest.select(col("topic"), col("partition"), col("latest_offset"))
     val c = committed.select(col("topic").as("c_topic"),
       col("partition").as("c_partition"), col("commit_offset"))
-    l.join(c, l("topic") === c("c_topic") && l("partition") === c("c_partition"))
+    l.join(c, l("topic") === c("c_topic") && l("partition") === c("c_partition"),
+        "left")
+      .withColumn("commit_offset", coalesce(col("commit_offset"), lit(-1L)))
       .select(col("topic"), col("partition"), col("latest_offset"),
         col("commit_offset"),
         greatest(col("latest_offset") - col("commit_offset"), lit(0L)).as("lag"))

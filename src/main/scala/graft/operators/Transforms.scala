@@ -31,8 +31,11 @@ object Transforms {
   /** T1 at catalog scale: broadcast-join against a (src_topic, dst_topic)
     * DataFrame instead of a literal map. */
   def renameTopicsViaJoin(df: DataFrame, mapping: DataFrame): DataFrame = {
+    // dedupe the mapping key — a duplicate src_topic row would otherwise
+    // DUPLICATE every matching record through the join (silent data-plane
+    // duplication, far worse than an arbitrary rename choice)
     val m = broadcast(mapping.select(
-      col("src_topic"), col("dst_topic")))
+      col("src_topic"), col("dst_topic")).dropDuplicates("src_topic"))
     df.join(m, df("topic") === m("src_topic"), "left")
       .withColumn("topic", coalesce(col("dst_topic"), col("topic")))
       .drop("src_topic", "dst_topic")
@@ -56,8 +59,10 @@ object Transforms {
     * map — the form that follows partition-count changes on `refresh()`
     * (reference `common/core/TopicPartitionCountObserver.java:96-134`). */
   def remapPartitionsViaCatalog(df: DataFrame, catalog: DataFrame): DataFrame = {
+    // dedupe on topic: a duplicated catalog row would duplicate records
     val m = broadcast(catalog.select(
-      col("topic").as("cat_topic"), col("num_partitions")))
+      col("topic").as("cat_topic"), col("num_partitions"))
+      .dropDuplicates("cat_topic"))
     df.join(m, df("topic") === m("cat_topic"), "left")
       .withColumn("partition",
         when(col("num_partitions").isNotNull,
@@ -75,10 +80,10 @@ object Transforms {
     * round-robin), matching the producer's unkeyed behavior. */
   def remapPartitionsByKey(df: DataFrame, dstCounts: Map[String, Int]): DataFrame = {
     if (dstCounts.isEmpty) return df.withColumn("partition", lit(null).cast("int"))
-    val entries = dstCounts.flatMap { case (k, v) =>
-      Seq(s"'${k.replace("'", "''")}'", v.toString)
-    }.mkString(", ")
-    df.withColumn("dst_n", expr(s"element_at(map($entries), topic)"))
+    // the count map is built from lit() Columns (NOT a hand-quoted SQL
+    // string — topic names may contain quotes/backslashes)
+    val m = map(dstCounts.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*)
+    df.withColumn("dst_n", element_at(m, col("topic")))
       .withColumn("partition",
         when(col("key").isNotNull && col("dst_n").isNotNull,
           expr("kafka_partition(key, dst_n)"))

@@ -749,7 +749,7 @@ object PipelineQueries {
           when(col("modality") === "audio",
             (col("byte_len") * 125).cast("long")).as("duration_ms"),
           when(col("modality") === "video",
-            (col("byte_len") / lit(64) + 1).cast("long")).as("n_frames"),
+            ((col("byte_len") + 63) / lit(64)).cast("long")).as("n_frames"),
           when(col("modality") === "video",
             (lit(24) + pmod(col("h"), lit(2L)) * 6).cast("long")).as("fps"))
         .orderBy("doc_id")
@@ -770,7 +770,7 @@ object PipelineQueries {
         |       AS BIGINT) AS height,
         |  CAST(CASE WHEN modality = 'audio' THEN byte_len * 125 END
         |       AS BIGINT) AS duration_ms,
-        |  CAST(CASE WHEN modality = 'video' THEN byte_len // 64 + 1 END
+        |  CAST(CASE WHEN modality = 'video' THEN (byte_len + 63) // 64 END
         |       AS BIGINT) AS n_frames,
         |  CAST(CASE WHEN modality = 'video' THEN 24 + (h % 2) * 6 END
         |       AS BIGINT) AS fps
@@ -785,6 +785,10 @@ object PipelineQueries {
     (s, dir) => {
       docs(s, dir)
         .withColumn("payload", col("text").cast("binary"))
+        // empty payloads must emit NO frames: Spark's sequence(0, -1)
+        // would yield a DESCENDING [0, -1] (phantom frame) where
+        // DuckDB's generate_series(0, -1) is empty
+        .filter(length(col("payload")) > 0)
         .withColumn("n_frames",
           ((length(col("payload")) + 63) / lit(64)).cast("int"))
         .select(col("doc_id"),
@@ -801,7 +805,7 @@ object PipelineQueries {
       """WITH f AS (
         |  SELECT doc_id, text,
         |    CAST((octet_length(encode(text)) + 63) // 64 AS INTEGER) AS n_frames
-        |  FROM documents),
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
         |frames AS (
         |  SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS frame_idx,
         |    text

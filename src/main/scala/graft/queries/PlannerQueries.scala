@@ -51,9 +51,12 @@ object PlannerQueries {
     val committed = r.filter(col("event_id") % 10 < 8)
       .groupBy("topic", "partition")
       .agg(max("offset").as("commit_offset"))
-    latest.join(committed, Seq("topic", "partition"))
+    // LEFT join + commit −1 default: never-committed partitions are the
+    // maximal-lag case, not rows to drop (matches Monitoring.partitionLag)
+    latest.join(committed, Seq("topic", "partition"), "left")
       .withColumn("lag",
-        greatest(col("latest_offset") - col("commit_offset"), lit(0L)))
+        greatest(col("latest_offset") - coalesce(col("commit_offset"), lit(-1L)),
+          lit(0L)))
       .select("topic", "partition", "lag")
   }
 
@@ -65,8 +68,8 @@ object PlannerQueries {
       |              GROUP BY topic, partition),
       |lags AS (
       |  SELECT l.topic, l.partition,
-      |    GREATEST(l.latest_offset - c.commit_offset, 0) AS lag
-      |  FROM latest l JOIN committed c
+      |    GREATEST(l.latest_offset - COALESCE(c.commit_offset, -1), 0) AS lag
+      |  FROM latest l LEFT JOIN committed c
       |    ON l.topic = c.topic AND l.partition = c.partition)""".stripMargin
 
   // O3 — overload shedding: instances above avg×1.2 shed partitions

@@ -247,9 +247,10 @@ object RefQueries {
         |  FROM records WHERE event_id % 10 < 8 GROUP BY topic, partition)
         |SELECT l.topic, CAST(l.partition AS BIGINT) AS partition,
         |  CAST(l.latest_offset AS BIGINT) AS latest_offset,
-        |  CAST(c.commit_offset AS BIGINT) AS commit_offset,
-        |  CAST(GREATEST(l.latest_offset - c.commit_offset, 0) AS BIGINT) AS lag
-        |FROM latest l JOIN committed c
+        |  CAST(COALESCE(c.commit_offset, -1) AS BIGINT) AS commit_offset,
+        |  CAST(GREATEST(l.latest_offset - COALESCE(c.commit_offset, -1), 0)
+        |       AS BIGINT) AS lag
+        |FROM latest l LEFT JOIN committed c
         |  ON l.topic = c.topic AND l.partition = c.partition
         |ORDER BY l.topic, l.partition""".stripMargin)))
 
@@ -394,9 +395,9 @@ object RefQueries {
         |              FROM records WHERE event_id % 10 < 8 GROUP BY topic, partition),
         |lagging AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS num_lagging
-        |  FROM latest l JOIN committed c
+        |  FROM latest l LEFT JOIN committed c
         |    ON l.topic = c.topic AND l.partition = c.partition
-        |  WHERE GREATEST(l.latest_offset - c.commit_offset, 0) > 3)
+        |  WHERE GREATEST(l.latest_offset - COALESCE(c.commit_offset, -1), 0) > 3)
         |SELECT total_bytes, num_lagging,
         |  CAST(CEIL(CAST(total_bytes AS DOUBLE) / 8192.0) AS BIGINT) + num_lagging
         |    AS expected_workers

@@ -53,7 +53,10 @@ final class AutoWhitelister(
       t
     }
     s.scheduleAtFixedRate(
-      () => try runOnce(pipelineName) catch { case _: Throwable => () },
+      () => try runOnce(pipelineName)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[auto-whitelister] $pipelineName pass failed: $e")
+        },
       periodSeconds, periodSeconds, TimeUnit.SECONDS)
     sched = Some(s)
   }

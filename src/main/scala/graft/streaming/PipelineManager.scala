@@ -31,8 +31,14 @@ final class PipelineManager(spark: SparkSession) {
   private val idToName = TrieMap.empty[java.util.UUID, String]
 
   /** Register + start a pipeline. `starter` builds the query from the spec
-    * (file- or kafka-backed), so restarts re-resolve sources. */
-  def start(spec: PipelineSpec)(starter: PipelineSpec => StreamingQuery): StreamingQuery = {
+    * (file- or kafka-backed), so restarts re-resolve sources.
+    *
+    * Lifecycle methods are synchronized: a supervisor failure-restart and
+    * a whitelister update can race on the same route, and an unsynced
+    * double-restart would either throw (same checkpoint id active) or
+    * silently drop the newer spec. Driver-side, low-frequency — a single
+    * lock is the right tool. */
+  def start(spec: PipelineSpec)(starter: PipelineSpec => StreamingQuery): StreamingQuery = synchronized {
     require(!queries.contains(spec.name), s"pipeline ${spec.name} already running")
     specs.put(spec.name, spec)
     starters.put(spec.name, starter)
@@ -47,11 +53,12 @@ final class PipelineManager(spark: SparkSession) {
   def nameOf(queryId: java.util.UUID): Option[String] = idToName.get(queryId)
 
   /** Stop a pipeline, keeping its spec for restart. */
-  def stop(name: String): Unit =
+  def stop(name: String): Unit = synchronized {
     queries.remove(name).foreach(_.stop())
+  }
 
   /** Stop + start with the current spec (offsets resume from checkpoint). */
-  def restart(name: String): Option[StreamingQuery] = {
+  def restart(name: String): Option[StreamingQuery] = synchronized {
     stop(name)
     for (spec <- specs.get(name); st <- starters.get(name)) yield {
       val q = st(spec)
@@ -63,7 +70,7 @@ final class PipelineManager(spark: SparkSession) {
 
   /** Update the spec (e.g. topic add/remove — reference F1/F2) and restart
     * so the new topic set takes effect. */
-  def update(spec: PipelineSpec): Option[StreamingQuery] = {
+  def update(spec: PipelineSpec): Option[StreamingQuery] = synchronized {
     specs.put(spec.name, spec)
     if (queries.contains(spec.name)) restart(spec.name) else None
   }

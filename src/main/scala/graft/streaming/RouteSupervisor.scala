@@ -52,7 +52,10 @@ final class RouteSupervisor(manager: PipelineManager, maxRetries: Int = 3)
         exec.submit(new Runnable {
           def run(): Unit =
             try manager.restart(name)
-            catch { case _: Throwable => () } // next termination event retries
+            catch { case scala.util.control.NonFatal(e) =>
+              // surfaced, not fatal: the next termination event retries
+              System.err.println(s"[route-supervisor] restart of $name failed: $e")
+            }
         })
       }
     }

@@ -19,8 +19,18 @@ final class StateBackupManager(manager: PipelineManager, dir: String) {
   private val seq = new AtomicLong(0)
   @volatile private var sched: Option[ScheduledExecutorService] = None
 
-  /** Write one snapshot; returns the created file. */
+  /** Write one snapshot; returns the created file. The sequence resumes
+    * past any dumps already in `dir`, so a restarted driver never
+    * overwrites the backups written before the crash. */
   def dump(): Path = {
+    seq.getAndUpdate { cur =>
+      if (cur > 0) cur
+      else Option(new java.io.File(dir).list()).getOrElse(Array.empty[String])
+        .collect { case f if f.startsWith("state-") && f.endsWith(".json") =>
+          scala.util.Try(
+            f.stripPrefix("state-").stripSuffix(".json").toLong).getOrElse(0L)
+        }.foldLeft(0L)(math.max)
+    }
     val n = seq.incrementAndGet()
     val body =
       s"""{"seq":$n,"dumpedAtMs":${System.currentTimeMillis()},""" +
@@ -40,7 +50,10 @@ final class StateBackupManager(manager: PipelineManager, dir: String) {
       t
     }
     s.scheduleAtFixedRate(
-      () => try dump() catch { case _: Throwable => () },
+      () => try dump()
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[state-backup] dump failed: $e")
+        },
       periodSeconds, periodSeconds, TimeUnit.SECONDS)
     sched = Some(s)
   }

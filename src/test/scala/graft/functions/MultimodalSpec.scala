@@ -46,6 +46,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(typed.forall(_._2 % 3 == 0))
   }
 
+  test("m1 video n_frames == m2's actual frame count per doc") {
+    val dir = SparkTestSession.sfDir
+    val m1Frames = Catalog.byName("m1_multimodal_meta").fn(spark, dir)
+      .filter(col("modality") === "video")
+      .select("doc_id", "n_frames").as[(Long, Long)].collect().toMap
+    val payloads = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val actual = Multimodal.frameSample(payloads, everyNth = 1)
+      .groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    m1Frames.foreach { case (id, n) =>
+      assert(actual(id) == n, s"doc $id: m1 says $n frames, sampler found ${actual(id)}")
+    }
+  }
+
   test("per-modality fields are null exactly off-modality") {
     val payloads = Seq(
       (0L, "img-bytes"), (1L, "aud-bytes"), (2L, "vid-bytes"))

@@ -136,6 +136,16 @@ class SupervisionSpec extends AnyFunSuite {
     assert(body.contains("route-\\\"quoted\\\""))
   }
 
+  test("V2: a restarted backup manager never overwrites prior dumps") {
+    val dir = tempDir("graft_v2b_")
+    val manager = new PipelineManager(spark)
+    new StateBackupManager(manager, dir).dump() // state-00001
+    // simulate a driver restart: fresh instance, same directory
+    val p = new StateBackupManager(manager, dir).dump()
+    assert(p.getFileName.toString == "state-00002.json")
+    assert(new java.io.File(dir).list().count(_.endsWith(".json")) == 2)
+  }
+
   test("R1: admission control paces batches to the current rate") {
     val ac = new AdmissionControl(initialRowsPerSec = 1e9)
     val written = new AtomicLong(0)

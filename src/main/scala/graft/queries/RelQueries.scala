@@ -373,5 +373,63 @@ object RelQueries {
         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(q1, q3, q5, qw, qr, qj, q6, qd, qc, qe, qo, qs, qp, qt)
+  // Q10 — returned-item report: 3-way join over the R-flag lines,
+  // revenue per customer, top 20.
+  private val q10 = QueryDef(
+    "q10_returned_items",
+    (s, dir) => {
+      val li = Records.table(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val orders = Records.table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val customer = Records.table(s, dir, "customer")
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some(
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_mktsegment
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
+
+  // Q19 — disjunction of conjunctive brand/size/quantity ranges: the
+  // OR-of-ANDs predicate shape that exercises CNF conversion and partial
+  // pushdown of the common conjuncts.
+  private val q19 = QueryDef(
+    "q19_disjunctive_filter",
+    (s, dir) => {
+      val li = Records.table(s, dir, "lineitem")
+      val part = Records.table(s, dir, "part")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 40)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some(
+      """SELECT ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 40)""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(
+    q1, q3, q5, qw, qr, qj, q6, qd, qc, qe, qo, qs, qp, qt, q10, q19)
 }

@@ -88,7 +88,11 @@ object PipelineQueries {
       |    w || ' ' || LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
       |  FROM tok QUALIFY sh IS NOT NULL)""".stripMargin
 
-  // D2 — n-gram (word-bigram) Jaccard near-dup with (lang, length) blocking.
+  // D2 — n-gram (word-bigram) Jaccard near-dup with (lang, length)
+  // blocking. This is the EXACT pairwise baseline: the shingle self-join
+  // enumerates every co-shingled pair inside a block, so its cost grows
+  // with block overlap — d3 (MinHash-LSH) is the 100-TB path; d2 exists
+  // to verify it and to serve bounded blocks exactly.
   private val d2 = QueryDef(
     "d2_ngram_jaccard",
     (s, dir) => {

@@ -76,6 +76,7 @@ final class PipelineManager(spark: SparkSession) {
   }
 
   def spec(name: String): Option[PipelineSpec] = specs.get(name)
+  def allSpecs: Seq[PipelineSpec] = specs.values.toSeq.sortBy(_.name)
   def query(name: String): Option[StreamingQuery] = queries.get(name)
   def running: Seq[String] = queries.keys.toSeq.sorted
 

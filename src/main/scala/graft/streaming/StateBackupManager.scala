@@ -41,6 +41,13 @@ final class StateBackupManager(manager: PipelineManager, dir: String) {
     p
   }
 
+  /** Restorable catalog dump: the spec set written through
+    * [[graft.model.PipelineCatalog]], re-loadable with
+    * `PipelineCatalog.load` + `manager.update` per spec — the reference
+    * backup's restore half. */
+  def dumpCatalog(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.model.PipelineCatalog.save(spark, manager.allSpecs, s"$dir/catalog")
+
   /** Start periodic dumps (reference default: daily; tests use seconds). */
   def start(periodSeconds: Long): Unit = synchronized {
     require(sched.isEmpty, "backup scheduler already running")

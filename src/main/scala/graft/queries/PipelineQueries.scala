@@ -29,15 +29,22 @@ object PipelineQueries {
 
   // The fixture parquet files hold ONE row group, so Spark scans them as
   // one task; the tokenize/shingle expressions then run single-threaded.
-  // Repartitioning to the session's parallelism spreads that CPU work —
-  // at real scale the scan has thousands of splits and this is a no-op
-  // cost (a few MB shuffled here), but locally it's up to a 32× win on
-  // every text-heavy query.
+  // This is a LOCAL-FIXTURE optimization only: repartition() is always a
+  // full shuffle of the table, so we apply it solely when the scan's
+  // partition count is below the session parallelism (locally: 1 task,
+  // a few MB moved, up to a 32× win on every text-heavy query). At real
+  // scale the scan has thousands of splits, the guard is false, and no
+  // shuffle is added.
+  private def spread(d: DataFrame): DataFrame = {
+    val par = d.sparkSession.sparkContext.defaultParallelism
+    if (d.rdd.getNumPartitions < par) d.repartition(par) else d
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Records.table(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+    spread(Records.table(s, dir, "documents"))
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Records.table(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism)
+    spread(Records.table(s, dir, "embeddings"))
 
   /** Whitespace tokens, empties removed (codegen'd higher-order fn). */
   private val tokensExpr = "filter(split(text, ' '), t -> t != '')"
@@ -429,6 +436,14 @@ object PipelineQueries {
   // one pass over vectors, search touches ~2/8 of the corpus instead of
   // all of it — the ratio a 100-TB index keeps as k scales with n.
   // Recall vs the exact baseline is measured in AnnRecallSpec.
+  //
+  // Scale shape (both previously unpartitioned/per-row windows are gone):
+  //  - seed selection is orderBy+limit(8) => TakeOrderedAndProject, a
+  //    partial top-k that never funnels the table through one window task
+  //    (the row_number that assigns cell ids runs over the 8-row result);
+  //  - nearest-cell assignment is a hash aggregation (max_by over the
+  //    (sim, -cell) ordering struct), a single map-side-combinable shuffle
+  //    instead of sorting every (vec x 8 centroids) group in a window.
   private val sim2 = QueryDef(
     "sim_topk_ivf",
     (s, dir) => {
@@ -436,14 +451,13 @@ object PipelineQueries {
         col("embedding").cast("array<double>").as("v"))
       val seeds = e
         .withColumn("h", md5Long(concat(lit("c:"), col("vec_id").cast("string"))))
+        .orderBy("h", "vec_id").limit(8)
         .withColumn("crank", row_number().over(Window.orderBy("h", "vec_id")))
-        .filter(col("crank") <= 8)
         .select(col("crank").cast("long").as("cell"), col("v").as("cv"))
       val assign = e.crossJoin(broadcast(seeds))
         .withColumn("sim", round(cosineCols("v", "cv"), 6))
-        .withColumn("arn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))))
-        .filter(col("arn") === 1)
+        .groupBy(col("vec_id"), col("v"))
+        .agg(max_by(col("cell"), struct(col("sim"), (-col("cell")).as("nc"))).as("cell"))
         .select(col("vec_id"), col("cell"), col("v"))
       val probes = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))

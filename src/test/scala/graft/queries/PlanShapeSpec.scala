@@ -50,6 +50,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!lsh.contains("CartesianProduct"), s"cartesian in LSH ANN:\n$lsh")
   }
 
+  test("sim2: seeds are a partial top-k, assignment an aggregation (no full-table window)") {
+    val plan = executedPlan("sim_topk_ivf")
+    // centroid seeding must be TakeOrderedAndProject (scale-safe top-k),
+    // not a row_number window over the whole embeddings table
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"seed selection is not a partial top-k:\n$plan")
+    // nearest-cell assignment must be a hash aggregate (max_by), not a
+    // Window.partitionBy(vec_id) sort over every (vec x centroid) group
+    assert(plan.contains("max_by"),
+      s"assignment is not an aggregation:\n$plan")
+    // the only remaining windows rank bounded inputs: the 8-row seed
+    // result and the per-query (<=20 q_ids x 8 cells) probe/rank tables
+    val windows = plan.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 3, s"unexpected window count ($windows):\n$plan")
+  }
+
   test("q6: every scan predicate reaches the parquet reader") {
     val plan = executedPlan("q6_forecast_revenue")
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate") &&

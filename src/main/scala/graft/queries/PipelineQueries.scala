@@ -738,38 +738,62 @@ object PipelineQueries {
 
   // ---------------------------------------------------- multimodal
 
-  // M1 — multimodal metadata extraction: opaque binary payloads with
-  // per-modality decoded fields (image dims, audio duration, video
-  // frames/fps). The decode itself is a DETERMINISTIC STUB (no codecs in
-  // this container — metadata derives from the payload md5); the
-  // plumbing is real and twinned: this column-expression form sits under
-  // the DuckDB gate, and functions.Multimodal.decode runs the same
-  // semantics through typed mapPartitions batches (one decoder context
-  // per partition) — MultimodalSpec asserts the two paths agree.
+  // Byte-field extraction from a binary column, built entirely from
+  // codegen'd built-ins: substring(binary) slices bytes, hex() renders
+  // them (big-endian digit order), conv(_,16,10) re-reads the integer.
+  // Little-endian fields reverse the bytes before conv.
+  private def beU32(c: String, off: Int) =
+    conv(hex(expr(s"substring($c, $off, 4)")), 16, 10).cast("long")
+  private def leU32(c: String, off: Int) =
+    conv(concat(
+      hex(expr(s"substring($c, ${off + 3}, 1)")),
+      hex(expr(s"substring($c, ${off + 2}, 1)")),
+      hex(expr(s"substring($c, ${off + 1}, 1)")),
+      hex(expr(s"substring($c, $off, 1)"))), 16, 10).cast("long")
+  private val PngSigHex = "89504E470D0A1A0A"
+  private val WaveTagHex = "57415645" // "WAVE"
+  private val AviTagHex = "41564920"  // "AVI "
+
+  // M1 — multimodal metadata extraction: REAL byte-level header decode.
+  // The fixture generator (functions.MediaFixtures) wraps each doc's
+  // text in a VALID container — PNG IHDR (spec CRC32) / WAV RIFF fmt /
+  // AVI avih — whose embedded metadata is deterministic in md5(text);
+  // this query then sniffs the container magic and parses width/height
+  // (u32be at the IHDR offsets), duration (dataSize·1000/byteRate from
+  // the fmt/data chunks) and fps/frames (avih) FROM THE BYTES, all in
+  // codegen'd column expressions. The DuckDB oracle recomputes the
+  // expected values from md5(text) independently, so the hash gate
+  // proves the construct→parse round-trip; golden literal headers in
+  // MultimodalSpec prove spec conformance, and the chunk-walking typed
+  // twin (functions.Multimodal.decode, one decoder context per
+  // partition) must agree with this column path.
+  //
+  // ORACLE CONTRACT: fixture text is ASCII (asserted by MultimodalSpec)
+  // — DuckDB 1.0 has no BLOB substring/md5, so its side measures text
+  // with char semantics, which equals bytes only under ASCII.
   private val m1 = QueryDef(
     "m1_multimodal_meta",
     (s, dir) => {
-      docs(s, dir)
-        .withColumn("payload", col("text").cast("binary"))
-        .withColumn("byte_len", length(col("payload")).cast("long"))
-        .withColumn("payload_md5", md5(col("payload")))
-        .withColumn("h", md5Long(col("payload")))
+      graft.functions.MediaFixtures.withPayload(docs(s, dir))
         .withColumn("modality",
-          when(col("doc_id") % 3 === 0, "image")
-            .when(col("doc_id") % 3 === 1, "audio")
-            .otherwise("video"))
+          when(hex(expr("substring(payload, 1, 8)")) === PngSigHex, "image")
+            .when(hex(expr("substring(payload, 9, 4)")) === WaveTagHex, "audio")
+            .when(hex(expr("substring(payload, 9, 4)")) === AviTagHex, "video")
+            .otherwise("unknown"))
+        .withColumn("byte_len", length(col("payload")).cast("long"))
+        .withColumn("content_md5", md5(col("text").cast("binary")))
+        .withColumn("byte_rate", leU32("payload", 29))
+        .withColumn("data_size", leU32("payload", 41))
+        .withColumn("us_per_frame", leU32("payload", 33))
         .select(col("doc_id"), col("modality"), col("byte_len"),
-          col("payload_md5"),
-          when(col("modality") === "image",
-            (lit(160) + pmod(col("h"), lit(8L)) * 160).cast("long")).as("width"),
-          when(col("modality") === "image",
-            (lit(120) + pmod(expr("h div 8"), lit(8L)) * 120).cast("long")).as("height"),
+          col("content_md5"),
+          when(col("modality") === "image", beU32("payload", 17)).as("width"),
+          when(col("modality") === "image", beU32("payload", 21)).as("height"),
           when(col("modality") === "audio",
-            (col("byte_len") * 125).cast("long")).as("duration_ms"),
+            expr("CAST(data_size * 1000 div byte_rate AS BIGINT)")).as("duration_ms"),
+          when(col("modality") === "video", leU32("payload", 49)).as("n_frames"),
           when(col("modality") === "video",
-            ((col("byte_len") + 63) / lit(64)).cast("long")).as("n_frames"),
-          when(col("modality") === "video",
-            (lit(24) + pmod(col("h"), lit(2L)) * 6).cast("long")).as("fps"))
+            expr("CAST(1000000 div us_per_frame AS BIGINT)")).as("fps"))
         .orderBy("doc_id")
     },
     Some(
@@ -777,43 +801,56 @@ object PipelineQueries {
         |  SELECT doc_id,
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |         ELSE 'video' END AS modality,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |    md5(text) AS payload_md5,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS text_len,
+        |    md5(text) AS content_md5,
         |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
         |  FROM documents)
-        |SELECT CAST(doc_id AS BIGINT) AS doc_id, modality, byte_len, payload_md5,
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, modality,
+        |  text_len + CASE modality WHEN 'image' THEN 33 WHEN 'audio' THEN 44
+        |             ELSE 88 END AS byte_len,
+        |  content_md5,
         |  CAST(CASE WHEN modality = 'image' THEN 160 + (h % 8) * 160 END
         |       AS BIGINT) AS width,
         |  CAST(CASE WHEN modality = 'image' THEN 120 + ((h // 8) % 8) * 120 END
         |       AS BIGINT) AS height,
-        |  CAST(CASE WHEN modality = 'audio' THEN byte_len * 125 END
+        |  CAST(CASE WHEN modality = 'audio' THEN text_len * 1000 // 16000 END
         |       AS BIGINT) AS duration_ms,
-        |  CAST(CASE WHEN modality = 'video' THEN (byte_len + 63) // 64 END
+        |  CAST(CASE WHEN modality = 'video' THEN (text_len + 63) // 64 END
         |       AS BIGINT) AS n_frames,
         |  CAST(CASE WHEN modality = 'video' THEN 24 + (h % 2) * 6 END
         |       AS BIGINT) AS fps
         |FROM base ORDER BY doc_id""".stripMargin))
 
-  // M2 — frame sampling: payloads split into 64-byte frames, every 3rd
-  // kept (the decode is a byte-window stub; the explode shape, per-frame
-  // hashing and sampling arithmetic are the real pipeline plumbing —
-  // typed mapPartitions twin in functions.Multimodal.frameSample).
+  // M2 — frame sampling over the container's BODY: the data offset is
+  // PARSED from the header (PNG: 8 + chunk header + IHDR length + CRC;
+  // WAV: after the canonical data-chunk header; AVI: RIFF header + hdrl
+  // LIST size), then the stream is split into 64-byte frames, every 3rd
+  // kept. Frame decode would need a codec; the offset parsing, explode
+  // shape, per-frame hashing and sampling arithmetic are the real
+  // plumbing — chunk-walking typed twin in functions.Multimodal
+  // .frameSample. The body is the doc text, so the oracle frames text
+  // (ASCII contract as in m1).
   private val m2 = QueryDef(
     "m2_frame_sample",
     (s, dir) => {
-      docs(s, dir)
-        .withColumn("payload", col("text").cast("binary"))
-        // empty payloads must emit NO frames: Spark's sequence(0, -1)
+      graft.functions.MediaFixtures.withPayload(docs(s, dir))
+        .withColumn("data_off",
+          when(hex(expr("substring(payload, 1, 8)")) === PngSigHex,
+            beU32("payload", 9) + lit(21)) // sig+len+type + ihdrLen + crc, 1-based
+            .when(hex(expr("substring(payload, 9, 4)")) === WaveTagHex, lit(45L))
+            .otherwise(leU32("payload", 17) + lit(21))) // RIFF+LIST hdr + listSize
+        .withColumn("body", expr("substring(payload, data_off, length(payload))"))
+        // empty bodies must emit NO frames: Spark's sequence(0, -1)
         // would yield a DESCENDING [0, -1] (phantom frame) where
         // DuckDB's generate_series(0, -1) is empty
-        .filter(length(col("payload")) > 0)
+        .filter(length(col("body")) > 0)
         .withColumn("n_frames",
-          ((length(col("payload")) + 63) / lit(64)).cast("int"))
+          ((length(col("body")) + 63) / lit(64)).cast("int"))
         .select(col("doc_id"),
           explode(expr("sequence(0, n_frames - 1)")).as("frame_idx"),
-          col("payload"))
+          col("body"))
         .filter(col("frame_idx") % 3 === 0)
-        .withColumn("frame", expr("substring(payload, frame_idx * 64 + 1, 64)"))
+        .withColumn("frame", expr("substring(body, frame_idx * 64 + 1, 64)"))
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           length(col("frame")).cast("long").as("frame_len"),
           md5(col("frame")).as("frame_md5"))
@@ -836,19 +873,18 @@ object PipelineQueries {
         |FROM frames WHERE frame_idx % 3 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin))
 
-  // M3 — resize planning for image payloads: halve each dimension
-  // (min 1) and estimate the resized byte budget (w·h·3 channels). The
-  // pixel work is stubbed (no codecs); the per-modality filter, the
-  // dimension math, and the output schema are the real operator surface.
+  // M3 — resize planning for image payloads: select images by PNG
+  // signature sniff, parse width/height from the IHDR bytes, halve each
+  // dimension (min 1) and estimate the resized byte budget (w·h·3
+  // channels). Pixel resampling would need a codec; the header decode,
+  // modality filter and dimension math are the real operator surface.
   private val m3 = QueryDef(
     "m3_image_resize",
     (s, dir) => {
-      docs(s, dir)
-        .filter(col("doc_id") % 3 === 0) // image modality (as in m1)
-        .withColumn("payload", col("text").cast("binary"))
-        .withColumn("h", md5Long(col("payload")))
-        .withColumn("width", (lit(160) + pmod(col("h"), lit(8L)) * 160).cast("long"))
-        .withColumn("height", (lit(120) + pmod(expr("h div 8"), lit(8L)) * 120).cast("long"))
+      graft.functions.MediaFixtures.withPayload(docs(s, dir))
+        .filter(hex(expr("substring(payload, 1, 8)")) === PngSigHex)
+        .withColumn("width", beU32("payload", 17))
+        .withColumn("height", beU32("payload", 21))
         .select(col("doc_id"), col("width"), col("height"),
           greatest(lit(1L), (col("width") / 2).cast("long")).as("r_width"),
           greatest(lit(1L), (col("height") / 2).cast("long")).as("r_height"),

@@ -84,6 +84,60 @@ object Monitoring {
       .agg(max(col("bytes_per_sec")).as("peak_bytes_per_sec"),
         max(col("msgs_per_sec")).as("peak_msgs_per_sec"))
 
+  /**
+   * A3's full retention/lookback serving policy (reference
+   * `common/core/WorkloadInfoRetriever.java:150-167,189-207`): samples
+   * live in FINE (10-min) windows for the last hour and COARSE (3-h)
+   * windows back to the 25-h retention horizon (the day-pattern window);
+   * serving returns the workload of the max-bytes-rate window within a
+   * 2-h lookback when the topic has any fresh sample, else within the
+   * full retention (ties: earliest sample, matching the reference's
+   * first-wins list scan).
+   *
+   * `raw`: (topic, ts, bytes, msgs); "now" is the max event time (the
+   * retriever's refresh instant). Scale: one crossJoin with a broadcast
+   * 1-row "now", one partial-aggregable groupBy on
+   * (topic, granularity, window); the serving rank partitions by topic
+   * over ≤ retention/fine ≈ 150 window rows per topic.
+   */
+  def lookbackWorkload(raw: DataFrame, fineSec: Int = 600,
+      coarseSec: Int = 10800, fineHorizonSec: Long = 3600L,
+      retentionSec: Long = 25L * 3600, lookbackSec: Long = 2L * 3600): DataFrame = {
+    val now = raw.agg(max(unix_timestamp(col("ts"))).cast("long").as("now_s"))
+    val base = raw
+      .select(col("topic"), unix_timestamp(col("ts")).cast("long").as("es"),
+        col("bytes"), col("msgs"))
+      .crossJoin(broadcast(now))
+      .filter(col("es") > col("now_s") - retentionSec)
+      .withColumn("len",
+        when(col("es") > col("now_s") - fineHorizonSec, fineSec.toLong)
+          .otherwise(coarseSec.toLong))
+    val rates = base
+      .withColumn("window_start", (floor(col("es") / col("len")) * col("len")).cast("long"))
+      .groupBy(col("topic"), col("len"), col("window_start"))
+      .agg(first(col("now_s")).as("now_s"),
+        (sum(col("bytes")) / col("len")).as("bytes_per_sec"),
+        (count(lit(1)) / col("len")).as("msgs_per_sec"))
+    val aged = rates
+      .withColumn("last_update", least(col("window_start") + col("len"), col("now_s")))
+      .withColumn("age", col("now_s") - col("last_update"))
+    val fresh = aged.groupBy(col("topic").as("f_topic"))
+      .agg((min(col("age")) < lookbackSec).as("has_fresh"))
+    aged.join(broadcast(fresh), col("topic") === col("f_topic"))
+      .withColumn("lookback_s",
+        when(col("has_fresh"), lookbackSec).otherwise(retentionSec))
+      .filter(col("age") <= col("lookback_s"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("topic")
+          .orderBy(col("bytes_per_sec").desc, col("last_update"))))
+      .filter(col("rn") === 1)
+      .select(col("topic"), col("lookback_s").cast("long").as("lookback_s"),
+        col("len").cast("long").as("granularity_s"),
+        col("window_start"),
+        round(col("bytes_per_sec"), 4).as("serve_bytes_per_sec"),
+        round(col("msgs_per_sec"), 4).as("serve_msgs_per_sec"))
+  }
+
   /** A4 — per-instance workload sum (reference
     * `common/core/InstanceTopicPartitionHolder.java:116-132`):
     * assignment ⨝ per-partition workload → Σ per instance. */

@@ -345,6 +345,55 @@ object RefQueries {
         |  FROM events GROUP BY topic, window_start)
         |GROUP BY topic ORDER BY topic""".stripMargin))
 
+  // A3c — the retriever's full retention/lookback policy: fine 10-min
+  // windows for the last hour, coarse 3-h windows to the 25-h horizon,
+  // serving = max-bytes window over a 2-h lookback when fresh samples
+  // exist (else the whole retention), ties to the earliest window.
+  private val a3c = QueryDef(
+    "a3_lookback",
+    (s, dir) => {
+      val raw = Records.table(s, dir, "events").select(
+        col("event_type").as("topic"), col("ts"),
+        length(col("props")).cast("long").as("bytes"), lit(1L).as("msgs"))
+      Monitoring.lookbackWorkload(raw).orderBy("topic")
+    },
+    Some(
+      """WITH raw AS (
+        |  SELECT event_type AS topic,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+        |    CAST(length(props) AS BIGINT) AS bytes
+        |  FROM events),
+        |n AS (SELECT MAX(es) AS now_s FROM raw),
+        |base AS (
+        |  SELECT topic, es, bytes, now_s,
+        |    CASE WHEN es > now_s - 3600 THEN 600 ELSE 10800 END AS len
+        |  FROM raw, n WHERE es > now_s - 90000),
+        |rates AS (
+        |  SELECT topic, len, (es // len) * len AS window_start,
+        |    ANY_VALUE(now_s) AS now_s,
+        |    CAST(SUM(bytes) AS DOUBLE) / len AS bytes_per_sec,
+        |    CAST(COUNT(*) AS DOUBLE) / len AS msgs_per_sec
+        |  FROM base GROUP BY topic, len, (es // len) * len),
+        |aged AS (
+        |  SELECT *, LEAST(window_start + len, now_s) AS last_update,
+        |    now_s - LEAST(window_start + len, now_s) AS age
+        |  FROM rates),
+        |fresh AS (SELECT topic, MIN(age) < 7200 AS has_fresh
+        |          FROM aged GROUP BY topic),
+        |eligible AS (
+        |  SELECT a.*, CASE WHEN f.has_fresh THEN 7200 ELSE 90000 END AS lb
+        |  FROM aged a JOIN fresh f USING (topic)
+        |  WHERE a.age <= CASE WHEN f.has_fresh THEN 7200 ELSE 90000 END)
+        |SELECT topic, CAST(lb AS BIGINT) AS lookback_s,
+        |  CAST(len AS BIGINT) AS granularity_s,
+        |  CAST(window_start AS BIGINT) AS window_start,
+        |  ROUND(bytes_per_sec, 4) AS serve_bytes_per_sec,
+        |  ROUND(msgs_per_sec, 4) AS serve_msgs_per_sec
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY topic
+        |        ORDER BY bytes_per_sec DESC, last_update ASC) AS rn
+        |      FROM eligible)
+        |WHERE rn = 1 ORDER BY topic""".stripMargin))
+
   // A4 — per-instance workload: exact byte totals + derived rate.
   private val a4 = QueryDef(
     "a4_instance_workload",
@@ -674,5 +723,5 @@ object RefQueries {
 
   val defs: Seq[QueryDef] = Seq(
     t1, t2, t3, t5, s4, s5, s7, f2, f3, f4, f5, f6,
-    a1, a2, a3, a3b, a4, a5, a6, a6b, a7, o1, o2, v1, b1, b2)
+    a1, a2, a3, a3b, a3c, a4, a5, a6, a6b, a7, o1, o2, v1, b1, b2)
 }

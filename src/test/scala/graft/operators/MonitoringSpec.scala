@@ -59,6 +59,39 @@ class MonitoringSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((5.0, 1.0)))
   }
 
+  test("A3: lookbackWorkload serves 2-h lookback for fresh topics, 25-h for stale") {
+    val now = 1000000L // arbitrary epoch anchor
+    val raw = Seq(
+      // "fresh": a huge old window inside retention PLUS a recent one —
+      // the old peak must be IGNORED (2-h lookback wins)
+      ("fresh", now - 20L * 3600, 9000L),
+      ("fresh", now - 60L, 600L),
+      // "stale": newest sample is 6 h old, so even its 3-h-aligned
+      // window END is outside the 2-h lookback — the peak over the FULL
+      // 25-h retention serves, picking the max
+      ("stale", now - 6L * 3600, 300L),
+      ("stale", now - 10L * 3600, 21600L),
+      // anchor topic pinning max(ts) = now
+      ("anchor", now, 1L),
+      // beyond retention: must not resurrect the stale topic's peak
+      ("stale", now - 26L * 3600, 999999L))
+      .toDF("topic", "epoch", "bytes")
+      .withColumn("ts", expr("timestamp_seconds(epoch)"))
+      .withColumn("msgs", lit(1L))
+    val out = Monitoring.lookbackWorkload(raw)
+      .select("topic", "lookback_s", "granularity_s", "serve_bytes_per_sec")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // fresh: served from the 10-min window holding the recent 600 B
+    assert(out("fresh")._2 == 7200L)
+    assert(out("fresh")._3 == 600L)
+    assert(out("fresh")._4 == 1.0) // 600 B / 600 s
+    // stale: fell back to 25-h retention, served from a coarse window
+    assert(out("stale")._2 == 90000L)
+    assert(out("stale")._3 == 10800L)
+    assert(out("stale")._4 == 2.0) // 21600 B / 10800 s
+  }
+
   test("A4: instanceWorkload sums partition workloads per instance") {
     val assignment = Seq(("w1", "t", 0), ("w1", "t", 1), ("w2", "t", 2))
       .toDF("instance", "topic", "partition")

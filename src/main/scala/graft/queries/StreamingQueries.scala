@@ -69,34 +69,50 @@ object StreamingQueries {
   // emitted; the open tail windows stay in state. The oracle models the
   // same cutoff relationally — so Spark's late-data/eviction semantics
   // themselves sit under the hash gate.
+  //
+  // Harness-cost notes (this was the most expensive bench entry at
+  // 8.1 s, almost all of it machinery, not plan): the sink is a MEMORY
+  // sink (same append-mode eviction, no parquet round-trip and no
+  // read-back schema pass), the source schema is cached per directory
+  // (one footer read per session instead of per run), and checkpoints
+  // share one session temp root. Checkpoints stay UNIQUE per run — a
+  // reused checkpoint would resume past the committed offsets and emit
+  // nothing.
+  private val e3SchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private val e3Runs = new java.util.concurrent.atomic.AtomicLong(0)
+  private lazy val e3TmpRoot =
+    java.nio.file.Files.createTempDirectory("graft_e3_").toString
   private val e3 = QueryDef(
     "e3_watermarked_windows",
     (s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val base = java.nio.file.Files.createTempDirectory("graft_e3_").toString
       // stream the fixture file directly (read-only); ts arrives as LONG
       // nanos under the session's nanosAsLong setting, converted exactly
       // like Records.table does for batch reads
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      val q = s.readStream.schema(raw.schema)
+      val schema = e3SchemaCache.computeIfAbsent(dir,
+        d => s.read.parquet(s"$d/events.parquet").schema)
+      val runId = e3Runs.incrementAndGet()
+      val sinkTable = s"graft_e3_sink_$runId"
+      val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
         .withColumn("ts",
-          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
             expr("timestamp_micros(ts div 1000)") else col("ts"))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").cast("long").as("window_start"),
           col("event_type"), col("n"))
-        .writeStream.format("parquet")
-        .option("path", s"$base/out")
-        .option("checkpointLocation", s"$base/ckpt")
+        .writeStream.format("memory")
+        .queryName(sinkTable)
+        .option("checkpointLocation", s"$e3TmpRoot/ckpt_$runId")
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$base/out").orderBy("window_start", "event_type")
+      s.table(sinkTable).orderBy("window_start", "event_type")
     },
     Some(
       """WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000 AS max_ms FROM events),

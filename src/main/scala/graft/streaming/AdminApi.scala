@@ -27,39 +27,46 @@ final class AdminApi(
   private def err(msg: String): String =
     s"""{"status":"error","message":${jsonEscape(msg)}}"""
 
+  /** Read-modify-write on the spec as compare-and-swap: the restart
+    * inside `update` is slow, so a concurrent command could interleave
+    * between our read and write — CAS re-reads and retries instead of
+    * silently overwriting the other command's change. */
+  @annotation.tailrec
+  private def cas(pipeline: String, attempts: Int = 3)(
+      f: PipelineSpec => Either[String, PipelineSpec]): Either[String, Unit] =
+    manager.spec(pipeline) match {
+      case None => Left(s"unknown pipeline $pipeline")
+      case Some(sp) => f(sp) match {
+        case Left(msg) => Left(msg)
+        case Right(next) =>
+          if (manager.updateIfCurrent(sp, next)) Right(())
+          else if (attempts > 1) cas(pipeline, attempts - 1)(f)
+          else Left(s"concurrent modification of $pipeline, retries exhausted")
+      }
+    }
+
   /** POST /topics — whitelist a topic on a route (restarts the query). */
   def addTopic(pipeline: String, topic: String): String =
-    manager.spec(pipeline) match {
-      case None => err(s"unknown pipeline $pipeline")
-      case Some(sp) if sp.topics.contains(topic) =>
-        err(s"topic $topic already whitelisted")
-      case Some(sp) =>
-        manager.update(sp.copy(topics = sp.topics :+ topic))
-        ok(s""","topic":${jsonEscape(topic)}""")
-    }
+    cas(pipeline) { sp =>
+      if (sp.topics.contains(topic)) Left(s"topic $topic already whitelisted")
+      else Right(sp.copy(topics = sp.topics :+ topic))
+    }.fold(err, _ => ok(s""","topic":${jsonEscape(topic)}"""))
 
   /** DELETE /topics/{t} — drop from the whitelist AND blacklist it. */
   def deleteTopic(pipeline: String, topic: String): String =
-    manager.spec(pipeline) match {
-      case None => err(s"unknown pipeline $pipeline")
-      case Some(sp) if !sp.topics.contains(topic) =>
-        err(s"topic $topic not whitelisted")
-      case Some(sp) =>
-        manager.update(sp.copy(
-          topics = sp.topics.filterNot(_ == topic),
-          topicBlacklist = sp.topicBlacklist + topic))
-        ok(s""","topic":${jsonEscape(topic)}""")
-    }
+    cas(pipeline) { sp =>
+      if (!sp.topics.contains(topic)) Left(s"topic $topic not whitelisted")
+      else Right(sp.copy(
+        topics = sp.topics.filterNot(_ == topic),
+        topicBlacklist = sp.topicBlacklist + topic))
+    }.fold(err, _ => ok(s""","topic":${jsonEscape(topic)}"""))
 
   /** POST /blacklist — force one (topic, partition) out of the route. */
   def blacklistPartition(pipeline: String, topic: String, partition: Int): String =
-    manager.spec(pipeline) match {
-      case None => err(s"unknown pipeline $pipeline")
-      case Some(sp) =>
-        manager.update(sp.copy(
-          partitionBlacklist = sp.partitionBlacklist + ((topic, partition))))
-        ok(s""","topic":${jsonEscape(topic)},"partition":$partition""")
-    }
+    cas(pipeline) { sp =>
+      Right(sp.copy(
+        partitionBlacklist = sp.partitionBlacklist + ((topic, partition))))
+    }.fold(err, _ => ok(s""","topic":${jsonEscape(topic)},"partition":$partition"""))
 
   /** PUT /ratelimiter?messagerate= — runtime rate change, no restart. */
   def setRateLimit(rowsPerSec: Double): String =

@@ -25,23 +25,36 @@ final class AutoWhitelister(
 
   @volatile private var sched: Option[ScheduledExecutorService] = None
 
-  /** One pass for `pipelineName`; returns the topics it added. */
-  def runOnce(pipelineName: String): Seq[String] = {
-    val spec = manager.spec(pipelineName).getOrElse(return Nil)
-    srcObserver.refresh()
-    dstObserver.refresh()
-    val spark = srcObserver.catalog.sparkSession
-    import spark.implicits._
-    val serving = spec.topics.toDF("topic")
-    val bl = blacklist().toSeq.toDF("topic")
-    val candidates = TopicSetOps.autoWhitelistCandidates(
-        srcObserver.catalog.select("topic"),
-        dstObserver.catalog.select("topic"),
-        serving, bl, excludeRegex)
-      .collect().map(_.getString(0)).toSeq.sorted
-    if (candidates.nonEmpty)
-      manager.update(spec.copy(topics = spec.topics ++ candidates))
-    candidates
+  /** One pass for `pipelineName`; returns the topics it added.
+    *
+    * The candidate computation runs a Spark job on a SNAPSHOT of the
+    * spec, so the write is compare-and-swap
+    * ([[PipelineManager.updateIfCurrent]]): if an admin add/delete
+    * interleaved with the slow pass, the stale snapshot is NOT written
+    * back (which would resurrect a deleted topic or drop an added one) —
+    * the pass re-reads the new spec and recomputes, bounded attempts. */
+  def runOnce(pipelineName: String, maxAttempts: Int = 3): Seq[String] = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val spec = manager.spec(pipelineName).getOrElse(return Nil)
+      srcObserver.refresh()
+      dstObserver.refresh()
+      val spark = srcObserver.catalog.sparkSession
+      import spark.implicits._
+      val serving = spec.topics.toDF("topic")
+      val bl = blacklist().toSeq.toDF("topic")
+      val candidates = TopicSetOps.autoWhitelistCandidates(
+          srcObserver.catalog.select("topic"),
+          dstObserver.catalog.select("topic"),
+          serving, bl, excludeRegex)
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (candidates.isEmpty) return Nil
+      if (manager.updateIfCurrent(spec,
+          spec.copy(topics = spec.topics ++ candidates)))
+        return candidates
+      attempt += 1 // spec moved under us — recompute from the new one
+    }
+    Nil
   }
 
   /** Reference cadence: periodic refresh (default 600 s there). */

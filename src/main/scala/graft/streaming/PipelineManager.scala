@@ -52,9 +52,14 @@ final class PipelineManager(spark: SparkSession) {
     * to route termination events back to a restartable pipeline). */
   def nameOf(queryId: java.util.UUID): Option[String] = idToName.get(queryId)
 
-  /** Stop a pipeline, keeping its spec for restart. */
+  /** Stop a pipeline, keeping its spec for restart. The query-id mapping
+    * is evicted so a stale id can never route a later termination event
+    * back to this (now healthy or replaced) pipeline. */
   def stop(name: String): Unit = synchronized {
-    queries.remove(name).foreach(_.stop())
+    queries.remove(name).foreach { q =>
+      q.stop()
+      idToName.remove(q.id)
+    }
   }
 
   /** Stop + start with the current spec (offsets resume from checkpoint). */
@@ -73,6 +78,19 @@ final class PipelineManager(spark: SparkSession) {
   def update(spec: PipelineSpec): Option[StreamingQuery] = synchronized {
     specs.put(spec.name, spec)
     if (queries.contains(spec.name)) restart(spec.name) else None
+  }
+
+  /** Compare-and-swap spec update: applies `next` ONLY if the registered
+    * spec is still `expected`. Callers that compute a new spec from a
+    * snapshot while running Spark jobs (auto-whitelister passes, admin
+    * commands) must use this instead of [[update]] — a plain update would
+    * silently overwrite any add/delete that interleaved with the slow
+    * computation (resurrecting deleted topics or dropping added ones).
+    * Returns false when the spec moved; the caller re-reads and retries. */
+  def updateIfCurrent(expected: PipelineSpec, next: PipelineSpec): Boolean = synchronized {
+    require(expected.name == next.name, "CAS must keep the pipeline name")
+    if (!specs.get(expected.name).contains(expected)) false
+    else { update(next); true }
   }
 
   def spec(name: String): Option[PipelineSpec] = specs.get(name)

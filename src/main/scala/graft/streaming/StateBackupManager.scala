@@ -8,13 +8,18 @@ import java.util.concurrent.atomic.AtomicLong
  * V2 — scheduled state backup.
  *
  * The reference dumps ideal state + partition assignment to file (or git)
- * daily (`controller/core/ClusterInfoBackupManager.java:90-143`). Here the
- * equivalent catalog is the [[PipelineManager]]'s spec registry plus the
- * live query status view; each dump is one self-contained JSON file.
+ * daily (`controller/core/ClusterInfoBackupManager.java:90-143`, git half
+ * in `controller/core/GitBackUpHandler.java:34-75`). Here the equivalent
+ * catalog is the [[PipelineManager]]'s spec registry plus the live query
+ * status view; each dump is one self-contained JSON file. When
+ * `gitCommit` is set and `dir` lives inside a git work tree, every dump
+ * is also committed (shell-out to the system `git`, no library deps) —
+ * the reference's GitBackUpHandler behavior.
  *
  * Driver-side only — state is O(#pipelines), never records.
  */
-final class StateBackupManager(manager: PipelineManager, dir: String) {
+final class StateBackupManager(manager: PipelineManager, dir: String,
+    gitCommit: Boolean = false) {
 
   private val seq = new AtomicLong(0)
   @volatile private var sched: Option[ScheduledExecutorService] = None
@@ -38,8 +43,32 @@ final class StateBackupManager(manager: PipelineManager, dir: String) {
     Files.createDirectories(Paths.get(dir))
     val p = Paths.get(dir, f"state-$n%05d.json")
     Files.writeString(p, body)
+    if (gitCommit) commitToGit(p, n)
     p
   }
+
+  /** GitBackUpHandler analog: stage the dump and commit it. Failures are
+    * surfaced but never break the dump itself (the file on disk is the
+    * primary artifact, the git history the secondary one). */
+  private def commitToGit(p: Path, n: Long): Unit =
+    try {
+      def run(args: String*): Int = {
+        val pb = new ProcessBuilder(args: _*)
+        pb.directory(new java.io.File(dir))
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        proc.getInputStream.readAllBytes() // drain to avoid pipe stalls
+        proc.waitFor()
+      }
+      if (run("git", "rev-parse", "--git-dir") == 0) {
+        run("git", "add", p.getFileName.toString)
+        run("git", "commit", "-m", s"state backup $n", "--no-gpg-sign")
+      } else
+        System.err.println(s"[state-backup] $dir is not a git work tree; skipping commit")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[state-backup] git commit failed: $e")
+    }
 
   /** Restorable catalog dump: the spec set written through
     * [[graft.model.PipelineCatalog]], re-loadable with

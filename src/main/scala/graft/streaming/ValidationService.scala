@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.operators.Monitoring
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
+
+/**
+ * The reference's validation service loop
+ * (`controller/validation/ValidationManager.java:72-108,155-225`):
+ * every period (default 60 s there), re-validate the ideal-state vs
+ * external-view assignment of every serving topic and export counters —
+ * per-state partition counts, per-worker partition counts for both
+ * views, topics whose partition sets disagree, and the mismatch rows
+ * themselves.
+ *
+ * Views are provided as thunks so the loop always validates LIVE state
+ * (a [[PipelineManager]]-derived ideal view and whatever external
+ * observation exists). The aggregation work is [[Monitoring.stateCounts]]
+ * / [[Monitoring.viewMismatch]] — the same operators under the DuckDB
+ * gate (a6_state_counts / a6_view_mismatch) — so the service loop and
+ * the oracle share one implementation. Collected results are bounded
+ * cluster metadata (instances × topics), a driver-side control table by
+ * design.
+ *
+ * Like the reference, a non-leader pass zeroes the exported counters
+ * instead of publishing stale ones.
+ */
+final class ValidationService(
+    ideal: () => DataFrame,
+    external: () => DataFrame,
+    isLeader: () => Boolean = () => true) {
+
+  @volatile private var sched: Option[ScheduledExecutorService] = None
+  @volatile private var last: String = """{"validated":false}"""
+
+  /** Most recent exported counters JSON. */
+  def countersJson: String = last
+
+  /** One validation pass; returns (and stores) the exported counters. */
+  def validateOnce(): String = {
+    if (!isLeader()) {
+      // reference cleanupMetrics(): a non-leader must not export stale
+      // counts — everything resets to zero
+      last = """{"validated":false,"isLeader":false}"""
+      return last
+    }
+    val i = ideal()
+    val e = external()
+    val stateRows = Monitoring.stateCounts(e)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    def stateCount(s: String): Long =
+      stateRows.collect { case (st, n) if st.equalsIgnoreCase(s) => n }.sum
+    val perWorker = (df: DataFrame) => df.groupBy("instance")
+      .agg(count(lit(1)).as("n")).orderBy("instance")
+      .collect().map(r => s""""${r.getString(0)}":${r.getLong(1)}""")
+      .mkString("{", ",", "}")
+    val mismatches = Monitoring.viewMismatch(i, e).count()
+    val idealTopics = i.groupBy("topic").agg(
+      countDistinct(col("partition")).as("np"))
+    val extTopics = e.groupBy("topic").agg(
+      countDistinct(col("partition")).as("np"))
+    val errorTopics = idealTopics.as("a").join(extTopics.as("b"),
+        col("a.topic") === col("b.topic"), "left")
+      .filter(col("b.np").isNull || col("a.np") =!= col("b.np"))
+      .count()
+    val numServing = idealTopics.count()
+    val numPartitions = i.select("topic", "partition").distinct().count()
+    last =
+      s"""{"validated":true,"isLeader":true,""" +
+        s""""numServingTopics":$numServing,""" +
+        s""""numTopicPartitions":$numPartitions,""" +
+        s""""numOnlineTopicPartitions":${stateCount("ONLINE")},""" +
+        s""""numOfflineTopicPartitions":${stateCount("OFFLINE")},""" +
+        s""""numErrorTopicPartitions":${stateCount("ERROR")},""" +
+        s""""numErrorTopics":$errorTopics,""" +
+        s""""numMismatchedAssignments":$mismatches,""" +
+        s""""idealPerWorker":${perWorker(i)},""" +
+        s""""externalPerWorker":${perWorker(e)}}"""
+    last
+  }
+
+  /** Reference cadence: every 60 s, first run after `periodSeconds`. */
+  def start(periodSeconds: Long): Unit = synchronized {
+    require(sched.isEmpty, "validation service already running")
+    val s = Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-validation")
+      t.setDaemon(true)
+      t
+    }
+    s.scheduleAtFixedRate(
+      () => try validateOnce()
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[validation] pass failed: $e")
+        },
+      periodSeconds, periodSeconds, TimeUnit.SECONDS)
+    sched = Some(s)
+  }
+
+  def stop(): Unit = synchronized {
+    sched.foreach(_.shutdownNow())
+    sched = None
+  }
+}

@@ -29,6 +29,20 @@ class AdminApiSpec extends AnyFunSuite {
     assert(api.addTopic("nope", "x").contains("error"))
   }
 
+  test("updateIfCurrent refuses a stale snapshot (no lost updates)") {
+    val m = freshManager()
+    val snap = m.spec("r1").get
+    // another command interleaves between our read and write
+    m.update(snap.copy(topics = snap.topics :+ "added"))
+    assert(!m.updateIfCurrent(snap, snap.copy(topics = Seq("click", "view"))))
+    // the interleaved change survived
+    assert(m.spec("r1").get.topics == Seq("click", "added"))
+    // a fresh snapshot swaps fine
+    val cur = m.spec("r1").get
+    assert(m.updateIfCurrent(cur, cur.copy(topics = cur.topics :+ "view")))
+    assert(m.spec("r1").get.topics == Seq("click", "added", "view"))
+  }
+
   test("deleteTopic removes from whitelist and records the blacklist") {
     val m = freshManager()
     val api = new AdminApi(m)

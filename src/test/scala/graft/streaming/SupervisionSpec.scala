@@ -146,6 +146,32 @@ class SupervisionSpec extends AnyFunSuite {
     assert(new java.io.File(dir).list().count(_.endsWith(".json")) == 2)
   }
 
+  test("V2: git-enabled backup commits every dump (GitBackUpHandler analog)") {
+    val dir = tempDir("graft_v2git_")
+    def git(args: String*): String = {
+      val pb = new ProcessBuilder(("git" +: args): _*)
+      pb.directory(new java.io.File(dir))
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes())
+      assert(proc.waitFor() == 0, s"git ${args.head} failed: $out")
+      out
+    }
+    git("init", "-q")
+    git("config", "user.email", "backup@test")
+    git("config", "user.name", "backup")
+    val manager = new PipelineManager(spark)
+    manager.update(spec("gitroute", s"$dir/ckpt"))
+    val backup = new StateBackupManager(manager, dir, gitCommit = true)
+    backup.dump()
+    backup.dump()
+    val log = git("log", "--oneline")
+    assert(log.linesIterator.size == 2, s"expected 2 backup commits:\n$log")
+    assert(log.contains("state backup"))
+    // the committed tree holds the dumps
+    assert(git("ls-files").linesIterator.count(_.endsWith(".json")) == 2)
+  }
+
   test("R1: admission control paces batches to the current rate") {
     val ac = new AdmissionControl(initialRowsPerSec = 1e9)
     val written = new AtomicLong(0)

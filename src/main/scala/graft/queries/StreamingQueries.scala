@@ -94,6 +94,15 @@ object StreamingQueries {
         d => s.read.parquet(s"$d/events.parquet").schema)
       val runId = e3Runs.incrementAndGet()
       val sinkTable = s"graft_e3_sink_$runId"
+      // the stateful agg materializes one state store per shuffle
+      // partition in the checkpoint; the window/event_type state is tiny
+      // (hundreds of groups), so 32 stores are pure fixed overhead —
+      // narrow the STREAMING shuffle only, restored after the run. (At
+      // real scale state sizing is a deliberate per-pipeline config, not
+      // the session default.)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
@@ -112,6 +121,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.table(sinkTable).orderBy("window_start", "event_type")
     },
     Some(

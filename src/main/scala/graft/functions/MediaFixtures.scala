@@ -125,7 +125,11 @@ object MediaFixtures {
     df.select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        (id, text, payloadFor(id, text.getBytes("UTF-8")))
+        // null text → empty body (the old cast-to-binary path passed
+        // nulls through; an NPE per corrupt row is worse than an
+        // empty-payload container)
+        val body = Option(text).getOrElse("").getBytes("UTF-8")
+        (id, text, payloadFor(id, body))
       }
       .toDF("doc_id", "text", "payload")
   }

@@ -73,15 +73,26 @@ object Multimodal {
   def isAvi(b: Array[Byte]): Boolean =
     b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "AVI "
 
+  // All walkers advance by size fields read from the payload. A
+  // malformed size (e.g. 0xFFFFFFF4 wrapping to <= 0 via .toInt) must
+  // abort the walk with None, never spin or index out of bounds — one
+  // corrupt record must not wedge a decode job.
+  private def advance(off: Int, step: Long): Int = {
+    // -1 ends every walk loop (each checks off >= 0 first); anything
+    // near Int.MaxValue would overflow the `off + k <= length` guards
+    if (step <= 0 || off.toLong + step > Int.MaxValue - 16) -1
+    else off + step.toInt
+  }
+
   /** PNG IHDR walk: (width, height). IHDR is required to be the first
     * chunk, but walk anyway so non-canonical files still parse. */
   def pngDims(b: Array[Byte]): Option[(Int, Int)] = {
     var off = 8
-    while (off + 8 <= b.length) {
+    while (off >= 0 && off + 8 <= b.length) {
       val len = beU32(b, off)
       if (tag(b, off + 4) == "IHDR" && off + 16 <= b.length)
         return Some((beU32(b, off + 8).toInt, beU32(b, off + 12).toInt))
-      off += (8 + len + 4).toInt // len + type + data + crc
+      off = advance(off, 8 + len + 4) // len + type + data + crc
     }
     None
   }
@@ -90,7 +101,7 @@ object Multimodal {
     * Standalone markers (D0–D9, 01) carry no length field. */
   def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
     var off = 2
-    while (off + 4 <= b.length && (b(off) & 0xff) == 0xff) {
+    while (off >= 0 && off + 4 <= b.length && (b(off) & 0xff) == 0xff) {
       val marker = b(off + 1) & 0xff
       if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
         if (off + 9 <= b.length)
@@ -98,7 +109,7 @@ object Multimodal {
         return None
       }
       if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) off += 2
-      else off += 2 + beU16(b, off + 2)
+      else off = advance(off, 2L + beU16(b, off + 2)) // len 0/1 is malformed
     }
     None
   }
@@ -108,12 +119,12 @@ object Multimodal {
     var off = 12
     var byteRate = 0L
     var dataSize = -1L
-    while (off + 8 <= b.length) {
+    while (off >= 0 && off + 8 <= b.length) {
       val id = tag(b, off)
       val size = leU32(b, off + 4)
       if (id == "fmt " && off + 20 <= b.length) byteRate = leU32(b, off + 16)
       else if (id == "data") dataSize = size
-      off += (8 + size + (size % 2)).toInt // RIFF pads chunks to even
+      off = advance(off, 8 + size + (size % 2)) // RIFF pads chunks to even
     }
     if (byteRate > 0 && dataSize >= 0) Some(dataSize * 1000 / byteRate) else None
   }
@@ -121,13 +132,13 @@ object Multimodal {
   /** AVI LIST/hdrl walk to `avih`: (fps, totalFrames). */
   def aviInfo(b: Array[Byte]): Option[(Int, Long)] = {
     var off = 12
-    while (off + 12 <= b.length) {
+    while (off >= 0 && off + 12 <= b.length) {
       val id = tag(b, off)
       val size = leU32(b, off + 4)
       if (id == "LIST" && tag(b, off + 8) == "hdrl") {
         var sub = off + 12
         val end = math.min(b.length.toLong, off + 8 + size).toInt
-        while (sub + 8 <= end) {
+        while (sub >= 0 && sub + 8 <= end) {
           val subSize = leU32(b, sub + 4)
           if (tag(b, sub) == "avih" && sub + 28 <= b.length) {
             val usPerFrame = leU32(b, sub + 8)
@@ -135,10 +146,10 @@ object Multimodal {
               return Some(((1000000L / usPerFrame).toInt, leU32(b, sub + 24)))
             return None
           }
-          sub += (8 + subSize + (subSize % 2)).toInt
+          sub = advance(sub, 8 + subSize + (subSize % 2))
         }
       }
-      off += (8 + size + (size % 2)).toInt
+      off = advance(off, 8 + size + (size % 2))
     }
     None
   }
@@ -189,9 +200,10 @@ object Multimodal {
       8 + 8 + beU32(b, 8).toInt + 4 // sig + chunk hdr + IHDR data + crc
     else if (isWav(b)) {
       var off = 12
-      while (off + 8 <= b.length) {
+      while (off >= 0 && off + 8 <= b.length) {
         if (tag(b, off) == "data") return off + 8
-        off += (8 + leU32(b, off + 4) + (leU32(b, off + 4) % 2)).toInt
+        val size = leU32(b, off + 4)
+        off = advance(off, 8 + size + (size % 2))
       }
       -1
     } else if (isAvi(b) && b.length >= 20)

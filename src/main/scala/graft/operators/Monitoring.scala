@@ -117,7 +117,9 @@ object Monitoring {
       .groupBy(col("topic"), col("len"), col("window_start"))
       .agg(first(col("now_s")).as("now_s"),
         (sum(col("bytes")) / col("len")).as("bytes_per_sec"),
-        (count(lit(1)) / col("len")).as("msgs_per_sec"))
+        // sum, not count: rows may be pre-aggregated samples (msgs > 1),
+        // the same contract workloadRates honors
+        (sum(col("msgs")) / col("len")).as("msgs_per_sec"))
     val aged = rates
       .withColumn("last_update", least(col("window_start") + col("len"), col("now_s")))
       .withColumn("age", col("now_s") - col("last_update"))

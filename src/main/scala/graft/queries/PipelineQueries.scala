@@ -285,12 +285,23 @@ object PipelineQueries {
     * (memory-and-disk) intermediate keyed by (session, data dir): the
     * first reader pays the signature pass, the second reuses the tiny
     * cached pair table. */
+  // CACHE CONTRACT: keys are (session, dir) and entries live until the
+  // cap; fixture dirs are immutable during a run (regenerating a dir
+  // mid-session would serve stale pairs). The cap bounds a long-lived
+  // driver sweeping many dirs — on overflow everything is unpersisted
+  // and the cache restarts, so blocks never accumulate unboundedly.
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def minhashPairsShared(s: SparkSession, dir: String): DataFrame =
-    pairsCache.computeIfAbsent((s, dir), _ =>
-      minhashPairs(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    pairsCache.synchronized {
+      if (pairsCache.size > 8) {
+        pairsCache.values.forEach(df => df.unpersist())
+        pairsCache.clear()
+      }
+      pairsCache.computeIfAbsent((s, dir), _ =>
+        minhashPairs(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   private val d3 = QueryDef(
     "d3_minhash_lsh",

@@ -361,18 +361,19 @@ object RefQueries {
       """WITH raw AS (
         |  SELECT event_type AS topic,
         |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
-        |    CAST(length(props) AS BIGINT) AS bytes
+        |    CAST(length(props) AS BIGINT) AS bytes,
+        |    CAST(1 AS BIGINT) AS msgs
         |  FROM events),
         |n AS (SELECT MAX(es) AS now_s FROM raw),
         |base AS (
-        |  SELECT topic, es, bytes, now_s,
+        |  SELECT topic, es, bytes, msgs, now_s,
         |    CASE WHEN es > now_s - 3600 THEN 600 ELSE 10800 END AS len
         |  FROM raw, n WHERE es > now_s - 90000),
         |rates AS (
         |  SELECT topic, len, (es // len) * len AS window_start,
         |    ANY_VALUE(now_s) AS now_s,
         |    CAST(SUM(bytes) AS DOUBLE) / len AS bytes_per_sec,
-        |    CAST(COUNT(*) AS DOUBLE) / len AS msgs_per_sec
+        |    CAST(SUM(msgs) AS DOUBLE) / len AS msgs_per_sec
         |  FROM base GROUP BY topic, len, (es // len) * len),
         |aged AS (
         |  SELECT *, LEAST(window_start + len, now_s) AS last_update,

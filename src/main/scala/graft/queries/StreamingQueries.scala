@@ -96,14 +96,15 @@ object StreamingQueries {
       val sinkTable = s"graft_e3_sink_$runId"
       // the stateful agg materializes one state store per shuffle
       // partition in the checkpoint; the window/event_type state is tiny
-      // (hundreds of groups), so 32 stores are pure fixed overhead —
-      // narrow the STREAMING shuffle only, restored after the run. (At
+      // (hundreds of groups), so 32 stores are pure fixed overhead.
+      // Narrow the shuffle in a CLONED session (own SQLConf + catalog):
+      // nothing planned concurrently in the caller's session sees the
+      // override, and the memory-sink temp view lands in the clone. (At
       // real scale state sizing is a deliberate per-pipeline config, not
       // the session default.)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-      val q = s.readStream.schema(schema)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = ss.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
         .withColumn("ts",
@@ -121,8 +122,13 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.table(sinkTable).orderBy("window_start", "event_type")
+      // drain the memory sink and drop it — repeated runs must not
+      // accumulate result sets on the driver for the session's lifetime
+      val result = ss.table(sinkTable)
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val out = s.createDataFrame(rows, result.schema)
+      ss.catalog.dropTempView(sinkTable)
+      out.orderBy("window_start", "event_type")
     },
     Some(
       """WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000 AS max_ms FROM events),

@@ -56,6 +56,12 @@ final class WorkloadRetriever(
       .withColumn("period",
         (col("s.endTimeSec") - col("s.startTimeSec")).cast("double"))
       .filter(col("period") > 0)
+      // the service may answer with topics we did not ask for (fileFetch
+      // returns its whole canned document for EVERY batch): keep only
+      // the requested set, one row per topic (reference keeps the last
+      // write per topic in its map)
+      .filter(col("topic").isin(topics: _*))
+      .dropDuplicates("topic")
       .select(col("topic"),
         (col("s.totalBytes") / col("period")).as("bytes_per_sec"),
         (col("s.totalCount") / col("period")).as("msgs_per_sec"),

@@ -55,7 +55,19 @@ final class AdminHttpServer(
     val path = ex.getRequestURI.getPath
     val method = ex.getRequestMethod
     def p(name: String): Option[String] = params(ex).get(name)
+    // malformed numeric params are the CLIENT's fault: 400, not a 500
+    // from the generic handler
+    def pInt(name: String): Option[Int] = p(name).flatMap(_.toIntOption)
+    def pDouble(name: String): Option[Double] = p(name).flatMap(_.toDoubleOption)
+    def badNumbers: Boolean =
+      (p("partition").isDefined && pInt("partition").isEmpty) ||
+        (p("rate").isDefined && pDouble("rate").isEmpty)
     try {
+      if (badNumbers) {
+        reply(ex, 400,
+          """{"status":"error","message":"malformed numeric parameter"}""")
+        return
+      }
       val body = (method, path) match {
         case ("GET", "/health") => Some("""{"status":"ok"}""")
         case ("GET", "/admin/workloadinfo") => Some(api.status)
@@ -65,10 +77,10 @@ final class AdminHttpServer(
         case ("DELETE", "/topics") =>
           for (pl <- p("pipeline"); t <- p("topic")) yield api.deleteTopic(pl, t)
         case ("POST", "/blacklist") =>
-          for (pl <- p("pipeline"); t <- p("topic"); pt <- p("partition"))
-            yield api.blacklistPartition(pl, t, pt.toInt)
+          for (pl <- p("pipeline"); t <- p("topic"); pt <- pInt("partition"))
+            yield api.blacklistPartition(pl, t, pt)
         case ("PUT", "/ratelimiter") =>
-          p("rate").map(r => api.setRateLimit(r.toDouble))
+          pDouble("rate").map(api.setRateLimit)
         case ("GET", "/validation") =>
           Some(validation.map(_.countersJson)
             .getOrElse("""{"status":"error","message":"no validation service"}"""))

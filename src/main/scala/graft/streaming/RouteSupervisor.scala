@@ -45,7 +45,11 @@ final class RouteSupervisor(manager: PipelineManager, maxRetries: Int = 3,
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
 
-  override def onQueryProgress(event: QueryProgressEvent): Unit =
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    // idle triggers (no input) say nothing about route health: a query
+    // that only crashes when data arrives must not refill its budget by
+    // ticking over an empty source
+    if (event.progress.numInputRows <= 0) return
     manager.nameOf(event.progress.id).foreach { name =>
       val streak = healthy.getOrElse(name, 0) + 1
       if (streak >= healthyBatches) {
@@ -54,6 +58,7 @@ final class RouteSupervisor(manager: PipelineManager, maxRetries: Int = 3,
         healthy.remove(name)
       } else healthy.put(name, streak)
     }
+  }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
     if (event.exception.isEmpty) return // clean stop — not a failure

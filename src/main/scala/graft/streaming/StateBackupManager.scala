@@ -52,17 +52,24 @@ final class StateBackupManager(manager: PipelineManager, dir: String,
     * primary artifact, the git history the secondary one). */
   private def commitToGit(p: Path, n: Long): Unit =
     try {
-      def run(args: String*): Int = {
+      def run(args: String*): (Int, String) = {
         val pb = new ProcessBuilder(args: _*)
         pb.directory(new java.io.File(dir))
         pb.redirectErrorStream(true)
         val proc = pb.start()
-        proc.getInputStream.readAllBytes() // drain to avoid pipe stalls
-        proc.waitFor()
+        val out = new String(proc.getInputStream.readAllBytes())
+        (proc.waitFor(), out)
       }
-      if (run("git", "rev-parse", "--git-dir") == 0) {
-        run("git", "add", p.getFileName.toString)
-        run("git", "commit", "-m", s"state backup $n", "--no-gpg-sign")
+      def runOrWarn(args: String*): Boolean = {
+        val (code, out) = run(args: _*)
+        if (code != 0)
+          System.err.println(
+            s"[state-backup] '${args.mkString(" ")}' exited $code: ${out.trim}")
+        code == 0
+      }
+      if (run("git", "rev-parse", "--git-dir")._1 == 0) {
+        if (runOrWarn("git", "add", p.getFileName.toString))
+          runOrWarn("git", "commit", "-m", s"state backup $n", "--no-gpg-sign")
       } else
         System.err.println(s"[state-backup] $dir is not a git work tree; skipping commit")
     } catch {

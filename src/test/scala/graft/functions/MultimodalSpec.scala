@@ -138,6 +138,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed size fields terminate the walkers instead of spinning") {
+    // PNG signature + chunk length 0xFFFFFFF4: naive advance wraps to 0
+    val evilPng = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0xff, 0xff, 0xff, 0xf4, 0x41, 0x41, 0x41, 0x41).map(_.toByte)
+    assert(Multimodal.pngDims(evilPng).isEmpty)
+    // RIFF/WAVE with a chunk size that would advance by zero
+    val evilWav = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "junk".getBytes("US-ASCII") ++
+      Array(0xf7, 0xff, 0xff, 0xff).map(_.toByte) ++ new Array[Byte](8)
+    assert(Multimodal.wavDurationMs(evilWav).isEmpty)
+    assert(Multimodal.bodyOffset(evilWav) == -1)
+    val evilAvi = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+      "AVI ".getBytes("US-ASCII") ++ "LIST".getBytes("US-ASCII") ++
+      Array(0xff, 0xff, 0xff, 0xff).map(_.toByte) ++
+      "hdrl".getBytes("US-ASCII") ++ new Array[Byte](16)
+    assert(Multimodal.aviInfo(evilAvi).isEmpty)
+    // JPEG segment with length 0 (would loop in place)
+    val evilJpeg = Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x00, 0x41, 0x41)
+      .map(_.toByte)
+    assert(Multimodal.jpegDims(evilJpeg).isEmpty)
+  }
+
   test("unrecognized payloads decode as unknown with no per-modality fields") {
     val raw = Seq((0L, "just-text")).toDF("doc_id", "t")
       .select(col("doc_id"), col("t").cast("binary").as("payload"))

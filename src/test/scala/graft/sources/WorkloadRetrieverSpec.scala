@@ -47,6 +47,16 @@ class WorkloadRetrieverSpec extends AnyFunSuite {
     assert(calls == 3)
   }
 
+  test("unrequested topics are dropped and multi-batch answers dedup per topic") {
+    val r = new WorkloadRetriever(spark, (_, _, _) => body)
+    // 150 topics → 2 batches, each answered with the SAME canned body:
+    // click must appear once, not twice, and only requested topics stay
+    val topics = "click" +: (1 to 149).map(i => s"t$i")
+    val out = r.retrieve(10000, 600, topics)
+      .select("topic").as[String].collect()
+    assert(out.toSeq == Seq("click"))
+  }
+
   test("file-backed fetch feeds rates into expected-worker sizing end-to-end") {
     val f = java.nio.file.Files.createTempFile("graft_c3_", ".json")
     java.nio.file.Files.writeString(f, body)

@@ -70,6 +70,11 @@ class AdminHttpServerSpec extends AnyFunSuite {
       assert(call("GET", s"$base/nope")._1 == 404)
       // missing params → 404 (unroutable), not a 500
       assert(call("POST", s"$base/topics?pipeline=r1")._1 == 404)
+      // malformed numerics are the client's fault: 400, never 500
+      val (bp, bpBody) =
+        call("POST", s"$base/blacklist?pipeline=r1&topic=t&partition=abc")
+      assert(bp == 400 && bpBody.contains("malformed numeric"))
+      assert(call("PUT", s"$base/ratelimiter?rate=fast")._1 == 400)
     }
   }
 }

@@ -151,5 +151,51 @@ object StreamingQueries {
         |HAVING (window_start + 3600) * 1000 <= max_ms - 3600000
         |ORDER BY window_start, event_type""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(k2, e3)
+  // D7 — STREAMING exact dedup: the streaming half of d1. A continuous
+  // ingest pipeline dedups with `dropDuplicates` state rather than a
+  // batch groupBy; here the documents fixture streams through a real
+  // append-mode query and only first-seen content hashes are emitted.
+  // The output is the distinct hash set (deterministic regardless of
+  // partition processing order — emitting whole first-seen rows would
+  // be racy across 32 partitions). At production scale the state store
+  // is bounded with `dropDuplicatesWithinWatermark` over the ingest
+  // timestamp + RocksDB state; the fixture has no event time, so this
+  // entry documents the unbounded-state form the reference-scale
+  // pipeline would qualify with a watermark.
+  private val d7SchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private val d7Runs = new java.util.concurrent.atomic.AtomicLong(0)
+  private val d7 = QueryDef(
+    "d7_stream_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = d7SchemaCache.computeIfAbsent(dir,
+        d => s.read.parquet(s"$d/documents.parquet").schema)
+      val runId = d7Runs.incrementAndGet()
+      val sinkTable = s"graft_d7_sink_$runId"
+      val ss = s.newSession() // own conf + catalog, as in e3
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .select(md5(col("text").cast("binary")).as("content_md5"))
+        .dropDuplicates("content_md5")
+        .writeStream.format("memory")
+        .queryName(sinkTable)
+        .option("checkpointLocation", s"$e3TmpRoot/d7_ckpt_$runId")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val result = ss.table(sinkTable)
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val out = s.createDataFrame(rows, result.schema)
+      ss.catalog.dropTempView(sinkTable)
+      out.orderBy("content_md5")
+    },
+    Some(
+      """SELECT DISTINCT md5(text) AS content_md5 FROM documents
+        |ORDER BY content_md5""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(k2, e3, d7)
 }

@@ -17,9 +17,15 @@ object Bench {
     // measure the plan, not first-call classloading
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
+    // optional query-name filter (scale-stress runs bench a SUBSET on a
+    // generated fixture dir that only has the doc/emb/events tables);
+    // the driver's no-arg invocation still runs everything
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     // noop sink materializes every row — top-level sorts and projections
     // are paid, unlike count() which lets Catalyst prune them
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress fixture generator: synthesizes `documents`, `embeddings`
+  * and `events` tables with the SAME schema and distribution shape as the
+  * driver fixtures (TESTDATA.md), at an arbitrary multiple of sf0.1 —
+  * used to measure how the dedup/ANN/streaming plans scale beyond the
+  * largest driver-provided sf, never for the correctness gate (that
+  * always runs on driver data).
+  *
+  * Everything is derived from `spark.range` + `xxhash64`, so generation
+  * is deterministic, shuffle-free and runs distributed — the generator
+  * itself is a 100-TB-shaped pipeline (no driver-side RNG, no collect).
+  *
+  * Distribution shape matched from sf0.1 (measured):
+  *  - documents: 5 000·m rows, 10–100 tokens from a 31-word vocab,
+  *    lang en≈41% / zh,es,fr,de≈15% each, 20 sources,
+  *    ~0.16% exact-dup pairs, ~0.5% planted near-dup pairs (3-token tail)
+  *  - embeddings: 2 000·m rows, 64-dim unit-normalized, labels 0–9,
+  *    ~1% planted near-dup pairs (tiny perturbation before normalize)
+  *  - events: 100 000·m rows over 30 days, 1 500·m users, 5 event types
+  *
+  * Usage: `runMain graft.GenData <outDir> <multiplier>`
+  */
+object GenData {
+
+  private val Vocab = Seq(
+    "the", "query", "row", "stream", "line", "small", "group", "spark",
+    "fast", "customer", "batch", "data", "sort", "value", "hash", "filter",
+    "big", "dup", "column", "order", "a", "vector", "part", "scan", "slow",
+    "agg", "key", "window", "table", "merge", "join")
+
+  /** uniform [0,1) from arbitrary int/long columns, fully codegen'd */
+  private def u(cols: String*): String =
+    s"(pmod(xxhash64(${cols.mkString(", ")}), 1000000007L) / 1000000007.0D)"
+
+  def documents(spark: SparkSession, rows: Long): DataFrame = {
+    val vocabArr = Vocab.map(w => s"'$w'").mkString("array(", ", ", ")")
+    spark.range(rows).toDF("doc_id")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      // exact dups copy the previous doc's text verbatim; near dups copy
+      // it and append a 3-token tail (high 3-gram Jaccard, not identical)
+      .withColumn("is_exact", pmod(col("doc_id"), lit(625)) === 624)
+      .withColumn("is_near",
+        pmod(col("doc_id"), lit(200)) === 199 && !col("is_exact"))
+      .withColumn("tseed",
+        when(col("is_exact") || col("is_near"), col("doc_id") - 1)
+          .otherwise(col("doc_id")))
+      .withColumn("n_tok",
+        expr(s"10 + pmod(xxhash64(tseed, 1L), 91)").cast("int"))
+      .withColumn("base_text", expr(
+        s"array_join(transform(sequence(1, n_tok), " +
+          s"i -> element_at($vocabArr, " +
+          s"int(pmod(xxhash64(tseed, cast(i as long), 2L), ${Vocab.size})) + 1)), ' ')"))
+      .withColumn("text",
+        when(col("is_near"), concat(col("base_text"), lit(" near dup tail")))
+          .otherwise(col("base_text")))
+      .withColumn("lu", expr(u("doc_id", "5L")))
+      .withColumn("lang",
+        when(col("lu") < 0.41, "en").when(col("lu") < 0.5575, "zh")
+          .when(col("lu") < 0.705, "es").when(col("lu") < 0.8525, "fr")
+          .otherwise("de"))
+      .withColumn("source",
+        concat(lit("src"), expr("pmod(xxhash64(doc_id, 7L), 20)")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  def embeddings(spark: SparkSession, rows: Long): DataFrame = {
+    spark.range(rows).toDF("vec_id")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .withColumn("is_near", pmod(col("vec_id"), lit(100)) === 99)
+      .withColumn("vseed",
+        when(col("is_near"), col("vec_id") - 1).otherwise(col("vec_id")))
+      // raw uniform(-1,1) components; near dups perturb component 0 a
+      // little BEFORE normalization so cosine stays ~0.999. The raw
+      // array is let-bound through a lambda variable (transform-over-
+      // array trick) so CollapseProject cannot inline the 64-hash
+      // expression once per reference.
+      .withColumn("embedding", expr(
+        "transform(array(transform(sequence(0, 63), " +
+          s"j -> ${u("vseed * 64 + cast(j as long)", "13L")} * 2.0D - 1.0D)), " +
+          "raw0 -> transform(array(" +
+          "  CASE WHEN is_near THEN concat(array(raw0[0] + 0.05D), slice(raw0, 2, 63)) " +
+          "       ELSE raw0 END), " +
+          "raw -> transform(raw, " +
+          "  x -> cast(x / sqrt(aggregate(raw, 0.0D, (acc, y) -> acc + y * y)) as float)))[0])[0]"))
+      .withColumn("label", expr("int(pmod(xxhash64(vec_id, 11L), 10))"))
+      .select("vec_id", "embedding", "label")
+  }
+
+  def events(spark: SparkSession, rows: Long, users: Long): DataFrame = {
+    val startUs = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val spanUs = 30L * 24 * 3600 * 1000000L
+    spark.range(rows).toDF("event_id")
+      .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
+      .withColumn("ts", expr(
+        s"timestamp_micros($startUs + cast(${u("event_id", "3L")} * $spanUs as long))"))
+      .withColumn("user_id", expr(s"pmod(xxhash64(event_id, 17L), $users)"))
+      .withColumn("event_type", expr(
+        "element_at(array('click','view','purchase','signup','error'), " +
+          "int(pmod(xxhash64(event_id, 19L), 5)) + 1)"))
+      .withColumn("value", expr(s"${u("event_id", "23L")} * 100.0D"))
+      .withColumn("props", expr(
+        "concat('{\"k\": ', pmod(xxhash64(event_id, 29L), 100), '}')"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("target/sf1")
+    val mult = args.lift(1).map(_.toLong).getOrElse(10L)
+    val spark = Sessions.local("graft-gendata",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    // one parquet FILE per table (the driver fixtures' layout — the
+    // pathGlobFilter streaming entries expect <dir>/<table>.parquet),
+    // but with row groups sized so a scan still parallelizes.
+    // repartition(1) (NOT coalesce, which would collapse the generating
+    // stage itself to one task) + a sort keeps the file deterministic.
+    def writeOne(df: DataFrame, name: String, key: String): Unit = {
+      val tmp = s"$outDir/_tmp_$name"
+      df.repartition(1).sortWithinPartitions(key).write.mode("overwrite")
+        .option("parquet.block.size", (8L * 1024 * 1024).toString)
+        .parquet(tmp)
+      val p = java.nio.file.Paths.get(tmp)
+      val part = java.nio.file.Files.list(p).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(s"$outDir/$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+      println(s"[gendata] wrote $outDir/$name.parquet")
+    }
+    writeOne(documents(spark, 5000L * mult), "documents", "doc_id")
+    writeOne(embeddings(spark, 2000L * mult), "embeddings", "vec_id")
+    writeOne(events(spark, 100000L * mult, 1500L * mult), "events", "event_id")
+    spark.stop()
+  }
+}

@@ -83,4 +83,32 @@ object WorkloadRetriever {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8)
   }
+
+  /** The reference's actual transport (`C3QueryUtils.java:45-66`): an
+    * HTTP GET against
+    * `<base>/chaperone3/rawmetrics?startSec=..&endSec=..&topicList=t1,t2`
+    * returning the body on 200 and failing loudly otherwise (the
+    * retrieval loop catches and retries next period, mirroring
+    * `WorkloadInfoRetriever.java:251-259`). Built on `java.net.http` —
+    * zero new dependencies; driver-side control plane, never data. */
+  def httpFetch(baseUrl: String,
+      timeout: java.time.Duration = java.time.Duration.ofSeconds(10))
+      : (Long, Long, Seq[String]) => String = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(timeout).build()
+    (startSec, endSec, topics) => {
+      val topicList = java.net.URLEncoder.encode(topics.mkString(","), "UTF-8")
+      val uri = java.net.URI.create(
+        s"$baseUrl/chaperone3/rawmetrics?startSec=$startSec&endSec=$endSec" +
+          s"&topicList=$topicList")
+      val req = java.net.http.HttpRequest.newBuilder(uri)
+        .timeout(timeout).GET().build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new java.io.IOException(
+          s"workload metrics GET $uri -> HTTP ${resp.statusCode()}")
+      resp.body()
+    }
+  }
 }

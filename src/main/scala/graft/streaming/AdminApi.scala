@@ -1,7 +1,10 @@
 package graft.streaming
 
 import graft.model.PipelineSpec
+import graft.operators.Monitoring
 import graft.streaming.PipelineManager.jsonEscape
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /**
  * The reference's admin/REST command surface as a library API — each
@@ -17,10 +20,20 @@ import graft.streaming.PipelineManager.jsonEscape
  *  - setRateLimit — `worker/RateLimiterResource.java:41-62` (R1) via
  *    [[AdmissionControl]]
  *  - status / topics — `AdminRestletResource.java:82-132` views (V1)
+ *  - autobalancing enable/disable/status —
+ *    `AdminRestletResource.java:54-88` (`/admin/{opt}`)
+ *  - noProgress / offsets / instances — the read-only monitor routes
+ *    (`NoProgressTopicPartitionRestletResource`,
+ *    `TopicParitionOffsetRestletResource`,
+ *    `MirrorMakerManagerRestletResource.java:40-84`), fed by the SAME
+ *    A1/A2 operators the oracle gate covers, over live view thunks
+ *    ([[AdminApi.MonitorFeeds]]) — bounded cluster metadata collected
+ *    driver-side by design
  */
 final class AdminApi(
     manager: PipelineManager,
-    admission: Option[AdmissionControl] = None) {
+    admission: Option[AdmissionControl] = None,
+    feeds: Option[AdminApi.MonitorFeeds] = None) {
 
   private def ok(extra: String = ""): String =
     s"""{"status":"ok"$extra}"""
@@ -83,6 +96,126 @@ final class AdminApi(
   /** GET /topics — the serving topic set per pipeline. */
   def topics: String = manager.specsJson
 
+  // ---- autobalancing toggle (`AdminRestletResource.java:54-88`) ----
+
+  private val autoBalancing = new java.util.concurrent.atomic.AtomicBoolean(true)
+
+  /** Planner loops consult this before acting on o6-style moves. */
+  def isAutoBalancingEnabled: Boolean = autoBalancing.get
+
+  /** POST /admin/{opt} — enable/disable, echoing the reference's body. */
+  def setAutoBalancing(opt: String): String = opt.toLowerCase match {
+    case "enable_autobalancing" =>
+      autoBalancing.set(true)
+      s"""{"opt":"enable_autobalancing","auto_balancing":true}"""
+    case "disable_autobalancing" =>
+      autoBalancing.set(false)
+      s"""{"opt":"disable_autobalancing","auto_balancing":false}"""
+    case other => err(s"no valid autobalancing opt: $other")
+  }
+
+  /** GET /admin/autobalancing_status */
+  def autoBalancingStatus: String =
+    s"""{"auto_balancing":${autoBalancing.get}}"""
+
+  // ---- read-only monitor routes over the A1/A2 operators ----
+
+  private def withFeeds(f: AdminApi.MonitorFeeds => String): String =
+    feeds.fold(err("no monitor feeds configured"))(f)
+
+  /** GET /noprogress — stuck partitions with their ideal/actual worker
+    * (`NoProgressTopicPartitionRestletResource.java:46-76`: empty result
+    * is an empty object, otherwise a `topics` array). */
+  def noProgress: String = withFeeds { f =>
+    val firstWorker = (view: DataFrame, name: String) =>
+      view.groupBy(col("topic"), col("partition"))
+        .agg(min(col("instance")).as(name))
+    val stuck = Monitoring.noProgressPartitions(f.snapshots())
+      .groupBy(col("topic"), col("partition"))
+      .agg(max(col("snap_ts")).as("last_stuck"))
+      .join(firstWorker(f.ideal(), "ideal_worker"), Seq("topic", "partition"), "left")
+      .join(firstWorker(f.external(), "actual_worker"), Seq("topic", "partition"), "left")
+      .orderBy("topic", "partition")
+      .collect()
+    if (stuck.isEmpty) "{}"
+    else stuck.map { r =>
+      val workers =
+        Option(r.getAs[String]("ideal_worker"))
+          .map(w => s""","idealWorker":${jsonEscape(w)}""").getOrElse("") +
+          Option(r.getAs[String]("actual_worker"))
+            .map(w => s""","actualWorker":${jsonEscape(w)}""").getOrElse("")
+      s"""{"topic":${jsonEscape(r.getAs[String]("topic"))},""" +
+        s""""partition":${r.getAs[Int]("partition")}$workers}"""
+    }.mkString("""{"topics":[""", ",", "]}")
+  }
+
+  /** GET /offset[/{topic}/{partition}] — per-TP latest/commit/lag from
+    * the A1 relation (`TopicParitionOffsetRestletResource.java:30-50`). */
+  def offsets(topic: Option[String] = None, partition: Option[Int] = None): String =
+    withFeeds { f =>
+      var lagDf = Monitoring.partitionLag(f.latest(), f.committed())
+      topic.foreach(t => lagDf = lagDf.filter(col("topic") === t))
+      partition.foreach(p => lagDf = lagDf.filter(col("partition") === p))
+      val rows = lagDf.orderBy("topic", "partition").collect()
+      if (rows.isEmpty && topic.isDefined)
+        err(s"unknown topic partition ${topic.get}" +
+          partition.fold("")(p => s":$p"))
+      else rows.map { r =>
+        s"""{"topic":${jsonEscape(r.getAs[String]("topic"))},""" +
+          s""""partition":${r.getAs[Int]("partition")},""" +
+          s""""latestOffset":${r.getAs[Long]("latest_offset")},""" +
+          s""""commitOffset":${r.getAs[Long]("commit_offset")},""" +
+          s""""lag":${r.getAs[Long]("lag")}}"""
+      }.mkString("""{"offsets":[""", ",", "]}")
+    }
+
+  /** GET /instances[/{name}] — per-instance serving set with per-topic
+    * workload and a TOTALWORKLOAD tail entry, mirroring
+    * `MirrorMakerManagerRestletResource.java:40-76`'s shape. */
+  def instances(instance: Option[String] = None): String = withFeeds { f =>
+    val byTopic = f.workload()
+      .groupBy(col("topic")).agg(avg(col("bytes_per_sec")).as("bps"))
+    val rows = f.external()
+      .select(col("instance"), col("topic"), col("partition"))
+      .join(byTopic, Seq("topic"), "left")
+      .withColumn("bps", coalesce(col("bps"), lit(0.0)))
+      .filter(instance.map(i => col("instance") === i).getOrElse(lit(true)))
+      .orderBy("instance", "topic", "partition")
+      .collect()
+    val perInstance = rows.groupBy(_.getAs[String]("instance")).toSeq.sortBy(_._1)
+      .map { case (name, tps) =>
+        val entries = tps.map { r =>
+          s""""${r.getAs[String]("topic")}.${r.getAs[Int]("partition")}:${
+            math.round(r.getAs[Double]("bps"))}""""
+        } :+ s""""TOTALWORKLOAD.${tps.length}:${
+          math.round(tps.map(_.getAs[Double]("bps")).sum)}""""
+        s"""${jsonEscape(name)}:${entries.mkString("[", ",", "]")}"""
+      }.mkString("{", ",", "}")
+    val all = rows.map(_.getAs[String]("instance")).distinct.sorted
+      .map(jsonEscape).mkString("[", ",", "]")
+    s"""{"instances":$perInstance,"blacklisted":[],"allInstances":$all}"""
+  }
+
   private[streaming] def currentSpec(pipeline: String): Option[PipelineSpec] =
     manager.spec(pipeline)
+}
+
+object AdminApi {
+  /** Live views backing the read-only monitor routes; every thunk
+    * returns bounded cluster metadata (instances × topics × partitions),
+    * never data-plane rows.
+    *
+    *  - `snapshots`: (topic, partition, snap_ts, commit_offset,
+    *    latest_offset) — the A2 feed
+    *  - `latest` / `committed`: the A1 offset relations
+    *  - `ideal` / `external`: (instance, topic, partition, state) views
+    *  - `workload`: (topic, partition, bytes_per_sec) — A3/A4 output
+    */
+  final case class MonitorFeeds(
+      snapshots: () => DataFrame,
+      latest: () => DataFrame,
+      committed: () => DataFrame,
+      ideal: () => DataFrame,
+      external: () => DataFrame,
+      workload: () => DataFrame)
 }

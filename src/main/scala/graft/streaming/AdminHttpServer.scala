@@ -10,15 +10,24 @@ import java.nio.charset.StandardCharsets
  * Restlet resources it mounts) — served by the JDK's built-in
  * `com.sun.net.httpserver` so the build stays zero-dependency.
  *
- * Routing (mirrors the Restlet attach table):
+ * Routing (mirrors the Restlet attach table,
+ * `ControllerRestApplication.java:40-69`):
  *  - `GET  /health`                      → liveness
  *  - `GET  /admin/workloadinfo`          → V1 status view ([[AdminApi.status]])
+ *  - `POST /admin/{enable|disable}_autobalancing` → toggle (o6 gate)
+ *  - `GET  /admin/autobalancing_status`  → the flag
  *  - `GET  /topics`                      → serving topic sets ([[AdminApi.topics]])
  *  - `POST /topics?pipeline=p&topic=t`   → whitelist (F1)
  *  - `DELETE /topics?pipeline=p&topic=t` → delete + blacklist (F2)
  *  - `POST /blacklist?pipeline=p&topic=t&partition=n` → partition blacklist (F5)
  *  - `PUT  /ratelimiter?rate=r`          → runtime rate change (R1)
  *  - `GET  /validation`                  → validation counters (A6 loop)
+ *  - `GET  /noprogress`                  → stuck partitions (A2 view)
+ *  - `GET  /offset[/{topic}/{partition}]` → per-TP offsets/lag (A1 view)
+ *  - `GET  /instances[/{name}]`          → per-instance serving + workload
+ *  - `GET  /chaperone3/rawmetrics?startSec&endSec&topicList` → workload
+ *    metrics JSON when a `metrics` provider is configured — the C3
+ *    surface [[graft.sources.WorkloadRetriever.httpFetch]] queries
  *
  * All responses are the JSON the library API already returns; the HTTP
  * layer adds only transport. Driver-side control plane — never data.
@@ -26,7 +35,8 @@ import java.nio.charset.StandardCharsets
 final class AdminHttpServer(
     api: AdminApi,
     validation: Option[ValidationService] = None,
-    port: Int = 0) {
+    port: Int = 0,
+    metrics: Option[(Long, Long, Seq[String]) => String] = None) {
 
   private var server: Option[HttpServer] = None
 
@@ -68,23 +78,53 @@ final class AdminHttpServer(
           """{"status":"error","message":"malformed numeric parameter"}""")
         return
       }
-      val body = (method, path) match {
-        case ("GET", "/health") => Some("""{"status":"ok"}""")
-        case ("GET", "/admin/workloadinfo") => Some(api.status)
-        case ("GET", "/topics") => Some(api.topics)
-        case ("POST", "/topics") =>
-          for (pl <- p("pipeline"); t <- p("topic")) yield api.addTopic(pl, t)
-        case ("DELETE", "/topics") =>
-          for (pl <- p("pipeline"); t <- p("topic")) yield api.deleteTopic(pl, t)
-        case ("POST", "/blacklist") =>
-          for (pl <- p("pipeline"); t <- p("topic"); pt <- pInt("partition"))
-            yield api.blacklistPartition(pl, t, pt)
-        case ("PUT", "/ratelimiter") =>
-          pDouble("rate").map(api.setRateLimit)
-        case ("GET", "/validation") =>
-          Some(validation.map(_.countersJson)
-            .getOrElse("""{"status":"error","message":"no validation service"}"""))
-        case _ => None
+      // trailing-slash-tolerant path segments, like the reference's
+      // duplicate `/x` + `/x/` attach rows
+      val segs = path.split("/").filter(_.nonEmpty).toList
+      val body = (method, segs) match {
+        case ("GET", List("health")) => Some("""{"status":"ok"}""")
+        case ("GET", List("admin", "workloadinfo")) => Some(api.status)
+        case ("POST", List("admin", opt @ ("enable_autobalancing" | "disable_autobalancing"))) =>
+          Some(api.setAutoBalancing(opt))
+        case ("GET", List("admin", "autobalancing_status")) =>
+          Some(api.autoBalancingStatus)
+        case ("GET", List("noprogress")) => Some(api.noProgress)
+        case ("GET", List("offset")) => Some(api.offsets())
+        case ("GET", List("offset", topic, part)) =>
+          // malformed partition segment is the client's fault: 400
+          part.toIntOption match {
+            case None => Some("""{"status":"error","message":"malformed partition"}""")
+            case p => Some(api.offsets(Some(topic), p))
+          }
+        case ("GET", List("instances")) => Some(api.instances())
+        case ("GET", List("instances", name)) => Some(api.instances(Some(name)))
+        case ("GET", List("chaperone3", "rawmetrics")) =>
+          metrics.map { m =>
+            (pInt("startSec"), pInt("endSec")) match {
+              case (Some(s0), Some(s1)) =>
+                m(s0.toLong, s1.toLong,
+                  p("topicList").map(_.split(',').toSeq.filter(_.nonEmpty))
+                    .getOrElse(Nil))
+              case _ =>
+                """{"status":"error","message":"startSec/endSec required"}"""
+            }
+          }
+        case _ => (method, path) match {
+          case ("GET", "/topics") => Some(api.topics)
+          case ("POST", "/topics") =>
+            for (pl <- p("pipeline"); t <- p("topic")) yield api.addTopic(pl, t)
+          case ("DELETE", "/topics") =>
+            for (pl <- p("pipeline"); t <- p("topic")) yield api.deleteTopic(pl, t)
+          case ("POST", "/blacklist") =>
+            for (pl <- p("pipeline"); t <- p("topic"); pt <- pInt("partition"))
+              yield api.blacklistPartition(pl, t, pt)
+          case ("PUT", "/ratelimiter") =>
+            pDouble("rate").map(api.setRateLimit)
+          case ("GET", "/validation") =>
+            Some(validation.map(_.countersJson)
+              .getOrElse("""{"status":"error","message":"no validation service"}"""))
+          case _ => None
+        }
       }
       body match {
         case Some(b) =>

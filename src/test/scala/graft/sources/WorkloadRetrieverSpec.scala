@@ -73,4 +73,37 @@ class WorkloadRetrieverSpec extends AnyFunSuite {
       assert(workers == 2L)
     } finally java.nio.file.Files.deleteIfExists(f)
   }
+
+  test("httpFetch retrieves over REAL loopback HTTP (reference transport)") {
+    import graft.streaming.{AdminApi, AdminHttpServer, PipelineManager}
+    // the in-process admin server doubles as the C3 metrics service: the
+    // canned provider asserts the request the retriever actually sent
+    @volatile var seen: (Long, Long, Seq[String]) = (0, 0, Nil)
+    val srv = new AdminHttpServer(new AdminApi(new PipelineManager(spark)),
+      metrics = Some((s, e, ts) => { seen = (s, e, ts); body }))
+    srv.start()
+    try {
+      val fetch = WorkloadRetriever.httpFetch(s"http://127.0.0.1:${srv.boundPort}")
+      val r = new WorkloadRetriever(spark, fetch)
+      val out = r.retrieve(timeSec = 10000, windowSec = 600,
+        Seq("click", "view", "bad", "empty"))
+        .select("topic", "bytes_per_sec", "msgs_per_sec", "last_update_ms")
+        .as[(String, Double, Double, Long)].collect()
+      // same validation outcome as the direct-fetch test, now through HTTP
+      assert(out.toSeq == Seq(("click", 1000.0, 2.0, 600000L)))
+      // the reference's aligned window and comma-joined topicList arrived
+      assert(seen == (8400L, 9000L, Seq("bad", "click", "empty", "view")))
+    } finally srv.stop()
+  }
+
+  test("httpFetch fails loudly on a non-200 (retrieval loop retries next period)") {
+    import graft.streaming.{AdminApi, AdminHttpServer, PipelineManager}
+    val srv = new AdminHttpServer(new AdminApi(new PipelineManager(spark))) // no metrics provider → 404
+    srv.start()
+    try {
+      val fetch = WorkloadRetriever.httpFetch(s"http://127.0.0.1:${srv.boundPort}")
+      val e = intercept[java.io.IOException](fetch(0, 600, Seq("t")))
+      assert(e.getMessage.contains("HTTP 404"))
+    } finally srv.stop()
+  }
 }

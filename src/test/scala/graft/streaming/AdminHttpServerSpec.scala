@@ -77,4 +77,95 @@ class AdminHttpServerSpec extends AnyFunSuite {
       assert(call("PUT", s"$base/ratelimiter?rate=fast")._1 == 400)
     }
   }
+
+  test("autobalancing pause/resume round-trips (AdminRestletResource:54-88)") {
+    withServer { (base, _) =>
+      assert(call("GET", s"$base/admin/autobalancing_status") ==
+        (200, """{"auto_balancing":true}"""))
+      val (dc, dBody) = call("POST", s"$base/admin/disable_autobalancing")
+      assert(dc == 200 && dBody.contains(""""auto_balancing":false"""))
+      assert(call("GET", s"$base/admin/autobalancing_status")._2
+        .contains("false"))
+      assert(call("POST", s"$base/admin/enable_autobalancing")._2
+        .contains(""""auto_balancing":true"""))
+      // an unknown opt is not a route
+      assert(call("POST", s"$base/admin/explode_autobalancing")._1 == 404)
+    }
+  }
+
+  // monitor feeds: t/0 is stuck (commit frozen at 5 across snapshots
+  // with lag), t/1 progresses; ideal assigns both to w1, external has
+  // t/0 actually on w2
+  private def monitorFeeds = {
+    import org.apache.spark.sql.DataFrame
+    val snapshots: () => DataFrame = () => Seq(
+      ("t", 0, 100L, 5L, 50L), ("t", 0, 200L, 5L, 60L),
+      ("t", 1, 100L, 9L, 20L), ("t", 1, 200L, 15L, 25L))
+      .toDF("topic", "partition", "snap_ts", "commit_offset", "latest_offset")
+    val latest: () => DataFrame = () =>
+      Seq(("t", 0, 60L), ("t", 1, 25L))
+        .toDF("topic", "partition", "latest_offset")
+    val committed: () => DataFrame = () =>
+      Seq(("t", 0, 5L), ("t", 1, 15L)).toDF("topic", "partition", "commit_offset")
+    val ideal: () => DataFrame = () =>
+      Seq(("w1", "t", 0, "ONLINE"), ("w1", "t", 1, "ONLINE"))
+        .toDF("instance", "topic", "partition", "state")
+    val external: () => DataFrame = () =>
+      Seq(("w2", "t", 0, "ONLINE"), ("w1", "t", 1, "ONLINE"))
+        .toDF("instance", "topic", "partition", "state")
+    val workload: () => DataFrame = () =>
+      Seq(("t", 0, 800.0), ("t", 1, 800.0))
+        .toDF("topic", "partition", "bytes_per_sec")
+    AdminApi.MonitorFeeds(snapshots, latest, committed, ideal, external, workload)
+  }
+
+  private def withMonitorServer(f: String => Unit): Unit = {
+    val m = new PipelineManager(spark)
+    val srv = new AdminHttpServer(
+      new AdminApi(m, feeds = Some(monitorFeeds)))
+    srv.start()
+    try f(s"http://127.0.0.1:${srv.boundPort}") finally srv.stop()
+  }
+
+  test("GET /noprogress serves the A2 view with ideal/actual workers") {
+    withMonitorServer { base =>
+      val (sc, body) = call("GET", s"$base/noprogress")
+      assert(sc == 200)
+      assert(body == """{"topics":[{"topic":"t","partition":0,""" +
+        """"idealWorker":"w1","actualWorker":"w2"}]}""")
+    }
+  }
+
+  test("GET /offset serves the A1 lag view, per-TP and all") {
+    withMonitorServer { base =>
+      val (sc, body) = call("GET", s"$base/offset/t/0")
+      assert(sc == 200)
+      assert(body == """{"offsets":[{"topic":"t","partition":0,""" +
+        """"latestOffset":60,"commitOffset":5,"lag":55}]}""")
+      val (ac, aBody) = call("GET", s"$base/offset")
+      assert(ac == 200 && aBody.contains(""""partition":1"""))
+      // unknown TP → 400 error body; malformed partition → 400
+      assert(call("GET", s"$base/offset/t/7")._1 == 400)
+      assert(call("GET", s"$base/offset/t/seven")._1 == 400)
+    }
+  }
+
+  test("GET /instances serves per-instance serving sets with workload") {
+    withMonitorServer { base =>
+      val (sc, body) = call("GET", s"$base/instances")
+      assert(sc == 200)
+      assert(body.contains(""""w2":["t.0:800","TOTALWORKLOAD.1:800"]"""))
+      assert(body.contains(""""allInstances":["w1","w2"]"""))
+      val (oc, oBody) = call("GET", s"$base/instances/w1")
+      assert(oc == 200 && oBody.contains("w1") &&
+        !oBody.contains(""""w2":["""))
+    }
+  }
+
+  test("monitor routes without feeds configured answer an error, not a 500") {
+    withServer { (base, _) =>
+      val (sc, body) = call("GET", s"$base/noprogress")
+      assert(sc == 400 && body.contains("no monitor feeds"))
+    }
+  }
 }

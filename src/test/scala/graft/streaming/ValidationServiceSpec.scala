@@ -62,6 +62,18 @@ class ValidationServiceSpec extends AnyFunSuite {
     assert(vs.countersJson == """{"validated":false,"isLeader":false}""")
   }
 
+  test("the pass caches each input once and unpersists it afterwards") {
+    // the fused pass must not leak cached views across 60-s cycles: the
+    // SAME DataFrame instance handed to the pass is cache-free after it
+    val i = idealView
+    val e = brokenExternal
+    val vs = new ValidationService(() => i, () => e)
+    val json = vs.validateOnce()
+    assert(field(json, "numMismatchedAssignments") == 3) // fused == unfused
+    assert(i.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(e.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("the scheduled loop observes state changes between passes") {
     @volatile var external = idealView
     val vs = new ValidationService(() => idealView, () => external)

@@ -33,6 +33,18 @@ object VectorLsh {
   def planeK(plane: Int, dims: Int): IndexedSeq[Long] =
     (0 until dims).map(i => (md5Long15(s"h:$plane:$i") % 2001L) - 1000L)
 
+  /** Bits per table sized to the corpus so expected bucket occupancy
+    * stays ~`targetPerBucket` regardless of n — the knob that keeps
+    * in-bucket all-pairs work LINEAR in corpus size (fixed bits make it
+    * quadratic: measured ×100 candidates for ×10 rows at 3 bits).
+    * Monotone in n; 3 bits up to n = 2000 (the oracle-gate scales, so
+    * the fixed-bit oracle SQL stays bit-identical there). More bits
+    * lower recall for BORDERLINE pairs (P(collide/table) = (1−θ/π)^bits)
+    * — compensate with more tables when the threshold is loose. */
+  def adaptiveBits(n: Long, targetPerBucket: Long = 250L): Int =
+    math.max(3, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetPerBucket)) / math.log(2.0)).toInt)
+
   /** Spark-SQL dot product of array column `vCol` with plane `p`
     * (sequential fold — deterministic, matches DuckDB list_dot_product). */
   private def dotExpr(vCol: String, plane: Int, dims: Int): String = {

@@ -88,6 +88,33 @@ object StreamingQueries {
   // share one session temp root. Checkpoints stay UNIQUE per run — a
   // reused checkpoint would resume past the committed offsets and emit
   // nothing.
+  /** State backend choice is per-pipeline, by STATE SHAPE (the
+    * memory-vs-RocksDB tradeoff, SURVEY §2.1.1): the default HDFSBacked
+    * store keeps every key on the JVM heap — the right backend for
+    * bounded state (e3's window counts: hundreds of groups, zero native
+    * overhead), an executor OOM by construction for data-sized state.
+    * Dedup state grows with the corpus, so d7/d8 run RocksDB (bounded
+    * memtables, spill to local disk — the backend a 100-TB dedup
+    * pipeline runs; ships with Spark, no extra dependency; measured
+    * ~+1.5 s fixed native-init cost per query at bench scale, which is
+    * why it is not blanket-applied to bounded-state entries).
+    * StateBackendSpec proves the bounded-state operators are green under
+    * RocksDB too — the choice here is sizing, not compatibility. */
+  private[graft] val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def streamingSession(s: org.apache.spark.sql.SparkSession,
+      rocksDb: Boolean): org.apache.spark.sql.SparkSession = {
+    // cloned session (own SQLConf + catalog): narrow shuffle — one state
+    // store per shuffle partition is pure overhead for small state —
+    // without touching the caller's session
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    if (rocksDb)
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    ss
+  }
+
   private val e3SchemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
   private val e3Runs = new java.util.concurrent.atomic.AtomicLong(0)
@@ -107,13 +134,13 @@ object StreamingQueries {
       // the stateful agg materializes one state store per shuffle
       // partition in the checkpoint; the window/event_type state is tiny
       // (hundreds of groups), so 32 stores are pure fixed overhead.
-      // Narrow the shuffle in a CLONED session (own SQLConf + catalog):
-      // nothing planned concurrently in the caller's session sees the
-      // override, and the memory-sink temp view lands in the clone. (At
-      // real scale state sizing is a deliberate per-pipeline config, not
-      // the session default.)
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      // streamingSession: narrowed shuffle in a CLONED session — nothing
+      // planned concurrently in the caller's session sees the override,
+      // and the memory-sink temp view lands in the clone. Heap-backed
+      // state: the window/event_type groups are BOUNDED, the case the
+      // default store is right for. (At real scale state sizing is a
+      // deliberate per-pipeline config, not the session default.)
+      val ss = streamingSession(s, rocksDb = false)
       val q = ss.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
@@ -173,8 +200,9 @@ object StreamingQueries {
         d => s.read.parquet(s"$d/documents.parquet").schema)
       val runId = d7Runs.incrementAndGet()
       val sinkTable = s"graft_d7_sink_$runId"
-      val ss = s.newSession() // own conf + catalog, as in e3
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      // RocksDB: the first-seen hash set grows with the corpus — the
+      // data-sized-state case the heap store cannot hold at 100 TB
+      val ss = streamingSession(s, rocksDb = true)
       val q = ss.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
@@ -197,5 +225,55 @@ object StreamingQueries {
       """SELECT DISTINCT md5(text) AS content_md5 FROM documents
         |ORDER BY content_md5""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(k2, e3, d7)
+  // D8 — the PRODUCTION form of streaming dedup, under the gate: state
+  // is BOUNDED with `dropDuplicatesWithinWatermark` (keys older than the
+  // watermark delay are evicted — at 100 TB the first-seen set is
+  // data-sized, so unbounded d7-style state is an OOM by construction),
+  // the sink is a DURABLE file sink (parquet + checkpoint, exactly-once
+  // file-commit protocol), and the state backend is RocksDB. The event
+  // time is derived FROM the content hash, so every duplicate of a key
+  // carries the same timestamp and the emitted row is deterministic no
+  // matter which copy a partition sees first; within one AvailableNow
+  // batch the watermark has not advanced past any key, so the output is
+  // the full distinct set — which is what the relational oracle checks.
+  // Reference analog: S7's bounded in-flight dedup state
+  // (`uReplicator-Worker/.../worker/ConsumerIterator.java:56-86`).
+  private val d8SchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private val d8Runs = new java.util.concurrent.atomic.AtomicLong(0)
+  private val d8 = QueryDef(
+    "d8_stream_dedup_wm",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = d8SchemaCache.computeIfAbsent(dir,
+        d => s.read.parquet(s"$d/documents.parquet").schema)
+      val runId = d8Runs.incrementAndGet()
+      val base = s"$e3TmpRoot/d8_$runId"
+      val ss = streamingSession(s, rocksDb = true)
+      val q = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .select(md5(col("text").cast("binary")).as("content_md5"))
+        // deterministic per-key event time (hash-derived, 0–24 h range):
+        // duplicates of a key are indistinguishable rows, so first-seen
+        // emission order cannot leak into the output
+        .withColumn("ingest_ts", expr(
+          "timestamp_micros(pmod(xxhash64(content_md5), 86400000000L))"))
+        .withWatermark("ingest_ts", "1 hour")
+        .dropDuplicatesWithinWatermark("content_md5")
+        .select("content_md5")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").orderBy("content_md5")
+    },
+    Some(
+      """SELECT DISTINCT md5(text) AS content_md5 FROM documents
+        |ORDER BY content_md5""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(k2, e3, d7, d8)
 }

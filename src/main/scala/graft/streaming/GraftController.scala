@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.sources.TopicCatalogObserver
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * The whole control plane wired together and started/stopped as one unit
+ * — the analog of the reference's `ControllerStarter` booting a
+ * `ControllerInstance` (`controller/ControllerStarter.java:49-90`,
+ * `controller/ControllerInstance.java:71-118,163-216`): route manager,
+ * crash supervisor, auto-whitelisting loop, 60-s validation loop, state
+ * backup loop and the REST surface on a real port.
+ *
+ * Every component remains independently constructible (the specs drive
+ * them standalone); this class only owns construction order, start order
+ * (manager services before the REST surface, mirroring
+ * `ControllerInstance.start`) and reverse-order shutdown. Thunk
+ * parameters (`idealView`/`externalView`/`blacklist`/`isLeader`) keep
+ * deployment-specific observation pluggable, like the reference's
+ * cluster-specific Helix/ZK wiring.
+ *
+ * Driver-side control plane only — no data-plane rows ever pass through
+ * these components.
+ */
+final class GraftController(
+    spark: SparkSession,
+    srcObserver: TopicCatalogObserver,
+    dstObserver: TopicCatalogObserver,
+    idealView: () => DataFrame,
+    externalView: () => DataFrame,
+    backupDir: String,
+    blacklist: () => Set[String] = () => Set.empty,
+    admission: Option[AdmissionControl] = None,
+    feeds: Option[AdminApi.MonitorFeeds] = None,
+    isLeader: () => Boolean = () => true,
+    gitBackup: Boolean = false,
+    httpPort: Int = 0) {
+
+  val manager = new PipelineManager(spark)
+  val supervisor = new RouteSupervisor(manager)
+  val whitelister =
+    new AutoWhitelister(manager, srcObserver, dstObserver, blacklist)
+  val validation = new ValidationService(idealView, externalView, isLeader)
+  val backup = new StateBackupManager(manager, backupDir, gitBackup)
+  val api = new AdminApi(manager, admission, feeds)
+  val http = new AdminHttpServer(api, Some(validation), httpPort)
+
+  @volatile private var started = false
+
+  /** Bound REST port (ephemeral when constructed with `httpPort = 0`). */
+  def boundPort: Int = http.boundPort
+
+  /** Start the service loops and the REST surface. `whitelistPipeline`
+    * names the route the F1 loop feeds (None = no auto-whitelisting,
+    * the reference's `enableAutoWhitelist=false` path). */
+  def start(
+      whitelistPipeline: Option[String] = None,
+      validationPeriodSeconds: Long = 60,
+      whitelistPeriodSeconds: Long = 600,
+      backupPeriodSeconds: Long = 3600): Unit = synchronized {
+    require(!started, "controller already started")
+    spark.streams.addListener(supervisor)
+    validation.start(validationPeriodSeconds)
+    whitelistPipeline.foreach(whitelister.start(_, whitelistPeriodSeconds))
+    backup.start(backupPeriodSeconds)
+    http.start()
+    started = true
+  }
+
+  /** Reverse-order shutdown; also stops every route the manager owns. */
+  def stop(): Unit = synchronized {
+    if (started) {
+      http.stop()
+      backup.stop()
+      whitelister.stop()
+      validation.stop()
+      spark.streams.removeListener(supervisor)
+      started = false
+    }
+    manager.shutdown()
+  }
+}

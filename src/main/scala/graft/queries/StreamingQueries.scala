@@ -103,13 +103,29 @@ object StreamingQueries {
   private[graft] val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** Shuffle/state-store width for a stateful entry, sized to the STATE
+    * (distinct keys ≈ corpus rows for dedup), not the session's
+    * relational default: one store per shuffle partition is pure
+    * overhead for tiny state, while a narrow shuffle throttles
+    * data-sized state — measured at sf10 (500k dedup keys) widening
+    * 4 → 16 cut d7 34 → 21 s and d8 53 → 30 s even on one JVM, and on a
+    * real cluster the width is what spreads state across executors.
+    * ~125k keys per store, floor 4, capped at the core count;
+    * `spark.graft.stream.shuffle` (set on the parent session or via
+    * -D) overrides the computed width. */
+  private def stateWidth(s: org.apache.spark.sql.SparkSession,
+      stateKeys: Long): Int =
+    s.conf.getOption("spark.graft.stream.shuffle").map(_.toInt).getOrElse {
+      math.min(s.sparkContext.defaultParallelism.toLong,
+        math.max(4L, 4L * (stateKeys / 125000L))).toInt
+    }
+
   private def streamingSession(s: org.apache.spark.sql.SparkSession,
-      rocksDb: Boolean): org.apache.spark.sql.SparkSession = {
-    // cloned session (own SQLConf + catalog): narrow shuffle — one state
-    // store per shuffle partition is pure overhead for small state —
-    // without touching the caller's session
+      rocksDb: Boolean, width: Int): org.apache.spark.sql.SparkSession = {
+    // cloned session (own SQLConf + catalog) so neither the narrowed
+    // shuffle nor the state backend touches the caller's session
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.shuffle.partitions", width.toString)
     if (rocksDb)
       ss.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
     ss
@@ -137,10 +153,10 @@ object StreamingQueries {
       // streamingSession: narrowed shuffle in a CLONED session — nothing
       // planned concurrently in the caller's session sees the override,
       // and the memory-sink temp view lands in the clone. Heap-backed
-      // state: the window/event_type groups are BOUNDED, the case the
-      // default store is right for. (At real scale state sizing is a
-      // deliberate per-pipeline config, not the session default.)
-      val ss = streamingSession(s, rocksDb = false)
+      // state and the minimum width: the window/event_type groups are
+      // BOUNDED, the case the default store and a narrow shuffle are
+      // right for.
+      val ss = streamingSession(s, rocksDb = false, stateWidth(s, 0L))
       val q = ss.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
@@ -191,6 +207,13 @@ object StreamingQueries {
   // pipeline would qualify with a watermark.
   private val d7SchemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  // corpus row count per data dir (parquet metadata count — no data
+  // read); dedup state keys ≈ rows, which sizes the state shuffle
+  private val d7RowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def d7Rows(s: org.apache.spark.sql.SparkSession, dir: String): Long =
+    d7RowsCache.computeIfAbsent(dir,
+      d => s.read.parquet(s"$d/documents.parquet").count())
   private val d7Runs = new java.util.concurrent.atomic.AtomicLong(0)
   private val d7 = QueryDef(
     "d7_stream_dedup",
@@ -201,8 +224,10 @@ object StreamingQueries {
       val runId = d7Runs.incrementAndGet()
       val sinkTable = s"graft_d7_sink_$runId"
       // RocksDB: the first-seen hash set grows with the corpus — the
-      // data-sized-state case the heap store cannot hold at 100 TB
-      val ss = streamingSession(s, rocksDb = true)
+      // data-sized-state case the heap store cannot hold at 100 TB; the
+      // store count scales with the corpus too (one metadata-count job)
+      val ss = streamingSession(s, rocksDb = true,
+        stateWidth(s, d7Rows(s, dir)))
       val q = ss.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
@@ -249,7 +274,8 @@ object StreamingQueries {
         d => s.read.parquet(s"$d/documents.parquet").schema)
       val runId = d8Runs.incrementAndGet()
       val base = s"$e3TmpRoot/d8_$runId"
-      val ss = streamingSession(s, rocksDb = true)
+      val ss = streamingSession(s, rocksDb = true,
+        stateWidth(s, d7Rows(s, dir)))
       val q = ss.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)

@@ -1,9 +1,9 @@
 package graft
 
-import graft.functions.KafkaMurmur2Partition
+import graft.functions.{KafkaMurmur2Partition, MinHashLshBands, SimHash16, VecDot, WordNGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /**
  * Session extensions for the graft engine — the registration point for
@@ -11,20 +11,38 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
  * `spark.sql.extensions=graft.GraftExtensions`.
  *
- * Currently injects `kafka_partition(key BINARY, n INT)` — the
- * murmur2-exact Kafka default-partitioner hash (see
- * [[graft.functions.Murmur2]]); everything else the engine needs is
- * expressible with stock Catalyst (SURVEY §4).
+ * Injects the engine's codegen'd kernels — `kafka_partition(key, n)`
+ * (murmur2-exact Kafka default partitioner, [[graft.functions.Murmur2]])
+ * and the sketch kernels `minhash_lsh_bands(shingles)`,
+ * `simhash16(tokens)`, `vec_dot(a, b)` ([[graft.functions.Sketches]]) —
+ * the per-row hot loops Catalyst's interpreted higher-order functions
+ * can't keep inside whole-stage codegen. Everything else the engine
+ * needs is expressible with stock Catalyst (SURVEY §4).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
+
+  private def inject(
+      ext: SparkSessionExtensions,
+      name: String,
+      arity: Int,
+      clazz: Class[_],
+      build: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
-      new FunctionIdentifier("kafka_partition"),
-      new ExpressionInfo(classOf[KafkaMurmur2Partition].getName, "kafka_partition"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.size == 2,
-          "kafka_partition(key, numPartitions) takes exactly 2 arguments")
-        KafkaMurmur2Partition(children.head, children(1))
+      new FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.size == arity, s"$name takes exactly $arity arguments")
+        build(children)
       }))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    inject(ext, "kafka_partition", 2, classOf[KafkaMurmur2Partition],
+      c => KafkaMurmur2Partition(c.head, c(1)))
+    inject(ext, "minhash_lsh_bands", 1, classOf[MinHashLshBands],
+      c => MinHashLshBands(c.head))
+    inject(ext, "simhash16", 1, classOf[SimHash16], c => SimHash16(c.head))
+    inject(ext, "word_ngrams", 2, classOf[WordNGrams],
+      c => WordNGrams(c.head, c(1)))
+    inject(ext, "vec_dot", 2, classOf[VecDot], c => VecDot(c.head, c(1)))
   }
 }

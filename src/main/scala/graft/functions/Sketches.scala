@@ -1,0 +1,280 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Codegen'd text/vector sketch kernels. These replace the interpreted
+ * higher-order-function forms of the MinHash signature, SimHash and the
+ * cosine dot product: Catalyst evaluates `transform`/`aggregate` lambdas
+ * per ELEMENT through the interpreted expression walker (higher-order
+ * functions never enter whole-stage codegen), so a 64-permutation
+ * MinHash costs 64·|shingles| lambda evaluations and 64 array
+ * allocations per row. Each kernel here is one static JVM call per ROW
+ * emitted directly into the generated loop — the same preference order
+ * the engine uses for `kafka_partition` ([[Murmur2]]).
+ *
+ * Every kernel is BIT-IDENTICAL to the SQL-expression form it replaces
+ * (and therefore to the DuckDB oracles): the md5-derived hash is the
+ * same `('0x'||substr(md5(x),1,15))::BIGINT` parse, the permutation
+ * arithmetic is the same exact-integer universal hash mod 2^31−1, and
+ * the dot product folds in index order so the floating-point operation
+ * sequence matches `aggregate(zip_with(...))` / `list_dot_product`.
+ * SketchParitySpec pins kernel ≡ legacy-expression on fixture data.
+ */
+object Sketches {
+
+  /** MinHash universal-hash modulus (2^31 − 1, prime). */
+  val P: Long = 2147483647L
+
+  /** Permutation count and LSH banding (16 bands × 4 rows). */
+  val NumPerms = 64
+  val NumBands = 16
+  private val RowsPerBand = NumPerms / NumBands
+
+  /** The 64 permutation coefficients — md5-derived JVM constants,
+    * identical to the oracle's SQL-side derivation
+    * `1 + ('0x'||substr(md5('a:'||s),1,15))::BIGINT % 2147483646`. */
+  private val Coefs: Array[Long] =
+    Array.tabulate(NumPerms)(s => 1L + VectorLsh.md5Long15(s"a:$s") % (P - 1L))
+
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val d = Md5.get().digest(bytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** First 15 hex chars of md5 as a 60-bit non-negative long — the JVM
+    * twin of `cast(conv(substring(md5(x),1,15),16,10) as bigint)`:
+    * bytes 0..6 plus the high nibble of byte 7. */
+  private def md5Long15(bytes: Array[Byte]): Long = {
+    val d = Md5.get().digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) {
+      v = (v << 8) | (d(i) & 0xffL)
+      i += 1
+    }
+    (v << 4) | ((d(7) & 0xffL) >> 4)
+  }
+
+  /**
+   * The full MinHash-LSH band table for one document in one pass: hash
+   * each shingle once, fold it through all 64 permutations keeping
+   * running minima (no intermediate arrays), then md5 each band's
+   * 4 minima joined by ','. Returns the 16 band-hash strings; null for
+   * an empty shingle set (the legacy expression yields null band hashes
+   * there — callers filter empty docs first).
+   */
+  def minhashBands(ws: ArrayData): ArrayData = {
+    val n = ws.numElements()
+    if (n == 0) return null
+    val mins = new Array[Long](NumPerms)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = md5Long15(ws.getUTF8String(i).getBytes) % P
+      var s = 0
+      while (s < NumPerms) {
+        val v = (Coefs(s) * h + s) % P
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](NumBands)
+    var b = 0
+    while (b < NumBands) {
+      val sb = new java.lang.StringBuilder(44)
+      var r = 0
+      while (r < RowsPerBand) {
+        if (r > 0) sb.append(',')
+        sb.append(mins(b * RowsPerBand + r))
+        r += 1
+      }
+      out(b) = UTF8String.fromString(
+        md5Hex(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 16-bit SimHash over (distinct) tokens: per-bit majority vote of the
+    * tokens' 60-bit md5 hashes. Empty input → 0 (matches the legacy
+    * aggregate over an empty sequence). */
+  def simhash16(ws: ArrayData): Long = {
+    val n = ws.numElements()
+    val counts = new Array[Int](16)
+    var i = 0
+    while (i < n) {
+      val h = md5Long15(ws.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 16) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 16) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Distinct word n-grams of a document in one pass: split on single
+    * spaces (trailing empties kept by the regex split, then dropped —
+    * the JVM twin of `filter(split(text, ' '), t -> t != '')`), join
+    * each n consecutive tokens with ' ', dedupe preserving first
+    * occurrence (the `array_distinct` order). Fewer than n tokens →
+    * empty array, matching the legacy CASE arm. */
+  def wordNGrams(text: UTF8String, n: Int): ArrayData = {
+    val toks = new java.util.ArrayList[String]()
+    val it = text.toString.split(" ", -1)
+    var i = 0
+    while (i < it.length) {
+      if (!it(i).isEmpty) toks.add(it(i))
+      i += 1
+    }
+    val m = toks.size - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](m * 2)
+    i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.get(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val itr = seen.iterator()
+    i = 0
+    while (itr.hasNext) {
+      out(i) = UTF8String.fromString(itr.next())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Sequential-fold dot product — index order, so the floating-point
+    * sequence matches `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, +)`
+    * and DuckDB's `list_dot_product`. Mirrors the legacy null semantics:
+    * length mismatch or a null element → null (zip_with pads with null,
+    * the fold then sticks at null). */
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na != nb) return null
+    var acc = 0.0
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `minhash_lsh_bands(shingles ARRAY<STRING>) -> ARRAY<STRING>` — the 16
+  * LSH band hashes of the 64-permutation MinHash signature, one static
+  * call per row inside whole-stage codegen. */
+case class MinHashLshBands(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_lsh_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Sketches.minhashBands(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.Sketches.minhashBands($c);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashLshBands =
+    copy(child = newChild)
+}
+
+/** `word_ngrams(text STRING, n INT) -> ARRAY<STRING>` — distinct word
+  * n-grams (space-tokenized, first-occurrence order), one kernel call
+  * replacing the tokenize → window → concat → distinct lambda chain. */
+case class WordNGrams(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override protected def nullSafeEval(text: Any, n: Any): Any =
+    Sketches.wordNGrams(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"graft.functions.Sketches.wordNGrams($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordNGrams =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `simhash16(tokens ARRAY<STRING>) -> BIGINT` — 16-bit majority-vote
+  * SimHash of md5-derived token hashes. */
+case class SimHash16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash16"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Sketches.simhash16(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.simhash16($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+/** `vec_dot(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) -> DOUBLE` — sequential
+  * index-order dot product (deterministic; see [[Sketches.dotOrNull]]). */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Sketches.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+       |java.lang.Double ${ev.value}$$r = graft.functions.Sketches.dotOrNull($a, $b);
+       |if (${ev.value}$$r == null) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  ${ev.value} = ${ev.value}$$r.doubleValue();
+       |}
+     """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}

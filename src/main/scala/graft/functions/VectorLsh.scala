@@ -45,12 +45,14 @@ object VectorLsh {
     math.max(3, math.ceil(
       math.log(math.max(1.0, n.toDouble / targetPerBucket)) / math.log(2.0)).toInt)
 
-  /** Spark-SQL dot product of array column `vCol` with plane `p`
-    * (sequential fold — deterministic, matches DuckDB list_dot_product). */
+  /** Spark-SQL dot product of array column `vCol` with plane `p` via
+    * the codegen'd `vec_dot` kernel (sequential index-order fold —
+    * deterministic, matches DuckDB list_dot_product; the literal plane
+    * array constant-folds into a single ArrayData). */
   private def dotExpr(vCol: String, plane: Int, dims: Int): String = {
     val lits = planeK(plane, dims)
       .map(k => s"cast($k as double)/1000.0").mkString("array(", ",", ")")
-    s"aggregate(zip_with($vCol, $lits, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    s"vec_dot($vCol, $lits)"
   }
 
   /** DuckDB literal list for plane `p`. */

@@ -104,15 +104,11 @@ object PipelineQueries {
     (s, dir) => {
       val d = docs(s, dir)
         .withColumn("len_bucket", floor(col("n_chars") / lit(100)).cast("long"))
-      // distinct word-bigram shingles per doc — one let-bound array
-      // expression per row; the (lang, len_bucket) blocking columns ride
-      // along the explode, so no meta join is needed
-      val sh = d.withColumn("ws", expr(
-          s"""array_distinct(transform(array($tokensExpr), ts ->
-             |  CASE WHEN size(ts) >= 2 THEN
-             |    transform(sequence(1, size(ts) - 1),
-             |      i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)))
-             |  ELSE cast(array() as array<string>) END)[0])""".stripMargin))
+      // distinct word-bigram shingles per doc — one codegen'd
+      // `word_ngrams` kernel call per row; the (lang, len_bucket)
+      // blocking columns ride along the explode, so no meta join is
+      // needed
+      val sh = d.withColumn("ws", expr("word_ngrams(text, 2)"))
         .filter(size(col("ws")) > 0)
         .select(col("doc_id"), col("lang"), col("len_bucket"),
           explode(col("ws")).as("sh"))
@@ -167,21 +163,15 @@ object PipelineQueries {
   // Jaccard. The whole signature is ONE per-row array expression
   // (codegen'd, zero shuffle); only the tiny 16-rows-per-doc band table
   // shuffles, on (band, band_hash).
-  /** doc_id → distinct word-3-gram shingle array (`ws`), empty docs dropped.
-    *
-    * The token array is LET-BOUND via `transform(array(tokens), ts -> …)[0]`
-    * so it is evaluated once per row. Referencing a tokens *column* from
-    * inside the lambda would let CollapseProject inline the split+filter
-    * expression at every `element_at(ts, i)` — re-tokenizing the document
-    * per element, a measured ~300× slowdown. */
+  /** doc_id → distinct word-3-gram shingle array (`ws`), empty docs
+    * dropped — one codegen'd `word_ngrams` kernel call per row
+    * (tokenize, slide, join, dedupe in a single pass; see
+    * [[graft.functions.Sketches.wordNGrams]]). SketchParitySpec pins it
+    * to the legacy tokenize→window→concat→distinct lambda chain, whose
+    * let-binding subtleties (CollapseProject re-inlining a referenced
+    * tokens column per element) the kernel renders moot. */
   private def shingled(d: DataFrame): DataFrame =
-    d.withColumn("ws", expr(
-        s"""array_distinct(transform(array($tokensExpr), ts ->
-           |  CASE WHEN size(ts) >= 3 THEN
-           |    transform(sequence(1, size(ts) - 2),
-           |      i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1),
-           |                     element_at(ts, i + 2)))
-           |  ELSE cast(array() as array<string>) END)[0])""".stripMargin))
+    d.withColumn("ws", expr("word_ngrams(text, 3)"))
       .filter(size(col("ws")) > 0)
       .select("doc_id", "ws")
 
@@ -205,29 +195,18 @@ object PipelineQueries {
       import s.implicits._
       val sh = shingled(docs(s, dir))
       // The whole 64-permutation signature and its 16 band hashes are ONE
-      // per-row expression with zero shuffle: each shingle md5-hashed
-      // once (let-bound `hs`), permutations derived with exact integer
-      // universal hashes h_s = (a_s·h + s) mod p, p = 2^31−1 (products
-      // < 2^62 — no bigint overflow under ANSI). The 64 coefficients are
-      // JVM-precomputed md5 constants, bit-identical to the oracle's
-      // SQL-side md5 — embedded as a folded literal array. Only the
-      // 16-rows-per-doc band table ever shuffles, for the candidate
-      // self-join on (band, band_hash).
-      val coefArr = (0 until 64)
-        .map(i => s"${1L + (graft.functions.VectorLsh.md5Long15(s"a:$i") % 2147483646L)}L")
-        .mkString("array(", ",", ")")
-      val hsExpr =
-        "transform(ws, w -> pmod(cast(conv(substring(md5(w), 1, 15), 16, 10)" +
-          " as bigint), 2147483647L))"
-      val bandHashesExpr =
-        s"""transform(array(transform(array($hsExpr), hs ->
-           |  transform(sequence(0, 63), s ->
-           |    array_min(transform(hs, h ->
-           |      pmod(element_at($coefArr, s + 1) * h + s, 2147483647L)))))[0]), sig ->
-           |  transform(sequence(0, 15), b ->
-           |    md5(concat_ws(',', transform(slice(sig, b * 4 + 1, 4),
-           |                                 x -> cast(x as string))))))[0]""".stripMargin
-      val bands = sh.withColumn("bh", expr(bandHashesExpr))
+      // per-row codegen'd kernel call with zero shuffle
+      // ([[graft.functions.Sketches.minhashBands]]): each shingle
+      // md5-hashed once, folded through all 64 exact-integer universal
+      // hashes h_s = (a_s·h + s) mod p, p = 2^31−1, as running minima —
+      // no intermediate arrays, no interpreted lambda per element (the
+      // higher-order-function form this replaced cost 64·|shingles|
+      // interpreted evaluations per row and dominated the sf1 scale run
+      // at 31 s). Coefficients and arithmetic are bit-identical to the
+      // oracle's SQL-side derivation. Only the 16-rows-per-doc band
+      // table ever shuffles, for the candidate self-join on
+      // (band, band_hash).
+      val bands = sh.withColumn("bh", expr("minhash_lsh_bands(ws)"))
         .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "band_hash")))
       val cand = bands.as("x").join(bands.as("y"),
           $"x.band" === $"y.band" && $"x.band_hash" === $"y.band_hash" &&
@@ -341,23 +320,18 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin))
 
   // D4 — SimHash: 16-bit signature from md5-derived word hashes. The
-  // whole signature is one per-row expression (let-bound distinct-word
-  // hashes scanned once per bit) — zero shuffle, unlike the
-  // explode-by-bit relational form which shuffled twice.
+  // whole signature is one per-row codegen'd kernel call
+  // ([[graft.functions.Sketches.simhash16]]: distinct-word hashes
+  // majority-voted per bit in a single pass) — zero shuffle, unlike the
+  // explode-by-bit relational form which shuffled twice, and no
+  // interpreted 16·|words| lambda walk like the HOF form it replaced.
   private val d4 = QueryDef(
     "d4_simhash",
     (s, dir) => {
-      val hsExpr = s"transform(array_distinct($tokensExpr), w -> " +
-        "cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"
-      val simhashExpr =
-        s"""transform(array($hsExpr), hs ->
-           |  aggregate(sequence(0, 15), 0L, (acc, b) ->
-           |    acc + CASE WHEN aggregate(hs, 0L, (a, h) ->
-           |        a + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1L ELSE -1L END) > 0
-           |      THEN shiftleft(cast(1 as bigint), b) ELSE 0L END))[0]""".stripMargin
       docs(s, dir)
         .filter(expr(s"size($tokensExpr) > 0"))
-        .select(col("doc_id"), expr(simhashExpr).cast("long").as("simhash"))
+        .select(col("doc_id"),
+          expr("simhash16(word_ngrams(text, 1))").as("simhash"))
         .orderBy("doc_id")
     },
     Some(
@@ -375,11 +349,14 @@ object PipelineQueries {
 
   // ------------------------------------------------------- similarity
 
-  /** Cosine over double-cast arrays: sequential fold → deterministic. */
+  /** Cosine over double-cast arrays via the codegen'd `vec_dot` kernel
+    * (sequential index-order fold — deterministic, bit-identical to the
+    * `aggregate(zip_with(...))` form it replaced and to DuckDB's
+    * `list_dot_product`; see [[graft.functions.Sketches.dotOrNull]]). */
   private def cosineCols(a: String, b: String): org.apache.spark.sql.Column = {
-    val dot = expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-    val na = expr(s"aggregate(zip_with($a, $a, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-    val nb = expr(s"aggregate(zip_with($b, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    val dot = expr(s"vec_dot($a, $b)")
+    val na = expr(s"vec_dot($a, $a)")
+    val nb = expr(s"vec_dot($b, $b)")
     dot / (sqrt(na) * sqrt(nb))
   }
 

@@ -1,0 +1,149 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Pins the codegen'd sketch kernels ([[Sketches]]) to the legacy
+ * higher-order-function SQL expressions they replaced. The legacy
+ * expressions are restated here IN FULL — they are the semantic
+ * contract (bit-identical to the DuckDB oracles), so the kernels are
+ * verified against an independent restatement, not against themselves.
+ * Runs over real fixture documents/embeddings plus adversarial literals
+ * (empty arrays, null elements, length mismatches).
+ */
+class SketchParitySpec extends AnyFunSuite {
+
+  private lazy val s = SparkTestSession.spark
+  private val dir = SparkTestSession.sfDir
+
+  private val tokensExpr = "filter(split(text, ' '), t -> t != '')"
+
+  private val shingleExpr =
+    s"""array_distinct(transform(array($tokensExpr), ts ->
+       |  CASE WHEN size(ts) >= 3 THEN
+       |    transform(sequence(1, size(ts) - 2),
+       |      i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1),
+       |                     element_at(ts, i + 2)))
+       |  ELSE cast(array() as array<string>) END)[0])""".stripMargin
+
+  test("minhash_lsh_bands matches the legacy 64-perm HOF expression") {
+    val coefArr = (0 until 64)
+      .map(i => s"${1L + (VectorLsh.md5Long15(s"a:$i") % 2147483646L)}L")
+      .mkString("array(", ",", ")")
+    val hsExpr =
+      "transform(ws, w -> pmod(cast(conv(substring(md5(w), 1, 15), 16, 10)" +
+        " as bigint), 2147483647L))"
+    val legacy =
+      s"""transform(array(transform(array($hsExpr), hs ->
+         |  transform(sequence(0, 63), s ->
+         |    array_min(transform(hs, h ->
+         |      pmod(element_at($coefArr, s + 1) * h + s, 2147483647L)))))[0]), sig ->
+         |  transform(sequence(0, 15), b ->
+         |    md5(concat_ws(',', transform(slice(sig, b * 4 + 1, 4),
+         |                                 x -> cast(x as string))))))[0]""".stripMargin
+    val mismatches = graft.sources.Records.table(s, dir, "documents")
+      .withColumn("ws", expr(shingleExpr))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        expr("minhash_lsh_bands(ws)").as("kernel"), expr(legacy).as("hof"))
+      .filter(col("kernel") =!= col("hof"))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("simhash16 matches the legacy majority-vote HOF expression") {
+    val hsExpr = s"transform(array_distinct($tokensExpr), w -> " +
+      "cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"
+    val legacy =
+      s"""transform(array($hsExpr), hs ->
+         |  aggregate(sequence(0, 15), 0L, (acc, b) ->
+         |    acc + CASE WHEN aggregate(hs, 0L, (a, h) ->
+         |        a + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1L ELSE -1L END) > 0
+         |      THEN shiftleft(cast(1 as bigint), b) ELSE 0L END))[0]""".stripMargin
+    val mismatches = graft.sources.Records.table(s, dir, "documents")
+      .filter(expr(s"size($tokensExpr) > 0"))
+      .select(
+        expr(s"simhash16(array_distinct($tokensExpr))").as("kernel"),
+        expr(legacy).cast("long").as("hof"))
+      .filter(col("kernel") =!= col("hof"))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("word_ngrams matches the legacy tokenize→window→distinct chain") {
+    val legacy3 = shingleExpr
+    val legacy1 = s"array_distinct($tokensExpr)"
+    val legacy2 =
+      s"""array_distinct(transform(array($tokensExpr), ts ->
+         |  CASE WHEN size(ts) >= 2 THEN
+         |    transform(sequence(1, size(ts) - 1),
+         |      i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)))
+         |  ELSE cast(array() as array<string>) END)[0])""".stripMargin
+    val mismatches = graft.sources.Records.table(s, dir, "documents")
+      .select(
+        expr("word_ngrams(text, 1)").as("k1"), expr(legacy1).as("h1"),
+        expr("word_ngrams(text, 2)").as("k2"), expr(legacy2).as("h2"),
+        expr("word_ngrams(text, 3)").as("k3"), expr(legacy3).as("h3"))
+      .filter(col("k1") =!= col("h1") || col("k2") =!= col("h2") ||
+        col("k3") =!= col("h3"))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("word_ngrams edge cases: empties, repeated spaces, short docs") {
+    val r = s.sql(
+      """SELECT word_ngrams('', 1) AS a, word_ngrams('  ', 2) AS b,
+        |       word_ngrams('one two', 3) AS c,
+        |       word_ngrams('x  y   x  y', 2) AS d""".stripMargin)
+      .collect().head
+    assert(r.getSeq[String](0) === Seq())
+    assert(r.getSeq[String](1) === Seq())
+    assert(r.getSeq[String](2) === Seq())
+    assert(r.getSeq[String](3) === Seq("x y", "y x"))
+  }
+
+  test("simhash16 of an empty token array is 0") {
+    val r = s.sql("SELECT simhash16(cast(array() as array<string>)) AS v")
+      .collect().head.getLong(0)
+    assert(r === 0L)
+  }
+
+  test("vec_dot matches the legacy aggregate(zip_with) fold on embeddings") {
+    val e = graft.sources.Records.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.select(col("vec_id").as("ia"), col("v").as("a"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("v").as("b")))
+      .filter(col("ia") < col("ib")).limit(2000)
+    val legacy =
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    // Exact equality: both folds run the identical fp operation sequence.
+    val mismatches = pairs
+      .select(expr("vec_dot(a, b)").as("kernel"), expr(legacy).as("hof"))
+      .filter(col("kernel") =!= col("hof"))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("vec_dot null semantics: length mismatch and null elements") {
+    val rows = s.sql(
+      """SELECT
+        |  vec_dot(array(1.0D, 2.0D), array(3.0D)) AS mismatch,
+        |  vec_dot(array(1.0D, cast(null as double)), array(3.0D, 4.0D)) AS withNull,
+        |  vec_dot(cast(null as array<double>), array(3.0D)) AS nullArr,
+        |  vec_dot(cast(array() as array<double>), cast(array() as array<double>)) AS empty
+        |""".stripMargin).collect().head
+    assert(rows.isNullAt(0) && rows.isNullAt(1) && rows.isNullAt(2))
+    assert(rows.getDouble(3) === 0.0)
+  }
+
+  test("minhash_lsh_bands of an empty array is null; band count is 16") {
+    val r = s.sql(
+      """SELECT minhash_lsh_bands(cast(array() as array<string>)) AS e,
+        |       size(minhash_lsh_bands(array('a b c'))) AS n""".stripMargin)
+      .collect().head
+    assert(r.isNullAt(0))
+    assert(r.getInt(1) === 16)
+  }
+}

@@ -990,7 +990,46 @@ object PipelineQueries {
         |FROM events GROUP BY event_type, window_start
         |ORDER BY event_type, window_start""".stripMargin))
 
+  // P1 — deterministic stratified sampling: downsample over-represented
+  // strata (language here; domain/source in production) to a balanced
+  // mix — the rebalancing step every training-data pipeline runs before
+  // mixing corpora. Keep probability per stratum = smallest stratum
+  // size / stratum size, gated by a salted md5 hash of the doc id so
+  // the sample is REPRODUCIBLE (same corpus → same sample, regardless
+  // of partitioning or cluster size) and needs no global sort or
+  // per-stratum rank window: stratum stats are one tiny aggregate, the
+  // thresholds broadcast, and the keep decision is a codegen'd per-row
+  // filter — the only shuffle is the count aggregation. The integer
+  // threshold `floor(1e6·min/cnt)` is IEEE-double math on both engines,
+  // so the gate hashes identically.
+  private val p1 = QueryDef(
+    "p1_stratified_sample",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val counts = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val tgt = counts.agg(min("cnt").as("t"))
+      val thr = counts.crossJoin(broadcast(tgt))
+        .select(col("lang"),
+          floor(lit(1000000.0) * col("t") / col("cnt")).cast("long").as("thr"))
+      d.join(broadcast(thr), "lang")
+        .filter(pmod(md5Long(concat(lit("smp:"), col("doc_id").cast("string"))),
+          lit(1000000L)) < col("thr"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt
+        |               FROM documents GROUP BY lang),
+        |tgt AS (SELECT MIN(cnt) AS t FROM counts),
+        |thr AS (SELECT lang, CAST(FLOOR(1000000.0 * t / cnt) AS BIGINT) AS thr
+        |        FROM counts, tgt)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE ('0x' || substr(md5('smp:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000000 < thr
+        |ORDER BY doc_id""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, sim1, sim2, sim3, x1, x2, x3, x4, x5,
-    m1, m2, m3, e1, e2)
+    m1, m2, m3, e1, e2, p1)
 }

@@ -1029,7 +1029,207 @@ object PipelineQueries {
         |      % 1000000 < thr
         |ORDER BY doc_id""".stripMargin))
 
+  // D9 — near-dup CLUSTERS: connected components over the d3 pair graph.
+  // d6's keep-list drops the higher-id member of each PAIR, which is the
+  // right call only when the pair set is transitively closed; LSH gives
+  // no such guarantee (a~b and b~c can band-collide while a~c does not).
+  // The production dedup decision is per CLUSTER: every document gets a
+  // cluster id (the minimum doc_id reachable through the pair graph) and
+  // one keeper per cluster survives. Implementation is iterative
+  // min-label propagation: each round every node takes the min of its
+  // own label and its neighbors' labels — one equi-join + one
+  // map-side-combinable min aggregation per round, converging in
+  // O(graph diameter) rounds. Dup clusters from LSH are near-cliques
+  // (diameter 2–3 regardless of corpus size: members collide through
+  // shared band hashes), so the round count stays flat at 100 TB; an
+  // adversarial long-chain graph would call for the small-star/
+  // large-star variant (O(log n) rounds), which this loop's join shape
+  // extends to without changing the data layout. The pair table is the
+  // SAME persisted table d3/d6 read — the signature pass is paid once.
+  private val d9 = QueryDef(
+    "d9_dup_clusters",
+    (s, dir) => {
+      val pairs = minhashPairsShared(s, dir)
+      val edges = pairs.select(col("doc_a").cast("long").as("a"),
+        col("doc_b").cast("long").as("b"))
+      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = sym.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // driver loop, but each iteration is a fully distributed join+agg
+      // and the loop count is bounded by the cluster diameter (a count
+      // action per round checks the fixpoint — the standard large-scale
+      // connected-components control flow)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val viaNbr = sym.join(labels.withColumnRenamed("node", "b"), "b")
+          .select(col("a").as("node"), col("label"))
+        val next = viaNbr.union(labels)
+          .groupBy("node").agg(min("label").as("label"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        converged = next
+          .join(labels.select(col("node"), col("label").as("prev")), "node")
+          .filter(col("label") < col("prev")).limit(1).isEmpty
+        labels.unpersist()
+        labels = next
+        rounds += 1
+      }
+      val clusters = labels
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      val assigned = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id",
+          coalesce(col("cluster_id"), col("doc_id")).cast("long"))
+      val sizes = assigned.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      val out = assigned.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).cast("long").as("is_keeper"))
+        .orderBy("doc_id")
+      sym.unpersist()
+      out
+    },
+    Some(
+      s"""WITH RECURSIVE $minhashSqlCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lbl AS (
+         |  SELECT a AS doc_id, LEAST(MIN(b), a) AS cluster_id
+         |  FROM reach GROUP BY a),
+         |asg AS (
+         |  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |    CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |       FROM asg GROUP BY cluster_id)
+         |SELECT a.doc_id, a.cluster_id, s.cluster_size,
+         |  CAST(CASE WHEN a.doc_id = a.cluster_id THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_keeper
+         |FROM asg a JOIN sz s USING (cluster_id)
+         |ORDER BY a.doc_id""".stripMargin))
+
+  // P2 — PII scrubbing: regex detection + redaction of emails and phone
+  // numbers, the compliance pass every training corpus runs before
+  // tokenization. The fixture vocabulary contains no PII, so the query
+  // SYNTHESIZES a deterministic contact block per document (identically
+  // in both engines — the construction is part of the fixture, the
+  // scrub is the operator) with varied multiplicity (0–2 emails, 0–1
+  // phones per doc) so the counts are non-trivial. The whole operator
+  // is per-row codegen'd regexp work with zero shuffle — at 100 TB it
+  // pipelines inside the scan stage; patterns are kept to the common
+  // RE2/Java subset so both engines match identical spans.
+  private val p2 = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    QueryDef(
+      "p2_pii_scrub",
+      (s, dir) => {
+        docs(s, dir)
+          .withColumn("raw", concat(
+            col("text"),
+            when(pmod(col("doc_id"), lit(3)) =!= 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com"))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(lit(" cc admin"), col("doc_id").cast("string"),
+                lit("@corp.example.org"))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(2)) === 0,
+              concat(lit(" tel +1-555-"),
+                lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+              .otherwise(lit(""))))
+          .select(col("doc_id").cast("long").as("doc_id"),
+            regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_emails"),
+            regexp_count(col("raw"), lit(phoneRe)).cast("long").as("n_phones"),
+            md5(regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>").cast("binary")).as("scrubbed_md5"),
+            length(regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).cast("long").as("scrubbed_len"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH raw AS (
+           |  SELECT doc_id,
+           |    text
+           |    || CASE WHEN doc_id % 3 <> 0 THEN ' contact user'
+           |         || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+           |    || CASE WHEN doc_id % 5 = 0 THEN ' cc admin'
+           |         || CAST(doc_id AS VARCHAR) || '@corp.example.org' ELSE '' END
+           |    || CASE WHEN doc_id % 2 = 0 THEN ' tel +1-555-'
+           |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+           |      AS r
+           |  FROM documents),
+           |scrubbed AS (
+           |  SELECT doc_id, r,
+           |    regexp_replace(regexp_replace(r, '$emailRe', '<EMAIL>', 'g'),
+           |      '$phoneRe', '<PHONE>', 'g') AS sc
+           |  FROM raw)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CAST(len(regexp_extract_all(r, '$emailRe')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(r, '$phoneRe')) AS BIGINT) AS n_phones,
+           |  md5(sc) AS scrubbed_md5,
+           |  CAST(length(sc) AS BIGINT) AS scrubbed_len
+           |FROM scrubbed ORDER BY doc_id""".stripMargin))
+  }
+
+  // P3 — benchmark decontamination: flag training documents that share
+  // any word-4-gram with an eval/benchmark set (here: every 97th doc
+  // stands in for the benchmark suite). This is THE pre-training hygiene
+  // join — eval suites are tiny (thousands of docs) while the corpus is
+  // 100 TB, so the eval n-gram table is broadcast and the train side
+  // streams through a map-side hash join inside the scan stage: no
+  // shuffle of the corpus, cost linear in corpus n-grams. N-grams are
+  // joined on their 63-bit md5 hash (both engines derive it identically)
+  // so only fixed-width keys ever leave the scan. n = 4 is fixture-fit:
+  // the 31-word vocabulary means real-corpus n (8–13 in published
+  // decontamination setups) matches nothing but exact copies here, while
+  // 4-grams flag the near-dup family of each eval doc (8 train docs /
+  // 9 shared grams at sf0.01) — selective but non-trivial.
+  private val p3 = QueryDef(
+    "p3_decontaminate",
+    (s, dir) => {
+      val grams = docs(s, dir)
+        .select(col("doc_id"), explode(expr("word_ngrams(text, 4)")).as("g"))
+        .select(col("doc_id"), md5Long(col("g")).as("gh"))
+      val eval = grams.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("eval_id"), col("gh")).distinct()
+      grams.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .join(broadcast(eval), "gh")
+        .groupBy("doc_id")
+        .agg(countDistinct("gh").as("n_shared_ngrams"),
+          countDistinct("eval_id").as("n_eval_docs"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_shared_ngrams"), col("n_eval_docs"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |g4 AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 4 THEN
+        |    list_transform(generate_series(1, len(ts) - 3), i ->
+        |      ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
+        |    ELSE [] END)) AS g
+        |  FROM toks),
+        |gh AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh FROM g4),
+        |ev AS (SELECT DISTINCT doc_id AS eval_id, gh FROM gh WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, gh FROM gh WHERE doc_id % 97 <> 0)
+        |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+        |  CAST(COUNT(DISTINCT t.gh) AS BIGINT) AS n_shared_ngrams,
+        |  CAST(COUNT(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+        |FROM tr t JOIN ev e USING (gh)
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
-    d1, d2, d3, d4, d5, d6, sim1, sim2, sim3, x1, x2, x3, x4, x5,
-    m1, m2, m3, e1, e2, p1)
+    d1, d2, d3, d4, d5, d6, d9, sim1, sim2, sim3, x1, x2, x3, x4, x5,
+    m1, m2, m3, e1, e2, p1, p2, p3)
 }

@@ -301,5 +301,82 @@ object StreamingQueries {
       """SELECT DISTINCT md5(text) AS content_md5 FROM documents
         |ORDER BY content_md5""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(k2, e3, d7, d8)
+  // E4 — STREAMING sessionization: `session_window` gap sessions (30 min)
+  // in a real append-mode query — the streaming half of e1. Sessions are
+  // MERGED in the state store as events arrive and emitted only once the
+  // watermark (1 h) passes the session end, so Spark's gap-merge +
+  // eviction semantics themselves sit under the hash gate; the oracle
+  // models the same sessions relationally with the strict session_window
+  // boundary rule (a gap of EXACTLY the 30-min window starts a new
+  // session: [t, t+gap) does not contain t+gap — note e1's batch lag
+  // formulation uses > and would merge that edge case) and the same
+  // ms-precision watermark cutoff as e3. State is the set of OPEN
+  // sessions inside the watermark horizon — bounded by active users, not
+  // corpus size, so the heap store and the minimum shuffle width are the
+  // right backend (d7/d8 hold the data-sized-state/RocksDB case).
+  private val e4SchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private val e4Runs = new java.util.concurrent.atomic.AtomicLong(0)
+  private val e4 = QueryDef(
+    "e4_stream_sessions",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = e4SchemaCache.computeIfAbsent(dir,
+        d => s.read.parquet(s"$d/events.parquet").schema)
+      val runId = e4Runs.incrementAndGet()
+      val sinkTable = s"graft_e4_sink_$runId"
+      val ss = streamingSession(s, rocksDb = false, stateWidth(s, 0L))
+      val q = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts",
+          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            expr("timestamp_micros(ts div 1000)") else col("ts"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id").cast("long").as("user_id"),
+          col("session_window.start").cast("long").as("session_start"),
+          col("session_window.end").cast("long").as("session_end"),
+          col("n_events"))
+        .writeStream.format("memory")
+        .queryName(sinkTable)
+        .option("checkpointLocation", s"$e3TmpRoot/e4_ckpt_$runId")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val result = ss.table(sinkTable)
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val out = s.createDataFrame(rows, result.schema)
+      ss.catalog.dropTempView(sinkTable)
+      out.orderBy("user_id", "session_start")
+    },
+    Some(
+      """WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000 AS max_ms FROM events),
+        |e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN us - LAG(us) OVER w IS NULL
+        |                   OR us - LAG(us) OVER w >= 1800000000
+        |                 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT user_id, us,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, sid,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    MIN(us) // 1000000 AS session_start,
+        |    MAX(us) // 1000000 + 1800 AS session_end,
+        |    MAX(us) // 1000 + 1800000 AS end_ms
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(session_start AS BIGINT) AS session_start,
+        |  CAST(session_end AS BIGINT) AS session_end, n_events
+        |FROM agg, mx WHERE end_ms <= max_ms - 3600000
+        |ORDER BY user_id, session_start""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(k2, e3, d7, d8, e4)
 }

@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic properties of the round-5 training-pipeline entries (the
+  * DuckDB hash gate checks values; this pins the SEMANTICS under
+  * `sbt test`): d9's connected components really partition the pair
+  * graph, p2's scrub leaves no matchable PII, p3 only flags train docs
+  * that share an n-gram with the eval set (over a broadcast join), and
+  * e4's streaming session merge agrees with batch `session_window`.
+  */
+class TrainingPipelineSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sfDir = SparkTestSession.sfDir
+
+  // ------------------------------------------------------------- d9
+
+  test("d9: cluster assignment is a partition refined by the d3 pair graph") {
+    val clusters = Catalog.byName("d9_dup_clusters").fn(spark, sfDir)
+      .select("doc_id", "cluster_id", "cluster_size", "is_keeper")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val pairs = Catalog.byName("d3_minhash_lsh").fn(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+    // every doc appears exactly once (it's the full corpus assignment)
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(clusters.size == nDocs)
+
+    // pair endpoints always land in the same cluster (transitivity is
+    // what d6's pair-local keep-list cannot guarantee)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1,
+        s"pair ($a,$b) split across clusters ${clusters(a)._1}/${clusters(b)._1}")
+    }
+    assert(pairs.nonEmpty, "fixture has no near-dup pairs — spec is vacuous")
+
+    // cluster id is the minimum member; exactly that member is the keeper
+    val members = clusters.groupBy(_._2._1).view.mapValues(_.keys.toSeq)
+    members.foreach { case (cid, ms) =>
+      assert(ms.min == cid, s"cluster $cid: min member ${ms.min}")
+      ms.foreach { m =>
+        val keeper = clusters(m)._3
+        assert(keeper == (if (m == cid) 1L else 0L))
+        assert(clusters(m)._2 == ms.size.toLong,
+          s"doc $m: cluster_size ${clusters(m)._2} != ${ms.size}")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- p2
+
+  test("p2: scrubbed text contains no matchable email/phone spans") {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    // rebuild the synthesized raw + scrub exactly as the query does and
+    // assert redaction is complete (counts after scrub = 0) and the
+    // detector counts match the doc_id arithmetic that seeded them
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("raw", concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(3)) =!= 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" cc admin"), col("doc_id").cast("string"),
+            lit("@corp.example.org"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(" tel +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+    val leftover = d
+      .filter(regexp_count(col("scrubbed"), lit(emailRe)) > 0 ||
+        regexp_count(col("scrubbed"), lit(phoneRe)) > 0)
+      .count()
+    assert(leftover == 0, s"$leftover docs still match PII after scrub")
+
+    val bad = Catalog.byName("p2_pii_scrub").fn(spark, sfDir)
+      .withColumn("want_emails",
+        (pmod(col("doc_id"), lit(3)) =!= 0).cast("long") +
+          (pmod(col("doc_id"), lit(5)) === 0).cast("long"))
+      .withColumn("want_phones", (pmod(col("doc_id"), lit(2)) === 0).cast("long"))
+      .filter(col("n_emails") =!= col("want_emails") ||
+        col("n_phones") =!= col("want_phones"))
+      .count()
+    assert(bad == 0, s"$bad docs with unexpected PII counts")
+  }
+
+  // ------------------------------------------------------------- p3
+
+  test("p3: flags exactly the train docs sharing a 4-gram with the eval set") {
+    val out = Catalog.byName("p3_decontaminate").fn(spark, sfDir).collect()
+    assert(out.nonEmpty, "no contaminated docs at fixture scale — vacuous")
+    assert(out.forall(_.getLong(0) % 97 != 0), "eval docs must not be flagged")
+
+    // independent recompute on the STRING grams (the query joins on the
+    // 63-bit md5 hash; equality here also rules out hash-collision slop)
+    val g = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), explode(expr("word_ngrams(text, 4)")).as("g"))
+    val ev = g.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("g")).distinct()
+    val expected = g.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .join(ev, "g").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet == expected)
+  }
+
+  test("p3: eval n-gram side is broadcast (corpus never shuffles)") {
+    val plan = Catalog.byName("p3_decontaminate").fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast hash join against the eval set:\n$plan")
+  }
+
+  // ------------------------------------------------------------- e4
+
+  test("e4: streaming session merge equals batch session_window at the cutoff") {
+    val streamed = Catalog.byName("e4_stream_sessions").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val ev = graft.sources.Records.table(spark, sfDir, "events")
+    val maxMs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0) / 1000L
+    val batch = ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(unix_micros(col("session_window.end")) / 1000L <= maxMs - 3600000L)
+      .select(col("user_id").cast("long"),
+        col("session_window.start").cast("long"),
+        col("session_window.end").cast("long"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    assert(streamed.nonEmpty, "no sessions emitted — vacuous")
+    assert(streamed == batch,
+      s"streaming/batch session mismatch: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+  }
+}

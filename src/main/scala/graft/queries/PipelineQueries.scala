@@ -1046,38 +1046,103 @@ object PipelineQueries {
   // large-star variant (O(log n) rounds), which this loop's join shape
   // extends to without changing the data layout. The pair table is the
   // SAME persisted table d3/d6 read — the signature pass is paid once.
+  /** Distributed min-label propagation over a symmetric edge table —
+    * the big-graph path of [[d9]]. One equi-join + one
+    * map-side-combinable min agg per round; the fixpoint test rides the
+    * SAME action that materializes the round (labels only ever
+    * decrease, so Σ(label) is strictly monotone until convergence — one
+    * tiny agg, no second compare-the-tables job). */
+  private def propagateMinLabels(sym: DataFrame): DataFrame = {
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prevSum = Option(labels.agg(sum("label")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L) // empty graph → no rounds
+    var converged = labels.isEmpty
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val viaNbr = sym.join(labels.withColumnRenamed("node", "b"), "b")
+        .select(col("a").as("node"), col("label"))
+      val next = viaNbr.union(labels)
+        .groupBy("node").agg(min("label").as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nextSum = next.agg(sum("label")).head().getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
+  /** Driver union-find over a collected edge array — the bounded-graph
+    * fast path of [[d9]]. Union-by-min + path compression, so every
+    * root IS the component minimum. */
+  private def unionFindLabels(es: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    es.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSeq.distinct
+      .map(n => n -> find(n))
+  }
+
   private val d9 = QueryDef(
     "d9_dup_clusters",
     (s, dir) => {
       val pairs = minhashPairsShared(s, dir)
       val edges = pairs.select(col("doc_a").cast("long").as("a"),
         col("doc_b").cast("long").as("b"))
-      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = sym.select(col("a").as("node")).distinct()
-        .withColumn("label", col("node"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // driver loop, but each iteration is a fully distributed join+agg
-      // and the loop count is bounded by the cluster diameter (a count
-      // action per round checks the fixpoint — the standard large-scale
-      // connected-components control flow)
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 50) {
-        val viaNbr = sym.join(labels.withColumnRenamed("node", "b"), "b")
-          .select(col("a").as("node"), col("label"))
-        val next = viaNbr.union(labels)
-          .groupBy("node").agg(min("label").as("label"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        converged = next
-          .join(labels.select(col("node"), col("label").as("prev")), "node")
-          .filter(col("label") < col("prev")).limit(1).isEmpty
-        labels.unpersist()
-        labels = next
-        rounds += 1
-      }
-      val clusters = labels
-        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      // LSH dup-pair graphs are tiny relative to the corpus (0.02%
+      // retention, and near-dup RATE is a corpus property, not a size
+      // one), so the default path collects the bounded edge list and
+      // union-finds on the driver — graph metadata, not record data,
+      // same class as the planner's workload tables. The guard keeps it
+      // honest: past `spark.graft.cc.localEdges` edges (default 4M,
+      // ~64 MB of longs) the DISTRIBUTED min-label propagation loop
+      // takes over — O(diameter) rounds of join+min-agg, flat at 100 TB
+      // because LSH clusters are near-cliques (members collide through
+      // shared band hashes). TrainingPipelineSpec pins the two paths to
+      // identical assignments on the fixture.
+      val localMax = s.conf.getOption("spark.graft.cc.localEdges")
+        .map(_.toLong).getOrElse(4L * 1024 * 1024)
+      val nPairs = pairs.count() // cached table — metadata-cheap
+      val clusters =
+        if (nPairs <= localMax) {
+          import scala.jdk.CollectionConverters._
+          val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val rows: java.util.List[org.apache.spark.sql.Row] =
+            unionFindLabels(es)
+              .map { case (n, l) => org.apache.spark.sql.Row(n, l) }.asJava
+          s.createDataFrame(rows,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("cluster_id",
+                org.apache.spark.sql.types.LongType, nullable = false))))
+        } else {
+          val sym = edges
+            .union(edges.select(col("b").as("a"), col("a").as("b")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val labels = propagateMinLabels(sym)
+          val out = labels
+            .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+          out.count() // materialize before unpersisting the edge input
+          sym.unpersist()
+          out
+        }
+      // local-path clusters are a LocalRelation (auto-broadcast); the
+      // distributed path's label table is node-sized and must be free to
+      // shuffle-join, so no forced broadcast here
       val assigned = docs(s, dir)
         .select(col("doc_id").cast("long").as("doc_id"))
         .join(clusters, Seq("doc_id"), "left")
@@ -1085,12 +1150,10 @@ object PipelineQueries {
           coalesce(col("cluster_id"), col("doc_id")).cast("long"))
       val sizes = assigned.groupBy("cluster_id")
         .agg(count(lit(1)).as("cluster_size"))
-      val out = assigned.join(sizes, "cluster_id")
+      assigned.join(sizes, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("cluster_id")).cast("long").as("is_keeper"))
         .orderBy("doc_id")
-      sym.unpersist()
-      out
     },
     Some(
       s"""WITH RECURSIVE $minhashSqlCtes,

@@ -52,6 +52,18 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("d9: driver union-find and distributed propagation agree") {
+    val local = Catalog.byName("d9_dup_clusters").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.cc.localEdges", "0") // force the big-graph path
+    try {
+      val distributed = Catalog.byName("d9_dup_clusters").fn(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(local == distributed,
+        s"paths disagree: ${local.diff(distributed).take(3)} vs ${distributed.diff(local).take(3)}")
+    } finally spark.conf.unset("spark.graft.cc.localEdges")
+  }
+
   // ------------------------------------------------------------- p2
 
   test("p2: scrubbed text contains no matchable email/phone spans") {

@@ -49,7 +49,7 @@ object PipelineQueries {
   /** Whitespace tokens, empties removed (codegen'd higher-order fn). */
   private val tokensExpr = "filter(split(text, ' '), t -> t != '')"
 
-  /** Spark-side md5→63-bit int hash; DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT */
+  /** Spark-side md5→60-bit int hash (15 hex chars); DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT */
   private def md5Long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
@@ -1048,16 +1048,20 @@ object PipelineQueries {
   // SAME persisted table d3/d6 read — the signature pass is paid once.
   /** Distributed min-label propagation over a symmetric edge table —
     * the big-graph path of [[d9]]. One equi-join + one
-    * map-side-combinable min agg per round; the fixpoint test rides the
-    * SAME action that materializes the round (labels only ever
-    * decrease, so Σ(label) is strictly monotone until convergence — one
-    * tiny agg, no second compare-the-tables job). */
+    * map-side-combinable min agg per round. Labels only ever decrease,
+    * so the fixpoint test is "zero rows changed" — counted directly
+    * (overflow-free on any doc-id space, unlike a Σ(label) compare,
+    * which can wrap a Long). Exiting via the round cap without
+    * convergence throws rather than silently returning wrong cluster
+    * labels; LSH dup graphs are near-cliques (diameter 2–3), so hitting
+    * the cap means the input is not the graph this loop is sized for.
+    * The returned frame is localCheckpoint'ed (lineage truncated) so
+    * every intermediate persist can be dropped without forcing a
+    * recompute of the whole iteration chain on the caller's actions. */
   private def propagateMinLabels(sym: DataFrame): DataFrame = {
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var prevSum = Option(labels.agg(sum("label")).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L) // empty graph → no rounds
     var converged = labels.isEmpty
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -1066,14 +1070,22 @@ object PipelineQueries {
       val next = viaNbr.union(labels)
         .groupBy("node").agg(min("label").as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nextSum = next.agg(sum("label")).head().getLong(0)
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      // both sides read their cache; the join is node-sized metadata
+      val changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "node")
+        .where(col("label") < col("prev")).count()
+      converged = changed == 0L
       labels.unpersist()
       labels = next
       rounds += 1
     }
-    labels
+    require(converged,
+      s"min-label propagation did not converge in $rounds rounds: the " +
+        "pair graph has diameter > 50 (not an LSH near-clique graph); " +
+        "raise the cap or switch to the small-star/large-star variant")
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   /** Driver union-find over a collected edge array — the bounded-graph
@@ -1133,12 +1145,12 @@ object PipelineQueries {
           val sym = edges
             .union(edges.select(col("b").as("a"), col("a").as("b")))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // labels comes back eagerly checkpointed with truncated
+          // lineage, so the edge cache can be dropped immediately and
+          // later actions on the output never re-run the iteration
           val labels = propagateMinLabels(sym)
-          val out = labels
-            .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-          out.count() // materialize before unpersisting the edge input
           sym.unpersist()
-          out
+          labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
         }
       // local-path clusters are a LocalRelation (auto-broadcast); the
       // distributed path's label table is node-sized and must be free to
@@ -1250,7 +1262,7 @@ object PipelineQueries {
   // 100 TB, so the eval n-gram table is broadcast and the train side
   // streams through a map-side hash join inside the scan stage: no
   // shuffle of the corpus, cost linear in corpus n-grams. N-grams are
-  // joined on their 63-bit md5 hash (both engines derive it identically)
+  // joined on their 60-bit md5-prefix hash (both engines derive it identically)
   // so only fixed-width keys ever leave the scan. n = 4 is fixture-fit:
   // the 31-word vocabulary means real-corpus n (8–13 in published
   // decontamination setups) matches nothing but exact copies here, while

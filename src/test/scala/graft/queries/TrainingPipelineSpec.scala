@@ -113,7 +113,7 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(0) % 97 != 0), "eval docs must not be flagged")
 
     // independent recompute on the STRING grams (the query joins on the
-    // 63-bit md5 hash; equality here also rules out hash-collision slop)
+    // 60-bit md5-prefix hash; equality here also rules out hash-collision slop)
     val g = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), explode(expr("word_ngrams(text, 4)")).as("g"))
     val ev = g.filter(pmod(col("doc_id"), lit(97)) === 0)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{KafkaMurmur2Partition, MinHashLshBands, SimHash16, VecDot, WordNGrams}
+import graft.functions.{BloomContains, KafkaMurmur2Partition, MinHashLshBands, RepetitionStats, SimHash16, VecDot, WordNGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -44,5 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(ext, "word_ngrams", 2, classOf[WordNGrams],
       c => WordNGrams(c.head, c(1)))
     inject(ext, "vec_dot", 2, classOf[VecDot], c => VecDot(c.head, c(1)))
+    inject(ext, "repetition_stats", 1, classOf[RepetitionStats],
+      c => RepetitionStats(c.head))
+    inject(ext, "bloom_contains", 2, classOf[BloomContains],
+      c => BloomContains(c.head, c(1)))
   }
 }

@@ -179,6 +179,50 @@ object Sketches {
     new GenericArrayData(out)
   }
 
+  /**
+   * Per-document repetition counters in ONE tokenization pass — the
+   * Gopher/C4-family repetition quality signals (duplicate tokens,
+   * duplicate 3-grams, most-frequent-bigram coverage) computed per row
+   * with zero shuffle. Returns six longs:
+   * `[n_tokens, n_distinct_tokens, n_bigrams, top_bigram_freq,
+   *   n_trigrams, n_distinct_trigrams]` where n-gram totals are
+   * `max(n_tokens - (n-1), 0)` and `top_bigram_freq` is the highest
+   * multiplicity of any single bigram (0 when no bigrams). Tokenization
+   * matches [[wordNGrams]] (split on single spaces, empties dropped).
+   */
+  def repetitionStats(text: UTF8String): ArrayData = {
+    val raw = text.toString.split(" ", -1)
+    val toks = new java.util.ArrayList[String](raw.length)
+    var i = 0
+    while (i < raw.length) {
+      if (!raw(i).isEmpty) toks.add(raw(i))
+      i += 1
+    }
+    val n = toks.size
+    val uni = new java.util.HashSet[String](n * 2)
+    i = 0
+    while (i < n) { uni.add(toks.get(i)); i += 1 }
+    val biCounts = new java.util.HashMap[String, Int](n * 2)
+    var topBi = 0
+    i = 0
+    while (i < n - 1) {
+      val g = toks.get(i) + " " + toks.get(i + 1)
+      val c = biCounts.merge(g, 1, (a, b) => a + b)
+      if (c > topBi) topBi = c
+      i += 1
+    }
+    val tri = new java.util.HashSet[String](n * 2)
+    i = 0
+    while (i < n - 2) {
+      tri.add(toks.get(i) + " " + toks.get(i + 1) + " " + toks.get(i + 2))
+      i += 1
+    }
+    new GenericArrayData(Array[Any](
+      n.toLong, uni.size.toLong,
+      math.max(n - 1, 0).toLong, topBi.toLong,
+      math.max(n - 2, 0).toLong, tri.size.toLong))
+  }
+
   /** Sequential-fold dot product — index order, so the floating-point
     * sequence matches `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, +)`
     * and DuckDB's `list_dot_product`. Mirrors the legacy null semantics:
@@ -252,6 +296,73 @@ case class SimHash16(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): SimHash16 =
     copy(child = newChild)
+}
+
+/** `repetition_stats(text STRING) -> ARRAY<BIGINT>` — the six
+  * per-document repetition counters of [[Sketches.repetitionStats]] in
+  * one codegen'd pass. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "repetition_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Sketches.repetitionStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.repetitionStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+/** `bloom_contains(filter BINARY, v BIGINT) -> BOOLEAN` — membership
+  * test against a serialized `org.apache.spark.util.sketch.BloomFilter`
+  * (the spark-sketch wire format). The filter argument must be a
+  * foldable literal: it is deserialized ONCE per task (lazily, shipped
+  * to generated code as a reference object), and each row costs only
+  * the k hash probes — the shape that lets a 100-TB scan pre-filter
+  * against a small-side key set with no join and no shuffle. A null
+  * filter or null value yields null. */
+case class BloomContains(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bloom_contains"
+
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter = {
+    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
+    if (bytes == null) null
+    else org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    if (filter == null) return null
+    val v = right.eval(input)
+    if (v == null) null else filter.mightContainLong(v.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    if (filter == null) {
+      return ev.copy(code = code"""
+        boolean ${ev.isNull} = true;
+        boolean ${ev.value} = false;""")
+    }
+    val bf = ctx.addReferenceObj("bloomFilter", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    val rightCode = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${rightCode.code}
+      boolean ${ev.isNull} = ${rightCode.isNull};
+      boolean ${ev.value} = false;
+      if (!${ev.isNull}) {
+        ${ev.value} = $bf.mightContainLong(${rightCode.value});
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomContains =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `vec_dot(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) -> DOUBLE` — sequential

@@ -108,10 +108,17 @@ object PipelineQueries {
       // `word_ngrams` kernel call per row; the (lang, len_bucket)
       // blocking columns ride along the explode, so no meta join is
       // needed
+      // `sh` feeds three branches (size agg + both self-join sides):
+      // persist it for the pair build, materialize the small pair
+      // report to session-temp parquet, and drop the corpus-sized
+      // shingle blocks before returning — at 100 TB the pair report is
+      // exactly what gets materialized to storage, and nothing stays
+      // pinned on the executors after the build
       val sh = d.withColumn("ws", expr("word_ngrams(text, 2)"))
         .filter(size(col("ws")) > 0)
         .select(col("doc_id"), col("lang"), col("len_bucket"),
           explode(col("ws")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val a = sh.select(col("doc_id").as("doc_a"), col("sh"), col("lang"), col("len_bucket"))
       val b = sh.select(col("doc_id").as("doc_b"), col("sh"), col("lang"), col("len_bucket"))
@@ -119,14 +126,17 @@ object PipelineQueries {
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("inter"))
-      inter
+      val pairs = inter
         .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
         .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
         .withColumn("jaccard",
           round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
         .filter(col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+      val out = java.nio.file.Files.createTempDirectory("graft_d2_").toString
+      pairs.write.mode("overwrite").parquet(out)
+      sh.unpersist()
+      s.read.parquet(out).orderBy("doc_a", "doc_b")
     },
     Some(
       s"""WITH $bigramShinglesSql,
@@ -190,10 +200,18 @@ object PipelineQueries {
       |  WHERE len(ws) > 0)""".stripMargin
 
   /** MinHash-LSH near-dup pairs (doc_a, doc_b, jaccard) — shared by the
-    * pair report (d3) and the dedup keep-list (d6). */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    * pair report (d3) and the dedup keep-list (d6). The shingle table
+    * `sh` feeds FIVE branches of this plan (the band self-join's two
+    * scans, the size agg, and the two intersection joins); without
+    * materialization Catalyst recomputes the `word_ngrams` kernel and
+    * the per-shingle md5 pass for each branch — the single most
+    * expensive stage of the pipeline, paid ~5×. The caller
+    * ([[minhashPairsShared]]) persists `sh` for the duration of the
+    * pair build and drops it the moment the tiny pair table is
+    * materialized, so nothing corpus-sized stays pinned. */
+  private def minhashPairs(s: SparkSession, dir: String,
+      sh: DataFrame): DataFrame = {
       import s.implicits._
-      val sh = shingled(docs(s, dir))
       // The whole 64-permutation signature and its 16 band hashes are ONE
       // per-row codegen'd kernel call with zero shuffle
       // ([[graft.functions.Sketches.minhashBands]]): each shingle
@@ -287,9 +305,20 @@ object PipelineQueries {
         pairsCache.values.forEach(df => df.unpersist())
         pairsCache.clear()
       }
-      pairsCache.computeIfAbsent((s, dir), _ =>
-        minhashPairs(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      pairsCache.computeIfAbsent((s, dir), _ => {
+        // persist the shingle table for the pair build only: count()
+        // forces the pair table into its own cache, after which the
+        // corpus-sized shingle blocks are dropped — the in-session twin
+        // of "materialize the signature table once, derive everything
+        // from it" that a 100-TB run does on distributed storage
+        val sh = shingled(docs(s, dir))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairs = minhashPairs(s, dir, sh)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairs.count()
+        sh.unpersist()
+        pairs
+      })
     }
 
   private val d3 = QueryDef(
@@ -755,6 +784,66 @@ object PipelineQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_tokens
         |FROM rotted GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // X6 — repetition / boilerplate signals (the Gopher-family repetition
+  // quality filters): duplicate-token fraction, duplicate-3-gram
+  // fraction, and the coverage of the single most frequent bigram, per
+  // document. All six underlying counters come from ONE codegen'd
+  // kernel call per row ([[graft.functions.Sketches.repetitionStats]]):
+  // zero shuffle, the whole operator pipelines inside the scan stage at
+  // 100 TB — where the relational form would explode and re-aggregate
+  // corpus-sized token tables twice.
+  private val x6 = QueryDef(
+    "x6_repetition",
+    (s, dir) => {
+      docs(s, dir)
+        .withColumn("rs", expr("repetition_stats(text)"))
+        .select(col("doc_id"),
+          col("rs")(0).as("n_tokens"),
+          round(when(col("rs")(0) > 0,
+            (col("rs")(0) - col("rs")(1)).cast("double") / col("rs")(0))
+            .otherwise(0.0), 6).as("dup_word_frac"),
+          round(when(col("rs")(4) > 0,
+            (col("rs")(4) - col("rs")(5)).cast("double") / col("rs")(4))
+            .otherwise(0.0), 6).as("dup_trigram_frac"),
+          round(when(col("rs")(2) > 0,
+            col("rs")(3).cast("double") / col("rs")(2))
+            .otherwise(0.0), 6).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(ts) AS n_tokens, len(list_distinct(ts)) AS n_dis,
+        |    greatest(len(ts) - 1, 0) AS n_bi,
+        |    greatest(len(ts) - 2, 0) AS n_tri,
+        |    CASE WHEN len(ts) >= 3 THEN len(list_distinct(list_transform(
+        |      generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) ELSE 0 END AS n_tri_dis
+        |  FROM toks),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i+1])) AS g
+        |  FROM toks WHERE len(ts) >= 2),
+        |topbi AS (
+        |  SELECT doc_id, MAX(c) AS top_bi FROM (
+        |    SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g)
+        |  GROUP BY doc_id)
+        |SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  ROUND(CASE WHEN n_tokens > 0
+        |    THEN CAST(n_tokens - n_dis AS DOUBLE) / n_tokens ELSE 0 END, 6)
+        |    AS dup_word_frac,
+        |  ROUND(CASE WHEN n_tri > 0
+        |    THEN CAST(n_tri - n_tri_dis AS DOUBLE) / n_tri ELSE 0 END, 6)
+        |    AS dup_trigram_frac,
+        |  ROUND(CASE WHEN n_bi > 0
+        |    THEN CAST(COALESCE(top_bi, 0) AS DOUBLE) / n_bi ELSE 0 END, 6)
+        |    AS top_bigram_frac
+        |FROM base b LEFT JOIN topbi USING (doc_id)
+        |ORDER BY doc_id""".stripMargin))
+
   // ---------------------------------------------------- multimodal
 
   // Byte-field extraction from a binary column, built entirely from
@@ -1055,10 +1144,16 @@ object PipelineQueries {
     * convergence throws rather than silently returning wrong cluster
     * labels; LSH dup graphs are near-cliques (diameter 2–3), so hitting
     * the cap means the input is not the graph this loop is sized for.
-    * The returned frame is localCheckpoint'ed (lineage truncated) so
-    * every intermediate persist can be dropped without forcing a
-    * recompute of the whole iteration chain on the caller's actions. */
-  private def propagateMinLabels(sym: DataFrame): DataFrame = {
+    * The converged labels are MATERIALIZED to a session-temp parquet
+    * table and read back, so every intermediate persist can be dropped
+    * without forcing a recompute of the iteration chain on the
+    * caller's actions, nothing stays pinned in executor storage after
+    * the call, and — unlike `localCheckpoint`, whose blocks live only
+    * on executors — the result survives executor loss. On a real
+    * cluster the same write goes to the job's distributed scratch
+    * space (labels are node-sized metadata, not record data, so the
+    * write is cheap at any scale). */
+  private def propagateMinLabels(spark: SparkSession, sym: DataFrame): DataFrame = {
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1083,9 +1178,10 @@ object PipelineQueries {
       s"min-label propagation did not converge in $rounds rounds: the " +
         "pair graph has diameter > 50 (not an LSH near-clique graph); " +
         "raise the cap or switch to the small-star/large-star variant")
-    val out = labels.localCheckpoint(true)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_d9_labels_").toString
+    labels.write.mode("overwrite").parquet(outDir)
     labels.unpersist()
-    out
+    spark.read.parquet(outDir)
   }
 
   /** Driver union-find over a collected edge array — the bounded-graph
@@ -1145,10 +1241,10 @@ object PipelineQueries {
           val sym = edges
             .union(edges.select(col("b").as("a"), col("a").as("b")))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          // labels comes back eagerly checkpointed with truncated
-          // lineage, so the edge cache can be dropped immediately and
+          // labels comes back materialized to temp parquet (truncated
+          // lineage), so the edge cache can be dropped immediately and
           // later actions on the output never re-run the iteration
-          val labels = propagateMinLabels(sym)
+          val labels = propagateMinLabels(s, sym)
           sym.unpersist()
           labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
         }
@@ -1285,26 +1381,75 @@ object PipelineQueries {
           col("n_shared_ngrams"), col("n_eval_docs"))
         .orderBy("doc_id")
     },
-    Some(
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
-        |  FROM documents),
-        |g4 AS (
-        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 4 THEN
-        |    list_transform(generate_series(1, len(ts) - 3), i ->
-        |      ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
-        |    ELSE [] END)) AS g
-        |  FROM toks),
-        |gh AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh FROM g4),
-        |ev AS (SELECT DISTINCT doc_id AS eval_id, gh FROM gh WHERE doc_id % 97 = 0),
-        |tr AS (SELECT doc_id, gh FROM gh WHERE doc_id % 97 <> 0)
-        |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
-        |  CAST(COUNT(DISTINCT t.gh) AS BIGINT) AS n_shared_ngrams,
-        |  CAST(COUNT(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
-        |FROM tr t JOIN ev e USING (gh)
-        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin))
+    Some(decontaminateSql))
+
+  /** Shared oracle for [[p3]] and [[p4]] — the bloom pre-filter is an
+    * optimization, not a semantics change, so both entries must hash to
+    * the same exact answer. */
+  private lazy val decontaminateSql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      |  FROM documents),
+      |g4 AS (
+      |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 4 THEN
+      |    list_transform(generate_series(1, len(ts) - 3), i ->
+      |      ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
+      |    ELSE [] END)) AS g
+      |  FROM toks),
+      |gh AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh FROM g4),
+      |ev AS (SELECT DISTINCT doc_id AS eval_id, gh FROM gh WHERE doc_id % 97 = 0),
+      |tr AS (SELECT doc_id, gh FROM gh WHERE doc_id % 97 <> 0)
+      |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+      |  CAST(COUNT(DISTINCT t.gh) AS BIGINT) AS n_shared_ngrams,
+      |  CAST(COUNT(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+      |FROM tr t JOIN ev e USING (gh)
+      |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
+  // P4 — decontamination AT SCALE: the Bloom-filter pre-filter form of
+  // p3. At 100 TB even the BROADCAST eval n-gram hash table is heavy
+  // (published eval suites reach 10^8 n-grams ⇒ ~1 GB of 8-byte keys
+  // per executor, re-probed via a hash join); a Bloom filter at
+  // ~10 bits/key is an order of magnitude smaller and its membership
+  // probe runs INSIDE the corpus scan stage (`bloom_contains`, a
+  // codegen'd literal-filter expression over spark-sketch's
+  // BloomFilter — no join, no shuffle, deserialized once per task), so
+  // the non-matching grams — virtually the entire corpus — are dropped
+  // at the scan. Only the surviving ~fpp fraction enters the exact
+  // broadcast join, which removes false positives and counts per-eval
+  // matches: the output is bit-identical to p3 (same oracle). The tiny
+  // result is materialized to session-temp parquet and the eval cache
+  // released before returning — nothing corpus-sized stays pinned.
+  private val p4 = QueryDef(
+    "p4_bloom_decontaminate",
+    (s, dir) => {
+      val grams = docs(s, dir)
+        .select(col("doc_id"), explode(expr("word_ngrams(text, 4)")).as("g"))
+        .select(col("doc_id"), md5Long(col("g")).as("gh"))
+      val eval = grams.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("eval_id"), col("gh")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bf = eval.stat.bloomFilter("gh", math.max(eval.count(), 1L), 0.01)
+      val bytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+      }
+      val result = grams.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .filter(call_function("bloom_contains", lit(bytes), col("gh")))
+        .join(broadcast(eval), "gh")
+        .groupBy("doc_id")
+        .agg(countDistinct("gh").as("n_shared_ngrams"),
+          countDistinct("eval_id").as("n_eval_docs"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_shared_ngrams"), col("n_eval_docs"))
+      val out = java.nio.file.Files.createTempDirectory("graft_p4_").toString
+      result.write.mode("overwrite").parquet(out)
+      eval.unpersist()
+      s.read.parquet(out).orderBy("doc_id")
+    },
+    Some(decontaminateSql))
 
   val defs: Seq[QueryDef] = Seq(
-    d1, d2, d3, d4, d5, d6, d9, sim1, sim2, sim3, x1, x2, x3, x4, x5,
-    m1, m2, m3, e1, e2, p1, p2, p3)
+    d1, d2, d3, d4, d5, d6, d9, sim1, sim2, sim3, x1, x2, x3, x4, x5, x6,
+    m1, m2, m3, e1, e2, p1, p2, p3, p4)
 }

@@ -146,4 +146,85 @@ class SketchParitySpec extends AnyFunSuite {
     assert(r.isNullAt(0))
     assert(r.getInt(1) === 16)
   }
+
+  test("repetition_stats matches the relational counters on fixture docs") {
+    // independent restatement: counters from explode + groupBy over the
+    // same single-space tokenization
+    val toks = graft.sources.Records.table(s, dir, "documents")
+      .select(col("doc_id"), expr(tokensExpr).as("ts"))
+    val base = toks.select(col("doc_id"),
+      size(col("ts")).cast("long").as("n_tokens"),
+      size(array_distinct(col("ts"))).cast("long").as("n_dis"),
+      greatest(size(col("ts")) - 1, lit(0)).cast("long").as("n_bi"),
+      greatest(size(col("ts")) - 2, lit(0)).cast("long").as("n_tri"),
+      expr("""CASE WHEN size(ts) >= 3 THEN size(array_distinct(
+        transform(sequence(1, size(ts) - 2), i -> concat_ws(' ',
+          element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))))
+        ELSE 0 END""").cast("long").as("n_tri_dis"))
+    val topBi = toks.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ts) - 1),
+          |  i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)))"""
+          .stripMargin)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bi"))
+    val expected = base.join(topBi, Seq("doc_id"), "left")
+      .select(col("doc_id"), array(col("n_tokens"), col("n_dis"),
+        col("n_bi"), coalesce(col("top_bi"), lit(0L)),
+        col("n_tri"), col("n_tri_dis")).as("rel"))
+    val mismatches = graft.sources.Records.table(s, dir, "documents")
+      .select(col("doc_id"), expr("repetition_stats(text)").as("kernel"))
+      .join(expected, "doc_id")
+      .filter(col("kernel") =!= col("rel"))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("repetition_stats edge cases: empty, single token, all-same tokens") {
+    val r = s.sql(
+      """SELECT repetition_stats('') AS a, repetition_stats('one') AS b,
+        |       repetition_stats('x x x x') AS c""".stripMargin)
+      .collect().head
+    assert(r.getSeq[Long](0) === Seq(0L, 0L, 0L, 0L, 0L, 0L))
+    assert(r.getSeq[Long](1) === Seq(1L, 1L, 0L, 0L, 0L, 0L))
+    // 4 tokens, 1 distinct; 3 bigrams all "x x"; 2 trigrams, 1 distinct
+    assert(r.getSeq[Long](2) === Seq(4L, 1L, 3L, 3L, 2L, 1L))
+  }
+
+  test("bloom_contains: no false negatives over the eval gram set") {
+    import org.apache.spark.sql.functions.{call_function => cf}
+    val grams = graft.sources.Records.table(s, dir, "documents")
+      .select(explode(expr("word_ngrams(text, 4)")).as("g"))
+      .select(expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)")
+        .as("gh")).distinct()
+    val bf = grams.stat.bloomFilter("gh", math.max(grams.count(), 1L), 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    // a Bloom filter may false-positive but must never false-negative
+    val misses = grams.filter(!cf("bloom_contains", lit(bytes), col("gh"))).count()
+    assert(misses === 0)
+  }
+
+  test("bloom_contains null semantics") {
+    import org.apache.spark.sql.functions.{call_function => cf}
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    bf.putLong(42L)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val r = s.range(1)
+      .select(cf("bloom_contains", lit(bytes), lit(42L)).as("hit"),
+        cf("bloom_contains", lit(bytes),
+          lit(null).cast("long")).as("nullVal"),
+        cf("bloom_contains", lit(null).cast("binary"), lit(42L)).as("nullBf"))
+      .collect().head
+    assert(r.getBoolean(0))
+    assert(r.isNullAt(1))
+    assert(r.isNullAt(2))
+  }
 }

@@ -155,4 +155,39 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"streaming/batch session mismatch: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
   }
+
+  // ------------------------------------------------------------- p4
+
+  test("p4: bloom pre-filtered decontamination is bit-identical to p3") {
+    // the Bloom filter may pass false positives into the exact join, but
+    // the join must remove every one of them — outputs are identical
+    val exact = Catalog.byName("p3_decontaminate").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloomed = Catalog.byName("p4_bloom_decontaminate").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty, "fixture flags no contaminated docs — vacuous")
+    assert(bloomed == exact,
+      s"bloom/exact mismatch: ${bloomed.diff(exact).take(3)} vs ${exact.diff(bloomed).take(3)}")
+  }
+
+  // ------------------------------------------------------------- x6
+
+  test("x6: repetition fractions are in [0,1] and dup_word_frac is exact") {
+    val rows = Catalog.byName("x6_repetition").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(2, 3, 4).foreach { i =>
+        val v = r.getDouble(i)
+        assert(v >= 0.0 && v <= 1.0, s"doc ${r.getLong(0)}: col $i = $v")
+      }
+    }
+    // independent recompute of dup_word_frac for one known doc
+    val doc = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect().head
+    val toks = doc.getString(1).split(" ").filter(_.nonEmpty)
+    val expected = BigDecimal((toks.length - toks.distinct.length).toDouble /
+      toks.length).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = rows.find(_.getLong(0) == doc.getLong(0)).get.getDouble(2)
+    assert(math.abs(got - expected) < 1e-9)
+  }
 }

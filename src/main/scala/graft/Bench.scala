@@ -42,6 +42,15 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // The harness keeps only a ~2000-char tail of this process's output,
+    // and the full per-query line above outgrows it (the JSON gets cut
+    // mid-line and never parses). Emit a second, compact line LAST —
+    // total + the slowest queries — that always fits inside the tail.
+    val slowest = results.sortBy(-_._2).take(12)
+      .map { case (k, v, _) => "\"" + k + f"\":$v%.2f" }
+      .mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$slowest,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

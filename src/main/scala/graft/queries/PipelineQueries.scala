@@ -1449,7 +1449,123 @@ object PipelineQueries {
     },
     Some(decontaminateSql))
 
+  // P5 — temperature-based source rebalancing: the multilingual /
+  // multi-source mixing step (sampling weight ∝ n^α, α = 0.5 here — the
+  // mT5/XLM-R convention). p1 flattens strata to the minimum (α = 0);
+  // this is the general form: per-source keep rate (n_min/n_s)^(1-α),
+  // so over-represented sources are downsampled toward — but not all
+  // the way to — uniform. Same deterministic machinery as p1: one tiny
+  // per-source aggregate, thresholds broadcast, the keep decision a
+  // codegen'd salted-hash filter, so the sample is reproducible on any
+  // cluster size and the corpus is never sorted or shuffled. The
+  // threshold `floor(1e6·sqrt(t/n))` is IEEE-double math (division and
+  // sqrt are both correctly rounded) so both engines gate identically.
+  private val p5 = QueryDef(
+    "p5_temperature_sample",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val counts = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val tgt = counts.agg(min("n_docs").as("t"))
+      val thr = counts.crossJoin(broadcast(tgt))
+        .select(col("source"), col("n_docs"),
+          floor(lit(1000000.0) *
+            sqrt(col("t").cast("double") / col("n_docs"))).cast("long").as("thr"))
+      val kept = d.join(broadcast(thr.select("source", "thr")), "source")
+        .filter(pmod(md5Long(concat(lit("tsmp:"), col("doc_id").cast("string"))),
+          lit(1000000L)) < col("thr"))
+        .groupBy("source").agg(count(lit(1)).as("kept"))
+      thr.select("source", "n_docs")
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
+    },
+    Some(
+      """WITH counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |               FROM documents GROUP BY source),
+        |tgt AS (SELECT MIN(n_docs) AS t FROM counts),
+        |thr AS (SELECT source, n_docs,
+        |  CAST(FLOOR(1000000.0 * sqrt(CAST(t AS DOUBLE) / n_docs)) AS BIGINT) AS thr
+        |  FROM counts, tgt),
+        |kept AS (
+        |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS kept
+        |  FROM documents d JOIN thr USING (source)
+        |  WHERE ('0x' || substr(md5('tsmp:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 1000000 < thr
+        |  GROUP BY d.source)
+        |SELECT source, n_docs, CAST(COALESCE(kept, 0) AS BIGINT) AS n_kept
+        |FROM thr LEFT JOIN kept USING (source) ORDER BY source""".stripMargin))
+
+  // P6 — sequence packing: concatenate documents in deterministic order
+  // and chunk at a fixed token budget (256 here) — the pretraining
+  // sequence-assembly step. A document's sequence id is
+  // floor(tokens-before-it / budget), i.e. the chunk its first token
+  // lands in; output is one row per (source, seq_id) with its doc and
+  // token counts. The running sum is a window PARTITIONED BY source and
+  // ordered by doc_id: packing is sequential by definition, but only
+  // WITHIN a source — sources pack in parallel, and at 100 TB a single
+  // giant source is sub-sharded by a coarse doc_id range first
+  // (two-level packing: pack ranges, then stitch the per-range tails),
+  // so no unpartitioned global sort ever exists in the plan.
+  private val p6 = QueryDef(
+    "p6_sequence_pack",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(expr(tokensExpr)).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .withColumn("seq_id",
+          floor(col("cum_before").cast("double") / lit(256.0)).cast("long"))
+        .groupBy("source", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"))
+        .orderBy("source", "seq_id")
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT source,
+        |  CAST(FLOOR(CAST(cum_before AS DOUBLE) / 256) AS BIGINT) AS seq_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+        |FROM c GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin))
+
+  // X7 — corpus vocabulary: term frequency + document frequency per
+  // token. The input to stopword lists, boilerplate detection, and
+  // tokenizer/vocab construction. One explode feeds a single hash
+  // aggregation keyed on the token — partial (map-side) aggregation
+  // absorbs the token-level fan-out inside the scan stage, and the
+  // exact distinct-doc count is Spark's standard two-phase
+  // count-distinct expansion over (token, doc_id). Output is
+  // vocabulary-sized (≪ corpus) at any scale.
+  private val x7 = QueryDef(
+    "x7_vocab",
+    (s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+        .orderBy("token")
+    },
+    Some(
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |  FROM documents)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM tok GROUP BY token ORDER BY token""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
-    d1, d2, d3, d4, d5, d6, d9, sim1, sim2, sim3, x1, x2, x3, x4, x5, x6,
-    m1, m2, m3, e1, e2, p1, p2, p3, p4)
+    d1, d2, d3, d4, d5, d6, d9, sim1, sim2, sim3, x1, x2, x3, x4, x5, x6, x7,
+    m1, m2, m3, e1, e2, p1, p2, p3, p4, p5, p6)
 }

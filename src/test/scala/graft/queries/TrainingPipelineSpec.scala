@@ -170,6 +170,76 @@ class TrainingPipelineSpec extends AnyFunSuite {
       s"bloom/exact mismatch: ${bloomed.diff(exact).take(3)} vs ${exact.diff(bloomed).take(3)}")
   }
 
+  // ------------------------------------------------------------- p5
+
+  test("p5: temperature sampling flattens the mix monotonically, keeps the floor") {
+    val rows = Catalog.byName("p5_temperature_sample").fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val minDocs = rows.map(_._2).min
+    rows.foreach { case (src, nDocs, nKept) =>
+      assert(nKept <= nDocs, s"$src kept more than it has")
+      // keep RATE target is (min/n)^0.5, strictly gentler than p1's
+      // min/n flattening; the hash gate is binomial around it, so only
+      // pin the hard bounds: the smallest source keeps everything
+      // (threshold = 1e6), and expected-rate ordering holds in aggregate
+      if (nDocs == minDocs) assert(nKept == nDocs, s"floor source $src lost docs")
+    }
+    // α=0.5 downsamples less aggressively than α=0 (p1): totals must
+    // reflect that — temperature keep-total ≥ balanced keep-total
+    val p1Total = Catalog.byName("p1_stratified_sample").fn(spark, sfDir).count()
+    val p5Total = rows.map(_._3).sum
+    assert(p5Total >= p1Total,
+      s"temperature sample ($p5Total) smaller than balanced sample ($p1Total)")
+  }
+
+  // ------------------------------------------------------------- p6
+
+  test("p6: packing is a partition of the corpus and chunks at the budget") {
+    val seqs = Catalog.byName("p6_sequence_pack").fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(seqs.nonEmpty)
+    // every doc lands in exactly one sequence
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(seqs.map(_._3).sum == d.count())
+    // token totals per source survive the packing (no tokens lost)
+    val perSource = d
+      .select(col("source"), expr("size(filter(split(text, ' '), t -> t != ''))")
+        .cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    seqs.groupBy(_._1).foreach { case (src, ss) =>
+      assert(ss.map(_._4).sum == perSource(src), s"$src token totals differ")
+      // sequence ids are the dense chunk index of a concatenated stream:
+      // all but the last chunk of a source span ≥ the 256-token budget
+      // (a doc starting inside chunk k pushes the cumulative count past
+      // 256·k), i.e. ids are contiguous from 0
+      val ids = ss.map(_._2).sorted.toSeq
+      assert(ids == (0L until ids.size.toLong),
+        s"$src sequence ids not contiguous: $ids")
+    }
+  }
+
+  // ------------------------------------------------------------- x7
+
+  test("x7: vocabulary tf/df match an independent recompute") {
+    val vocab = Catalog.byName("x7_vocab").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(vocab.nonEmpty)
+    val docsLocal = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val tf = docsLocal.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong)
+    val df = docsLocal.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong)
+    assert(vocab.keySet == tf.keySet.toSet)
+    vocab.foreach { case (t, (gotTf, gotDf)) =>
+      assert(gotTf == tf(t), s"token '$t' tf $gotTf != ${tf(t)}")
+      assert(gotDf == df(t), s"token '$t' df $gotDf != ${df(t)}")
+      assert(gotDf <= gotTf)
+    }
+  }
+
   // ------------------------------------------------------------- x6
 
   test("x6: repetition fractions are in [0,1] and dup_word_frac is exact") {

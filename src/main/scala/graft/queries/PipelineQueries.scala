@@ -1565,7 +1565,92 @@ object PipelineQueries {
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
         |FROM tok GROUP BY token ORDER BY token""".stripMargin))
 
+  // P7 — deterministic train/val/test split: the reproducible-split
+  // primitive every training corpus needs. A doc's bucket is a salted
+  // 60-bit md5 mod 100 — a pure per-row codegen'd expression, so the
+  // assignment is identical on any cluster size, any partitioning, any
+  // engine, and re-running the pipeline after adding data never moves
+  // an existing doc between splits (hash-of-id, not row-number).
+  // 90/5/5 by bucket range; output is the per-(source, split) doc and
+  // token census. Zero joins; one vocabulary-of-sources-sized
+  // aggregation with map-side combine.
+  private val p7 = QueryDef(
+    "p7_hash_split",
+    (s, dir) => {
+      docs(s, dir)
+        .select(col("source"),
+          size(expr(tokensExpr)).cast("long").as("n_tokens"),
+          pmod(md5Long(concat(lit("split:"), col("doc_id").cast("string"))),
+            lit(100L)).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 90, lit("train"))
+            .when(col("bucket") < 95, lit("val"))
+            .otherwise(lit("test")))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("source", "split")
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+        |      AS n_tokens,
+        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 100 AS bucket
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM t GROUP BY source, split
+        |ORDER BY source, split""".stripMargin))
+
+  // X8 — hashed-feature linear quality classifier (the fastText-style
+  // scoring step): each token's weight is a deterministic integer in
+  // [-1000, 1000] derived from a salted md5 — standing in for a learned
+  // hashed-bag-of-words weight table, which in production broadcasts as
+  // a flat array and swaps in via the same expression shape. Weights
+  // sum EXACTLY as longs (no fp-order nondeterminism across partitions),
+  // and the single final long→double division is correctly rounded, so
+  // score bits are engine-independent. Explode keeps a doc's tokens
+  // co-partitioned with it, so partial aggregation collapses the
+  // token-level fan-out back to one row per doc inside the scan stage —
+  // the shuffle moves doc-count rows, not token-count rows, at any
+  // corpus size.
+  private val x8 = QueryDef(
+    "x8_quality_classifier",
+    (s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+        .withColumn("w",
+          pmod(md5Long(concat(lit("qw:"), col("token"))), lit(2001L)) - lit(1000L))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("w").as("raw_score"))
+        .select(col("doc_id"), col("n_tokens"), col("raw_score"),
+          round(col("raw_score").cast("double") /
+            (col("n_tokens") * lit(1000L)).cast("double"), 6).as("score"),
+          when(col("raw_score") > 0, lit(1L)).otherwise(lit(0L)).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(('0x' || substr(md5('qw:' || token), 1, 15))::BIGINT % 2001
+        |             - 1000) AS BIGINT) AS raw_score
+        |  FROM tok GROUP BY doc_id)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, raw_score,
+        |  ROUND(CAST(raw_score AS DOUBLE) / CAST(n_tokens * 1000 AS DOUBLE), 6)
+        |    AS score,
+        |  CAST(CASE WHEN raw_score > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
-    d1, d2, d3, d4, d5, d6, d9, sim1, sim2, sim3, x1, x2, x3, x4, x5, x6, x7,
-    m1, m2, m3, e1, e2, p1, p2, p3, p4, p5, p6)
+    d1, d2, d3, d4, d5, d6, d9, sim1, sim2, sim3, x1, x2, x3, x4, x5, x6, x7, x8,
+    m1, m2, m3, e1, e2, p1, p2, p3, p4, p5, p6, p7)
 }

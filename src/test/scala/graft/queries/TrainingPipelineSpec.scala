@@ -240,6 +240,61 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- p7
+
+  test("p7: split is a partition of the corpus with hash-stable assignment") {
+    val rows = Catalog.byName("p7_hash_split").fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    // every doc lands in exactly one split
+    assert(rows.map(_._3).sum == d.count())
+    assert(rows.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // the split is doc-id-determined, independent of partitioning: an
+    // independent recompute of one doc's bucket agrees with the census
+    val splits = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val recomputed = d.selectExpr(
+        "pmod(cast(conv(substr(md5(concat('split:', cast(doc_id as string))), 1, 15), 16, 10) as long), 100) as b")
+      .collect().map(_.getLong(0))
+      .map(b => if (b < 90) "train" else if (b < 95) "val" else "test")
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(splits == recomputed, s"census $splits != recompute $recomputed")
+    // train dominates: the 90/5/5 gate is binomial but 90% vs 5% cannot
+    // invert on any real corpus
+    assert(splits.getOrElse("train", 0L) > splits.getOrElse("val", 0L))
+    assert(splits.getOrElse("train", 0L) > splits.getOrElse("test", 0L))
+  }
+
+  // ------------------------------------------------------------- x8
+
+  test("x8: classifier score matches an exact integer recompute") {
+    val got = Catalog.byName("x8_quality_classifier").fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val docsLocal = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    assert(got.keySet == docsLocal.map(_._1).toSet)
+    // weight = (md5_60bit("qw:"+token) mod 2001) - 1000, summed as longs
+    def w(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(("qw:" + t).getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+    }
+    docsLocal.foreach { case (id, ts) =>
+      val (nTok, raw, score, keep) = got(id)
+      assert(nTok == ts.length.toLong)
+      val expRaw = ts.map(w).sum
+      assert(raw == expRaw, s"doc $id raw $raw != $expRaw")
+      val expScore = BigDecimal(expRaw.toDouble / (nTok * 1000L).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(score - expScore) < 1e-9, s"doc $id score $score != $expScore")
+      assert(keep == (if (expRaw > 0) 1L else 0L))
+    }
+  }
+
   // ------------------------------------------------------------- x6
 
   test("x6: repetition fractions are in [0,1] and dup_word_frac is exact") {

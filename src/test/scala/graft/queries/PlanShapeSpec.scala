@@ -16,6 +16,14 @@ class PlanShapeSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  /** The AQE-final section only — negative assertions must not trip on
+    * the pre-reoptimization "== Initial Plan ==" echo. */
+  private def finalPlan(name: String): String = {
+    val p = executedPlan(name)
+    val cut = p.indexOf("== Initial Plan ==")
+    if (cut >= 0) p.substring(0, cut) else p
+  }
+
   test("d3: the only cross join is the broadcast 64-row permutation table") {
     val plan = executedPlan("d3_minhash_lsh")
     assert(!plan.contains("CartesianProduct"),
@@ -62,7 +70,8 @@ class PlanShapeSpec extends AnyFunSuite {
       s"assignment is not an aggregation:\n$plan")
     // the only remaining windows rank bounded inputs: the 8-row seed
     // result and the per-query (<=20 q_ids x 8 cells) probe/rank tables
-    val windows = plan.linesIterator.count(_.trim.startsWith("Window"))
+    val windows = finalPlan("sim_topk_ivf").linesIterator
+      .count(_.contains("Window ["))
     assert(windows <= 3, s"unexpected window count ($windows):\n$plan")
   }
 
@@ -93,6 +102,38 @@ class PlanShapeSpec extends AnyFunSuite {
     // driver-side row handling
     assert(!plan.contains("Join"), s"range filter became a join:\n$plan")
     assert(plan.contains("offset"), s"offset bound missing:\n$plan")
+  }
+
+  test("p5: keep decision is a broadcast-threshold filter, corpus never sorted") {
+    val plan = finalPlan("p5_temperature_sample")
+    // the per-source thresholds reach the corpus via broadcast, so the
+    // corpus side of the join never shuffles
+    assert(plan.contains("BroadcastHashJoin"),
+      s"threshold join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled for the threshold join:\n$plan")
+  }
+
+  test("p6: the packing window is partitioned by source (no global sort)") {
+    val plan = executedPlan("p6_sequence_pack")
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty, s"no window in p6:\n$plan")
+    assert(windowLines.forall(_.contains("windowspecdefinition(source")),
+      s"packing window is not partitioned by source:\n${windowLines.mkString("\n")}")
+  }
+
+  test("p7: split census has zero joins") {
+    val plan = executedPlan("p7_hash_split")
+    assert(!plan.contains("Join"), s"join in p7:\n$plan")
+  }
+
+  test("x7/x8: token fan-out collapses map-side before the shuffle") {
+    for (name <- Seq("x7_vocab", "x8_quality_classifier")) {
+      val plan = executedPlan(name)
+      assert(plan.contains("partial_count"),
+        s"$name aggregation has no map-side partial phase:\n$plan")
+      assert(!plan.contains("Join"), s"join in $name:\n$plan")
+    }
   }
 
   test("e1 sessionization shuffles once on user_id") {

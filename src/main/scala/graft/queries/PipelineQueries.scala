@@ -1650,7 +1650,107 @@ object PipelineQueries {
         |  CAST(CASE WHEN raw_score > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM sc ORDER BY doc_id""".stripMargin))
 
+  // P8 — the composed preprocessing funnel: exact-dedup keeper →
+  // language gate (x1's marker heuristic) → quality gate (x2's
+  // length/diversity rules) → classifier gate (x8's hashed linear
+  // score), reported as the cumulative per-stage doc/token census —
+  // the one-page "what survived preprocessing" report every corpus
+  // build ends with. Flags are computed in ONE pass over the corpus
+  // (the dedup keeper is a min-over-content-hash window — hash-
+  // partitioned, never global; the classifier score arrives by a
+  // doc_id equi-join from the same collapsed aggregation x8 uses) and
+  // the funnel itself is a single tiny conditional aggregation: no
+  // stage re-scans the corpus.
+  private val p8 = QueryDef(
+    "p8_funnel",
+    (s, dir) => {
+      val base = tokenCounts(docs(s, dir),
+        "n_tokens" -> "size(ts)",
+        "n_distinct" -> "size(array_distinct(ts))",
+        "n_marker" -> "size(filter(ts, t -> t = 'the' or t = 'a'))")
+        .select(col("doc_id"), col("text"),
+          col("tc.n_tokens").cast("long").as("n_tokens"),
+          col("tc.n_distinct").cast("long").as("n_distinct"),
+          col("tc.n_marker").cast("long").as("n_marker"))
+      val scored = docs(s, dir)
+        .select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+        .withColumn("w",
+          pmod(md5Long(concat(lit("qw:"), col("token"))), lit(2001L)) - lit(1000L))
+        .groupBy("doc_id").agg(sum("w").as("raw_score"))
+      val w = Window.partitionBy(md5(col("text")))
+      val flags = base.join(scored, "doc_id")
+        .withColumn("keeper", col("doc_id") === min("doc_id").over(w))
+        .withColumn("lang_ok",
+          round(col("n_marker").cast("double") / col("n_tokens"), 6) >= 0.05)
+        .withColumn("quality_ok", col("n_tokens") >= 20 &&
+          round(col("n_distinct").cast("double") / col("n_tokens"), 6) >= 0.3)
+        .withColumn("cls_ok", col("raw_score") > 0)
+      def cnt(c: org.apache.spark.sql.Column) =
+        sum(when(c, lit(1L)).otherwise(lit(0L)))
+      def tok(c: org.apache.spark.sql.Column) =
+        sum(when(c, col("n_tokens")).otherwise(lit(0L)))
+      val s1 = col("keeper")
+      val s2 = s1 && col("lang_ok")
+      val s3 = s2 && col("quality_ok")
+      val s4 = s3 && col("cls_ok")
+      flags.agg(
+          count(lit(1)).as("d0"), sum("n_tokens").as("t0"),
+          cnt(s1).as("d1"), tok(s1).as("t1"),
+          cnt(s2).as("d2"), tok(s2).as("t2"),
+          cnt(s3).as("d3"), tok(s3).as("t3"),
+          cnt(s4).as("d4"), tok(s4).as("t4"))
+        .selectExpr(
+          """stack(5,
+            |  '0_all', d0, t0,
+            |  '1_dedup', d1, t1,
+            |  '2_lang', d2, t2,
+            |  '3_quality', d3, t3,
+            |  '4_classifier', d4, t4) AS (stage, n_docs, n_tokens)""".stripMargin)
+        .orderBy("stage")
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS BIGINT)
+        |      AS n_marker
+        |  FROM t),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(('0x' || substr(md5('qw:' || token), 1, 15))::BIGINT % 2001
+        |             - 1000) AS BIGINT) AS raw_score
+        |  FROM (SELECT doc_id, unnest(toks) AS token FROM t) GROUP BY doc_id),
+        |f AS (
+        |  SELECT c.n_tokens,
+        |    c.doc_id = MIN(c.doc_id) OVER (PARTITION BY md5(c.text)) AS keeper,
+        |    ROUND(CAST(c.n_marker AS DOUBLE) / c.n_tokens, 6) >= 0.05 AS lang_ok,
+        |    c.n_tokens >= 20 AND
+        |      ROUND(CAST(c.n_distinct AS DOUBLE) / c.n_tokens, 6) >= 0.3
+        |      AS quality_ok,
+        |    sc.raw_score > 0 AS cls_ok
+        |  FROM c JOIN sc USING (doc_id))
+        |SELECT '0_all' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM f
+        |UNION ALL
+        |SELECT '1_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT)
+        |FROM f WHERE keeper
+        |UNION ALL
+        |SELECT '2_lang', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT)
+        |FROM f WHERE keeper AND lang_ok
+        |UNION ALL
+        |SELECT '3_quality', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT)
+        |FROM f WHERE keeper AND lang_ok AND quality_ok
+        |UNION ALL
+        |SELECT '4_classifier', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT)
+        |FROM f WHERE keeper AND lang_ok AND quality_ok AND cls_ok
+        |ORDER BY stage""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, sim1, sim2, sim3, x1, x2, x3, x4, x5, x6, x7, x8,
-    m1, m2, m3, e1, e2, p1, p2, p3, p4, p5, p6, p7)
+    m1, m2, m3, e1, e2, p1, p2, p3, p4, p5, p6, p7, p8)
 }

@@ -295,6 +295,27 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- p8
+
+  test("p8: funnel is monotone and consistent with its component operators") {
+    val rows = Catalog.byName("p8_funnel").fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq ==
+      Seq("0_all", "1_dedup", "2_lang", "3_quality", "4_classifier"))
+    // cumulative gates only ever shrink the census
+    rows.sliding(2).foreach { case Array((s1, d1, t1), (s2, d2, t2)) =>
+      assert(d2 <= d1 && t2 <= t1, s"funnel grew from $s1 to $s2")
+    }
+    val byStage = rows.map(r => r._1 -> r._2).toMap
+    // stage 0 is the corpus; stage 1 is d1's keeper count (one per
+    // distinct content hash); stage 4 agrees with x8's keep flags on
+    // the docs that survive stages 1-3
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(byStage("0_all") == d.count())
+    assert(byStage("1_dedup") ==
+      Catalog.byName("d1_exact_dedup").fn(spark, sfDir).count())
+  }
+
   // ------------------------------------------------------------- x6
 
   test("x6: repetition fractions are in [0,1] and dup_word_frac is exact") {

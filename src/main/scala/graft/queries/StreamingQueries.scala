@@ -316,6 +316,8 @@ object StreamingQueries {
   // right backend (d7/d8 hold the data-sized-state/RocksDB case).
   private val e4SchemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private val e4RowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private val e4Runs = new java.util.concurrent.atomic.AtomicLong(0)
   private val e4 = QueryDef(
     "e4_stream_sessions",
@@ -324,8 +326,23 @@ object StreamingQueries {
       val schema = e4SchemaCache.computeIfAbsent(dir,
         d => s.read.parquet(s"$d/events.parquet").schema)
       val runId = e4Runs.incrementAndGet()
-      val sinkTable = s"graft_e4_sink_$runId"
-      val ss = streamingSession(s, rocksDb = false, stateWidth(s, 0L))
+      // session_window has NO partial aggregation — every raw event
+      // crosses the state shuffle so sessions can merge in the store —
+      // so unlike e3 (windowed agg, map-side combined) the width here
+      // must scale with per-batch EVENT volume, not open-session state:
+      // at 100x (10M events) the 4-partition floor was a 93 s funnel.
+      // Width brings concurrency, and concurrent heap-store tasks each
+      // pin their partition's session map, so past ~1M events the state
+      // moves to RocksDB (native memory, spill-capable) and the emitted
+      // sessions go to a parquet sink, not a driver-memory table —
+      // the same durable-sink shape as d8. The parquet row count is
+      // metadata-only (footer stats), cached per fixture beside the
+      // schema.
+      val eventRows = e4RowsCache.computeIfAbsent(dir,
+        d => java.lang.Long.valueOf(s.read.parquet(s"$d/events.parquet").count()))
+      val ss = streamingSession(s, rocksDb = eventRows >= 1000000L,
+        stateWidth(s, eventRows))
+      val outPath = s"$e3TmpRoot/e4_out_$runId"
       val q = ss.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
@@ -339,18 +356,14 @@ object StreamingQueries {
           col("session_window.start").cast("long").as("session_start"),
           col("session_window.end").cast("long").as("session_end"),
           col("n_events"))
-        .writeStream.format("memory")
-        .queryName(sinkTable)
+        .writeStream.format("parquet")
+        .option("path", outPath)
         .option("checkpointLocation", s"$e3TmpRoot/e4_ckpt_$runId")
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val result = ss.table(sinkTable)
-      val rows = java.util.Arrays.asList(result.collect(): _*)
-      val out = s.createDataFrame(rows, result.schema)
-      ss.catalog.dropTempView(sinkTable)
-      out.orderBy("user_id", "session_start")
+      s.read.parquet(outPath).orderBy("user_id", "session_start")
     },
     Some(
       """WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000 AS max_ms FROM events),

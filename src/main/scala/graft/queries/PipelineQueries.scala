@@ -1655,30 +1655,30 @@ object PipelineQueries {
   // length/diversity rules) → classifier gate (x8's hashed linear
   // score), reported as the cumulative per-stage doc/token census —
   // the one-page "what survived preprocessing" report every corpus
-  // build ends with. Flags are computed in ONE pass over the corpus
-  // (the dedup keeper is a min-over-content-hash window — hash-
-  // partitioned, never global; the classifier score arrives by a
-  // doc_id equi-join from the same collapsed aggregation x8 uses) and
-  // the funnel itself is a single tiny conditional aggregation: no
-  // stage re-scans the corpus.
+  // build ends with. ONE corpus scan feeds everything: the content
+  // hash rides along the exploded token rows, all four per-doc
+  // counters come out of a single hash aggregation (explode keeps a
+  // doc's tokens co-partitioned, so partials collapse to one row per
+  // doc inside the scan stage), the dedup keeper is a
+  // min-over-content-hash window (hash-partitioned, never global),
+  // and the funnel itself is a single tiny conditional aggregation.
+  // No stage re-scans or re-shuffles the corpus.
   private val p8 = QueryDef(
     "p8_funnel",
     (s, dir) => {
-      val base = tokenCounts(docs(s, dir),
-        "n_tokens" -> "size(ts)",
-        "n_distinct" -> "size(array_distinct(ts))",
-        "n_marker" -> "size(filter(ts, t -> t = 'the' or t = 'a'))")
-        .select(col("doc_id"), col("text"),
-          col("tc.n_tokens").cast("long").as("n_tokens"),
-          col("tc.n_distinct").cast("long").as("n_distinct"),
-          col("tc.n_marker").cast("long").as("n_marker"))
-      val scored = docs(s, dir)
-        .select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+      val tokens = docs(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          explode(expr(tokensExpr)).as("token"))
         .withColumn("w",
           pmod(md5Long(concat(lit("qw:"), col("token"))), lit(2001L)) - lit(1000L))
-        .groupBy("doc_id").agg(sum("w").as("raw_score"))
-      val w = Window.partitionBy(md5(col("text")))
-      val flags = base.join(scored, "doc_id")
+      val perDoc = tokens.groupBy("doc_id", "h").agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct("token").as("n_distinct"),
+        sum(when(col("token") === "the" || col("token") === "a", lit(1L))
+          .otherwise(lit(0L))).as("n_marker"),
+        sum("w").as("raw_score"))
+      val w = Window.partitionBy("h")
+      val flags = perDoc
         .withColumn("keeper", col("doc_id") === min("doc_id").over(w))
         .withColumn("lang_ok",
           round(col("n_marker").cast("double") / col("n_tokens"), 6) >= 0.05)

@@ -136,6 +136,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("p8: funnel is join-free and its keeper window is hash-partitioned") {
+    val plan = finalPlan("p8_funnel")
+    assert(!plan.contains("Join"), s"join in p8:\n$plan")
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("windowspecdefinition(h")),
+      s"keeper window not partitioned by content hash:\n${windowLines.mkString("\n")}")
+  }
+
   test("e1 sessionization shuffles once on user_id") {
     val plan = executedPlan("e1_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size

@@ -1666,17 +1666,24 @@ object PipelineQueries {
   private val p8 = QueryDef(
     "p8_funnel",
     (s, dir) => {
-      val tokens = docs(s, dir)
+      // two-level aggregation instead of countDistinct: the Expand that
+      // count-distinct plans would double every exploded token row, and
+      // collapsing (doc, token) first also prices the weight md5 per
+      // DISTINCT token rather than per occurrence. Both levels partial-
+      // combine map-side; raw_score = sum(w*cnt) is the same exact long
+      // arithmetic as the per-occurrence sum.
+      val perTok = docs(s, dir)
         .select(col("doc_id"), md5(col("text")).as("h"),
           explode(expr(tokensExpr)).as("token"))
+        .groupBy("doc_id", "h", "token").agg(count(lit(1)).as("cnt"))
         .withColumn("w",
           pmod(md5Long(concat(lit("qw:"), col("token"))), lit(2001L)) - lit(1000L))
-      val perDoc = tokens.groupBy("doc_id", "h").agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct("token").as("n_distinct"),
-        sum(when(col("token") === "the" || col("token") === "a", lit(1L))
+      val perDoc = perTok.groupBy("doc_id", "h").agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("token") === "the" || col("token") === "a", col("cnt"))
           .otherwise(lit(0L))).as("n_marker"),
-        sum("w").as("raw_score"))
+        sum(col("w") * col("cnt")).as("raw_score"))
       val w = Window.partitionBy("h")
       val flags = perDoc
         .withColumn("keeper", col("doc_id") === min("doc_id").over(w))

@@ -1757,7 +1757,81 @@ object PipelineQueries {
         |FROM f WHERE keeper AND lang_ok AND quality_ok AND cls_ok
         |ORDER BY stage""".stripMargin))
 
+  // D10 — INCREMENTAL exact dedup: the daily-ingest path. A new batch
+  // (a deterministic 20% hash slice standing in for "today's crawl")
+  // dedups against the EXISTING corpus index — at 100 TB that index is
+  // a hash-only table (16 bytes/doc), so the anti-join shuffles hashes,
+  // not documents, and both sides equi-partition on content_hash. The
+  // within-batch keeper groupBy reuses the anti-join's output
+  // partitioning (same key ⇒ zero additional exchange). d1 is the
+  // from-scratch build; this is what runs every day after it.
+  private val d10 = QueryDef(
+    "d10_incremental_dedup",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        md5(col("text")).as("content_hash"),
+        (pmod(md5Long(concat(lit("inc:"), col("doc_id").cast("string"))),
+          lit(5L)) === 0).as("is_new"))
+      val existing = d.filter(!col("is_new")).select("content_hash").distinct()
+      d.filter(col("is_new"))
+        .join(existing, Seq("content_hash"), "left_anti")
+        .groupBy("content_hash")
+        .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("content_hash")
+    },
+    Some(
+      """WITH d AS (
+        |  SELECT doc_id, md5(text) AS h,
+        |    ('0x' || substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 5 = 0 AS is_new
+        |  FROM documents),
+        |fresh AS (
+        |  SELECT doc_id, h FROM d WHERE is_new
+        |  AND NOT EXISTS (SELECT 1 FROM d e WHERE NOT e.is_new AND e.h = d.h))
+        |SELECT h AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM fresh GROUP BY h ORDER BY content_hash""".stripMargin))
+
+  // X9 — one BPE merge round: adjacent character-pair counts weighted
+  // by token frequency — the inner step of byte-pair-encoding tokenizer
+  // training (x7's vocab is the input; real training iterates this with
+  // a merge applied between rounds). The pair explosion runs over the
+  // VOCABULARY aggregate, not the corpus — tf collapses first, so the
+  // expensive per-character fan-out touches |vocab| rows at any corpus
+  // size — and the top-k is a TakeOrderedAndProject partial top-k, never
+  // a full sort.
+  private val x9 = QueryDef(
+    "x9_bpe_pairs",
+    (s, dir) => {
+      docs(s, dir)
+        .select(explode(expr(tokensExpr)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("tf"))
+        // single-char tokens have no pair (and Spark's sequence(1, 0)
+        // would run BACKWARDS — [1, 0] — where DuckDB's range is empty)
+        .filter(length(col("token")) >= 2)
+        .select(col("tf"), explode(expr(
+          "transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("tf").as("n_occurrences"))
+        .orderBy(desc("n_occurrences"), asc("pair"))
+        .limit(20)
+    },
+    Some(
+      """WITH vocab AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+        |          AS token FROM documents)
+        |  GROUP BY token),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, len(token)), i -> substr(token, i, 2)))
+        |    AS pair, tf
+        |  FROM vocab WHERE len(token) >= 2)
+        |SELECT pair, CAST(SUM(tf) AS BIGINT) AS n_occurrences
+        |FROM pairs GROUP BY pair
+        |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
-    d1, d2, d3, d4, d5, d6, d9, sim1, sim2, sim3, x1, x2, x3, x4, x5, x6, x7, x8,
+    d1, d2, d3, d4, d5, d6, d9, d10, sim1, sim2, sim3,
+    x1, x2, x3, x4, x5, x6, x7, x8, x9,
     m1, m2, m3, e1, e2, p1, p2, p3, p4, p5, p6, p7, p8)
 }

@@ -316,6 +316,60 @@ class TrainingPipelineSpec extends AnyFunSuite {
       Catalog.byName("d1_exact_dedup").fn(spark, sfDir).count())
   }
 
+  // ------------------------------------------------------------ d10
+
+  test("d10: incremental dedup excludes every existing hash, keeps batch keepers") {
+    val out = Catalog.byName("d10_incremental_dedup").fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // independent recompute of the batch membership and hash sets
+    def md5Hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def isNew(id: Long): Boolean =
+      java.lang.Long.parseLong(md5Hex(s"inc:$id").take(15), 16) % 5 == 0
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> md5Hex(r.getString(1)))
+    val existing = d.collect { case (id, h) if !isNew(id) => h }.toSet
+    val batch = d.filter { case (id, _) => isNew(id) }
+    assert(batch.nonEmpty && existing.nonEmpty, "degenerate split — vacuous")
+    // no output hash may already exist in the corpus index
+    out.foreach { case (h, _, _) =>
+      assert(!existing.contains(h), s"hash $h already in the corpus")
+    }
+    // keeper/copies agree with a local groupBy over the fresh batch
+    val expected = batch.filterNot { case (_, h) => existing.contains(h) }
+      .groupBy(_._2).view
+      .mapValues(g => (g.map(_._1).min, g.size.toLong)).toMap
+    assert(out.map(_._1).toSet == expected.keySet)
+    out.foreach { case (h, keeper, copies) =>
+      assert((keeper, copies) == expected(h), s"hash $h keeper/copies mismatch")
+    }
+  }
+
+  // ------------------------------------------------------------- x9
+
+  test("x9: top pairs match a local frequency-weighted recompute") {
+    val got = Catalog.byName("x9_bpe_pairs").fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length == 20)
+    val tf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+    val pairCounts = tf.toSeq.filter(_._1.length >= 2)
+      .flatMap { case (t, n) => t.sliding(2).map(_ -> n) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (p, n) => (-n, p) }
+    assert(got.toSeq == pairCounts.take(20),
+      s"top pairs diverge: ${got.take(3)} vs ${pairCounts.take(3)}")
+    // descending with deterministic tie-break
+    got.sliding(2).foreach { case Array((p1, n1), (p2, n2)) =>
+      assert(n1 > n2 || (n1 == n2 && p1 < p2))
+    }
+  }
+
   // ------------------------------------------------------------- x6
 
   test("x6: repetition fractions are in [0,1] and dup_word_frac is exact") {

@@ -144,6 +144,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"keeper window not partitioned by content hash:\n${windowLines.mkString("\n")}")
   }
 
+  test("d10: anti-join on content hash; keeper agg reuses its partitioning") {
+    val plan = finalPlan("d10_incremental_dedup")
+    assert(plan.contains("LeftAnti"), s"no anti-join in d10:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"anti-join is not an equi-join:\n$plan")
+    // scan + distinct + anti-join side(s): the keeper aggregation after
+    // the join must NOT add its own exchange (same key as the join)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"keeper agg re-shuffled ($exchanges exchanges):\n$plan")
+  }
+
+  test("x9: top-k pairs is a partial top-k, not a full sort") {
+    val plan = finalPlan("x9_bpe_pairs")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"x9 top-k is not a partial top-k:\n$plan")
+  }
+
   test("e1 sessionization shuffles once on user_id") {
     val plan = executedPlan("e1_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size

@@ -1830,8 +1830,82 @@ object PipelineQueries {
         |FROM pairs GROUP BY pair
         |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin))
 
+  // E5 — ordered conversion funnel over the event stream: users who
+  // progressed click → view → purchase IN TIMESTAMP ORDER (stage k
+  // counts only events at-or-after the user's first stage-(k−1)
+  // completion; ties break on event_id like e1). Three cascaded
+  // conditional running-mins share ONE window spec, so Catalyst plans
+  // a single user_id exchange + sort with stacked Window operators —
+  // the whole funnel costs one shuffle of the events table, then a
+  // per-user flag aggregation and a constant-size conditional census.
+  private val e5 = QueryDef(
+    "e5_conversion_funnel",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val staged = Records.table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("c",
+          min(when(col("event_type") === "click", col("us"))).over(w))
+        .withColumn("v",
+          min(when(col("event_type") === "view" && col("c").isNotNull,
+            col("us"))).over(w))
+        .withColumn("p",
+          min(when(col("event_type") === "purchase" && col("v").isNotNull,
+            col("us"))).over(w))
+      val perUser = staged.groupBy("user_id").agg(
+        max(when(col("c").isNotNull, lit(1L)).otherwise(lit(0L))).as("clicked"),
+        max(when(col("v").isNotNull, lit(1L)).otherwise(lit(0L))).as("viewed"),
+        max(when(col("p").isNotNull, lit(1L)).otherwise(lit(0L))).as("purchased"))
+      perUser.agg(
+          count(lit(1)).as("u0"), sum("clicked").as("u1"),
+          sum("viewed").as("u2"), sum("purchased").as("u3"))
+        .selectExpr(
+          """stack(4,
+            |  '0_active', u0,
+            |  '1_click', u1,
+            |  '2_view_after_click', u2,
+            |  '3_purchase_after_view', u3) AS (stage, n_users)""".stripMargin)
+        .orderBy("stage")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' THEN us END) OVER w AS c
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                      ROWS UNBOUNDED PRECEDING)),
+        |s2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'view' AND c IS NOT NULL
+        |                     THEN us END) OVER w AS v
+        |  FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                       ROWS UNBOUNDED PRECEDING)),
+        |s3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND v IS NOT NULL
+        |                     THEN us END) OVER w AS p
+        |  FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                       ROWS UNBOUNDED PRECEDING)),
+        |per_user AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS clicked,
+        |    MAX(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS viewed,
+        |    MAX(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS purchased
+        |  FROM s3 GROUP BY user_id)
+        |SELECT stage, n_users FROM (
+        |  SELECT '0_active' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM per_user
+        |  UNION ALL
+        |  SELECT '1_click', CAST(SUM(clicked) AS BIGINT) FROM per_user
+        |  UNION ALL
+        |  SELECT '2_view_after_click', CAST(SUM(viewed) AS BIGINT) FROM per_user
+        |  UNION ALL
+        |  SELECT '3_purchase_after_view', CAST(SUM(purchased) AS BIGINT)
+        |  FROM per_user)
+        |ORDER BY stage""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, sim1, sim2, sim3,
     x1, x2, x3, x4, x5, x6, x7, x8, x9,
-    m1, m2, m3, e1, e2, p1, p2, p3, p4, p5, p6, p7, p8)
+    m1, m2, m3, e1, e2, e5, p1, p2, p3, p4, p5, p6, p7, p8)
 }

@@ -162,6 +162,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"x9 top-k is not a partial top-k:\n$plan")
   }
 
+  test("e5: cascaded funnel windows share one user_id shuffle") {
+    val plan = finalPlan("e5_conversion_funnel")
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty &&
+      windowLines.forall(_.contains("windowspecdefinition(user_id")),
+      s"funnel window not partitioned by user_id:\n${windowLines.mkString("\n")}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"funnel re-shuffles the event table ($exchanges exchanges):\n$plan")
+  }
+
   test("e1 sessionization shuffles once on user_id") {
     val plan = executedPlan("e1_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size

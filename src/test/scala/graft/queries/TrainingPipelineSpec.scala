@@ -370,6 +370,38 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- e5
+
+  test("e5: funnel stages match a local per-user event replay") {
+    val got = Catalog.byName("e5_conversion_funnel").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.map(_._1).toSeq == Seq(
+      "0_active", "1_click", "2_view_after_click", "3_purchase_after_view"))
+    val byStage = got.toMap
+    // monotone funnel
+    assert(byStage("1_click") >= byStage("2_view_after_click"))
+    assert(byStage("2_view_after_click") >= byStage("3_purchase_after_view"))
+    // independent replay: walk each user's events in (ts, event_id) order
+    val events = graft.sources.Records.table(spark, sfDir, "events")
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) as us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    var (nC, nV, nP) = (0L, 0L, 0L)
+    events.groupBy(_._1).foreach { case (_, es) =>
+      var (c, v, p) = (false, false, false)
+      es.sortBy(e => (e._4, e._2)).foreach { case (_, _, tpe, _) =>
+        if (tpe == "click") c = true
+        else if (tpe == "view" && c) v = true
+        else if (tpe == "purchase" && v) p = true
+      }
+      if (c) nC += 1; if (v) nV += 1; if (p) nP += 1
+    }
+    assert(byStage("0_active") == events.map(_._1).distinct.length.toLong)
+    assert(byStage("1_click") == nC, s"click ${byStage("1_click")} != $nC")
+    assert(byStage("2_view_after_click") == nV)
+    assert(byStage("3_purchase_after_view") == nP)
+  }
+
   // ------------------------------------------------------------- x6
 
   test("x6: repetition fractions are in [0,1] and dup_word_frac is exact") {

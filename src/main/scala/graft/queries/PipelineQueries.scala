@@ -1904,8 +1904,60 @@ object PipelineQueries {
         |  FROM per_user)
         |ORDER BY stage""".stripMargin))
 
+  // X10 — per-document top keywords, TF-IDF-shaped: frequent in the
+  // doc, rare in the corpus. The corpus-frequency side is x7's
+  // vocabulary — vocabulary-sized, so it BROADCASTS to the token rows
+  // at any corpus scale — and the per-doc top-3 is a row_number window
+  // partitioned by doc_id (tokens stay co-partitioned with their doc
+  // from the explode, one shuffle total). Scoring is exact-integer
+  // (tf·1e6 ÷ df, ties broken by token) rather than tf·ln(N/df):
+  // floating-point ln is not guaranteed identically rounded across
+  // engines, and a rank flip in the last ulp would fail the hash gate —
+  // the integer ratio preserves the frequent-here/rare-there ordering.
+  private val x10 = QueryDef(
+    "x10_top_keywords",
+    (s, dir) => {
+      // one (doc, token) aggregation feeds BOTH tf and df — df is just
+      // its per-token row count, no countDistinct Expand — and the two
+      // consumers share the identical shuffle subtree (ReusedExchange),
+      // so the corpus is scanned and shuffled once
+      val perDocTok = docs(s, dir)
+        .select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val vocab = perDocTok.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(desc("score"), asc("token"))
+      perDocTok
+        .join(broadcast(vocab), "token")
+        .withColumn("score", expr("tf * 1000000L div df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("token"), col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "rank")
+    },
+    Some(
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM tok GROUP BY token),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY doc_id, token),
+        |scored AS (
+        |  SELECT doc_id, token, tf, df, tf * 1000000 // df AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                       ORDER BY tf * 1000000 // df DESC, token) AS rank
+        |  FROM tf JOIN vocab USING (token))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS BIGINT) AS rank,
+        |  token, tf, df, CAST(score AS BIGINT) AS score
+        |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, sim1, sim2, sim3,
-    x1, x2, x3, x4, x5, x6, x7, x8, x9,
+    x1, x2, x3, x4, x5, x6, x7, x8, x9, x10,
     m1, m2, m3, e1, e2, e5, p1, p2, p3, p4, p5, p6, p7, p8)
 }

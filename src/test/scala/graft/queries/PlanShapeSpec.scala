@@ -173,6 +173,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"funnel re-shuffles the event table ($exchanges exchanges):\n$plan")
   }
 
+  test("x10: vocabulary joins by broadcast; top-k window partitioned by doc") {
+    val plan = finalPlan("x10_top_keywords")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"token table shuffled for the vocab join:\n$plan")
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty &&
+      windowLines.forall(_.contains("windowspecdefinition(doc_id")),
+      s"top-k window not partitioned by doc_id:\n${windowLines.mkString("\n")}")
+  }
+
   test("e1 sessionization shuffles once on user_id") {
     val plan = executedPlan("e1_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size

@@ -402,6 +402,31 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(byStage("3_purchase_after_view") == nP)
   }
 
+  // ------------------------------------------------------------ x10
+
+  test("x10: top keywords match a local integer-scored recompute") {
+    val got = Catalog.byName("x10_top_keywords").fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    val docsLocal = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val df = docsLocal.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expected = docsLocal.flatMap { case (id, ts) =>
+      ts.groupBy(identity).toSeq
+        .map { case (t, o) =>
+          (t, o.length.toLong, df(t), o.length.toLong * 1000000L / df(t)) }
+        .sortBy { case (t, _, _, sc) => (-sc, t) }
+        .take(3).zipWithIndex
+        .map { case ((t, tf, d, sc), i) => (id, i + 1L, t, tf, d, sc) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == expected.toSeq,
+      s"keyword mismatch: ${got.take(2).toSeq} vs ${expected.take(2)}")
+  }
+
   // ------------------------------------------------------------- x6
 
   test("x6: repetition fractions are in [0,1] and dup_word_frac is exact") {

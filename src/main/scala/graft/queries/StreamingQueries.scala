@@ -391,5 +391,95 @@ object StreamingQueries {
         |FROM agg, mx WHERE end_ms <= max_ms - 3600000
         |ORDER BY user_id, session_start""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(k2, e3, d7, d8, e4)
+  // E6 — STREAMING conversion funnel: e5's ordered click→view→purchase
+  // progression as ARBITRARY per-key state (`flatMapGroupsWithState`) —
+  // the one stateful-API family the gate did not yet cover (session
+  // windows: e4; dedup state: d7/d8; windowed aggs: e3). Per user the
+  // state is three monotone flags; each batch folds its events in
+  // (ts, event_id) order and emits the user's current stage. The
+  // fixture is a single parquet file, so AvailableNow delivers exactly
+  // one batch and the fold sees each user's full ordered history —
+  // exact e5 semantics; the read-back takes max(stage) per user, which
+  // is also correct across multiple batches whenever batches arrive
+  // time-ordered per key (the production form for arbitrary arrival
+  // order buffers events until the watermark passes, like e4's session
+  // store, before folding). Width scales with event volume (all raw
+  // events cross the state shuffle) and the state moves to RocksDB
+  // past 1M events, as e4.
+  private val e6Runs = new java.util.concurrent.atomic.AtomicLong(0)
+  private val e6 = QueryDef(
+    "e6_stream_funnel",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+      val schema = e4SchemaCache.computeIfAbsent(dir,
+        d => s.read.parquet(s"$d/events.parquet").schema)
+      val eventRows = e4RowsCache.computeIfAbsent(dir,
+        d => java.lang.Long.valueOf(s.read.parquet(s"$d/events.parquet").count()))
+      val runId = e6Runs.incrementAndGet()
+      val ss = streamingSession(s, rocksDb = eventRows >= 1000000L,
+        stateWidth(s, eventRows))
+      import ss.implicits._
+      val outPath = s"$e3TmpRoot/e6_out_$runId"
+      val q = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts",
+          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            expr("timestamp_micros(ts div 1000)") else col("ts"))
+        .select(col("user_id").cast("long").as("user_id"),
+          unix_micros(col("ts")).as("us"),
+          col("event_id").cast("long").as("event_id"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Boolean, Boolean, Boolean), (Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, events, state) =>
+          var (c, v, p) = state.getOption.getOrElse((false, false, false))
+          events.toSeq.sortBy(e => (e._2, e._3)).foreach { e =>
+            e._4 match {
+              case "click" => c = true
+              case "view" => if (c) v = true
+              case "purchase" => if (v) p = true
+              case _ =>
+            }
+          }
+          state.update((c, v, p))
+          val stage = if (p) 3L else if (v) 2L else if (c) 1L else 0L
+          Iterator.single((user, stage))
+        }
+        .toDF("user_id", "stage")
+        .writeStream.format("parquet")
+        .option("path", outPath)
+        .option("checkpointLocation", s"$e3TmpRoot/e6_ckpt_$runId")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outPath)
+        .groupBy("user_id").agg(max("stage").as("stage"))
+        .orderBy("user_id")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' THEN us END) OVER w AS c
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                      ROWS UNBOUNDED PRECEDING)),
+        |s2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'view' AND c IS NOT NULL
+        |                     THEN us END) OVER w AS v
+        |  FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                       ROWS UNBOUNDED PRECEDING)),
+        |s3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND v IS NOT NULL
+        |                     THEN us END) OVER w AS p
+        |  FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                       ROWS UNBOUNDED PRECEDING))
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(MAX(CASE WHEN p IS NOT NULL THEN 3
+        |                WHEN v IS NOT NULL THEN 2
+        |                WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
+        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(k2, e3, d7, d8, e4, e6)
 }

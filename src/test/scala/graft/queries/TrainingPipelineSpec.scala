@@ -427,6 +427,21 @@ class TrainingPipelineSpec extends AnyFunSuite {
       s"keyword mismatch: ${got.take(2).toSeq} vs ${expected.take(2)}")
   }
 
+  // ------------------------------------------------------------- e6
+
+  test("e6: streaming funnel state agrees with the batch funnel census") {
+    val perUser = Catalog.byName("e6_stream_funnel").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(perUser.nonEmpty)
+    assert(perUser.map(_._1).distinct.length == perUser.length, "dup users")
+    val e5 = Catalog.byName("e5_conversion_funnel").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perUser.length.toLong == e5("0_active"))
+    assert(perUser.count(_._2 >= 1).toLong == e5("1_click"))
+    assert(perUser.count(_._2 >= 2).toLong == e5("2_view_after_click"))
+    assert(perUser.count(_._2 >= 3).toLong == e5("3_purchase_after_view"))
+  }
+
   // ------------------------------------------------------------- x6
 
   test("x6: repetition fractions are in [0,1] and dup_word_frac is exact") {

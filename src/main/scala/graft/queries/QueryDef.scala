@@ -15,7 +15,7 @@ final case class QueryDef(
 object Catalog {
   lazy val all: Seq[QueryDef] =
     RefQueries.defs ++ RelQueries.defs ++ PipelineQueries.defs ++
-      StreamingQueries.defs ++ PlannerQueries.defs
+      StreamingQueries.defs ++ PlannerQueries.defs ++ JoinQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

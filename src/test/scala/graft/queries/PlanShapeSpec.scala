@@ -185,6 +185,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"top-k window not partitioned by doc_id:\n${windowLines.mkString("\n")}")
   }
 
+  test("j1: as-of join is join-free — one user_id-partitioned carry window") {
+    val plan = finalPlan("j1_asof_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of join planned a product:\n$plan")
+    // the merge form: union + ONE ordered carry window per key — the
+    // right side is folded in-stream, never joined back
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"as-of join materialized a join:\n$plan")
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty &&
+      windowLines.forall(_.contains("windowspecdefinition(user_id")),
+      s"carry window not partitioned by user_id:\n${windowLines.mkString("\n")}")
+  }
+
+  test("j2: band join is a bucketed equi-join, not a product") {
+    val plan = finalPlan("j2_band_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"band join planned a product:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"band join is not an equi-join:\n$plan")
+    // probe-side fan-out is the fixed 3x bucket explode
+    assert(plan.contains("Generate explode"), s"no bucket explode:\n$plan")
+  }
+
   test("e1 sessionization shuffles once on user_id") {
     val plan = executedPlan("e1_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size

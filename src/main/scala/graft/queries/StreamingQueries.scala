@@ -481,5 +481,70 @@ object StreamingQueries {
         |                WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
         |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(k2, e3, d7, d8, e4, e6)
+  // E7 — STREAM-STREAM JOIN: view→purchase attribution (every purchase
+  // joined to the same user's views in the preceding 2 h) as a real
+  // watermarked stream-stream inner join — the one Structured Streaming
+  // join API the gate did not yet cover (e3/e4: windowed/session aggs,
+  // d7/d8: dedup state, e6: arbitrary state). Both sides carry a 4-h
+  // watermark and the join predicate bounds purchase time to
+  // [view, view + 2 h], so the state store retains each side only inside
+  // watermark + range — the condition Spark needs to EVICT join state;
+  // without the time bound the buffers grow data-sized and a 100 TB
+  // stream OOMs. Inner matches emit eagerly (watermark gates eviction,
+  // not emission), so a single AvailableNow pass yields the full exact
+  // join — the batch oracle. State is per-user rows inside a bounded
+  // horizon, so width scales with event volume like e4, RocksDB past 1M.
+  private val e7Runs = new java.util.concurrent.atomic.AtomicLong(0)
+  private val e7 = QueryDef(
+    "e7_stream_join",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = e4SchemaCache.computeIfAbsent(dir,
+        d => s.read.parquet(s"$d/events.parquet").schema)
+      val eventRows = e4RowsCache.computeIfAbsent(dir,
+        d => java.lang.Long.valueOf(s.read.parquet(s"$d/events.parquet").count()))
+      val runId = e7Runs.incrementAndGet()
+      val ss = streamingSession(s, rocksDb = eventRows >= 1000000L,
+        stateWidth(s, eventRows))
+      val outPath = s"$e3TmpRoot/e7_out_$runId"
+      def side(tpe: String, idAs: String, tsAs: String, userAs: String) =
+        ss.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts",
+            if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+              expr("timestamp_micros(ts div 1000)") else col("ts"))
+          .filter(col("event_type") === tpe)
+          .select(col("user_id").cast("long").as(userAs),
+            col("event_id").cast("long").as(idAs), col("ts").as(tsAs))
+          .withWatermark(tsAs, "4 hours")
+      val q = side("purchase", "purchase_id", "pts", "p_user")
+        .join(side("view", "view_id", "vts", "v_user"),
+          expr("p_user = v_user AND pts >= vts AND " +
+            "pts <= vts + interval 2 hours"))
+        .select(col("p_user").as("user_id"), col("purchase_id"),
+          col("view_id"),
+          expr("(unix_micros(pts) - unix_micros(vts)) div 1000000")
+            .as("lag_s"))
+        .writeStream.format("parquet")
+        .option("path", outPath)
+        .option("checkpointLocation", s"$e3TmpRoot/e7_ckpt_$runId")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outPath).orderBy("purchase_id", "view_id")
+    },
+    Some(
+      """WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS vus
+        |      FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT CAST(p.user_id AS BIGINT) AS user_id, p.purchase_id, v.view_id,
+        |  CAST((p.pus - v.vus) // 1000000 AS BIGINT) AS lag_s
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND p.pus >= v.vus AND p.pus <= v.vus + CAST(7200 AS BIGINT) * 1000000
+        |ORDER BY purchase_id, view_id""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(k2, e3, d7, d8, e4, e6, e7)
 }

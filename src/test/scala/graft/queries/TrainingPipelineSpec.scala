@@ -442,6 +442,25 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(perUser.count(_._2 >= 3).toLong == e5("3_purchase_after_view"))
   }
 
+  // ------------------------------------------------------------- e7
+
+  test("e7: stream-stream join emits exactly the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val got = Catalog.byName("e7_stream_join").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("tsus"))
+    val batch = ev.filter(col("event_type") === "purchase").as("p")
+      .join(ev.filter(col("event_type") === "view").as("v"), expr(
+        "p.user_id = v.user_id AND p.tsus >= v.tsus AND " +
+          "p.tsus <= v.tsus + 7200000000"))
+      .select(col("p.event_id"), col("v.event_id"),
+        expr("(p.tsus - v.tsus) div 1000000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got === batch)
+  }
+
   // ------------------------------------------------------------- x6
 
   test("x6: repetition fractions are in [0,1] and dup_word_frac is exact") {

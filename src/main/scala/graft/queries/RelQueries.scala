@@ -430,6 +430,120 @@ object RelQueries {
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
         |       AND l_quantity BETWEEN 10 AND 40)""".stripMargin))
 
+  // Q17 — small-quantity revenue (TPC-H Q17 shape): the canonical
+  // CORRELATED SCALAR SUBQUERY (per-part average quantity referenced
+  // from the outer predicate), written the way it must execute at scale:
+  // DECORRELATED. The per-partkey threshold is one map-side-combinable
+  // aggregate over lineitem, and both the threshold join and the part
+  // filter join hit the same l_partkey key, so AQE plans a single
+  // shuffle family instead of a per-outer-row re-scan (what a naive
+  // correlated execution — or a lateral — would do n times). The
+  // brand filter side is dimension-sized and broadcasts.
+  private val q17 = QueryDef(
+    "q17_small_qty_revenue",
+    (s, dir) => {
+      val li = Records.table(s, dir, "lineitem")
+      val part = Records.table(s, dir, "part")
+      val thr = li.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((lit(0.2) * avg("l_quantity")).as("qty_thr"))
+      li.join(broadcast(part.filter(col("p_brand") === "Brand#23")
+            .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(thr, col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("qty_thr"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+    },
+    Some(
+      """WITH thr AS (SELECT l_partkey AS t_partkey,
+        |               0.2 * AVG(l_quantity) AS qty_thr
+        |             FROM lineitem GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+        |JOIN thr ON thr.t_partkey = l.l_partkey
+        |WHERE l.l_quantity < thr.qty_thr""".stripMargin))
+
+  // Q18 — large-volume orders (TPC-H Q18 shape): IN-subquery-with-HAVING
+  // as a semi-join against an aggregate. The qualifying-order set is a
+  // groupBy(l_orderkey) HAVING sum > 250; the main 3-way join then
+  // semi-joins it. l_orderkey keys both the HAVING aggregate and the
+  // lineitem re-join, so the aggregate reuses the same shuffle
+  // partitioning; customer is dimension-sized and broadcasts; final
+  // top-100 is a partial TakeOrdered, not a global sort.
+  private val q18 = QueryDef(
+    "q18_large_orders",
+    (s, dir) => {
+      val li = Records.table(s, dir, "lineitem")
+      val orders = Records.table(s, dir, "orders")
+      val cust = Records.table(s, dir, "customer")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("total_qty"))
+        .filter(col("total_qty") > 250.0)
+      orders.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("o_epoch"),
+          col("o_totalprice"),
+          round(col("total_qty"), 2).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_epoch"), col("o_orderkey"))
+        .limit(100)
+    },
+    Some(
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS o_epoch, o_totalprice,
+        |  ROUND(total_qty, 2) AS total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250.0) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_epoch, o_orderkey
+        |LIMIT 100""".stripMargin))
+
+  // Q22 — dormant high-balance customers (TPC-H Q22 shape): a GLOBAL
+  // scalar aggregate threshold (avg positive balance — one row,
+  // broadcast via cross join, never a shuffle) combined with a
+  // NOT-EXISTS decorrelated to a LEFT ANTI join on the recent-order
+  // key set. The anti-join's build side is pre-aggregated to distinct
+  // custkeys AFTER the date filter is pushed to the orders scan, so
+  // the state the join carries is active-customer-sized, not
+  // order-count-sized.
+  private val q22 = QueryDef(
+    "q22_dormant_customers",
+    (s, dir) => {
+      val cust = Records.table(s, dir, "customer")
+      val orders = Records.table(s, dir, "orders")
+      val nation = Records.table(s, dir, "nation")
+      val thr = cust.filter(col("c_acctbal") > 0.0)
+        .agg(avg("c_acctbal").as("bal_thr"))
+      val active = orders
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey").distinct()
+      cust.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("bal_thr"))
+        .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum("c_acctbal"), 2).as("totacctbal"))
+        .orderBy("n_name")
+    },
+    Some(
+      """WITH thr AS (SELECT AVG(c_acctbal) AS bal_thr
+        |             FROM customer WHERE c_acctbal > 0.0)
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  ROUND(SUM(c_acctbal), 2) AS totacctbal
+        |FROM customer c
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey, thr
+        |WHERE c.c_acctbal > thr.bal_thr
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
-    q1, q3, q5, qw, qr, qj, q6, qd, qc, qe, qo, qs, qp, qt, q10, q19)
+    q1, q3, q5, qw, qr, qj, q6, qd, qc, qe, qo, qs, qp, qt, q10, q19,
+    q17, q18, q22)
 }

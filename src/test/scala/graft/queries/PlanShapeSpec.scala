@@ -212,6 +212,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Generate explode"), s"no bucket explode:\n$plan")
   }
 
+  test("q17: correlated scalar subquery is decorrelated onto one join key") {
+    val plan = finalPlan("q17_small_qty_revenue")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"brand filter side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q17:\n$plan")
+    // threshold agg + threshold join both key on l_partkey — no extra
+    // shuffle family beyond the partkey one (+1 for the final 1-row agg)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"decorrelation re-shuffled ($exchanges):\n$plan")
+  }
+
+  test("q18: HAVING-IN is an aggregate join reusing l_orderkey; top-k partial") {
+    val plan = finalPlan("q18_large_orders")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 is a full sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"customer dimension not broadcast:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"orderkey shuffle not reused ($exchanges):\n$plan")
+  }
+
+  test("q22: NOT EXISTS is a left-anti equi-join with the date filter pushed") {
+    val plan = finalPlan("q22_dormant_customers")
+    assert(plan.contains("LeftAnti"), s"no anti-join in q22:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
+      s"recent-order date filter not pushed to the orders scan:\n$plan")
+  }
+
   test("e1 sessionization shuffles once on user_id") {
     val plan = executedPlan("e1_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size

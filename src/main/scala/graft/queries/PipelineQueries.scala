@@ -284,6 +284,28 @@ object PipelineQueries {
          |             JOIN sizes sb ON doc_b = sb.doc_id
          |  WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.4)""".stripMargin
 
+  /** Cluster-assignment CTE chain shared by d9/d11: the pair graph's
+    * transitive closure (DuckDB-side mirror of the min-label/union-find
+    * clustering) ending in `asg(doc_id, cluster_id)` over the full
+    * corpus. Callers must open with `WITH RECURSIVE`. */
+  private val clusterSqlCtes =
+    s"""$minhashSqlCtes,
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lbl AS (
+       |  SELECT a AS doc_id, LEAST(MIN(b), a) AS cluster_id
+       |  FROM reach GROUP BY a),
+       |asg AS (
+       |  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |    CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)""".stripMargin
+
   /** d3 and d6 are two readers of ONE pair table: at production scale
     * the pairs are materialized to parquet once and both the pair
     * report and the keep-list derive from the stored table — running
@@ -1204,9 +1226,10 @@ object PipelineQueries {
       .map(n => n -> find(n))
   }
 
-  private val d9 = QueryDef(
-    "d9_dup_clusters",
-    (s, dir) => {
+  /** Full-corpus (doc_id, cluster_id) assignment off the shared LSH pair
+    * graph — the cluster half of [[d9]], reused by d11's quality keeper. */
+  private def clusterAssignments(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       val pairs = minhashPairsShared(s, dir)
       val edges = pairs.select(col("doc_a").cast("long").as("a"),
         col("doc_b").cast("long").as("b"))
@@ -1251,11 +1274,17 @@ object PipelineQueries {
       // local-path clusters are a LocalRelation (auto-broadcast); the
       // distributed path's label table is node-sized and must be free to
       // shuffle-join, so no forced broadcast here
-      val assigned = docs(s, dir)
+      docs(s, dir)
         .select(col("doc_id").cast("long").as("doc_id"))
         .join(clusters, Seq("doc_id"), "left")
         .withColumn("cluster_id",
           coalesce(col("cluster_id"), col("doc_id")).cast("long"))
+  }
+
+  private val d9 = QueryDef(
+    "d9_dup_clusters",
+    (s, dir) => {
+      val assigned = clusterAssignments(s, dir)
       val sizes = assigned.groupBy("cluster_id")
         .agg(count(lit(1)).as("cluster_size"))
       assigned.join(sizes, "cluster_id")
@@ -1264,22 +1293,7 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
     Some(
-      s"""WITH RECURSIVE $minhashSqlCtes,
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pairs
-         |  UNION
-         |  SELECT doc_b AS a, doc_a AS b FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         |lbl AS (
-         |  SELECT a AS doc_id, LEAST(MIN(b), a) AS cluster_id
-         |  FROM reach GROUP BY a),
-         |asg AS (
-         |  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-         |    CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
-         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+      s"""WITH RECURSIVE $clusterSqlCtes,
          |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
          |       FROM asg GROUP BY cluster_id)
          |SELECT a.doc_id, a.cluster_id, s.cluster_size,
@@ -1956,8 +1970,92 @@ object PipelineQueries {
         |  token, tf, df, CAST(score AS BIGINT) AS score
         |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
 
+  // D11 — QUALITY-AWARE KEEPER: d9 keeps the minimum doc_id per dup
+  // cluster; production pipelines keep the BEST document (longest /
+  // highest-quality — n_chars is the stand-in signal here, the same
+  // join shape takes x8's classifier score). Decorrelated argmax in two
+  // cluster_id-keyed aggregates (max length, then min doc_id among the
+  // tied best — a portable total order both engines compute exactly,
+  // where a float score tie-break could hash-diverge), so every step
+  // reuses one cluster_id shuffle family and per-cluster state is two
+  // scalars — no per-cluster sort, no collect.
+  private val d11 = QueryDef(
+    "d11_quality_keeper",
+    (s, dir) => {
+      val assigned = clusterAssignments(s, dir)
+        .join(docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+          col("n_chars").cast("long").as("n_chars")), "doc_id")
+      val best = assigned.groupBy("cluster_id")
+        .agg(max("n_chars").as("best_chars"))
+      val keepers = assigned.join(best, "cluster_id")
+        .filter(col("n_chars") === col("best_chars"))
+        .groupBy("cluster_id").agg(min("doc_id").as("keeper_id"))
+      assigned.join(keepers, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+          (col("doc_id") === col("keeper_id")).cast("long").as("is_keeper"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH RECURSIVE $clusterSqlCtes,
+         |withc AS (
+         |  SELECT a.doc_id, a.cluster_id, CAST(d.n_chars AS BIGINT) AS n_chars
+         |  FROM asg a JOIN documents d ON d.doc_id = a.doc_id),
+         |best AS (SELECT cluster_id, MAX(n_chars) AS best_chars
+         |         FROM withc GROUP BY cluster_id),
+         |keep AS (SELECT w.cluster_id, MIN(w.doc_id) AS keeper_id
+         |         FROM withc w JOIN best b ON w.cluster_id = b.cluster_id
+         |           AND w.n_chars = b.best_chars
+         |         GROUP BY w.cluster_id)
+         |SELECT w.doc_id, w.cluster_id, w.n_chars,
+         |  CAST(CASE WHEN w.doc_id = k.keeper_id THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_keeper
+         |FROM withc w JOIN keep k USING (cluster_id)
+         |ORDER BY w.doc_id""".stripMargin))
+
+  // X11 — INVERTED INDEX build: token → (df, first-20 posting list) —
+  // the retrieval-side artifact (BM25 index, contamination lookup)
+  // pipelines build next to the vocabulary (x7). The scale hazard is
+  // stopword tokens whose posting set is corpus-sized: an unbounded
+  // `collect_set` per token pins data-sized state in one aggregation
+  // buffer, so instead the distinct (token, doc) pairs flow through a
+  // token-partitioned row_number window that keeps only the first 20
+  // postings BEFORE any list materializes — bounded state per token —
+  // while exact df comes from a count on the SAME token partitioning
+  // (AQE reuses the exchange). Production shards hot tokens further by
+  // (token, doc_id div N); the layout extends without rework.
+  private val x11 = QueryDef(
+    "x11_inverted_index",
+    (s, dir) => {
+      val pairs = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          explode(expr(tokensExpr)).as("token"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("token").orderBy("doc_id")
+      val dfs = pairs.groupBy("token").agg(count(lit(1)).as("df"))
+      val postings = pairs
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .groupBy("token")
+        .agg(expr("array_join(transform(array_sort(collect_list(doc_id))," +
+          " x -> cast(x as string)), ',')").as("postings"))
+      dfs.join(postings, "token")
+        .select(col("token"), col("df"), col("postings"))
+        .orderBy("token")
+    },
+    Some(
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |    FROM documents))
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+        |  array_to_string((list(CAST(doc_id AS BIGINT) ORDER BY doc_id))[1:20],
+        |    ',') AS postings
+        |FROM tok GROUP BY token ORDER BY token""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
-    d1, d2, d3, d4, d5, d6, d9, d10, sim1, sim2, sim3,
-    x1, x2, x3, x4, x5, x6, x7, x8, x9, x10,
+    d1, d2, d3, d4, d5, d6, d9, d10, d11, sim1, sim2, sim3,
+    x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11,
     m1, m2, m3, e1, e2, e5, p1, p2, p3, p4, p5, p6, p7, p8)
 }

@@ -240,6 +240,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"recent-order date filter not pushed to the orders scan:\n$plan")
   }
 
+  test("x11: posting cap is pushed into the window (bounded per-token state)") {
+    val plan = finalPlan("x11_inverted_index")
+    // Spark's WindowGroupLimit rewrites rn <= 20 into a per-group limit
+    // BEFORE the window materializes — the thing that keeps stopword
+    // state bounded; if this ever disappears the collect is data-sized
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed into the window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in x11:\n$plan")
+  }
+
+  test("d11: keeper argmax reuses the cluster_id partitioning") {
+    val plan = finalPlan("d11_quality_keeper")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in d11:\n$plan")
+    assert(!plan.contains("Window ["), s"per-cluster sort window in d11:\n$plan")
+  }
+
   test("e1 sessionization shuffles once on user_id") {
     val plan = executedPlan("e1_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size

@@ -442,6 +442,46 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(perUser.count(_._2 >= 3).toLong == e5("3_purchase_after_view"))
   }
 
+  // ------------------------------------------------------------- d11
+
+  test("d11: keeper is the longest doc per d9 cluster, min doc_id on ties") {
+    val d9 = Catalog.byName("d9_dup_clusters").fn(spark, sfDir)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Catalog.byName("d11_quality_keeper").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == d9.size, "d11 must cover the full corpus")
+    rows.foreach { case (doc, cl, _, _) =>
+      assert(d9(doc) == cl, s"doc $doc cluster moved: ${d9(doc)} vs $cl") }
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      val keepers = members.filter(_._4 == 1L)
+      assert(keepers.length == 1, s"cluster $cl has ${keepers.length} keepers")
+      val best = members.map(_._3).max
+      val expected = members.filter(_._3 == best).map(_._1).min
+      assert(keepers.head._1 == expected,
+        s"cluster $cl kept ${keepers.head._1}, expected $expected")
+    }
+  }
+
+  // ------------------------------------------------------------- x11
+
+  test("x11: exact df and first-20 sorted postings vs a local rebuild") {
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty).distinct
+        .map(_ -> r.getLong(0)))
+      .groupBy(_._1).view
+      .mapValues(ps => ps.map(_._2).sorted).toMap
+    val rows = Catalog.byName("x11_inverted_index").fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.map(_._1).toSet == expected.keySet)
+    rows.foreach { case (tok, df, postings) =>
+      val exp = expected(tok)
+      assert(df == exp.length.toLong, s"$tok df $df != ${exp.length}")
+      assert(postings == exp.take(20).mkString(","), s"$tok postings wrong")
+    }
+  }
+
   // ------------------------------------------------------------- e7
 
   test("e7: stream-stream join emits exactly the batch interval join") {

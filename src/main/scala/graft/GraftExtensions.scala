@@ -48,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => RepetitionStats(c.head))
     inject(ext, "bloom_contains", 2, classOf[BloomContains],
       c => BloomContains(c.head, c(1)))
+    // band joins without an equi key (naive |ts_a - ts_b| <= C predicates,
+    // incl. via spark.sql) become bucketed equi-joins instead of
+    // cartesian products — see graft.plans.BandJoinRewrite
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }

@@ -135,5 +135,37 @@ object JoinQueries {
         |  AND a.user_id < b.user_id
         |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(j1, j2)
+  // J3 — the AUTO-rewritten band join: the same class of query as j2 but
+  // written the way a user naturally writes it — `abs(ts_a - ts_b) <= 5 s`
+  // with NO hand-built buckets and no equi key (cross-type, cross-user
+  // co-occurrence per day). Catalyst alone plans this as a
+  // BroadcastNestedLoopJoin — O(n²) compare; [[graft.plans.BandJoinRewrite]]
+  // (injected via GraftExtensions) rewrites it into the bucketed
+  // equi-join automatically, so THIS entry gates the optimizer rule
+  // end-to-end: DuckDB computes the naive semantics, Spark executes the
+  // rewritten plan, and the hashes must agree. PlanShapeSpec pins that
+  // the executed plan is the rewrite, not the nested loop.
+  private val j3 = QueryDef(
+    "j3_cooccur_auto",
+    (s, dir) => {
+      val e = Records.table(s, dir, "events")
+        .select(unix_micros(col("ts")).as("us"), col("user_id"))
+      val aSide = e.select(col("us").as("aus"), col("user_id").as("auser"))
+      val bSide = e.select(col("us").as("bus"), col("user_id").as("buser"))
+      aSide.join(bSide,
+          abs(col("aus") - col("bus")) <= 5000000L &&
+            col("auser") < col("buser"))
+        .groupBy(expr("aus div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("day")
+    },
+    Some(
+      """WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events)
+        |SELECT CAST(a.us // 86400000000 AS BIGINT) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM e a JOIN e b ON abs(a.us - b.us) <= 5000000
+        |  AND a.user_id < b.user_id
+        |GROUP BY day ORDER BY day""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(j1, j2, j3)
 }

@@ -256,6 +256,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window ["), s"per-cluster sort window in d11:\n$plan")
   }
 
+  test("j3: naive band predicate executes as the auto-rewritten equi-join") {
+    val plan = finalPlan("j3_cooccur_auto")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"BandJoinRewrite did not fire:\n$plan")
+    assert(plan.contains("__graft_band"),
+      s"rewrite markers missing from the executed plan:\n$plan")
+  }
+
   test("e1 sessionization shuffles once on user_id") {
     val plan = executedPlan("e1_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size

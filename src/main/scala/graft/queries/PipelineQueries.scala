@@ -2054,8 +2054,67 @@ object PipelineQueries {
         |    ',') AS postings
         |FROM tok GROUP BY token ORDER BY token""".stripMargin))
 
+  // X12 — KMV DISTINCT-COUNT SKETCH: per-language shingle cardinality
+  // estimated from the k = 64 smallest distinct 60-bit hashes
+  // (est = (k−1)·2^60 / h_k, the classic bottom-k estimator; exact
+  // count when a group has < k hashes). Unlike HLL/approx_count_distinct
+  // — whose register layouts differ per engine and can never hash-gate —
+  // KMV over a SHARED deterministic hash is exactly reproducible, so
+  // the sketch itself sits under the DuckDB oracle: both engines pick
+  // the same k-th smallest hash and the same IEEE-double estimate
+  // (63·2^60 is exactly representable; one rounding in the divide).
+  // The k-smallest selection rides the same WindowGroupLimit shape as
+  // x11 (bounded per-group state); at 100 TB the upgrade path is a
+  // partial-aggregate bottom-k (per-partition k-minima, exact merge —
+  // same result, no full distinct), which the layout admits without
+  // changing the estimator.
+  private val x12 = QueryDef(
+    "x12_kmv_distinct",
+    (s, dir) => {
+      val hs = docs(s, dir)
+        .select(col("lang"), explode(expr("word_ngrams(text, 3)")).as("w"))
+        .select(col("lang"), md5Long(col("w")).as("h"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("h")
+      val kth = hs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 64)
+        .select(col("lang"), col("h").as("h_k"))
+      hs.groupBy("lang").agg(count(lit(1)).as("exact"))
+        .join(kth, Seq("lang"), "left")
+        .select(col("lang"), col("exact"),
+          when(col("h_k").isNull, col("exact"))
+            .otherwise(floor(lit(63.0) * lit(1152921504606846976.0) / col("h_k")))
+            .cast("long").as("kmv_est"))
+        .withColumn("err",
+          round(abs(col("kmv_est") - col("exact")).cast("double") / col("exact"), 4))
+        .orderBy("lang")
+    },
+    Some(
+      s"""WITH $shingledSql,
+         |hs AS (
+         |  SELECT DISTINCT d.lang,
+         |    ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(ws) AS w FROM shf) sw
+         |  JOIN documents d USING (doc_id)),
+         |stats AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS exact
+         |          FROM hs GROUP BY lang),
+         |kth AS (SELECT lang, h AS h_k FROM (
+         |    SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h)
+         |      AS rn FROM hs)
+         |  WHERE rn = 64)
+         |SELECT s.lang, s.exact,
+         |  CAST(CASE WHEN k.h_k IS NULL THEN s.exact
+         |       ELSE FLOOR(63.0 * 1152921504606846976.0 / k.h_k) END AS BIGINT)
+         |    AS kmv_est,
+         |  ROUND(CAST(ABS(CAST(CASE WHEN k.h_k IS NULL THEN s.exact
+         |       ELSE FLOOR(63.0 * 1152921504606846976.0 / k.h_k) END AS BIGINT)
+         |       - s.exact) AS DOUBLE) / s.exact, 4) AS err
+         |FROM stats s LEFT JOIN kth k USING (lang)
+         |ORDER BY s.lang""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, sim1, sim2, sim3,
-    x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11,
+    x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12,
     m1, m2, m3, e1, e2, e5, p1, p2, p3, p4, p5, p6, p7, p8)
 }

@@ -265,6 +265,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rewrite markers missing from the executed plan:\n$plan")
   }
 
+  test("x12: bottom-k selection is a WindowGroupLimit, not a full sort") {
+    val plan = finalPlan("x12_kmv_distinct")
+    assert(plan.contains("WindowGroupLimit"),
+      s"k-th smallest not bounded per group:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in x12:\n$plan")
+  }
+
   test("e1 sessionization shuffles once on user_id") {
     val plan = executedPlan("e1_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size

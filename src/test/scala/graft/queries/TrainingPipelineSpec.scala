@@ -482,6 +482,39 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- x12
+
+  test("x12: estimator matches a local bottom-k recompute; small groups exact") {
+    import org.apache.spark.sql.functions._
+    val got = Catalog.byName("x12_kmv_distinct").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // independent recompute of the k-th smallest hash per lang
+    val hashes = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("lang"), explode(expr("word_ngrams(text, 3)")).as("w"))
+      .select(col("lang"),
+        expr("cast(conv(substring(md5(w), 1, 15), 16, 10) as long)").as("h"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted)
+    hashes.foreach { case (lang, hs) =>
+      val (exact, est) = got(lang)
+      assert(exact == hs.length.toLong, s"$lang exact")
+      val expected =
+        if (hs.length < 64) hs.length.toLong
+        else math.floor(63.0 * 1152921504606846976.0 / hs(63)).toLong
+      assert(est == expected, s"$lang est $est != $expected")
+    }
+    // a corpus whose groups are all smaller than k takes the exact path
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_x12_").toString
+    Seq((1L, "a b c d e", "xx", "s", 9L), (2L, "c d e f g", "xx", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val small = Catalog.byName("x12_kmv_distinct").fn(spark, dir).collect()
+    assert(small.length == 1 && small.head.getLong(1) == small.head.getLong(2),
+      "sub-k group must report exact == est")
+    assert(small.head.getDouble(3) == 0.0)
+  }
+
   // ------------------------------------------------------------- e7
 
   test("e7: stream-stream join emits exactly the batch interval join") {

@@ -49,27 +49,13 @@ object JoinQueries {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), unix_micros(col("ts")).as("us"),
           col("event_id"))
-      val unioned = views
-        .select(col("user_id"), col("us"), lit(0).as("side"),
-          lit(null).cast("long").as("event_id"),
-          struct(col("us").as("vus"), col("view_id"), col("view_value"))
-            .as("v"))
-        .unionByName(purchases
-          .select(col("user_id"), col("us"), lit(1).as("side"),
-            col("event_id"),
-            lit(null).cast("struct<vus:bigint,view_id:bigint,view_value:double>")
-              .as("v")))
-      val w = Window.partitionBy("user_id").orderBy("us", "side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      unioned
-        .withColumn("asof", last(when(col("side") === 0, col("v")),
-          ignoreNulls = true).over(w))
-        .filter(col("side") === 1 && col("asof").isNotNull)
+      graft.operators.TemporalJoins
+        .asofJoin(purchases, views, Seq("user_id"), "us")
         .select(col("user_id").cast("long").as("user_id"),
           col("event_id").cast("long").as("event_id"),
-          col("asof.view_id").cast("long").as("view_id"),
-          expr("(us - asof.vus) div 1000000").as("lag_s"),
-          round(col("asof.view_value"), 2).as("view_value"))
+          col("view_id").cast("long").as("view_id"),
+          expr("(us - us_asof) div 1000000").as("lag_s"),
+          round(col("view_value"), 2).as("view_value"))
         .orderBy("event_id")
     },
     Some(

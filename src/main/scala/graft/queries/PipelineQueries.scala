@@ -2113,8 +2113,46 @@ object PipelineQueries {
          |FROM stats s LEFT JOIN kth k USING (lang)
          |ORDER BY s.lang""".stripMargin))
 
+  // P9 — MIXTURE WEIGHTS: the data-mixing stage that sits between
+  // per-source curation and training — given per-source token masses and
+  // an equal-share target mix, emit each source's sampling weight
+  // (min(1, share/tokens): downsample what's over-represented) and its
+  // implied epoch count (share/tokens unclamped: >1 means the mix
+  // upsamples that source by repetition). One corpus aggregation + a
+  // 1-row broadcast total — the p1 shape; the decision table this emits
+  // is what p1-style samplers consume as their thresholds. Divisions are
+  // written identically on both engines (long/long → IEEE double,
+  // left-to-right), so the gate hashes the doubles exactly.
+  private val p9 = QueryDef(
+    "p9_mixture_weights",
+    (s, dir) => {
+      val per = docs(s, dir)
+        .select(col("source"), expr(s"size($tokensExpr)").cast("long").as("ntok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tokens"))
+      val tot = per.agg(sum("tokens").as("tt"), count(lit(1)).as("ns"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          round(least(lit(1.0), col("tt") / col("ns") / col("tokens")), 4)
+            .as("weight"),
+          round(col("tt") / col("ns") / col("tokens"), 4).as("epochs"))
+        .orderBy("source")
+    },
+    Some(
+      """WITH per AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> '')))
+        |         AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt,
+        |               CAST(COUNT(*) AS BIGINT) AS ns FROM per)
+        |SELECT source, n_docs, tokens,
+        |  ROUND(LEAST(1.0, CAST(tt AS DOUBLE) / ns / tokens), 4) AS weight,
+        |  ROUND(CAST(tt AS DOUBLE) / ns / tokens, 4) AS epochs
+        |FROM per, tot ORDER BY source""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, sim1, sim2, sim3,
     x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12,
-    m1, m2, m3, e1, e2, e5, p1, p2, p3, p4, p5, p6, p7, p8)
+    m1, m2, m3, e1, e2, e5, p1, p2, p3, p4, p5, p6, p7, p8, p9)
 }

@@ -482,6 +482,25 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- p9
+
+  test("p9: weights clamp epochs at 1 and equalize the expected mix") {
+    val rows = Catalog.byName("p9_mixture_weights").fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val share = rows.map(_._2).sum.toDouble / rows.length
+    rows.foreach { case (src, tokens, weight, epochs) =>
+      assert(weight == math.min(1.0, epochs), s"$src weight/epochs disagree")
+      // expected post-mix token mass ~= the equal share for every
+      // over-represented source (weight < 1); 4-decimal rounding slack
+      if (weight < 1.0)
+        assert(math.abs(weight * tokens - share) / share < 1e-3,
+          s"$src mix not equalized: ${weight * tokens} vs $share")
+      else assert(tokens <= share * (1 + 1e-3), s"$src clamped but over share")
+    }
+  }
+
   // ------------------------------------------------------------- x12
 
   test("x12: estimator matches a local bottom-k recompute; small groups exact") {

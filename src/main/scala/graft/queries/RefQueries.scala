@@ -722,7 +722,58 @@ object RefQueries {
         |FROM (SELECT topic FROM serving INTERSECT SELECT topic FROM deleted)
         |ORDER BY status, topic""".stripMargin)))
 
+  // A8 — RATE ANOMALY detection: hourly event counts per type, z-scored
+  // against that type's own distribution, flagging |z| >= 2.5 hours —
+  // the statistical upgrade of A2's "no progress" rule (zero is just the
+  // extreme anomaly). Determinism is engineered for the hash gate: the
+  // moments are EXACT integer sums (count, Σn, Σn² over bigint hourly
+  // counts — no float accumulation order to diverge), and mean/variance
+  // are derived from those exact integers with an identical
+  // left-to-right double formula on both engines. Scale shape: one
+  // map-side-combinable (type, hour) count, one tiny per-type moment
+  // aggregate broadcast back — the raw stream is touched once.
+  private val a8 = QueryDef(
+    "a8_rate_anomaly",
+    (s, dir) => {
+      val hourly = Records.table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("n").as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+      hourly.join(broadcast(stats), "event_type")
+        .withColumn("mean", col("s1").cast("double") / col("cnt"))
+        .withColumn("sd", sqrt(
+          (col("s2").cast("double") - col("s1").cast("double") * col("s1") /
+            col("cnt")) / (col("cnt") - 1)))
+        .withColumn("z", round((col("n") - col("mean")) / col("sd"), 4))
+        .filter(abs(col("z")) >= 2.5)
+        .select(col("event_type"), col("hour"), col("n"),
+          round(col("mean"), 4).as("mean"), col("z"))
+        .orderBy("event_type", "hour")
+    },
+    Some(
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(n) AS BIGINT) AS s1, CAST(SUM(n * n) AS BIGINT) AS s2
+        |  FROM hourly GROUP BY 1)
+        |SELECT h.event_type, CAST(h.hour AS BIGINT) AS hour, h.n,
+        |  ROUND(CAST(s1 AS DOUBLE) / cnt, 4) AS mean,
+        |  ROUND((h.n - CAST(s1 AS DOUBLE) / cnt) /
+        |    SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / cnt)
+        |         / (cnt - 1)), 4) AS z
+        |FROM hourly h JOIN stats USING (event_type)
+        |WHERE ABS(ROUND((h.n - CAST(s1 AS DOUBLE) / cnt) /
+        |    SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / cnt)
+        |         / (cnt - 1)), 4)) >= 2.5
+        |ORDER BY h.event_type, h.hour""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     t1, t2, t3, t5, s4, s5, s7, f2, f3, f4, f5, f6,
-    a1, a2, a3, a3b, a3c, a4, a5, a6, a6b, a7, o1, o2, v1, b1, b2)
+    a1, a2, a3, a3b, a3c, a4, a5, a6, a6b, a7, a8, o1, o2, v1, b1, b2)
 }

@@ -2151,8 +2151,57 @@ object PipelineQueries {
         |  ROUND(CAST(tt AS DOUBLE) / ns / tokens, 4) AS epochs
         |FROM per, tot ORDER BY source""".stripMargin))
 
+  // X13 — the PRODUCTION form of x12's KMV sketch: per-source shingle
+  // cardinality through the custom `bottom_k_distinct` Catalyst
+  // aggregate ([[graft.functions.BottomKDistinct]]) instead of
+  // distinct + window. The window form materializes every distinct hash
+  // per group before WindowGroupLimit trims; the TypedImperativeAggregate
+  // keeps a k-capped set on the MAP side, ships exactly k longs per
+  // group across the shuffle, and merges partials exactly (bottom-k is
+  // a semilattice) — O(k) state per group end-to-end, no distinct pass,
+  // no window. The DuckDB oracle recomputes the same k minima
+  // relationally, so the gate proves the custom aggregate's
+  // update/serialize/merge path against an independent engine. Sketch
+  // estimate only (no exact column — the whole point is never touching
+  // the full distinct set); x12 keeps the exact-vs-estimate comparison.
+  private val x13 = QueryDef(
+    "x13_kmv_bottomk",
+    (s, dir) => {
+      docs(s, dir)
+        .select(col("source"), explode(expr("word_ngrams(text, 3)")).as("w"))
+        .select(col("source"), md5Long(col("w")).as("h"))
+        .groupBy("source")
+        .agg(expr("bottom_k_distinct(h, 64)").as("ks"))
+        .select(col("source"), size(col("ks")).cast("long").as("sketch_size"),
+          when(size(col("ks")) < 64, size(col("ks")).cast("long"))
+            .otherwise(floor(lit(63.0) * lit(1152921504606846976.0) /
+              element_at(col("ks"), 64)))
+            .cast("long").as("kmv_est"))
+        .orderBy("source")
+    },
+    Some(
+      s"""WITH $shingledSql,
+         |hs AS (
+         |  SELECT DISTINCT d.source,
+         |    ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(ws) AS w FROM shf) sw
+         |  JOIN documents d USING (doc_id)),
+         |ranked AS (
+         |  SELECT source, h,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM hs),
+         |sz AS (SELECT source, CAST(LEAST(COUNT(*), 64) AS BIGINT)
+         |         AS sketch_size FROM hs GROUP BY source),
+         |kth AS (SELECT source, h AS h_k FROM ranked WHERE rn = 64)
+         |SELECT s.source, s.sketch_size,
+         |  CAST(CASE WHEN k.h_k IS NULL THEN s.sketch_size
+         |       ELSE FLOOR(63.0 * 1152921504606846976.0 / k.h_k) END AS BIGINT)
+         |    AS kmv_est
+         |FROM sz s LEFT JOIN kth k USING (source)
+         |ORDER BY s.source""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, sim1, sim2, sim3,
-    x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12,
+    x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13,
     m1, m2, m3, e1, e2, e5, p1, p2, p3, p4, p5, p6, p7, p8, p9)
 }

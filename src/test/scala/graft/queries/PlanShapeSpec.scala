@@ -272,6 +272,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in x12:\n$plan")
   }
 
+  test("x13: bottom-k aggregate runs with a map-side partial") {
+    val plan = finalPlan("x13_kmv_bottomk")
+    // the custom TypedImperativeAggregate must combine map-side
+    // (partial_bottom_k_distinct before the exchange) — the O(k)-per-
+    // group-on-the-wire property the operator exists for
+    assert(plan.contains("partial_bottom_k_distinct"),
+      s"no map-side partial for bottom_k_distinct:\n$plan")
+    assert(!plan.contains("Window ["), s"window in the aggregate form:\n$plan")
+  }
+
   test("e1 sessionization shuffles once on user_id") {
     val plan = executedPlan("e1_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size

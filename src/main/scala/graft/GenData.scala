@@ -109,6 +109,112 @@ object GenData {
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
+  // ---- relational star schema (q-family scale evidence) -------------
+  // Distribution-matched to the sf0.1 driver fixture (measured): row
+  // counts scale linearly with the multiplier, key spaces stay
+  // referentially closed (custkey/partkey/suppkey hashes land inside
+  // the scaled dimension tables), value ranges mirror the originals.
+  // Ship/order dates are INDEPENDENT uniforms over the same span, as in
+  // the fixture. Used only for scale benching — correctness always runs
+  // on driver data.
+
+  def nation(spark: SparkSession): DataFrame =
+    spark.range(25).toDF("n_nationkey")
+      .withColumn("n_name", concat(lit("NATION_"), col("n_nationkey")))
+      .withColumn("n_regionkey", expr("int(pmod(n_nationkey, 5))"))
+      .select(expr("int(n_nationkey)").as("n_nationkey"), col("n_name"),
+        col("n_regionkey"))
+
+  def region(spark: SparkSession): DataFrame =
+    spark.range(5).toDF("r_regionkey")
+      .withColumn("r_name", concat(lit("REGION_"), col("r_regionkey")))
+      .select(expr("int(r_regionkey)").as("r_regionkey"), col("r_name"))
+
+  def supplier(spark: SparkSession, rows: Long): DataFrame =
+    spark.range(rows).toDF("s_suppkey")
+      .withColumn("s_name", expr("concat('Supplier#', lpad(s_suppkey, 9, '0'))"))
+      .withColumn("s_nationkey", expr("int(pmod(xxhash64(s_suppkey, 31L), 25))"))
+      .withColumn("s_acctbal",
+        expr(s"round(${u("s_suppkey", "37L")} * 11000.0D - 1000.0D, 2)"))
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+  def customer(spark: SparkSession, rows: Long): DataFrame =
+    spark.range(rows).toDF("c_custkey")
+      .withColumn("c_name", expr("concat('Customer#', lpad(c_custkey, 9, '0'))"))
+      .withColumn("c_nationkey", expr("int(pmod(xxhash64(c_custkey, 41L), 25))"))
+      .withColumn("c_acctbal",
+        expr(s"round(${u("c_custkey", "43L")} * 11000.0D - 1000.0D, 2)"))
+      .withColumn("c_mktsegment", expr(
+        "element_at(array('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD'," +
+          "'MACHINERY'), int(pmod(xxhash64(c_custkey, 47L), 5)) + 1)"))
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+  def part(spark: SparkSession, rows: Long): DataFrame =
+    spark.range(rows).toDF("p_partkey")
+      .withColumn("p_name", expr(
+        "concat(element_at(array('large','hot','blue','dark','small','shiny'," +
+          "'plain','round'), int(pmod(xxhash64(p_partkey, 53L), 8)) + 1), ' ', " +
+          "element_at(array('ring','bolt','screw','washer','nut','plate'," +
+          "'wheel','rod'), int(pmod(xxhash64(p_partkey, 59L), 8)) + 1))"))
+      .withColumn("p_brand",
+        expr("concat('Brand#', pmod(xxhash64(p_partkey, 61L), 25) + 1)"))
+      .withColumn("p_type", expr(
+        "element_at(array('LARGE','ECONOMY','SMALL','STANDARD','PROMO'," +
+          "'MEDIUM'), int(pmod(xxhash64(p_partkey, 67L), 6)) + 1)"))
+      .withColumn("p_size", expr("int(pmod(xxhash64(p_partkey, 71L), 50)) + 1"))
+      .withColumn("p_retailprice", expr("round(900.0D + p_partkey * 0.1D, 2)"))
+      .select("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+
+  private val OrderStartMs = java.time.Instant.parse("1995-01-01T00:00:00Z")
+    .getEpochSecond * 1000L
+  private val OrderSpanMs = java.time.Instant.parse("2001-08-01T00:00:00Z")
+    .getEpochSecond * 1000L - OrderStartMs
+
+  def orders(spark: SparkSession, rows: Long, customers: Long): DataFrame =
+    spark.range(rows).toDF("o_orderkey")
+      .repartition(spark.sparkContext.defaultParallelism, col("o_orderkey"))
+      .withColumn("o_custkey", expr(s"pmod(xxhash64(o_orderkey, 73L), $customers)"))
+      .withColumn("o_orderstatus", expr(
+        "element_at(array('O','P','F'), int(pmod(xxhash64(o_orderkey, 79L), 3)) + 1)"))
+      .withColumn("o_totalprice",
+        expr(s"round(1000.0D + ${u("o_orderkey", "83L")} * 499000.0D, 2)"))
+      .withColumn("o_orderdate", expr(
+        s"timestamp_millis($OrderStartMs + cast(${u("o_orderkey", "89L")} " +
+          s"* $OrderSpanMs as long))"))
+      .withColumn("o_orderpriority", expr(
+        "element_at(array('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED'," +
+          "'5-LOW'), int(pmod(xxhash64(o_orderkey, 97L), 5)) + 1)"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+
+  def lineitem(spark: SparkSession, rows: Long, parts: Long,
+      suppliers: Long): DataFrame =
+    spark.range(rows).toDF("id")
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
+      .withColumn("l_orderkey", expr("id div 4"))
+      .withColumn("l_linenumber", expr("int(pmod(id, 4)) + 1"))
+      .withColumn("l_partkey", expr(s"pmod(xxhash64(id, 101L), $parts)"))
+      .withColumn("l_suppkey", expr(s"pmod(xxhash64(id, 103L), $suppliers)"))
+      .withColumn("l_quantity",
+        expr("cast(int(pmod(xxhash64(id, 107L), 50)) + 1 as double)"))
+      .withColumn("l_extendedprice",
+        expr(s"round(900.0D + ${u("id", "109L")} * 104100.0D, 2)"))
+      .withColumn("l_discount",
+        expr("cast(int(pmod(xxhash64(id, 113L), 11)) as double) / 100.0D"))
+      .withColumn("l_tax",
+        expr("cast(int(pmod(xxhash64(id, 127L), 9)) as double) / 100.0D"))
+      .withColumn("l_returnflag", expr(
+        "element_at(array('R','A','N'), int(pmod(xxhash64(id, 131L), 3)) + 1)"))
+      .withColumn("l_linestatus", expr(
+        "element_at(array('O','F'), int(pmod(xxhash64(id, 137L), 2)) + 1)"))
+      .withColumn("l_shipdate", expr(
+        s"timestamp_millis($OrderStartMs + cast(${u("id", "139L")} " +
+          s"* $OrderSpanMs as long))"))
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/sf1")
     val mult = args.lift(1).map(_.toLong).getOrElse(10L)
@@ -137,6 +243,21 @@ object GenData {
     writeOne(documents(spark, 5000L * mult), "documents", "doc_id")
     writeOne(embeddings(spark, 2000L * mult), "embeddings", "vec_id")
     writeOne(events(spark, 100000L * mult, 1500L * mult), "events", "event_id")
+    // relational tables need no single-file layout (nothing streams
+    // them) — a plain distributed write into <table>.parquet/ keeps
+    // generation and scans parallel at any multiplier
+    def writeMany(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[gendata] wrote $outDir/$name.parquet")
+    }
+    writeMany(nation(spark), "nation")
+    writeMany(region(spark), "region")
+    writeMany(supplier(spark, 1000L * mult), "supplier")
+    writeMany(customer(spark, 15000L * mult), "customer")
+    writeMany(part(spark, 20000L * mult), "part")
+    writeMany(orders(spark, 150000L * mult, 15000L * mult), "orders")
+    writeMany(lineitem(spark, 600000L * mult, 20000L * mult, 1000L * mult),
+      "lineitem")
     spark.stop()
   }
 }

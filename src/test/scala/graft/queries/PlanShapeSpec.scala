@@ -282,6 +282,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window ["), s"window in the aggregate form:\n$plan")
   }
 
+  test("q_percentiles: exact quantiles run sort-based, not value-buffering") {
+    val plan = finalPlan("q_percentiles")
+    // the percentile AGGREGATE buffers every group value (O(rows/group)
+    // state — an OOM at 100 TB); the sort+rank form must stay
+    assert(!plan.contains("percentile("),
+      s"value-buffering percentile aggregate returned:\n$plan")
+    assert(plan.contains("row_number") || plan.contains("Window ["),
+      s"no sort+rank structure:\n$plan")
+  }
+
   test("e1 sessionization shuffles once on user_id") {
     val plan = executedPlan("e1_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size

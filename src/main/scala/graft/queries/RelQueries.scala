@@ -213,6 +213,16 @@ object RelQueries {
   private val qd = QueryDef(
     "q_distinct_agg",
     (s, dir) => {
+      // Multi-column countDistinct plans an Expand that triples the
+      // join output through the first-level hash aggregate. That is the
+      // RIGHT plan here, verified empirically at 100x (60M lines):
+      // Expand 15.4 s vs 16.2 s for the decomposed three-scans-plus-join
+      // alternative — the Expand's extra CPU is cheaper than re-scanning
+      // lineitem per distinct column, and its state is bounded by
+      // distinct (brand, key) combos, not rows, so it is not a memory
+      // hazard (unlike the percentile case above). The p8 lesson
+      // ("two-level beats countDistinct") applies when the Expand input
+      // is itself explode-inflated — not when it is a raw scan.
       val li = Records.table(s, dir, "lineitem")
       val part = Records.table(s, dir, "part")
       li.join(broadcast(part), col("l_partkey") === col("p_partkey"))

@@ -2200,8 +2200,41 @@ object PipelineQueries {
          |FROM sz s LEFT JOIN kth k USING (source)
          |ORDER BY s.source""".stripMargin))
 
+  // P10 — WEIGHTED PRIORITY SAMPLE (Duffield/Lund/Thorup): keep the K
+  // documents with the smallest priority u/w — longer (higher-weight)
+  // docs are proportionally likelier to survive, the weighted subsample
+  // every curation pipeline draws when it can't keep the whole corpus.
+  // Determinism is engineered like p1: u is a salted 32-bit md5 hash of
+  // the doc id, and the priority is the EXACT integer floor(u·2^20 / w)
+  // (products stay under 2^52 — no float rounding an engine could
+  // disagree on), tie-broken by doc_id. The scale path is the same as
+  // every top-k here: orderBy+limit ⇒ TakeOrderedAndProject, a partial
+  // per-partition top-K then a K-sized merge — the corpus is never
+  // globally sorted.
+  private val p10 = QueryDef(
+    "p10_priority_sample",
+    (s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_chars").cast("long").as("w"))
+        .withColumn("u",
+          pmod(md5Long(concat(lit("pri:"), col("doc_id").cast("string"))),
+            lit(4294967296L)))
+        .withColumn("pri", expr("(u * 1048576) div w"))
+        .orderBy(col("pri"), col("doc_id"))
+        .limit(200)
+        .select(col("doc_id"), col("w"), col("pri"))
+    },
+    Some(
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(n_chars AS BIGINT) AS w,
+        |  ((('0x' || substr(md5('pri:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 4294967296) * 1048576) // n_chars AS pri
+        |FROM documents
+        |ORDER BY pri, doc_id LIMIT 200""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, sim1, sim2, sim3,
     x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13,
-    m1, m2, m3, e1, e2, e5, p1, p2, p3, p4, p5, p6, p7, p8, p9)
+    m1, m2, m3, e1, e2, e5, p1, p2, p3, p4, p5, p6, p7, p8, p9, p10)
 }

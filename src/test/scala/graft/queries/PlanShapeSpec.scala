@@ -292,6 +292,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no sort+rank structure:\n$plan")
   }
 
+  test("p10: weighted sample is a partial top-k, never a global sort") {
+    val plan = finalPlan("p10_priority_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"priority sample is a full sort:\n$plan")
+  }
+
   test("e1 sessionization shuffles once on user_id") {
     val plan = executedPlan("e1_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size

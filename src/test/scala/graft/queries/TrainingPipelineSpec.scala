@@ -501,6 +501,31 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- p10
+
+  test("p10: the 200 kept docs are exactly the smallest u/w priorities") {
+    import org.apache.spark.sql.functions._
+    val got = Catalog.byName("p10_priority_sample").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 200)
+    // independent local recompute of every doc's priority
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(concat('pri:', cast(doc_id as string)))," +
+          " 1, 15), 16, 10) as long)").as("h"),
+        col("n_chars"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1) % 4294967296L) * 1048576L / r.getLong(2)))
+    val expected = all.sortBy { case (id, pri) => (pri, id) }.take(200)
+    assert(got.map(r => (r._1, r._3)).toSeq == expected.toSeq)
+    // weighting sanity: kept docs skew long — their mean weight exceeds
+    // the corpus mean (u is uniform, priority divides by w)
+    val meanKept = got.map(_._2).sum.toDouble / got.length
+    val meanAll = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(avg("n_chars")).collect().head.getDouble(0)
+    assert(meanKept > meanAll, s"kept mean $meanKept !> corpus mean $meanAll")
+  }
+
   // ------------------------------------------------------------- x12
 
   test("x12: estimator matches a local bottom-k recompute; small groups exact") {

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, JoinType}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -34,7 +34,9 @@ import org.apache.spark.sql.types._
  * semantic one. Offsets are assumed not to overflow Long (timestamps /
  * offsets, not adversarial extremes).
  *
- * Conservatism: fires only on Inner joins that have NO equi-key conjunct
+ * Conservatism: fires only on Inner (or conditioned Cross, which is
+ * semantically Inner — `crossJoin().filter(band)` arrives that way after
+ * predicate pushdown) joins that have NO equi-key conjunct
  * (the cartesian-bound case — anything with an equi key already hash
  * partitions, and widening those is a cost call this rule doesn't make).
  * After one application the bucket equality IS an equi key, so the rule
@@ -126,7 +128,9 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     if (!conf.getConfString("spark.graft.bandJoinRewrite", "true").toBoolean)
       return plan
     plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), hint)
+      // Cross-with-condition arises when a filter over crossJoin is
+      // pushed into the join; it is semantically Inner, so rewrite both
+      case j @ Join(left, right, Inner | Cross, Some(cond), hint)
           if !hasEquiKey(cond, left, right) =>
         // tightest band per canonical (x, y) pair
         val all = conjuncts(cond).flatMap(bounds(_, left.outputSet, right.outputSet))

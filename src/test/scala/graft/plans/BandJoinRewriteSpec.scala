@@ -78,6 +78,16 @@ class BandJoinRewriteSpec extends AnyFunSuite {
       pairs(a.join(b, abs(col("a_v") - col("b_v")) <= 25)))
   }
 
+  test("crossJoin().filter(band) — pushed into a Cross join — rewrites too") {
+    def q = a.crossJoin(b).filter(abs(col("a_v") - col("b_v")) <= 25)
+    val plan = planOf(q)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"conditioned cross join not rewritten:\n$plan")
+    val expected = withRuleOff { pairs(q) }
+    assert(expected.nonEmpty && pairs(q) === expected)
+  }
+
   test("joins with an equi key are left alone") {
     val q = a.join(b, col("a_id") === col("b_id") &&
       abs(col("a_v") - col("b_v")) <= 5000)

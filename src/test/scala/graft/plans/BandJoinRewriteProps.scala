@@ -16,15 +16,24 @@ object BandJoinRewriteProps extends Properties("BandJoinRewrite") {
   private val bound = Gen.choose(-150L, 150L)
 
   propertyWithSeed("rule-on == rule-off over random bands", None) =
-    forAll(table, table, bound, bound) { (as, bs, c1, c2) =>
+    forAll(table, table, bound, bound, Gen.choose(0, 2)) {
+      (as, bs, c1, c2, form) =>
       val (lo, hi) = (math.min(c1, c2), math.max(c1, c2))
       val a = as.zipWithIndex.map { case (v, i) => (i.toLong, v) }
         .toDF("a_id", "a_v")
       val b = bs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
         .toDF("b_id", "b_v")
       def run(): Set[(Long, Long)] = {
-        val q = a.join(b,
-          b("b_v") >= a("a_v") + lo && b("b_v") <= a("a_v") + hi)
+        import org.apache.spark.sql.functions.abs
+        val cond = form match {
+          case 0 => // one-sided BETWEEN, closed
+            b("b_v") >= a("a_v") + lo && b("b_v") <= a("a_v") + hi
+          case 1 => // abs form, symmetric width
+            abs(a("a_v") - b("b_v")) <= math.max(math.abs(hi), 1L)
+          case _ => // strict bounds
+            b("b_v") > a("a_v") + lo && b("b_v") < a("a_v") + hi + 2
+        }
+        val q = a.join(b, cond)
         q.select("a_id", "b_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       }

@@ -144,7 +144,13 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
               val (lo, hi) = (los.max, his.min)
               if (hi - lo >= 1L) Some((bs.head._1, bs.head._2, lo, hi)) else None
             }
-          }.headOption
+          } match {
+            // several independent band pairs: bucket on the NARROWEST
+            // (most selective — fewest candidates per bucket); the other
+            // bands remain in the kept original condition
+            case cs if cs.isEmpty => None
+            case cs => Some(cs.minBy { case (_, _, lo, hi) => hi - lo })
+          }
         band match {
           case None => j
           case Some((x, y, lo, hi)) =>

@@ -88,6 +88,20 @@ class BandJoinRewriteSpec extends AnyFunSuite {
     assert(expected.nonEmpty && pairs(q) === expected)
   }
 
+  test("with two independent bands, the narrowest one is bucketed") {
+    // a_v/b_v band width 8 (narrow), a_id/b_id band width 400 (wide)
+    def q = a.join(b,
+      abs(col("a_v") - col("b_v")) <= 4 &&
+        col("b_id") >= col("a_id") - 200 && col("b_id") <= col("a_id") + 200)
+    val plan = planOf(q)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"not rewritten:\n$plan")
+    assert(plan.contains("% 8") || plan.contains("pmod") && plan.contains(", 8"),
+      s"bucketing did not pick the width-8 band:\n$plan")
+    val expected = withRuleOff { pairs(q) }
+    assert(expected.nonEmpty && pairs(q) === expected)
+  }
+
   test("joins with an equi key are left alone") {
     val q = a.join(b, col("a_id") === col("b_id") &&
       abs(col("a_v") - col("b_v")) <= 5000)

@@ -600,7 +600,98 @@ object RelQueries {
         |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
         |GROUP BY n_name ORDER BY n_name""".stripMargin))
 
+  // Q7 — volume shipping (TPC-H Q7 shape): the DOUBLE-ROLE dimension
+  // join — nation joined twice under different aliases (supplier's
+  // nation vs customer's nation) with a symmetric pair filter. Both
+  // nation sides and both supplier/customer dimensions broadcast; only
+  // lineitem⨝orders shuffles, on the join key; the ship-date filter is
+  // pushed to the lineitem scan.
+  private val q7 = QueryDef(
+    "q7_volume_shipping",
+    (s, dir) => {
+      val li = Records.table(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          lit("1995-01-01").cast("timestamp"),
+          lit("1998-12-31").cast("timestamp")))
+      val n1 = Records.table(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Records.table(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      li.join(Records.table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Records.table(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Records.table(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3") &&
+          col("cust_nation").isin("NATION_1", "NATION_2", "NATION_3") &&
+          col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        // revenue summed in EXACT integer 1e-4 units (cents x percent):
+        // a float sum's order-dependent last bits landed exactly on a
+        // .005 rounding boundary at sf0.01 and flipped the hash between
+        // engines; integer sums cannot (same trick as a8's moments)
+        .agg(round(sum((round(col("l_extendedprice") * 100, 0) *
+            (lit(100) - round(col("l_discount") * 100, 0))).cast("long"))
+            .cast("double") / 10000.0, 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some(
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+        |    (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+        |    / 10000.0, 2) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+        |                     AND TIMESTAMP '1998-12-31 00:00:00'
+        |  AND n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin))
+
+  // Q14 — promo revenue ratio (TPC-H Q14 shape): conditional aggregation
+  // — two sums over one scan, one gated by a CASE on the broadcast part
+  // dimension, emitted as a percentage. Single shuffle (the final 1-row
+  // agg); the month filter reaches the lineitem scan.
+  private val q14 = QueryDef(
+    "q14_promo_revenue",
+    (s, dir) => {
+      val li = Records.table(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          lit("1997-03-01").cast("timestamp"),
+          lit("1997-03-31").cast("timestamp")))
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(broadcast(Records.table(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+            sum(rev), 4).as("promo_pct"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some(
+      """SELECT ROUND(100.0 *
+        |    SUM(CASE WHEN p_type = 'PROMO'
+        |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
+        |    SUM(l_extendedprice * (1.0 - l_discount)), 4) AS promo_pct,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1997-03-01 00:00:00'
+        |                     AND TIMESTAMP '1997-03-31 00:00:00'""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     q1, q3, q5, qw, qr, qj, q6, qd, qc, qe, qo, qs, qp, qt, q10, q19,
-    q17, q18, q22)
+    q17, q18, q22, q7, q14)
 }

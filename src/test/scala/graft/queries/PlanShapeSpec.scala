@@ -298,6 +298,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"priority sample is a full sort:\n$plan")
   }
 
+  test("q7: only lineitem-orders shuffles; both nation roles broadcast") {
+    val plan = finalPlan("q7_volume_shipping")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q7:\n$plan")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 4, s"dimensions not broadcast ($bhj BHJ):\n$plan")
+    val smj = "SortMergeJoin".r.findAllIn(plan).size
+    assert(smj <= 1, s"more than the fact-fact join shuffled ($smj):\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"ship-date filter not pushed:\n$plan")
+  }
+
+  test("q14: conditional aggregate over one pushed-filter scan") {
+    val plan = finalPlan("q14_promo_revenue")
+    assert(plan.contains("BroadcastHashJoin"), s"part not broadcast:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"month filter not pushed:\n$plan")
+  }
+
   test("e1 sessionization shuffles once on user_id") {
     val plan = executedPlan("e1_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size

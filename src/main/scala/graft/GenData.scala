@@ -36,7 +36,20 @@ object GenData {
   private def u(cols: String*): String =
     s"(pmod(xxhash64(${cols.mkString(", ")}), 1000000007L) / 1000000007.0D)"
 
-  def documents(spark: SparkSession, rows: Long): DataFrame = {
+  /** Zipf(s≈1) rank in [0, n) from a uniform [0,1): the inverse-CDF
+    * `n^u − 1` mapping (CDF of Zipf-1 is ≈ ln r / ln n), so rank r
+    * carries mass ∝ 1/r and rank 0 alone holds ~1/ln(n) of ALL rows —
+    * the adversarial hot key the skew bench needs. Deterministic,
+    * codegen'd, no shuffle. */
+  private def zipfRank(uExpr: String, n: Long): String =
+    s"least(cast(pow(cast($n as double), $uExpr) as long) - 1L, ${n - 1}L)"
+
+  /** `zipf = true` replaces the uniform token / source / user draws with
+    * Zipf-1 ranks (hot token "the", hot source src0, hot user 0) while
+    * keeping every schema, row count, and plant rate identical — the
+    * adversarial-skew fixture for j1/e1/e5/p6/x11. */
+  def documents(spark: SparkSession, rows: Long,
+      zipf: Boolean = false): DataFrame = {
     val vocabArr = Vocab.map(w => s"'$w'").mkString("array(", ", ", ")")
     spark.range(rows).toDF("doc_id")
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
@@ -53,7 +66,10 @@ object GenData {
       .withColumn("base_text", expr(
         s"array_join(transform(sequence(1, n_tok), " +
           s"i -> element_at($vocabArr, " +
-          s"int(pmod(xxhash64(tseed, cast(i as long), 2L), ${Vocab.size})) + 1)), ' ')"))
+          (if (zipf)
+            s"int(${zipfRank(u("tseed", "cast(i as long)", "2L"), Vocab.size)}) + 1)), ' ')"
+          else
+            s"int(pmod(xxhash64(tseed, cast(i as long), 2L), ${Vocab.size})) + 1)), ' ')")))
       .withColumn("text",
         when(col("is_near"), concat(col("base_text"), lit(" near dup tail")))
           .otherwise(col("base_text")))
@@ -63,7 +79,9 @@ object GenData {
           .when(col("lu") < 0.705, "es").when(col("lu") < 0.8525, "fr")
           .otherwise("de"))
       .withColumn("source",
-        concat(lit("src"), expr("pmod(xxhash64(doc_id, 7L), 20)")))
+        concat(lit("src"), expr(
+          if (zipf) zipfRank(u("doc_id", "7L"), 20)
+          else "pmod(xxhash64(doc_id, 7L), 20)")))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
@@ -91,7 +109,8 @@ object GenData {
       .select("vec_id", "embedding", "label")
   }
 
-  def events(spark: SparkSession, rows: Long, users: Long): DataFrame = {
+  def events(spark: SparkSession, rows: Long, users: Long,
+      zipf: Boolean = false): DataFrame = {
     val startUs = java.time.Instant.parse("2024-01-01T00:00:00Z")
       .getEpochSecond * 1000000L
     val spanUs = 30L * 24 * 3600 * 1000000L
@@ -99,7 +118,9 @@ object GenData {
       .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
       .withColumn("ts", expr(
         s"timestamp_micros($startUs + cast(${u("event_id", "3L")} * $spanUs as long))"))
-      .withColumn("user_id", expr(s"pmod(xxhash64(event_id, 17L), $users)"))
+      .withColumn("user_id", expr(
+        if (zipf) zipfRank(u("event_id", "17L"), users)
+        else s"pmod(xxhash64(event_id, 17L), $users)"))
       .withColumn("event_type", expr(
         "element_at(array('click','view','purchase','signup','error'), " +
           "int(pmod(xxhash64(event_id, 19L), 5)) + 1)"))
@@ -218,6 +239,7 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/sf1")
     val mult = args.lift(1).map(_.toLong).getOrElse(10L)
+    val zipf = args.lift(2).contains("zipf")
     val spark = Sessions.local("graft-gendata",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
@@ -240,9 +262,10 @@ object GenData {
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
       println(s"[gendata] wrote $outDir/$name.parquet")
     }
-    writeOne(documents(spark, 5000L * mult), "documents", "doc_id")
+    writeOne(documents(spark, 5000L * mult, zipf), "documents", "doc_id")
     writeOne(embeddings(spark, 2000L * mult), "embeddings", "vec_id")
-    writeOne(events(spark, 100000L * mult, 1500L * mult), "events", "event_id")
+    writeOne(events(spark, 100000L * mult, 1500L * mult, zipf), "events",
+      "event_id")
     // relational tables need no single-file layout (nothing streams
     // them) — a plain distributed write into <table>.parquet/ keeps
     // generation and scans parallel at any multiplier

@@ -89,12 +89,16 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
 
   private def bounds(c: Expression,
       leftOut: AttributeSet, rightOut: AttributeSet): Seq[Bound] = c match {
-    // abs(p − q) <= C  ⇒  both bounds at once
+    // abs(p − q) <= C  ⇒  both bounds at once. The offset from le() is
+    // sign-correct for both the le(p,q) and le(q,p) branches:
+    // abs((x+po) − (y+qo)) <= C  ⇒  y − x ∈ [off − C, off + C] with
+    // off = po − qo, and the swapped branch returns qo − po for its own
+    // (x, y) orientation — same formula either way.
     case LessThanOrEqual(Abs(Subtract(p, q, _), _), l) if litLong(l).isDefined =>
       val cc = litLong(l).get
       le(p, q, leftOut, rightOut).orElse(le(q, p, leftOut, rightOut)).toSeq
-        .flatMap { case (x, y, _, _) =>
-          Seq((x, y, -cc, false), (x, y, cc, true)) }
+        .flatMap { case (x, y, off, _) =>
+          Seq((x, y, off - cc, false), (x, y, off + cc, true)) }
     case LessThanOrEqual(a, b) => le(a, b, leftOut, rightOut).toSeq
     case LessThan(a, b) => le(a, b, leftOut, rightOut).toSeq // strict ⊂ closed
     case GreaterThanOrEqual(a, b) => le(b, a, leftOut, rightOut).toSeq

@@ -36,8 +36,9 @@ object JoinQueries {
   // (side 0 < side 1), making the join inclusive; right-side timestamp
   // collisions are pre-collapsed by greatest-event-id so the carry is
   // deterministic. A single pathological hot key serializes within its
-  // partition (window is sequential per key) — the fix at that point is
-  // range-bucketing the time axis per key, same layout, coarser key.
+  // partition (window is sequential per key) — j1b below is the
+  // range-bucketed variant for that case: same semantics, carry window
+  // keyed on (user_id, time bucket), oracle-checked equivalent.
   private val j1 = QueryDef(
     "j1_asof_join",
     (s, dir) => {
@@ -80,19 +81,77 @@ object JoinQueries {
         |WHERE m.side = 1
         |ORDER BY m.event_id""".stripMargin))
 
+  // J1B — the HOT-KEY-SAFE as-of join: identical semantics (and oracle)
+  // to j1, but through [[TemporalJoins.asofJoinBucketed]] — the carry
+  // window partitions on (user_id, 6-hour bucket) instead of bare
+  // user_id, so ONE pathological user (a bot with the whole day's
+  // events) spreads over its time buckets instead of serializing into a
+  // single task; a tiny per-bucket summary restores the cross-bucket
+  // carry. This is the fix j1's own scale note names for the hot-key
+  // case; both forms stay gated so the equivalence is oracle-checked,
+  // and the skew bench (SkewBenchSpec / BENCH_sf1 skew points) measures
+  // the parallelism claim on a Zipf fixture.
+  private val j1b = QueryDef(
+    "j1b_asof_bucketed",
+    (s, dir) => {
+      val ev = Records.table(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
+        .agg(max("event_id").as("view_id"),
+          expr("max_by(value, event_id)").as("view_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+      graft.operators.TemporalJoins
+        .asofJoinBucketed(purchases, views, Seq("user_id"), "us",
+          bucketUs = 6L * 3600 * 1000000)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_id").cast("long").as("event_id"),
+          col("view_id").cast("long").as("view_id"),
+          expr("(us - us_asof) div 1000000").as("lag_s"),
+          round(col("view_value"), 2).as("view_value"))
+        .orderBy("event_id")
+    },
+    Some(
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS us,
+        |        MAX(event_id) AS view_id, ARG_MAX(value, event_id) AS view_value
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |      FROM events WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT user_id, us, 0 AS side, CAST(NULL AS BIGINT) AS event_id FROM v
+        |  UNION ALL
+        |  SELECT user_id, us, 1, event_id FROM p),
+        |m AS (
+        |  SELECT *, MAX(CASE WHEN side = 0 THEN us END) OVER
+        |    (PARTITION BY user_id ORDER BY us, side ROWS UNBOUNDED PRECEDING)
+        |    AS asof_us
+        |  FROM u)
+        |SELECT CAST(m.user_id AS BIGINT) AS user_id, m.event_id, v.view_id,
+        |  CAST((m.us - m.asof_us) // 1000000 AS BIGINT) AS lag_s,
+        |  ROUND(v.view_value, 2) AS view_value
+        |FROM m JOIN v ON m.user_id = v.user_id AND m.asof_us = v.us
+        |WHERE m.side = 1
+        |ORDER BY m.event_id""".stripMargin))
+
   // J2 — BAND (RANGE) JOIN: count same-type cross-user event pairs whose
   // timestamps fall within 60 s of each other. A naive |ts_a - ts_b| <=
   // 60s predicate plans a BroadcastNestedLoop/cartesian — O(n²) and dead
-  // at scale. The band trick: quantize time into band-width buckets;
-  // a pair within 60 s is always in the same or adjacent buckets, so
-  // probe-side rows fan out to buckets {k-1, k, k+1} (a fixed 3×, NOT
-  // data-dependent) and the join becomes a plain equi-join on
-  // (event_type, bucket) — one hash shuffle, candidate set bounded by
-  // per-bucket density, exact band re-checked after the join. Each
-  // qualifying pair matches exactly once (the build row sits in exactly
-  // one bucket; the probe visits that bucket once), so no dedup pass is
-  // needed. This is the both-sides-big range join; when one side is
-  // small the same code degenerates to a broadcast + filter.
+  // at scale. The band trick: quantize time into buckets of width B =
+  // hi − lo (the FULL band width, 2C for a symmetric ±C band); the
+  // qualifying interval [us−C, us+C] has length exactly B, so it spans
+  // at most two width-B buckets — the ones holding its endpoints. Probe
+  // rows therefore fan out to array_distinct({(us−C) div B, (us+C) div
+  // B}) — ≤2 buckets, NOT data-dependent — and the join becomes a plain
+  // equi-join on (event_type, bucket): one hash shuffle, candidate set
+  // bounded by per-bucket density, exact band re-checked after the join.
+  // (This is the ≤2-bucket scheme BandJoinRewrite proves sound; the
+  // earlier hand-built form used 3 buckets of width C — same semantics,
+  // 50% more probe-side shuffle volume.) Each qualifying pair matches
+  // exactly once (the build row sits in exactly one bucket; the
+  // deduplicated probe visits it once), so no dedup pass is needed.
+  // This is the both-sides-big range join; when one side is small the
+  // same code degenerates to a broadcast + filter.
   private val j2 = QueryDef(
     "j2_band_join",
     (s, dir) => {
@@ -100,10 +159,12 @@ object JoinQueries {
         .select(col("event_type"), col("user_id"),
           unix_micros(col("ts")).as("us"))
       val bandUs = 60000000L
-      val build = e.withColumn("bucket", expr(s"us div $bandUs"))
+      val widthUs = 2L * bandUs // hi − lo
+      val build = e.withColumn("bucket", expr(s"us div $widthUs"))
       val probe = e.withColumn("bucket",
-        explode(array(expr(s"us div $bandUs") - 1, expr(s"us div $bandUs"),
-          expr(s"us div $bandUs") + 1)))
+        explode(array_distinct(array(
+          expr(s"(us - $bandUs) div $widthUs"),
+          expr(s"(us + $bandUs) div $widthUs")))))
       probe.as("a").join(build.as("b"),
           col("a.event_type") === col("b.event_type") &&
             col("a.bucket") === col("b.bucket"))
@@ -153,5 +214,5 @@ object JoinQueries {
         |  AND a.user_id < b.user_id
         |GROUP BY day ORDER BY day""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(j1, j2, j3)
+  val defs: Seq[QueryDef] = Seq(j1, j1b, j2, j3)
 }

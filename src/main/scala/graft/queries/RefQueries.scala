@@ -222,17 +222,23 @@ object RefQueries {
         |    AS observed_partitions
         |FROM nation WHERE n_nationkey % 3 = 0 ORDER BY topic""".stripMargin))
 
-  // A1 — per-(topic,partition) lag = latest − committed.
+  // A1 — per-(topic,partition) lag = latest − committed. FUSED: one scan
+  // with conditional aggregation (max(offset), max(offset WHERE
+  // committed)) in a single exchange — the two-feed join form scanned
+  // `records` twice for the same rows. Monitoring.partitionLag keeps the
+  // two-feed API (the reference's latest/committed arrive as independent
+  // feeds); this query form is the fused single-source case, equivalent
+  // because committed ⊆ records makes the left join a conditional max.
   private val a1 = QueryDef(
     "a1_partition_lag",
     (s, dir) => {
       val r = records(s, dir)
-      val latest = r.groupBy("topic", "partition")
-        .agg(max("offset").as("latest_offset"))
-      val committed = r.filter(col("event_id") % 10 < 8)
-        .groupBy("topic", "partition")
-        .agg(coalesce(max("offset"), lit(-1L)).as("commit_offset"))
-      Monitoring.partitionLag(latest, committed)
+      r.groupBy("topic", "partition")
+        .agg(max("offset").as("latest_offset"),
+          coalesce(max(when(col("event_id") % 10 < 8, col("offset"))),
+            lit(-1L)).as("commit_offset"))
+        .withColumn("lag",
+          greatest(col("latest_offset") - col("commit_offset"), lit(0L)))
         .select(col("topic"), col("partition").cast("long").as("partition"),
           col("latest_offset"), col("commit_offset"), col("lag"))
         .orderBy("topic", "partition")
@@ -742,7 +748,11 @@ object RefQueries {
       val stats = hourly.groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), sum("n").as("s1"),
           sum(col("n") * col("n")).as("s2"))
-      hourly.join(broadcast(stats), "event_type")
+      // cnt >= 2 guard: with a single hourly bucket, (cnt - 1) = 0 makes
+      // sd a 0/0 — Spark yields NULL (row silently dropped) while
+      // DuckDB yields NaN, which its ordering treats as >= 2.5, so the
+      // engines would disagree. One bucket has no distribution to score.
+      hourly.join(broadcast(stats.filter(col("cnt") >= 2)), "event_type")
         .withColumn("mean", col("s1").cast("double") / col("cnt"))
         .withColumn("sd", sqrt(
           (col("s2").cast("double") - col("s1").cast("double") * col("s1") /
@@ -761,7 +771,7 @@ object RefQueries {
         |stats AS (
         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
         |    CAST(SUM(n) AS BIGINT) AS s1, CAST(SUM(n * n) AS BIGINT) AS s2
-        |  FROM hourly GROUP BY 1)
+        |  FROM hourly GROUP BY 1 HAVING COUNT(*) >= 2)
         |SELECT h.event_type, CAST(h.hour AS BIGINT) AS hour, h.n,
         |  ROUND(CAST(s1 AS DOUBLE) / cnt, 4) AS mean,
         |  ROUND((h.n - CAST(s1 AS DOUBLE) / cnt) /

@@ -672,20 +672,30 @@ object RelQueries {
         .filter(col("l_shipdate").between(
           lit("1997-03-01").cast("timestamp"),
           lit("1997-03-31").cast("timestamp")))
-      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      // revenue in EXACT integer 1e-4 units (q7's trick): an
+      // order-dependent float sum can land on a rounding boundary and
+      // flip the cross-engine hash; integer sums cannot. Numerator and
+      // denominator share the scaling, so the ratio is unchanged.
+      val revUnits = (round(col("l_extendedprice") * 100, 0) *
+        (lit(100) - round(col("l_discount") * 100, 0))).cast("long")
       li.join(broadcast(Records.table(s, dir, "part")),
           col("l_partkey") === col("p_partkey"))
         .agg(
           round(lit(100.0) *
-            sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
-            sum(rev), 4).as("promo_pct"),
+            sum(when(col("p_type") === "PROMO", revUnits).otherwise(lit(0L)))
+              .cast("double") /
+            sum(revUnits).cast("double"), 4).as("promo_pct"),
           count(lit(1)).as("n_lines"))
     },
     Some(
       """SELECT ROUND(100.0 *
-        |    SUM(CASE WHEN p_type = 'PROMO'
-        |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
-        |    SUM(l_extendedprice * (1.0 - l_discount)), 4) AS promo_pct,
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+        |             (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+        |        ELSE 0 END) AS DOUBLE) /
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+        |        (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+        |      AS DOUBLE), 4) AS promo_pct,
         |  CAST(COUNT(*) AS BIGINT) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate BETWEEN TIMESTAMP '1997-03-01 00:00:00'

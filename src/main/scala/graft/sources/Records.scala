@@ -98,15 +98,17 @@ object Records {
    */
   def recordsFromEvents(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window
-      .partitionBy(col("event_type"), pmod(col("user_id"), lit(8)))
-      .orderBy(col("event_id"))
-    events.select(
+    // project (topic, partition) FIRST and window over those actual
+    // attributes — the window's output partitioning is then exactly
+    // (topic, partition), so a downstream groupBy on the same columns
+    // (a1's lag aggregation) reuses this exchange instead of shuffling
+    // again. Windowing over the pre-projection expressions would
+    // extract them into fresh internal attributes the agg can't match.
+    val base = events.select(
       col("user_id").cast("string").cast("binary").as("key"),
       col("props").cast("binary").as("value"),
       col("event_type").as("topic"),
       pmod(col("user_id"), lit(8)).cast("int").as("partition"),
-      (row_number().over(w) - 1).cast("long").as("offset"),
       col("ts").as("timestamp"),
       lit(0).as("timestampType"),
       array(struct(lit("event_id").as("key"),
@@ -114,6 +116,12 @@ object Records {
       // retained for oracle-side joins / derivations
       col("event_id"),
       col("value").as("event_value"))
+    val w = Window.partitionBy(col("topic"), col("partition"))
+      .orderBy(col("event_id"))
+    base
+      .withColumn("offset", (row_number().over(w) - 1).cast("long"))
+      .select("key", "value", "topic", "partition", "offset", "timestamp",
+        "timestampType", "headers", "event_id", "event_value")
   }
 
   /** SQL CTE body producing the same relation in DuckDB (keep in sync with

@@ -17,7 +17,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * `ControllerInstance.start`) and reverse-order shutdown. Thunk
  * parameters (`idealView`/`externalView`/`blacklist`/`isLeader`) keep
  * deployment-specific observation pluggable, like the reference's
- * cluster-specific Helix/ZK wiring.
+ * cluster-specific Helix/ZK wiring. For a real multi-controller
+ * deployment pass [[LeaseElection.isLeader]] — an atomic file-lease
+ * election with TTL failover; both the validation loop AND the state
+ * backup writer are gated on it (exactly one writer per backup dir).
  *
  * Driver-side control plane only — no data-plane rows ever pass through
  * these components.
@@ -41,7 +44,7 @@ final class GraftController(
   val whitelister =
     new AutoWhitelister(manager, srcObserver, dstObserver, blacklist)
   val validation = new ValidationService(idealView, externalView, isLeader)
-  val backup = new StateBackupManager(manager, backupDir, gitBackup)
+  val backup = new StateBackupManager(manager, backupDir, gitBackup, isLeader)
   val api = new AdminApi(manager, admission, feeds)
   val http = new AdminHttpServer(api, Some(validation), httpPort)
 

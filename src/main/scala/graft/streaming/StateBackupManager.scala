@@ -19,7 +19,7 @@ import java.util.concurrent.atomic.AtomicLong
  * Driver-side only — state is O(#pipelines), never records.
  */
 final class StateBackupManager(manager: PipelineManager, dir: String,
-    gitCommit: Boolean = false) {
+    gitCommit: Boolean = false, isLeader: () => Boolean = () => true) {
 
   private val seq = new AtomicLong(0)
   @volatile private var sched: Option[ScheduledExecutorService] = None
@@ -93,7 +93,10 @@ final class StateBackupManager(manager: PipelineManager, dir: String,
       t
     }
     s.scheduleAtFixedRate(
-      () => try dump()
+      // leader-gated: two controllers sharing one backup dir must never
+      // both write (the reference's Helix leadership guards the same
+      // path); a follower's scheduled dump is a no-op until failover
+      () => try { if (isLeader()) dump() }
         catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[state-backup] dump failed: $e")
         },

@@ -51,6 +51,28 @@ class TemporalJoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed as-of: one hot key spreads across (key, bucket) partitions") {
+    // one key owning the whole timeline — the case the bucketed form
+    // exists for. Values: right at even times, left at odd; every left
+    // matches the immediately preceding right, including across bucket
+    // boundaries (width 10 → carry crosses every 5th pair).
+    val right = (0L until 200L by 2).map(t => (1L, t, t * 10)).toDF("k", "t", "v")
+    val left = (1L until 200L by 2).map(t => (1L, t)).toDF("k", "t")
+    val out = TemporalJoins.asofJoinBucketed(left, right, Seq("k"), "t",
+      bucketUs = 10L)
+    val got = out.select("t", "v", "t_asof").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (1L until 200L by 2).map(t => (t, (t - 1) * 10, t - 1)).toSet
+    assert(got === expected)
+    // the in-bucket carry window must partition on (k, bucket), not bare
+    // k — that IS the parallelism claim
+    val plan = out.queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.exists(l => l.contains("windowspecdefinition(k") &&
+      l.contains("__bucket")),
+      s"in-bucket window not keyed by (k, __bucket):\n${windowLines.mkString("\n")}")
+  }
+
   test("bandCondition joins plan as the rewritten bucketed equi-join") {
     val a = Seq.tabulate(50)(i => (i.toLong, i.toLong * 3)).toDF("a_id", "a_t")
     val b = Seq.tabulate(50)(i => (i.toLong, i.toLong * 5)).toDF("b_id", "b_t")

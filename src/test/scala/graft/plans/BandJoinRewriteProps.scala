@@ -28,8 +28,9 @@ object BandJoinRewriteProps extends Properties("BandJoinRewrite") {
         val cond = form match {
           case 0 => // one-sided BETWEEN, closed
             b("b_v") >= a("a_v") + lo && b("b_v") <= a("a_v") + hi
-          case 1 => // abs form, symmetric width
-            abs(a("a_v") - b("b_v")) <= math.max(math.abs(hi), 1L)
+          case 1 => // abs form with a literal offset inside — exercises
+            // the off ± C normalization (lo doubles as the offset)
+            abs(a("a_v") + lo - b("b_v")) <= math.max(math.abs(hi), 1L)
           case _ => // strict bounds
             b("b_v") > a("a_v") + lo && b("b_v") < a("a_v") + hi + 2
         }

@@ -200,6 +200,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"carry window not partitioned by user_id:\n${windowLines.mkString("\n")}")
   }
 
+  test("j1b: bucketed as-of — carry window keyed by (user_id, bucket)") {
+    val plan = finalPlan("j1b_asof_bucketed")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"bucketed as-of planned a product:\n$plan")
+    // the hot-key claim: the big in-bucket carry window partitions on
+    // (user_id, __bucket); only the tiny per-bucket-summary carry window
+    // may partition on bare user_id
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.exists(l =>
+      l.contains("windowspecdefinition(user_id") && l.contains("__bucket")),
+      s"no (user_id, bucket)-keyed window:\n${windowLines.mkString("\n")}")
+  }
+
   test("j2: band join is a bucketed equi-join, not a product") {
     val plan = finalPlan("j2_band_join")
     assert(!plan.contains("CartesianProduct") &&
@@ -208,8 +222,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
       plan.contains("BroadcastHashJoin"),
       s"band join is not an equi-join:\n$plan")
-    // probe-side fan-out is the fixed 3x bucket explode
+    // probe-side fan-out is the deduplicated ≤2-bucket explode (width =
+    // full band), not the legacy 3-bucket form
     assert(plan.contains("Generate explode"), s"no bucket explode:\n$plan")
+    assert(plan.contains("array_distinct"),
+      s"probe buckets not deduplicated (3-bucket form?):\n$plan")
   }
 
   test("q17: correlated scalar subquery is decorrelated onto one join key") {
@@ -314,6 +331,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"part not broadcast:\n$plan")
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
       s"month filter not pushed:\n$plan")
+  }
+
+  test("a1: lag is ONE scan + ONE exchange (fused conditional aggregation)") {
+    val plan = finalPlan("a1_partition_lag")
+    assert(!plan.contains("Join"), s"a1 still joins two feeds:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"a1 shuffles more than once ($exchanges):\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 1, s"a1 scans records twice ($scans):\n$plan")
   }
 
   test("e1 sessionization shuffles once on user_id") {

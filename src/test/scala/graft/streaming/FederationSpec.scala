@@ -84,4 +84,71 @@ class FederationSpec extends AnyFunSuite {
       manager.shutdown()
     }
   }
+
+  test("two controllers, one backup dir: lease election gives exactly one writer, and failover moves it") {
+    val base = java.nio.file.Files.createTempDirectory("graft_fo_").toString
+    records(Seq("click")).write.parquet(s"$base/src")
+    val view = Seq(("w1", "click", 0, "ONLINE")).toDF("instance", "topic",
+      "partition", "state")
+    def mkController(election: LeaseElection): GraftController =
+      new GraftController(
+        spark,
+        srcObserver = TopicCatalogObserver.fromRecords(() =>
+          spark.read.parquet(s"$base/src")),
+        dstObserver = new TopicCatalogObserver(() =>
+          Seq(("click", 2)).toDF("topic", "num_partitions")),
+        idealView = () => view,
+        externalView = () => view,
+        backupDir = s"$base/backup", // SHARED — the exactly-one-writer dir
+        isLeader = election.isLeader)
+    val ea = new LeaseElection(s"$base/lease", "ctrl-a",
+      ttlMs = 3000, renewPeriodMs = 300)
+    val eb = new LeaseElection(s"$base/lease", "ctrl-b",
+      ttlMs = 3000, renewPeriodMs = 300)
+    val ca = mkController(ea)
+    val cb = mkController(eb)
+    def dumpCount(): Long = {
+      val p = java.nio.file.Paths.get(s"$base/backup")
+      if (!java.nio.file.Files.exists(p)) 0L
+      else java.nio.file.Files.list(p)
+        .filter(_.getFileName.toString.startsWith("state-")).count()
+    }
+    val deadline = System.currentTimeMillis() + 60000
+    def until(what: String)(cond: => Boolean): Unit = {
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    try {
+      // a registers first and must win; b starts as follower
+      assert(ea.tryAcquire())
+      ea.start(); eb.start()
+      ca.start(validationPeriodSeconds = 1, backupPeriodSeconds = 1)
+      cb.start(validationPeriodSeconds = 1, backupPeriodSeconds = 1)
+      until("a leads, b follows")(ea.isLeader() && !eb.isLeader())
+      // leader writes backups; follower's loops run but export/write nothing
+      until("leader dump")(dumpCount() >= 1)
+      until("leader validates")(
+        ca.validation.countersJson.contains(""""isLeader":true"""))
+      assert(cb.validation.validateOnce()
+        .contains(""""isLeader":false"""), "follower exported as leader")
+
+      // CRASH the leader: loops die, lease NOT released (abandon) — the
+      // window before expiry must stay writer-free
+      ca.stop(); ea.abandon()
+      val atCrash = dumpCount()
+      Thread.sleep(1200) // inside the 3-s TTL
+      assert(!eb.isLeader(), "follower stole an unexpired lease")
+      assert(dumpCount() == atCrash,
+        "backups written while nobody held the lease")
+
+      // after the TTL the follower takes over and the writer moves
+      until("failover")(eb.isLeader())
+      until("new leader dumps")(dumpCount() > atCrash)
+      until("new leader validates")(
+        cb.validation.countersJson.contains(""""isLeader":true"""))
+      assert(eb.holder().exists(_._1 == "ctrl-b"))
+    } finally {
+      cb.stop(); eb.stop(); ea.stop()
+    }
+  }
 }

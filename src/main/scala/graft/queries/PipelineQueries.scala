@@ -2021,8 +2021,8 @@ object PipelineQueries {
   // token-partitioned row_number window that keeps only the first 20
   // postings BEFORE any list materializes — bounded state per token —
   // while exact df comes from a count on the SAME token partitioning
-  // (AQE reuses the exchange). Production shards hot tokens further by
-  // (token, doc_id div N); the layout extends without rework.
+  // (AQE reuses the exchange). x11b below is the hot-token-sharded
+  // production form: same oracle, per-token work spread over 8 shards.
   private val x11 = QueryDef(
     "x11_inverted_index",
     (s, dir) => {
@@ -2040,6 +2040,57 @@ object PipelineQueries {
         .agg(expr("array_join(transform(array_sort(collect_list(doc_id))," +
           " x -> cast(x as string)), ',')").as("postings"))
       dfs.join(postings, "token")
+        .select(col("token"), col("df"), col("postings"))
+        .orderBy("token")
+    },
+    Some(
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |    FROM documents))
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+        |  array_to_string((list(CAST(doc_id AS BIGINT) ORDER BY doc_id))[1:20],
+        |    ',') AS postings
+        |FROM tok GROUP BY token ORDER BY token""".stripMargin))
+
+  // X11B — the HOT-TOKEN-SHARDED inverted index x11's comment names:
+  // same output, but the per-token work first spreads over 8 hash
+  // shards of the doc space — (token, pmod(doc_id, 8)) — so a stopword
+  // whose postings are corpus-sized is processed by 8 tasks, not one.
+  // Each shard keeps its own first-20 via WindowGroupLimit (bounded
+  // per-shard state), exact df comes from summing per-shard counts, and
+  // a second-level limit over the ≤ 20×8 shard survivors per token
+  // yields the global first-20 — the classic two-level top-k, the same
+  // move as x9's partial top-k but keyed. Both levels are
+  // WindowGroupLimit (pinned), so NO token ever pins more than
+  // 20 rows per task at level 1 or 160 rows at level 2. Oracle is
+  // byte-identical to x11's — the sharding must be invisible.
+  private val x11b = QueryDef(
+    "x11b_inverted_sharded",
+    (s, dir) => {
+      val nShards = 8
+      val pairs = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          explode(expr(tokensExpr)).as("token"))
+        .distinct()
+        .withColumn("shard", pmod(col("doc_id"), lit(nShards)))
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy("token", "shard").orderBy("doc_id")
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy("token").orderBy("doc_id")
+      val sharded = pairs.groupBy("token", "shard")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("token").agg(sum("n").as("df"))
+      val survivors = pairs
+        .withColumn("rn", row_number().over(w1))
+        .filter(col("rn") <= 20)
+        .withColumn("rn2", row_number().over(w2))
+        .filter(col("rn2") <= 20)
+        .groupBy("token")
+        .agg(expr("array_join(transform(array_sort(collect_list(doc_id))," +
+          " x -> cast(x as string)), ',')").as("postings"))
+      sharded.join(survivors, "token")
         .select(col("token"), col("df"), col("postings"))
         .orderBy("token")
     },
@@ -2235,6 +2286,6 @@ object PipelineQueries {
 
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, sim1, sim2, sim3,
-    x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13,
+    x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x11b, x12, x13,
     m1, m2, m3, e1, e2, e5, p1, p2, p3, p4, p5, p6, p7, p8, p9, p10)
 }

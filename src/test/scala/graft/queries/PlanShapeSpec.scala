@@ -267,6 +267,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in x11:\n$plan")
   }
 
+  test("x11b: BOTH limit levels are WindowGroupLimit; level 1 keyed by shard") {
+    val plan = finalPlan("x11b_inverted_sharded")
+    val limits = plan.linesIterator.filter(_.contains("WindowGroupLimit")).toSeq
+    // AQE stages echo nodes; count DISTINCT window specs instead
+    assert(limits.exists(_.contains("shard")) &&
+      limits.exists(l => !l.contains("shard")),
+      s"two-level sharded limit missing:\n${limits.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in x11b:\n$plan")
+  }
+
   test("d11: keeper argmax reuses the cluster_id partitioning") {
     val plan = finalPlan("d11_quality_keeper")
     assert(!plan.contains("CartesianProduct"), s"cartesian in d11:\n$plan")

@@ -23,9 +23,23 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    // worst-task tracker (skew evidence): the wall clock of a skewed
+    // query can hide one straggler task behind 31 idle cores — the
+    // per-query MAX task duration is the number that proves (or
+    // refutes) bounded-worst-task under a hot key
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val d = Option(t.taskInfo).map(_.duration).getOrElse(0L)
+          maxTaskMs.getAndUpdate(cur => math.max(cur, d))
+        }
+      })
     // noop sink materializes every row — top-level sorts and projections
     // are paid, unlike count() which lets Catalyst prune them
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      maxTaskMs.set(0)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -33,21 +47,35 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val secs = (System.nanoTime() - t0) / 1e9
+      // listener events are async (the bus is private API): poll until
+      // the max stops moving — ~100 ms per query, off the query clock
+      var last = -1L
+      var stable = 0
+      var spins = 0
+      while (stable < 2 && spins < 40) {
+        val cur = maxTaskMs.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+        spins += 1
+        Thread.sleep(50)
+      }
+      (name, secs, ok, maxTaskMs.get() / 1e3)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val tm = results.map { case (k, _, _, m) => "\"" + k + f"\":$m%.2f" }
       .mkString("{", ",", "}")
     // a failed query's time-to-failure must never read as a speedup
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"max_task_sec":$tm,"failed":$failed,"sf":"$sfDir"}""")
     // The harness keeps only a ~2000-char tail of this process's output,
     // and the full per-query line above outgrows it (the JSON gets cut
     // mid-line and never parses). Emit a second, compact line LAST —
     // total + the slowest queries — that always fits inside the tail.
     val slowest = results.sortBy(-_._2).take(12)
-      .map { case (k, v, _) => "\"" + k + f"\":$v%.2f" }
+      .map { case (k, v, _, _) => "\"" + k + f"\":$v%.2f" }
       .mkString("{", ",", "}")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$slowest,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")

@@ -28,13 +28,29 @@ object Bench {
     // per-query MAX task duration is the number that proves (or
     // refutes) bounded-worst-task under a hot key
     val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    // SPARK_GRAFT_STAGEMAX=1: per-stage worst-task breakdown on stderr —
+    // locates WHICH stage serializes when max_task_sec looks outsized
+    val stageMax = sys.env.get("SPARK_GRAFT_STAGEMAX").contains("1")
+    val stageAgg = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val d = Option(t.taskInfo).map(_.duration).getOrElse(0L)
           maxTaskMs.getAndUpdate(cur => math.max(cur, d))
+          if (stageMax)
+            stageAgg.merge(t.stageId, (d, 1L),
+              (a, b) => (math.max(a._1, b._1), a._2 + b._2))
         }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          if (stageMax) {
+            val info = sc.stageInfo
+            val (mx, n) = stageAgg.getOrDefault(info.stageId, (0L, 0L))
+            if (mx > 500)
+              System.err.println(f"[stage ${info.stageId}%4d] maxTask=${mx / 1e3}%.1fs " +
+                f"tasks=$n ${info.name.takeWhile(_ != '\n').take(110)}")
+          }
       })
     // noop sink materializes every row — top-level sorts and projections
     // are paid, unlike count() which lets Catalyst prune them

@@ -284,3 +284,48 @@ object GenData {
     spark.stop()
   }
 }
+
+/** Re-lay an `events.parquet` fixture as N contiguous TIME slices
+  * (`events-00.parquet` … time-ordered, written sequentially so
+  * file-stream listing order == time order) — the production arrival
+  * shape for the streaming entries: with `maxFilesPerTrigger=1` each
+  * slice is one micro-batch, the watermark advances between batches,
+  * and session/dedup state evicts instead of holding the whole corpus
+  * (the single-file fixture degenerates to one batch = all state
+  * resident at once). Usage: `runMain graft.SplitEventsByTime <inDir>
+  * <outDir> <nSlices>`. */
+object SplitEventsByTime {
+  def main(args: Array[String]): Unit = {
+    val inDir = args(0)
+    val outDir = args(1)
+    val n = args.lift(2).map(_.toInt).getOrElse(8)
+    val spark = Sessions.local("graft-split",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    val ev = spark.read.parquet(s"$inDir/events.parquet")
+    // exact contiguous time ranks: ntile over a global ts sort (one-off
+    // fixture tool — the sort cost is paid here, not in any query)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts"), col("event_id"))
+    val sliced = ev.withColumn("__slice", ntile(n).over(w) - 1).persist()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    for (i <- 0 until n) {
+      val tmp = s"$outDir/_tmp_slice_$i"
+      sliced.filter(col("__slice") === i).drop("__slice")
+        .repartition(1).sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", (8L * 1024 * 1024).toString)
+        .parquet(tmp)
+      val p = java.nio.file.Paths.get(tmp)
+      val part = java.nio.file.Files.list(p)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(f"$outDir/events-$i%02d.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+      println(s"[split] wrote $outDir/events-$i%02d.parquet")
+    }
+    sliced.unpersist()
+    spark.stop()
+  }
+}

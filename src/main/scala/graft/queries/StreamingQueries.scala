@@ -324,7 +324,8 @@ object StreamingQueries {
     (s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val schema = e4SchemaCache.computeIfAbsent(dir,
-        d => s.read.parquet(s"$d/events.parquet").schema)
+        d => s.read.option("pathGlobFilter", "events*.parquet")
+          .parquet(d).schema)
       val runId = e4Runs.incrementAndGet()
       // session_window has NO partial aggregation — every raw event
       // crosses the state shuffle so sessions can merge in the store —
@@ -339,12 +340,22 @@ object StreamingQueries {
       // metadata-only (footer stats), cached per fixture beside the
       // schema.
       val eventRows = e4RowsCache.computeIfAbsent(dir,
-        d => java.lang.Long.valueOf(s.read.parquet(s"$d/events.parquet").count()))
+        d => java.lang.Long.valueOf(
+          s.read.option("pathGlobFilter", "events*.parquet")
+            .parquet(d).count()))
       val ss = streamingSession(s, rocksDb = eventRows >= 1000000L,
         stateWidth(s, eventRows))
       val outPath = s"$e3TmpRoot/e4_out_$runId"
+      // one FILE per micro-batch: the driver fixture is a single file
+      // (unchanged — one batch), but a time-sliced fixture
+      // (GenData.SplitEventsByTime) arrives as N ordered slices and the
+      // watermark then advances BETWEEN batches, evicting closed
+      // sessions — state holds one batch + open sessions, not the
+      // corpus. That is the production arrival shape; the single-batch
+      // run is the degenerate worst case (all state resident at once).
       val q = ss.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", "events*.parquet")
+        .option("maxFilesPerTrigger", "1")
         .parquet(dir)
         .withColumn("ts",
           if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -414,7 +425,9 @@ object StreamingQueries {
       val schema = e4SchemaCache.computeIfAbsent(dir,
         d => s.read.parquet(s"$d/events.parquet").schema)
       val eventRows = e4RowsCache.computeIfAbsent(dir,
-        d => java.lang.Long.valueOf(s.read.parquet(s"$d/events.parquet").count()))
+        d => java.lang.Long.valueOf(
+          s.read.option("pathGlobFilter", "events*.parquet")
+            .parquet(d).count()))
       val runId = e6Runs.incrementAndGet()
       val ss = streamingSession(s, rocksDb = eventRows >= 1000000L,
         stateWidth(s, eventRows))
@@ -502,7 +515,9 @@ object StreamingQueries {
       val schema = e4SchemaCache.computeIfAbsent(dir,
         d => s.read.parquet(s"$d/events.parquet").schema)
       val eventRows = e4RowsCache.computeIfAbsent(dir,
-        d => java.lang.Long.valueOf(s.read.parquet(s"$d/events.parquet").count()))
+        d => java.lang.Long.valueOf(
+          s.read.option("pathGlobFilter", "events*.parquet")
+            .parquet(d).count()))
       val runId = e7Runs.incrementAndGet()
       val ss = streamingSession(s, rocksDb = eventRows >= 1000000L,
         stateWidth(s, eventRows))

@@ -214,5 +214,78 @@ object JoinQueries {
         |  AND a.user_id < b.user_id
         |GROUP BY day ORDER BY day""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(j1, j1b, j2, j3)
+  // J4 — INTERVAL-CONTAINMENT JOIN (point-in-interval): attribute each
+  // purchase to the browsing session (gap-based interval over that
+  // user's `view` events) that CONTAINS it. Completes the temporal-join
+  // trio: as-of (j1), band (j2/j3), interval (j4). The naive plan is a
+  // non-equi theta join (`p.ts BETWEEN s.start AND s.end`) — a nested
+  // loop at scale; the generic fix explodes intervals across fixed time
+  // buckets, paying fan-out proportional to interval length. Neither is
+  // needed here: session intervals are DISJOINT per user, so "the
+  // containing interval" ≡ "the latest interval STARTING at-or-before
+  // the point, if its end reaches the point" — i.e. an as-of join on
+  // the interval start plus one end-bound filter. Composing
+  // [[TemporalJoins.asofJoin]] keeps the whole query at ONE extra hash
+  // shuffle (union + per-user ordered carry), no explode, no bucket
+  // tuning, and inherits the hot-key escape (asofJoinBucketed) if a
+  // key ever concentrates. This disjoint-interval reduction is the
+  // standard trick for sessionized/SCD-style intervals; only genuinely
+  // OVERLAPPING interval sets need the bucket-explode form (which j2's
+  // band machinery already demonstrates).
+  private val j4 = QueryDef(
+    "j4_interval_join",
+    (s, dir) => {
+      val ev = Records.table(s, dir, "events")
+        .withColumn("epoch", unix_timestamp(col("ts")))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ws = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sessions = ev.filter(col("event_type") === "view")
+        .withColumn("gap", col("epoch") - lag("epoch", 1).over(w))
+        .withColumn("new_session",
+          when(col("gap").isNull || col("gap") > 21600L, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_session").over(ws))
+        .groupBy("user_id", "session_id")
+        .agg(min("epoch").as("epoch"), (max("epoch") + 21600L).as("session_end"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("epoch"), col("event_id"))
+      graft.operators.TemporalJoins
+        .asofJoin(purchases, sessions, Seq("user_id"), "epoch")
+        .filter(col("epoch") <= col("session_end"))
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_id").cast("long").as("event_id"),
+          col("session_id").cast("long").as("session_id"),
+          (col("epoch") - col("epoch_asof")).cast("long").as("secs_in"))
+        .orderBy("event_id")
+    },
+    Some(
+      """WITH v AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch
+        |  FROM events WHERE event_type = 'view'),
+        |flagged AS (
+        |  SELECT *, CASE WHEN epoch - LAG(epoch) OVER w IS NULL
+        |                   OR epoch - LAG(epoch) OVER w > 21600
+        |                 THEN 1 ELSE 0 END AS new_session
+        |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, session_id, MIN(epoch) AS s_start,
+        |    MAX(epoch) + 21600 AS s_end
+        |  FROM (SELECT user_id, epoch,
+        |          SUM(new_session) OVER (PARTITION BY user_id
+        |            ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |            AS session_id
+        |        FROM flagged)
+        |  GROUP BY user_id, session_id),
+        |p AS (
+        |  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT CAST(p.user_id AS BIGINT) AS user_id, p.event_id,
+        |  CAST(s.session_id AS BIGINT) AS session_id,
+        |  p.epoch - s.s_start AS secs_in
+        |FROM p JOIN sess s ON p.user_id = s.user_id
+        |  AND p.epoch BETWEEN s.s_start AND s.s_end
+        |ORDER BY p.event_id""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(j1, j1b, j2, j3, j4)
 }

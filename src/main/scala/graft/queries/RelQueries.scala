@@ -334,32 +334,62 @@ object RelQueries {
   // Exact interpolated percentiles (sort-based aggregate): Spark
   // `percentile` and DuckDB `quantile_cont` share the continuous
   // interpolation definition, so the values hash-match exactly.
-  // Exact percentiles by DISTRIBUTED SORT, not by the `percentile`
-  // aggregate: the exact aggregate buffers EVERY value of a group in its
-  // aggregation buffer (state = O(rows/group) — the 100x scale bench
-  // measured it superlinear at 74 s / 15M rows, and a 100 TB group is a
-  // straight OOM). The sort form is the scale-correct exact algorithm:
-  // one range-partitioned sort per group (bounded executor memory,
-  // spillable), row_number to index it, then each quantile picks its two
-  // interpolation ranks — ≤4 rows per group survive to the final 3-row
-  // aggregate. Interpolation is lower + d·(higher − lower), the same
-  // formula as Spark's `percentile` and DuckDB's `quantile_cont`, so the
-  // gate result is unchanged. Measured at 100x: 74.6 s (superlinear) →
-  // 24.3 s (sub-linear). The remaining cost is inherent: exact per-group
-  // quantiles serialize each group's sort into one window partition, so
-  // 3 statuses = 3-way parallelism; when exactness can be traded,
-  // approx_percentile (t-digest, fully parallel) is the production
+  // Exact percentiles by HISTOGRAM NARROWING, not by the `percentile`
+  // aggregate and not by a per-group global sort. The exact aggregate
+  // buffers EVERY value of a group (state = O(rows/group) — measured
+  // superlinear, 74 s at 100x, and a 100 TB group is a straight OOM).
+  // The round-7 sort form fixed that (24.3 s at 100x) but serialized
+  // each group's sort into one window partition — 3 statuses = 3-way
+  // parallelism, the documented floor (102.6 s at 300x). This form
+  // removes the floor: pass 1 builds a unit-width value histogram
+  // (groupBy (status, floor(price)) — map-side combinable, ~value-range
+  // sized, NOT row-count sized) and a cumulative count per bucket (the
+  // window runs over histogram buckets, thousands of rows, not raw
+  // rows); each interpolation rank then locates the ONE bucket whose
+  // cumulative range covers it. Pass 2 rescans raw rows, keeps only the
+  // ≤4 located buckets per group (broadcast semi-structure), sorts
+  // WITHIN each tiny bucket (parallel across buckets, ~rows/buckets
+  // each), and global rank = bucket-local row_number + rows-before-
+  // bucket. Ties share a value, so rank→value is deterministic under
+  // either tie order. Both passes are fully parallel scans; worst task
+  // is a single bucket's sort. Interpolation is lower + d·(higher −
+  // lower), the same formula as Spark's `percentile` and DuckDB's
+  // `quantile_cont`, so the gate result is unchanged. When exactness
+  // can be traded, approx_percentile (t-digest) remains the one-pass
   // escape hatch — it just can't sit under a cross-engine hash gate.
   private val qp = QueryDef(
     "q_percentiles",
     (s, dir) => {
       val o = Records.table(s, dir, "orders")
         .select(col("o_orderstatus"), col("o_totalprice"))
-      val counts = o.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
-      // per-group rank targets are constants within the group; compute
-      // them as columns so the final aggregate can carry them with max()
-      val ranked = o.withColumn("rn", row_number().over(w))
+      // pass 1: unit-width histogram + per-bucket cumulative offsets
+      val hist = o
+        .groupBy(col("o_orderstatus"), floor(col("o_totalprice")).as("b"))
+        .agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy("o_orderstatus").orderBy("b")
+      val cum = hist.withColumn("cum_before", sum("c").over(wc) - col("c"))
+      val counts = cum.groupBy("o_orderstatus").agg(sum("c").as("n"))
+      // each quantile's two interpolation ranks (1-indexed), located to
+      // the bucket whose (cum_before, cum_before + c] range covers them
+      val located = counts
+        .withColumn("r50", (col("n") - 1).cast("double") * 0.5)
+        .withColumn("r90", (col("n") - 1).cast("double") * 0.9)
+        .select(col("o_orderstatus"),
+          explode(array(
+            floor(col("r50")) + 1, ceil(col("r50")) + 1,
+            floor(col("r90")) + 1, ceil(col("r90")) + 1)).as("rank"))
+        .join(cum, Seq("o_orderstatus"))
+        .filter(col("rank") > col("cum_before") &&
+          col("rank") <= col("cum_before") + col("c"))
+        .select(col("o_orderstatus"), col("b"), col("cum_before"))
+        .distinct()
+      // pass 2: raw rows of the located buckets only; global rank =
+      // rows before the bucket + rank within the bucket
+      val wl = Window.partitionBy("o_orderstatus", "b")
+        .orderBy("o_totalprice")
+      val ranked = o.withColumn("b", floor(col("o_totalprice")))
+        .join(broadcast(located), Seq("o_orderstatus", "b"))
+        .withColumn("rn", row_number().over(wl) + col("cum_before"))
         .join(broadcast(counts), "o_orderstatus")
         .withColumn("r50", (col("n") - 1).cast("double") * 0.5)
         .withColumn("r90", (col("n") - 1).cast("double") * 0.9)

@@ -69,4 +69,36 @@ class JoinQueriesSpec extends AnyFunSuite {
     // (4,2) 50 s in-band; (4,3) 51 s in-band; (1,4) same user excluded
     assert(got === Map("click" -> 4L))
   }
+
+  test("j4: containment is [start, last_view + 6 h]; outside/priorless dropped") {
+    val M = 1000000L
+    val H6 = 21600L
+    val dir = eventsDir(Seq(
+      // user 1, session A: views @0s and @100s -> interval [0, 100+6h].
+      // A second session starts past the 6 h gap.
+      (1L, 0L * M, 1L, "view", 0.0),
+      (2L, 100L * M, 1L, "view", 0.0),
+      (3L, (100L + H6 + 1) * M, 1L, "view", 0.0), // session B @ 21701s
+      // purchase at exact session-A start -> secs_in = 0
+      (4L, 0L * M, 1L, "purchase", 9.0),
+      // purchase mid-session-A
+      (5L, 50L * M, 1L, "purchase", 9.0),
+      // purchase in A's 6 h tail (last view 100 s + 6 h)
+      (6L, (100L + H6) * M, 1L, "purchase", 9.0),
+      // purchase in session B, 10 s after its start
+      (7L, (100L + H6 + 11) * M, 1L, "purchase", 9.0),
+      // user 2: purchase before any view -> dropped; then past the tail
+      (8L, 5L * M, 2L, "purchase", 9.0),
+      (9L, 10L * M, 2L, "view", 0.0),
+      (10L, (10L + H6 + 1) * M, 2L, "purchase", 9.0))) // 1 s past tail
+    val got = Catalog.byName("j4_interval_join").fn(spark, dir)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (4L, 1L, 1L, 0L),      // at session-A start
+      (5L, 1L, 1L, 50L),     // mid session A
+      (6L, 1L, 1L, 100L + H6), // last second of A's tail (inclusive)
+      (7L, 1L, 2L, 10L)))    // session B, 10 s in; 8 and 10 dropped
+  }
 }

@@ -229,6 +229,40 @@ class PlanShapeSpec extends AnyFunSuite {
       s"probe buckets not deduplicated (3-bucket form?):\n$plan")
   }
 
+  test("j4: interval containment is join-free — as-of carry, no theta join") {
+    val plan = finalPlan("j4_interval_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join planned a product:\n$plan")
+    // disjoint intervals reduce containment to the as-of carry: union +
+    // per-user ordered window + end-bound filter — no join operator of
+    // any kind should appear
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin")
+      && !plan.contains("BroadcastHashJoin"),
+      s"interval join materialized a join:\n$plan")
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty &&
+      windowLines.forall(_.contains("windowspecdefinition(user_id")),
+      s"carry/session windows not partitioned by user_id:\n${windowLines.mkString("\n")}")
+  }
+
+  test("q_percentiles: histogram narrowing — no row-count-sized window") {
+    val plan = finalPlan("q_percentiles")
+    // the only windows may run over HISTOGRAM buckets (cumulative counts
+    // partitioned by status, ordered by bucket) or within the located
+    // buckets (partitioned by (status, b)); a window ordered directly by
+    // o_totalprice over bare o_orderstatus would be the 3-way
+    // parallelism floor this form removes
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty, s"no window in q_percentiles plan:\n$plan")
+    assert(windowLines.forall(l => l.contains("b#") ||
+      l.contains("windowspecdefinition(o_orderstatus") && l.contains(", b")),
+      s"row-count-sized window survived:\n${windowLines.mkString("\n")}")
+    // located buckets reach the second scan as a broadcast, not a shuffle
+    assert(plan.contains("BroadcastHashJoin"),
+      s"located buckets not broadcast:\n$plan")
+  }
+
   test("q17: correlated scalar subquery is decorrelated onto one join key") {
     val plan = finalPlan("q17_small_qty_revenue")
     assert(plan.contains("BroadcastHashJoin"),

@@ -296,12 +296,15 @@ object GenData {
   * <outDir> <nSlices>`. */
 object SplitEventsByTime {
   def main(args: Array[String]): Unit = {
-    val inDir = args(0)
-    val outDir = args(1)
-    val n = args.lift(2).map(_.toInt).getOrElse(8)
     val spark = Sessions.local("graft-split",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
+    split(spark, args(0), args(1), args.lift(2).map(_.toInt).getOrElse(8))
+    spark.stop()
+  }
+
+  def split(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, n: Int): Unit = {
     val ev = spark.read.parquet(s"$inDir/events.parquet")
     // exact contiguous time ranks: ntile over a global ts sort (one-off
     // fixture tool — the sort cost is paid here, not in any query)
@@ -323,9 +326,8 @@ object SplitEventsByTime {
         java.nio.file.Paths.get(f"$outDir/events-$i%02d.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
-      println(s"[split] wrote $outDir/events-$i%02d.parquet")
+      println(f"[split] wrote $outDir/events-$i%02d.parquet")
     }
     sliced.unpersist()
-    spark.stop()
   }
 }

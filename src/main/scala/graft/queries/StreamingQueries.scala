@@ -144,7 +144,8 @@ object StreamingQueries {
       // nanos under the session's nanosAsLong setting, converted exactly
       // like Records.table does for batch reads
       val schema = e3SchemaCache.computeIfAbsent(dir,
-        d => s.read.parquet(s"$d/events.parquet").schema)
+        d => s.read.option("pathGlobFilter", "events*.parquet")
+          .parquet(d).schema)
       val runId = e3Runs.incrementAndGet()
       val sinkTable = s"graft_e3_sink_$runId"
       // the stateful agg materializes one state store per shuffle
@@ -158,7 +159,8 @@ object StreamingQueries {
       // right for.
       val ss = streamingSession(s, rocksDb = false, stateWidth(s, 0L))
       val q = ss.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", "events*.parquet")
+        .option("maxFilesPerTrigger", "1")
         .parquet(dir)
         .withColumn("ts",
           if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -423,7 +425,8 @@ object StreamingQueries {
     (s, dir) => {
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
       val schema = e4SchemaCache.computeIfAbsent(dir,
-        d => s.read.parquet(s"$d/events.parquet").schema)
+        d => s.read.option("pathGlobFilter", "events*.parquet")
+          .parquet(d).schema)
       val eventRows = e4RowsCache.computeIfAbsent(dir,
         d => java.lang.Long.valueOf(
           s.read.option("pathGlobFilter", "events*.parquet")
@@ -434,7 +437,8 @@ object StreamingQueries {
       import ss.implicits._
       val outPath = s"$e3TmpRoot/e6_out_$runId"
       val q = ss.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", "events*.parquet")
+        .option("maxFilesPerTrigger", "1")
         .parquet(dir)
         .withColumn("ts",
           if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -513,7 +517,8 @@ object StreamingQueries {
     (s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val schema = e4SchemaCache.computeIfAbsent(dir,
-        d => s.read.parquet(s"$d/events.parquet").schema)
+        d => s.read.option("pathGlobFilter", "events*.parquet")
+          .parquet(d).schema)
       val eventRows = e4RowsCache.computeIfAbsent(dir,
         d => java.lang.Long.valueOf(
           s.read.option("pathGlobFilter", "events*.parquet")
@@ -524,7 +529,8 @@ object StreamingQueries {
       val outPath = s"$e3TmpRoot/e7_out_$runId"
       def side(tpe: String, idAs: String, tsAs: String, userAs: String) =
         ss.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet")
+          .option("pathGlobFilter", "events*.parquet")
+          .option("maxFilesPerTrigger", "1")
           .parquet(dir)
           .withColumn("ts",
             if (schema("ts").dataType == org.apache.spark.sql.types.LongType)

@@ -624,6 +624,104 @@ object PipelineQueries {
          |FROM cand QUALIFY rank <= 3 ORDER BY q_id, rank""".stripMargin
     })
 
+  // SIM4 — QUANTIZED ANN (int8 coarse scoring + full-precision re-rank):
+  // the production serving pipeline at 100 TB, end-to-end. Vectors are
+  // L2-normalized and symmetrically quantized to int8 (round(x/‖v‖·127)
+  // — integral values carried as doubles so the dot product is EXACT
+  // integer arithmetic in both engines, sums ≪ 2⁵³; no float-sum
+  // rounding boundary can flip the cross-engine hash). Candidates come
+  // from the same 2-table hyperplane LSH as sim3 (bucketed — never
+  // all-pairs), are coarse-ranked by the int8 dot (ties broken by
+  // vec_id: integer-deterministic), and only the top-10 survivors per
+  // query FETCH their full-precision vectors back by id (broadcast of
+  // the tiny candidate set against the store — at scale the quantized
+  // index is the only corpus-wide scan: 4× less IO than float32, 8× less
+  // than the double fixture) for the exact-cosine top-3. Quantization
+  // error is confined to candidate SELECTION (measured in AnnRecallSpec
+  // style against sim1's exact baseline); emitted scores are exact.
+  private val sim4 = QueryDef(
+    "sim_topk_quant",
+    (s, dir) => {
+      import graft.functions.VectorLsh
+      val e = emb(s, dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .filter(expr("vec_dot(v, v)") > 0)
+        .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+        .withColumn("q8", expr("transform(v, x -> round(x / nrm * 127))"))
+      val buckets = (0 until 2).map(t =>
+        struct(lit(t).as("tbl"),
+          expr(VectorLsh.bucketExpr("v", t, 3, 64)).as("bucket")))
+      val tagged = e.withColumn("tb", explode(array(buckets: _*)))
+        .select(col("vec_id"), col("q8"),
+          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      val q = tagged.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("q8").as("qq8"),
+          col("tbl"), col("bucket"))
+      // candidate generation + coarse scoring touch ONLY int8 vectors
+      val coarse = q.join(tagged, Seq("tbl", "bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select("q_id", "qq8", "vec_id", "q8").distinct()
+        .withColumn("qdot", expr("cast(vec_dot(qq8, q8) as long)"))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("qdot").desc, col("vec_id"))))
+        .filter(col("crank") <= 10)
+        .select("q_id", "vec_id", "qdot")
+      // full precision only for the ≤10 survivors per query: fetch by id
+      val full = e.select(col("vec_id"), col("v"))
+      val qfull = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      broadcast(coarse).join(full, "vec_id")
+        .join(broadcast(qfull), "q_id")
+        .withColumn("cos", round(cosineCols("qv", "v"), 4))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id")))
+          .cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("vec_id"), col("qdot"), col("cos"),
+          col("rank"))
+        .orderBy("q_id", "rank")
+    },
+    Some {
+      import graft.functions.VectorLsh
+      val b0 = VectorLsh.bucketSql("v", 0, 3, 64)
+      val b1 = VectorLsh.bucketSql("v", 1, 3, 64)
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         |e8 AS (
+         |  SELECT vec_id, v,
+         |    list_transform(v, x -> ROUND(x / sqrt(list_dot_product(v, v)) * 127))
+         |      AS q8
+         |  FROM e),
+         |bk AS (SELECT vec_id, q8, v, $b0 AS b0, $b1 AS b1 FROM e8),
+         |tagged AS (
+         |  SELECT vec_id, q8, 0 AS tbl, b0 AS bucket FROM bk
+         |  UNION ALL
+         |  SELECT vec_id, q8, 1, b1 FROM bk),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, q.q8 AS qq8, t.vec_id, t.q8
+         |  FROM tagged q JOIN tagged t
+         |    ON q.tbl = t.tbl AND q.bucket = t.bucket AND t.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 20),
+         |coarse AS (
+         |  SELECT q_id, vec_id,
+         |    CAST(list_dot_product(qq8, q8) AS BIGINT) AS qdot,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY CAST(list_dot_product(qq8, q8) AS BIGINT) DESC, vec_id)
+         |      AS crank
+         |  FROM cand QUALIFY crank <= 10)
+         |SELECT CAST(c.q_id AS BIGINT) AS q_id,
+         |  CAST(c.vec_id AS BIGINT) AS vec_id, c.qdot,
+         |  ROUND(${cosSql("qe.v", "te.v")}, 4) AS cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY c.q_id
+         |    ORDER BY ROUND(${cosSql("qe.v", "te.v")}, 4) DESC, c.vec_id)
+         |    AS BIGINT) AS rank
+         |FROM coarse c
+         |JOIN e te ON te.vec_id = c.vec_id
+         |JOIN e qe ON qe.vec_id = c.q_id
+         |QUALIFY rank <= 3 ORDER BY q_id, rank""".stripMargin
+    })
+
   // ---------------------------------------------------- text analysis
 
   /** Let-bound token-count struct: `fields` are (name, exprOf(ts));
@@ -2285,7 +2383,7 @@ object PipelineQueries {
         |ORDER BY pri, doc_id LIMIT 200""".stripMargin))
 
   val defs: Seq[QueryDef] = Seq(
-    d1, d2, d3, d4, d5, d6, d9, d10, d11, sim1, sim2, sim3,
+    d1, d2, d3, d4, d5, d6, d9, d10, d11, sim1, sim2, sim3, sim4,
     x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x11b, x12, x13,
     m1, m2, m3, e1, e2, e5, p1, p2, p3, p4, p5, p6, p7, p8, p9, p10)
 }

@@ -56,6 +56,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!ivf.contains("CartesianProduct"), s"cartesian in IVF:\n$ivf")
     val lsh = executedPlan("sim_topk_lsh")
     assert(!lsh.contains("CartesianProduct"), s"cartesian in LSH ANN:\n$lsh")
+    val quant = finalPlan("sim_topk_quant")
+    assert(!quant.contains("CartesianProduct") &&
+      !quant.contains("BroadcastNestedLoopJoin"),
+      s"cartesian in quantized ANN:\n$quant")
+    // the full-precision fetch must be the tiny candidate set broadcast
+    // against the store, never a shuffle of the corpus
+    assert(quant.contains("BroadcastHashJoin"),
+      s"quant re-rank fetch not broadcast:\n$quant")
   }
 
   test("sim2: seeds are a partial top-k, assignment an aggregation (no full-table window)") {

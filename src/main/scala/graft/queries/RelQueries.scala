@@ -362,63 +362,12 @@ object RelQueries {
     (s, dir) => {
       val o = Records.table(s, dir, "orders")
         .select(col("o_orderstatus"), col("o_totalprice"))
-      // pass 1: unit-width histogram + per-bucket cumulative offsets
-      val hist = o
-        .groupBy(col("o_orderstatus"), floor(col("o_totalprice")).as("b"))
-        .agg(count(lit(1)).as("c"))
-      val wc = Window.partitionBy("o_orderstatus").orderBy("b")
-      val cum = hist.withColumn("cum_before", sum("c").over(wc) - col("c"))
-      val counts = cum.groupBy("o_orderstatus").agg(sum("c").as("n"))
-      // each quantile's two interpolation ranks (1-indexed), located to
-      // the bucket whose (cum_before, cum_before + c] range covers them
-      val located = counts
-        .withColumn("r50", (col("n") - 1).cast("double") * 0.5)
-        .withColumn("r90", (col("n") - 1).cast("double") * 0.9)
+      graft.operators.Quantiles
+        .exactGrouped(o, "o_orderstatus", "o_totalprice", Seq(0.5, 0.9))
         .select(col("o_orderstatus"),
-          explode(array(
-            floor(col("r50")) + 1, ceil(col("r50")) + 1,
-            floor(col("r90")) + 1, ceil(col("r90")) + 1)).as("rank"))
-        .join(cum, Seq("o_orderstatus"))
-        .filter(col("rank") > col("cum_before") &&
-          col("rank") <= col("cum_before") + col("c"))
-        .select(col("o_orderstatus"), col("b"), col("cum_before"))
-        .distinct()
-      // pass 2: raw rows of the located buckets only; global rank =
-      // rows before the bucket + rank within the bucket
-      val wl = Window.partitionBy("o_orderstatus", "b")
-        .orderBy("o_totalprice")
-      val ranked = o.withColumn("b", floor(col("o_totalprice")))
-        .join(broadcast(located), Seq("o_orderstatus", "b"))
-        .withColumn("rn", row_number().over(wl) + col("cum_before"))
-        .join(broadcast(counts), "o_orderstatus")
-        .withColumn("r50", (col("n") - 1).cast("double") * 0.5)
-        .withColumn("r90", (col("n") - 1).cast("double") * 0.9)
-        .withColumn("lo50", floor(col("r50")) + 1)
-        .withColumn("hi50", ceil(col("r50")) + 1)
-        .withColumn("d50", col("r50") - floor(col("r50")))
-        .withColumn("lo90", floor(col("r90")) + 1)
-        .withColumn("hi90", ceil(col("r90")) + 1)
-        .withColumn("d90", col("r90") - floor(col("r90")))
-      // lower + d*(higher − lower); when the target rank is integral the
-      // two ranks collapse to one row and d = 0, so the term vanishes
-      ranked
-        .filter(col("rn") === col("lo50") || col("rn") === col("hi50") ||
-          col("rn") === col("lo90") || col("rn") === col("hi90"))
-        .groupBy("o_orderstatus")
-        .agg(
-          round(
-            max(when(col("rn") === col("lo50"), col("o_totalprice"))) +
-              max(col("d50")) *
-              (max(when(col("rn") === col("hi50"), col("o_totalprice"))) -
-                max(when(col("rn") === col("lo50"), col("o_totalprice")))),
-            4).as("p50"),
-          round(
-            max(when(col("rn") === col("lo90"), col("o_totalprice"))) +
-              max(col("d90")) *
-              (max(when(col("rn") === col("hi90"), col("o_totalprice"))) -
-                max(when(col("rn") === col("lo90"), col("o_totalprice")))),
-            4).as("p90"),
-          max("n").as("n"))
+          round(col("q0"), 4).as("p50"),
+          round(col("q1"), 4).as("p90"),
+          col("n"))
         .orderBy("o_orderstatus")
     },
     Some(

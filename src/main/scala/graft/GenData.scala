@@ -316,23 +316,26 @@ object SplitEventsByTime {
     val spark = Sessions.local("graft-split",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
-    split(spark, args(0), args(1), args.lift(2).map(_.toInt).getOrElse(8))
+    split(spark, args(0), args(1), args.lift(2).map(_.toInt).getOrElse(8),
+      args.lift(3).getOrElse("events"))
     spark.stop()
   }
 
   def split(spark: org.apache.spark.sql.SparkSession, inDir: String,
-      outDir: String, n: Int): Unit = {
-    val ev = spark.read.parquet(s"$inDir/events.parquet")
-    // exact contiguous time ranks: ntile over a global ts sort (one-off
-    // fixture tool — the sort cost is paid here, not in any query)
+      outDir: String, n: Int, table: String = "events"): Unit = {
+    val ev = spark.read.parquet(s"$inDir/$table.parquet")
+    // exact contiguous arrival ranks: ntile over a global sort (one-off
+    // fixture tool — the sort cost is paid here, not in any query).
+    // events arrive in time order; documents in doc_id order.
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(orderCols(table).map(col): _*)
     val sliced = ev.withColumn("__slice", ntile(n).over(w) - 1).persist()
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     for (i <- 0 until n) {
       val tmp = s"$outDir/_tmp_slice_$i"
       sliced.filter(col("__slice") === i).drop("__slice")
-        .repartition(1).sortWithinPartitions("ts", "event_id")
+        .repartition(1)
+        .sortWithinPartitions(orderCols(table).map(col): _*)
         .write.mode("overwrite")
         .option("parquet.block.size", (8L * 1024 * 1024).toString)
         .parquet(tmp)
@@ -340,11 +343,14 @@ object SplitEventsByTime {
       val part = java.nio.file.Files.list(p)
         .filter(_.toString.endsWith(".parquet")).findFirst().get()
       java.nio.file.Files.move(part,
-        java.nio.file.Paths.get(f"$outDir/events-$i%02d.parquet"),
+        java.nio.file.Paths.get(f"$outDir/$table%s-$i%02d.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
-      println(f"[split] wrote $outDir/events-$i%02d.parquet")
+      println(f"[split] wrote $outDir/$table%s-$i%02d.parquet")
     }
     sliced.unpersist()
   }
+
+  private def orderCols(table: String): Seq[String] =
+    if (table == "events") Seq("ts", "event_id") else Seq("doc_id")
 }

@@ -103,4 +103,34 @@ object IncrementalDedup {
   def kept(s: SparkSession, workDir: String): DataFrame =
     s.read.parquet(s"$workDir/kept")
       .select(col("content_hash"), col("keeper_doc_id"))
+
+  /** Compact all index partitions with `batch <= upToBatch` into ONE
+    * partition addressed `batch=<upToBatch>` — identical content, one
+    * file set instead of one per batch, so the `batch < id` pruning
+    * scan stays correct for every future batch (the merged partition
+    * keeps the HIGHEST compacted id, and ids only grow). Safe to run
+    * between streaming runs (same single-writer assumption as the
+    * pipeline itself); a batch replayed AFTER compaction still never
+    * sees its own rows because its id is above `upToBatch`. The scan
+    * cost of an N-batch history drops from N listings to 1 + the
+    * uncompacted tail. */
+  def compactIndex(s: SparkSession, workDir: String,
+      upToBatch: Long): Unit = {
+    val idxRoot = s"$workDir/index"
+    val root = new org.apache.hadoop.fs.Path(idxRoot)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val parts = fs.listStatus(root).toSeq.map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("batch=") &&
+          p.getName.stripPrefix("batch=").toLong <= upToBatch
+      }
+    if (parts.size <= 1) return
+    val tmp = s"$idxRoot/_compact_$upToBatch"
+    s.read.parquet(parts.map(_.toString): _*)
+      .repartition(1).write.mode("overwrite").parquet(tmp)
+    parts.foreach(p => fs.delete(p, true))
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$idxRoot/batch=$upToBatch"))
+  }
 }

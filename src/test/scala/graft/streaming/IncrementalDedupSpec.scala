@@ -67,4 +67,36 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // cross-slice dedup actually happened: fewer keepers than docs
     assert(kept.length < 40 && kept.length === 19)
   }
+
+  test("index compaction preserves results across a later incremental run") {
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_d12c_docs_").toString
+    val workDir = java.nio.file.Files.createTempDirectory("graft_d12c_work_").toString
+    writeSlices(docsDir)
+    IncrementalDedup.run(spark, docsDir, workDir)
+    val before = IncrementalDedup.kept(spark, workDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // compact batches 0..3 into one partition, then stream MORE data
+    // (a 5th slice with one new text and one known dup) through the
+    // SAME checkpoint — the compacted index must still dedup it
+    IncrementalDedup.compactIndex(spark, workDir, upToBatch = 3L)
+    val idx = new java.io.File(s"$workDir/index")
+      .listFiles().map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(idx === Seq("batch=3"), s"compaction left: $idx")
+    Seq((100L, "doc text 0 0", "en", "src9", 12L), // dup of doc 0
+        (101L, "brand new text", "en", "src9", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$docsDir/_tmp_4")
+    val p = java.nio.file.Paths.get(s"$docsDir/_tmp_4")
+    val part = java.nio.file.Files.list(p)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.move(part,
+      java.nio.file.Paths.get(s"$docsDir/documents-04.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+    IncrementalDedup.run(spark, docsDir, workDir)
+    val after = IncrementalDedup.kept(spark, workDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after.size === before.size + 1, "dup slipped past the compacted index")
+    assert((after -- before).map(_._2) === Set(101L))
+  }
 }

@@ -14,8 +14,9 @@ final case class QueryDef(
 
 object Catalog {
   lazy val all: Seq[QueryDef] =
-    RefQueries.defs ++ RelQueries.defs ++ PipelineQueries.defs ++
-      StreamingQueries.defs ++ PlannerQueries.defs ++ JoinQueries.defs
+    RefQueries.defs ++ RelQueries.defs ++ RelQueries2.defs ++
+      PipelineQueries.defs ++ StreamingQueries.defs ++ PlannerQueries.defs ++
+      JoinQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -324,8 +324,16 @@ object RelQueries2 {
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_suppkey"))
         .agg(sum(col("l_quantity").cast("long")).as("qty_units"))
-      val total = shipped.agg(sum("qty_units").as("total_qty"))
-      val qualifying = shipped.crossJoin(broadcast(total))
+      // Global total as an un-partitioned window over the SUPPLIER-sized
+      // aggregate (not a second aggregation branch): a separate
+      // `shipped.agg(sum)` re-plans the whole subtree and — unlike q11,
+      // where AQE reuses the exchange — planned a second lineitem scan
+      // here. The window form is structurally single-scan; it serializes
+      // only the dim-sized post-agg rows through one partition.
+      val qualifying = shipped
+        .withColumn("total_qty",
+          sum("qty_units").over(org.apache.spark.sql.expressions.Window
+            .partitionBy()))
         .filter(col("qty_units") * 1000 > col("total_qty") * 11)
         .select(col("l_suppkey"))
       Records.table(s, dir, "supplier")
@@ -350,34 +358,43 @@ object RelQueries2 {
   // Q21 shape — the double-correlated EXISTS / NOT EXISTS: suppliers
   // who were the SOLE late supplier on a finished multi-supplier order.
   // "Late" stands in as shipped >365 days after the order date (no
-  // commit/receipt dates in the fixture). The EXISTS becomes a LEFT
-  // SEMI and the NOT EXISTS a LEFT ANTI, both equi-keyed on l_orderkey
-  // with the suppkey inequality as a residual — three co-partitioned
-  // hash joins on the same key, no cartesian anywhere. Top-20 by wait
-  // count, supplier name tiebreak.
+  // commit/receipt dates in the fixture). The ORACLE states the
+  // declarative EXISTS/NOT-EXISTS form; the engine executes the
+  // single-pass equivalent — the naive semi+anti translation scans
+  // lineitem THREE times (late twice, "other suppliers" once), where
+  // one per-order aggregation derives the same predicate:
+  //   per (order, supplier): count of late lines;
+  //   per order: #suppliers, #late suppliers, the sole late supplier;
+  //   keep orders with #suppliers > 1 and #late-suppliers == 1 and
+  //   credit that supplier with its late-line count (the EXISTS row
+  //   count of the original).
+  // One lineitem scan, one orderkey shuffle; both per-order aggs and
+  // the orders join reuse the orderkey partitioning (pinned).
   private val q21 = QueryDef(
     "q21_waiting_supplier",
     (s, dir) => {
-      val li = Records.table(s, dir, "lineitem")
-      val late = li
+      val perOrderSupp = Records.table(s, dir, "lineitem")
         .join(Records.table(s, dir, "orders")
-          .filter(col("o_orderstatus") === "F"),
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
-        .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 365)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val others = li.select(col("l_orderkey").as("o2_orderkey"),
-        col("l_suppkey").as("o2_suppkey"))
-      val lateOthers = late.select(col("l_orderkey").as("o3_orderkey"),
-        col("l_suppkey").as("o3_suppkey"))
-      late
-        .join(others, col("l_orderkey") === col("o2_orderkey") &&
-          col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
-        .join(lateOthers, col("l_orderkey") === col("o3_orderkey") &&
-          col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(when(datediff(col("l_shipdate"), col("o_orderdate")) > 365,
+          lit(1L)).otherwise(lit(0L))).as("late_lines"))
+      val perOrder = perOrderSupp
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("late_lines") > 0, lit(1L)).otherwise(lit(0L)))
+            .as("n_late_supp"),
+          max(when(col("late_lines") > 0, col("l_suppkey"))).as("late_supp"),
+          sum(when(col("late_lines") > 0, col("late_lines"))
+            .otherwise(lit(0L))).as("late_line_cnt"))
+        .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      perOrder
         .join(broadcast(Records.table(s, dir, "supplier")),
-          col("l_suppkey") === col("s_suppkey"))
+          col("late_supp") === col("s_suppkey"))
         .groupBy("s_name")
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum("late_line_cnt").as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(20)
     },

@@ -415,4 +415,57 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"too many shuffles in e1 ($exchanges):\n$plan")
     assert(plan.contains("user_id"), plan)
   }
+
+  private def lineitemScans(plan: String): Int =
+    plan.linesIterator.count(l => l.contains("Scan parquet") &&
+      l.contains("lineitem"))
+
+  test("q2: correlated-min rejoin reuses the cost exchange — one lineitem scan") {
+    val plan = finalPlan("q2_min_cost_supplier")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q2:\n$plan")
+    assert(lineitemScans(plan) <= 1,
+      s"cost subtree re-scanned lineitem:\n$plan")
+  }
+
+  test("q8/q9/q12: one lineitem scan, dims broadcast, no cartesian") {
+    for (n <- Seq("q8_market_share", "q9_product_profit",
+        "q12_priority_class")) {
+      val plan = finalPlan(n)
+      assert(!plan.contains("CartesianProduct"), s"cartesian in $n:\n$plan")
+      assert(lineitemScans(plan) <= 1, s"$n scans lineitem twice:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$n dimensions not broadcast:\n$plan")
+    }
+  }
+
+  test("q11: global-scalar threshold is a 1-row broadcast over ONE scan") {
+    val plan = finalPlan("q11_important_parts")
+    assert(lineitemScans(plan) <= 1,
+      s"q11 recomputed the value agg from a second scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q11:\n$plan")
+  }
+
+  test("q16: supplier variety is a two-level distinct — no Expand") {
+    val plan = finalPlan("q16_supplier_variety")
+    assert(!plan.contains("Expand"),
+      s"COUNT(DISTINCT) Expand leaked into q16 (use the two-level form):\n$plan")
+    assert(lineitemScans(plan) <= 1, s"q16 scans lineitem twice:\n$plan")
+  }
+
+  test("q20: window-total keeps the nested semijoin at one lineitem scan") {
+    val plan = finalPlan("q20_top_part_suppliers")
+    assert(lineitemScans(plan) <= 1,
+      s"q20's global total re-scanned lineitem:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"ship-date filter not pushed in q20:\n$plan")
+  }
+
+  test("q21: EXISTS/NOT-EXISTS executes as ONE-scan per-order aggregation") {
+    val plan = finalPlan("q21_waiting_supplier")
+    assert(lineitemScans(plan) <= 1,
+      s"q21 fell back to the 3-scan semi/anti form:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in q21:\n$plan")
+  }
 }

@@ -2593,8 +2593,45 @@ object PipelineQueries {
         |FROM documents
         |ORDER BY pri, doc_id LIMIT 200""".stripMargin))
 
+  // P11 — overlapping-window chunking: every long-context training
+  // pipeline re-cuts documents into fixed-width windows with overlap
+  // (stride < width) before tokenization/packing. One generator
+  // expression per row — `sequence` builds the stride index list and
+  // `explode` fans out, all inside whole-stage codegen, zero shuffle
+  // (the final ORDER BY is presentation-only; production writes
+  // unsorted). Chunk identity is the md5 of the substring — stable
+  // across engines — so downstream exact-dedup (d1) composes directly.
+  // Width 400 / stride 300 chars; an empty or short doc yields exactly
+  // one chunk.
+  private val p11 = QueryDef(
+    "p11_chunk_overlap",
+    (s, dir) => {
+      docs(s, dir)
+        .withColumn("chunk_idx", explode(sequence(lit(0L),
+          floor((greatest(length(col("text")), lit(1)) - 1) / 300)
+            .cast("long"))))
+        .select(col("doc_id"), col("chunk_idx"),
+          length(expr("substring(text, CAST(chunk_idx*300+1 AS INT), 400)"))
+            .cast("long").as("chunk_len"),
+          md5(expr("substring(text, CAST(chunk_idx*300+1 AS INT), 400)")
+            .cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some(
+      """WITH ch AS (
+        |  SELECT doc_id, text, unnest(generate_series(0,
+        |    CAST(floor((greatest(length(text), 1) - 1) / 300) AS BIGINT)))
+        |    AS chunk_idx
+        |  FROM documents)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(length(substring(text, CAST(chunk_idx*300+1 AS INT), 400))
+        |    AS BIGINT) AS chunk_len,
+        |  md5(substring(text, CAST(chunk_idx*300+1 AS INT), 400)) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, sim1, sim2, sim3, sim4,
     x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x11b, x12, x13,
-    m1, m2, m3, e1, e1b, e2, e5, e5b, p1, p2, p3, p4, p5, p6, p7, p8, p9, p10)
+    m1, m2, m3, e1, e1b, e2, e5, e5b,
+    p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p11)
 }

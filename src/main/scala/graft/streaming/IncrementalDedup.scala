@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -24,17 +25,18 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * At 100 TB the per-batch index partitions are 16 bytes/doc like
   * d10's index; the `batch < id` scan accumulates one partition per
-  * batch, so production deployments compact old partitions into one
-  * (identical content, fewer files) on a schedule — the anti-join is
-  * unchanged. Reference analog: the reference skips re-consumed
-  * records by offset on recovery (S7,
+  * batch, so [[run]] compacts old partitions in-pipeline every
+  * `compactEvery` batches (identical content, bounded file sets — the
+  * anti-join is unchanged). Reference analog: the reference skips
+  * re-consumed records by offset on recovery (S7,
   * uReplicator-Worker/src/main/java/com/uber/stream/ureplicator/worker/
   * ConsumerIterator.java:46-86); this generalizes offset-dedup to
   * content-dedup with a durable index.
   *
-  * IncrementalDedupSpec drives the crash: fail a chosen batch AFTER its
-  * writes but BEFORE the checkpoint commits, restart, and assert the
-  * final table equals the batch oracle with zero duplicates.
+  * IncrementalDedupSpec drives the crashes: fail a chosen batch AFTER
+  * its writes but BEFORE the checkpoint commits (restart must replay it
+  * exactly-once), and fail [[compactIndex]] at each internal step (the
+  * index must never lose a hash).
   */
 object IncrementalDedup {
 
@@ -44,7 +46,8 @@ object IncrementalDedup {
   private val thrown = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def run(s: SparkSession, docsDir: String, workDir: String,
-      failAtBatch: Option[Long] = None): Unit = {
+      failAtBatch: Option[Long] = None,
+      compactEvery: Int = 16): Unit = {
     val schema = s.read.option("pathGlobFilter", "documents*.parquet")
       .parquet(docsDir).schema
     val q = s.readStream.schema(schema)
@@ -58,6 +61,13 @@ object IncrementalDedup {
             thrown.add(s"$workDir#$id"))
           throw new RuntimeException(
             s"injected crash after batch $id writes, before commit")
+        // In-pipeline compaction cadence: STRICTLY prior batches only
+        // (upToBatch = id - 1, never id) — if we crash here and batch
+        // `id` replays, its prior-index scan must not see a compacted
+        // partition containing its own failed attempt's rows.
+        if (compactEvery > 0 && id.toLong > 0 &&
+            id.toLong % compactEvery == 0)
+          compactIndex(batch.sparkSession, workDir, id.toLong - 1)
         ()
       }
       .option("checkpointLocation", s"$workDir/ckpt")
@@ -83,18 +93,33 @@ object IncrementalDedup {
       .parquet(s"$workDir/index/batch=$id")
   }
 
+  /** id of an index partition dir: `batch=<n>` (written by one batch) or
+    * `compacted=<n>` (the merge of every partition with id <= n). Both
+    * obey the same visibility rule — a partition named with id n holds
+    * ONLY hashes first seen at batches <= n. */
+  private def partitionId(name: String): Option[Long] = {
+    val eq = name.indexOf('=')
+    if (eq < 0) None
+    else name.take(eq) match {
+      case "batch" | "compacted" =>
+        try Some(name.drop(eq + 1).toLong) catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+  }
+
+  private def indexParts(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[(Path, Long)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .flatMap(p => partitionId(p.getName).map(p -> _))
+
   /** index partitions of batches strictly BEFORE `id` (never the
     * current batch's own failed attempt) */
   private def priorIndex(ss: SparkSession, idxRoot: String,
       id: Long): Option[DataFrame] = {
-    val root = new org.apache.hadoop.fs.Path(idxRoot)
+    val root = new Path(idxRoot)
     val fs = root.getFileSystem(ss.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return None
-    val parts = fs.listStatus(root).toSeq.map(_.getPath)
-      .filter { p =>
-        p.getName.startsWith("batch=") &&
-          p.getName.stripPrefix("batch=").toLong < id
-      }
+    val parts = indexParts(fs, root).collect { case (p, n) if n < id => p }
     if (parts.isEmpty) None
     else Some(ss.read.parquet(parts.map(_.toString): _*))
   }
@@ -104,33 +129,67 @@ object IncrementalDedup {
     s.read.parquet(s"$workDir/kept")
       .select(col("content_hash"), col("keeper_doc_id"))
 
-  /** Compact all index partitions with `batch <= upToBatch` into ONE
-    * partition addressed `batch=<upToBatch>` — identical content, one
-    * file set instead of one per batch, so the `batch < id` pruning
+  /** Compact all index partitions with id <= `upToBatch` into ONE
+    * partition addressed `compacted=<upToBatch>` — identical hash set,
+    * one file set instead of one per batch, so the `batch < id` pruning
     * scan stays correct for every future batch (the merged partition
-    * keeps the HIGHEST compacted id, and ids only grow). Safe to run
-    * between streaming runs (same single-writer assumption as the
-    * pipeline itself); a batch replayed AFTER compaction still never
-    * sees its own rows because its id is above `upToBatch`. The scan
-    * cost of an N-batch history drops from N listings to 1 + the
-    * uncompacted tail. */
-  def compactIndex(s: SparkSession, workDir: String,
-      upToBatch: Long): Unit = {
+    * keeps the HIGHEST compacted id, and ids only grow; a batch
+    * replayed AFTER compaction still never sees its own rows when
+    * upToBatch < its id — which [[run]] guarantees by compacting
+    * `id - 1`). The scan cost of an N-batch history drops from N
+    * listings to 1 + the uncompacted tail.
+    *
+    * CRASH-SAFE by publish-then-delete: the merged partition is
+    * written to an `_`-prefixed tmp (invisible to [[priorIndex]]),
+    * atomically renamed to its final `compacted=` name, and only THEN
+    * are the source partitions deleted. A crash at any point leaves the
+    * visible index a SUPERSET of the true hash set (tmp invisible →
+    * originals intact; after publish → originals coexist with the
+    * merge), and duplicate hashes across partitions are harmless to the
+    * left_anti join — the index can never silently forget a hash.
+    * Single-writer assumption is the same as the pipeline's own
+    * (compaction runs inside its foreachBatch, or between runs).
+    *
+    * `failpoint` is a test hook (IncrementalDedupSpec) that injects a
+    * crash "before-publish", "after-publish", or "mid-delete". */
+  def compactIndex(s: SparkSession, workDir: String, upToBatch: Long,
+      failpoint: String = ""): Unit = {
     val idxRoot = s"$workDir/index"
-    val root = new org.apache.hadoop.fs.Path(idxRoot)
+    val root = new Path(idxRoot)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    val parts = fs.listStatus(root).toSeq.map(_.getPath)
-      .filter { p =>
-        p.getName.startsWith("batch=") &&
-          p.getName.stripPrefix("batch=").toLong <= upToBatch
-      }
+    // stale tmp from a previously crashed compaction: invisible to the
+    // scan, safe to drop and redo
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("_compact_"))
+      .foreach(p => fs.delete(p, true))
+    val parts = indexParts(fs, root).filter(_._2 <= upToBatch)
     if (parts.size <= 1) return
-    val tmp = s"$idxRoot/_compact_$upToBatch"
-    s.read.parquet(parts.map(_.toString): _*)
-      .repartition(1).write.mode("overwrite").parquet(tmp)
-    parts.foreach(p => fs.delete(p, true))
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(s"$idxRoot/batch=$upToBatch"))
+    val target = new Path(s"$idxRoot/compacted=$upToBatch")
+    // compare by NAME: listStatus paths are scheme-qualified
+    // (file:/...), `target` is not — URI equality would treat the
+    // published partition as a source and delete it
+    val sources = parts.collect { case (p, _) if p.getName != target.getName => p }
+    // If the target already exists, a previous compaction at this id
+    // crashed AFTER publishing — its merge was built from every part
+    // <= upToBatch (ids only grow, so no new source can have appeared
+    // since), so only the source deletions remain. Re-merging would
+    // rename into an existing dir (nests on local FS) — skip it.
+    if (!fs.exists(target)) {
+      val tmp = new Path(s"$idxRoot/_compact_$upToBatch")
+      s.read.parquet(sources.map(_.toString): _*)
+        .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      if (failpoint == "before-publish")
+        throw new RuntimeException("injected compaction crash before publish")
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"rename $tmp -> $target failed")
+    }
+    if (failpoint == "after-publish")
+      throw new RuntimeException("injected compaction crash after publish")
+    sources.foreach { p =>
+      fs.delete(p, true)
+      if (failpoint == "mid-delete")
+        throw new RuntimeException("injected compaction crash mid-delete")
+    }
   }
 }

@@ -36,6 +36,7 @@ final class GraftController(
     admission: Option[AdmissionControl] = None,
     feeds: Option[AdminApi.MonitorFeeds] = None,
     isLeader: () => Boolean = () => true,
+    fencingToken: () => Long = () => -1L,
     gitBackup: Boolean = false,
     httpPort: Int = 0) {
 
@@ -44,7 +45,8 @@ final class GraftController(
   val whitelister =
     new AutoWhitelister(manager, srcObserver, dstObserver, blacklist)
   val validation = new ValidationService(idealView, externalView, isLeader)
-  val backup = new StateBackupManager(manager, backupDir, gitBackup, isLeader)
+  val backup =
+    new StateBackupManager(manager, backupDir, gitBackup, isLeader, fencingToken)
   val api = new AdminApi(manager, admission, feeds)
   val http = new AdminHttpServer(api, Some(validation), httpPort)
 

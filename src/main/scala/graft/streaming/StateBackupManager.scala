@@ -19,29 +19,37 @@ import java.util.concurrent.atomic.AtomicLong
  * Driver-side only — state is O(#pipelines), never records.
  */
 final class StateBackupManager(manager: PipelineManager, dir: String,
-    gitCommit: Boolean = false, isLeader: () => Boolean = () => true) {
+    gitCommit: Boolean = false, isLeader: () => Boolean = () => true,
+    fencingToken: () => Long = () => -1L) {
 
   private val seq = new AtomicLong(0)
   @volatile private var sched: Option[ScheduledExecutorService] = None
 
   /** Write one snapshot; returns the created file. The sequence resumes
     * past any dumps already in `dir`, so a restarted driver never
-    * overwrites the backups written before the crash. */
+    * overwrites the backups written before the crash. When an election
+    * provides a fencing token (see [[LeaseElection.fencingToken]]) it is
+    * stamped into the FILENAME: a deposed leader's late in-flight dump
+    * carries the old epoch and so can never clobber a file the new
+    * leader (new epoch) writes, even if both computed the same seq. */
   def dump(): Path = {
     seq.getAndUpdate { cur =>
       if (cur > 0) cur
       else Option(new java.io.File(dir).list()).getOrElse(Array.empty[String])
         .collect { case f if f.startsWith("state-") && f.endsWith(".json") =>
           scala.util.Try(
-            f.stripPrefix("state-").stripSuffix(".json").toLong).getOrElse(0L)
+            f.stripPrefix("state-").takeWhile(_.isDigit).toLong).getOrElse(0L)
         }.foldLeft(0L)(math.max)
     }
     val n = seq.incrementAndGet()
+    val tok = fencingToken()
     val body =
-      s"""{"seq":$n,"dumpedAtMs":${System.currentTimeMillis()},""" +
+      s"""{"seq":$n,"fencingToken":$tok,""" +
+        s""""dumpedAtMs":${System.currentTimeMillis()},""" +
         s""""pipelines":${manager.statusJson},"specs":${manager.specsJson}}"""
     Files.createDirectories(Paths.get(dir))
-    val p = Paths.get(dir, f"state-$n%05d.json")
+    val p = Paths.get(dir,
+      f"state-$n%05d" + (if (tok >= 0) s"-f$tok" else "") + ".json")
     Files.writeString(p, body)
     if (gitCommit) commitToGit(p, n)
     p

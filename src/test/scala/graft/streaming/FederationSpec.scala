@@ -100,7 +100,8 @@ class FederationSpec extends AnyFunSuite {
         idealView = () => view,
         externalView = () => view,
         backupDir = s"$base/backup", // SHARED — the exactly-one-writer dir
-        isLeader = election.isLeader)
+        isLeader = election.isLeader,
+        fencingToken = election.fencingToken)
     val ea = new LeaseElection(s"$base/lease", "ctrl-a",
       ttlMs = 3000, renewPeriodMs = 300)
     val eb = new LeaseElection(s"$base/lease", "ctrl-b",
@@ -132,14 +133,25 @@ class FederationSpec extends AnyFunSuite {
       assert(cb.validation.validateOnce()
         .contains(""""isLeader":false"""), "follower exported as leader")
 
+      val tokA = ea.fencingToken()
+      assert(tokA >= 0, "leader exposes no fencing token")
+      assert(eb.fencingToken() == -1, "follower exposes a fencing token")
+
       // CRASH the leader: loops die, lease NOT released (abandon) — the
       // window before expiry must stay writer-free
       ca.stop(); ea.abandon()
       val atCrash = dumpCount()
-      Thread.sleep(1200) // inside the 3-s TTL
-      assert(!eb.isLeader(), "follower stole an unexpired lease")
-      assert(dumpCount() == atCrash,
-        "backups written while nobody held the lease")
+      val leaseExpiry = ea.holder().map(_._2).getOrElse(0L)
+      Thread.sleep(1200) // nominally inside the 3-s TTL
+      // assert the no-early-steal window only while the TTL genuinely
+      // has not elapsed — on a loaded machine the time since ctrl-a's
+      // last renewal (controller stop + dump counting included) can
+      // already exceed it, and a steal then is legitimate, not early
+      if (System.currentTimeMillis() < leaseExpiry - 100) {
+        assert(!eb.isLeader(), "follower stole an unexpired lease")
+        assert(dumpCount() == atCrash,
+          "backups written while nobody held the lease")
+      }
 
       // after the TTL the follower takes over and the writer moves
       until("failover")(eb.isLeader())
@@ -147,6 +159,14 @@ class FederationSpec extends AnyFunSuite {
       until("new leader validates")(
         cb.validation.countersJson.contains(""""isLeader":true"""))
       assert(eb.holder().exists(_._1 == "ctrl-b"))
+      // fencing moved with the lease: ctrl-b writes under a HIGHER
+      // epoch, so even a late in-flight dump from deposed ctrl-a
+      // (old epoch in the filename) could not clobber these files
+      val tokB = eb.fencingToken()
+      assert(tokB > tokA, s"fencing token did not advance: $tokA -> $tokB")
+      until("fenced dump filename")(
+        java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/backup"))
+          .anyMatch(_.getFileName.toString.endsWith(s"-f$tokB.json")))
     } finally {
       cb.stop(); eb.stop(); ea.stop()
     }

@@ -51,6 +51,81 @@ class LeaseElectionSpec extends AnyFunSuite {
     assert(b.holder().exists(_._1 == "b"))
   }
 
+  test("stale mutex break is atomic: two racing contenders admit at most one") {
+    // A crashed peer's mutex dir is broken by ATOMIC rename — the old
+    // check-then-delete-then-create break let both racers through (A
+    // re-creates, B deletes A's fresh mutex and creates its own). Race
+    // the break repeatedly; the lease is free, so the single contender
+    // that gets through the mutex acquires it.
+    for (_ <- 1 to 40) {
+      val dir = tmpDir()
+      val a = new LeaseElection(dir, "a", ttlMs = 1000, renewPeriodMs = 100)
+      val b = new LeaseElection(dir, "b", ttlMs = 1000, renewPeriodMs = 100)
+      val mutex = java.nio.file.Paths.get(dir, ".lease_mutex")
+      java.nio.file.Files.createDirectory(mutex)
+      java.nio.file.Files.setLastModifiedTime(mutex,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 5000)) // well past the 1-s TTL
+      val start = new java.util.concurrent.CountDownLatch(1)
+      @volatile var ra = false
+      @volatile var rb = false
+      val ta = new Thread(() => { start.await(); ra = a.tryAcquire() })
+      val tb = new Thread(() => { start.await(); rb = b.tryAcquire() })
+      ta.start(); tb.start()
+      start.countDown()
+      ta.join(5000); tb.join(5000)
+      assert(!(ra && rb), "both contenders broke the stale mutex and won")
+      assert(ra || rb, "nobody got through the stale mutex")
+    }
+  }
+
+  test("fencing token: exposed only while leading, strictly increases across owners") {
+    val dir = tmpDir()
+    val a = new LeaseElection(dir, "a", ttlMs = 1000, renewPeriodMs = 100)
+    val b = new LeaseElection(dir, "b", ttlMs = 1000, renewPeriodMs = 100)
+    assert(a.fencingToken() == -1, "token before any acquisition")
+    assert(a.tryAcquire())
+    val t1 = a.fencingToken()
+    assert(t1 >= 0)
+    assert(b.fencingToken() == -1, "follower exposes a token")
+    assert(a.tryAcquire() && a.fencingToken() == t1, "renewal changed the epoch")
+    // graceful release preserves the epoch on file (the lease is
+    // rewritten expired, not deleted) so the next holder MUST be above
+    a.release()
+    assert(a.fencingToken() == -1)
+    assert(b.tryAcquire())
+    val t2 = b.fencingToken()
+    assert(t2 > t1, s"epoch regressed across release/takeover: $t1 -> $t2")
+    b.release()
+    assert(a.tryAcquire())
+    assert(a.fencingToken() > t2)
+  }
+
+  test("a leader paused past its TTL reads false, and re-takes with a higher epoch") {
+    val dir = tmpDir()
+    val a = new LeaseElection(dir, "a", ttlMs = 700, renewPeriodMs = 100)
+    assert(a.tryAcquire())
+    val t1 = a.fencingToken()
+    assert(a.isLeader())
+    Thread.sleep(900) // simulated GC pause: no renewals, lease expires
+    assert(!a.isLeader(),
+      "expired lease still claimed leadership — a deposed leader would keep writing")
+    assert(a.fencingToken() == -1)
+    // re-take: ownership COULD have changed while we were out, so the
+    // epoch must advance even though nobody actually stole it
+    assert(a.tryAcquire())
+    assert(a.fencingToken() > t1)
+  }
+
+  test("constructor fails fast when the directory cannot host atomic renames") {
+    // local disks support ATOMIC_MOVE, so the probe passes here — pin
+    // that construction probes WITHOUT leaving droppings behind
+    val dir = tmpDir()
+    new LeaseElection(dir, "a")
+    val leftovers = new java.io.File(dir).list().toSeq.filter(_.startsWith(".probe"))
+    assert(leftovers.isEmpty, s"probe left: $leftovers")
+  }
+
   test("concurrent renewal threads never see two leaders") {
     val dir = tmpDir()
     val a = new LeaseElection(dir, "a", ttlMs = 2000, renewPeriodMs = 50)

@@ -132,7 +132,7 @@ class SupervisionSpec extends AnyFunSuite {
     val parsed = spark.read.option("multiLine", "true")
       .json(Seq(body).toDS())
     assert(parsed.columns.toSet ==
-      Set("seq", "dumpedAtMs", "pipelines", "specs"))
+      Set("seq", "fencingToken", "dumpedAtMs", "pipelines", "specs"))
     assert(body.contains("route-\\\"quoted\\\""))
   }
 

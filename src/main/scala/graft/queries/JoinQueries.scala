@@ -160,11 +160,22 @@ object JoinQueries {
           unix_micros(col("ts")).as("us"))
       val bandUs = 60000000L
       val widthUs = 2L * bandUs // hi − lo
-      val build = e.withColumn("bucket", expr(s"us div $widthUs"))
+      // exact FLOOR division — the idiom BandJoinRewrite proves sound.
+      // Bare `div` (IntegralDivide) truncates toward zero; used
+      // CONSISTENTLY on both sides it happens to stay sound even for
+      // negative (pre-1970) values (trunc buckets all have width >= B,
+      // so a length-B window still spans <= 2 of them — brute-force
+      // checked), but that argument is subtle and one mixed-idiom edit
+      // away from a silent false-negative. Floor keeps j2 uniform with
+      // BandJoinRewrite/asofJoinBucketed, where floor-vs-trunc IS
+      // load-bearing.
+      def floorDiv(v: String): org.apache.spark.sql.Column =
+        expr(s"(($v) - pmod(($v), $widthUs)) div $widthUs")
+      val build = e.withColumn("bucket", floorDiv("us"))
       val probe = e.withColumn("bucket",
         explode(array_distinct(array(
-          expr(s"(us - $bandUs) div $widthUs"),
-          expr(s"(us + $bandUs) div $widthUs")))))
+          floorDiv(s"us - $bandUs"),
+          floorDiv(s"us + $bandUs")))))
       probe.as("a").join(build.as("b"),
           col("a.event_type") === col("b.event_type") &&
             col("a.bucket") === col("b.bucket"))

@@ -70,6 +70,22 @@ class JoinQueriesSpec extends AnyFunSuite {
     assert(got === Map("click" -> 4L))
   }
 
+  test("j2: pre-1970 (negative-us) events pair correctly across bucket edges") {
+    val M = 1000000L
+    // all timestamps NEGATIVE, pairs placed to straddle the width-120 s
+    // bucket boundaries where floor and trunc division disagree
+    val dir = eventsDir(Seq(
+      (1L, -180L * M, 1L, "click", 0.0), // floor bucket -2
+      (2L, -120L * M, 2L, "click", 0.0), // exactly 60 s from 1 AND 3 (IN)
+      (3L, -60L * M, 3L, "click", 0.0),  // 60 s from 2 (IN), 120 s from 1 (OUT)
+      (4L, -1L * M, 4L, "click", 0.0),   // 59 s from 3 (IN), 119 s from 2 (OUT)
+      (5L, 30L * M, 5L, "click", 0.0)))  // 31 s from 4 (IN) — straddles epoch 0
+    val got = Catalog.byName("j2_band_join").fn(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // in-band pairs: (1,2), (2,3), (3,4), (4,5)
+    assert(got === Map("click" -> 4L))
+  }
+
   test("j4: containment is [start, last_view + 6 h]; outside/priorless dropped") {
     val M = 1000000L
     val H6 = 21600L

@@ -216,13 +216,27 @@ object GenData {
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
 
+  /** `hotOrderShare`/`hotPartShare` > 0: that fraction of ALL lineitem
+    * rows lands on l_orderkey 0 / l_partkey 0 (independent draws) — the
+    * single-key-bigger-than-a-task case for the orderkey/partkey
+    * shuffles in q3/q12/q17/q18/q21 (a mega-order / mega-popular part
+    * at 100 TB). Dimension rows 0 exist, so referential closure holds. */
   def lineitem(spark: SparkSession, rows: Long, parts: Long,
-      suppliers: Long): DataFrame =
+      suppliers: Long, hotOrderShare: Double = 0.0,
+      hotPartShare: Double = 0.0): DataFrame =
     spark.range(rows).toDF("id")
       .repartition(spark.sparkContext.defaultParallelism, col("id"))
-      .withColumn("l_orderkey", expr("id div 4"))
+      .withColumn("l_orderkey", expr(
+        if (hotOrderShare > 0.0)
+          s"if(${u("id", "149L")} < $hotOrderShare, 0L, id div 4)"
+        else "id div 4"))
       .withColumn("l_linenumber", expr("int(pmod(id, 4)) + 1"))
-      .withColumn("l_partkey", expr(s"pmod(xxhash64(id, 101L), $parts)"))
+      .withColumn("l_partkey", expr {
+        val base = s"pmod(xxhash64(id, 101L), $parts)"
+        if (hotPartShare > 0.0)
+          s"if(${u("id", "151L")} < $hotPartShare, 0L, $base)"
+        else base
+      })
       .withColumn("l_suppkey", expr(s"pmod(xxhash64(id, 103L), $suppliers)"))
       .withColumn("l_quantity",
         expr("cast(int(pmod(xxhash64(id, 107L), 50)) + 1 as double)"))
@@ -276,6 +290,26 @@ object GenData {
       // b-variants; other tables are unaffected by user skew
       writeOne(events(spark, 100000L * mult, 1500L * mult, zipf = false,
         hotShare = 0.5), "events", "event_id")
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("hotrel")) {
+      // relational-only skew fixture: one order and one part each own
+      // 25% of all lineitem rows (~8 task-widths at 32 partitions) —
+      // stresses the l_orderkey joins/aggs (q3/q12/q18/q21) and the
+      // l_partkey join/agg (q17/q9/q20); dimensions stay uniform
+      def writeMany0(df: DataFrame, name: String): Unit = {
+        df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        println(s"[gendata] wrote $outDir/$name.parquet")
+      }
+      writeMany0(nation(spark), "nation")
+      writeMany0(region(spark), "region")
+      writeMany0(supplier(spark, 1000L * mult), "supplier")
+      writeMany0(customer(spark, 15000L * mult), "customer")
+      writeMany0(part(spark, 20000L * mult), "part")
+      writeMany0(orders(spark, 150000L * mult, 15000L * mult), "orders")
+      writeMany0(lineitem(spark, 600000L * mult, 20000L * mult,
+        1000L * mult, hotOrderShare = 0.25, hotPartShare = 0.25), "lineitem")
       spark.stop()
       return
     }

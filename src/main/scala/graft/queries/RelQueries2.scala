@@ -466,5 +466,48 @@ object RelQueries2 {
     },
     q21.oracle)
 
-  val defs: Seq[QueryDef] = Seq(q2, q8, q9, q11, q12, q16, q20, q21, q21b)
+  // Q4 shape — priority census of orders with at least one late line:
+  // the correlated EXISTS. "Late" is the fixture's q21-consistent
+  // stand-in (shipped >365 days after the order date — no
+  // commit/receipt dates here). The EXISTS translates to ONE left-semi
+  // join with an equi key + residual date condition (no second scan, no
+  // distinct pass); the quarter filter prunes the orders scan, and the
+  // lineitem scan is pruned by the IMPLIED shipdate bound (late ⇒
+  // shipped ≥ window start + 365 d) — a predicate DuckDB's optimizer
+  // doesn't need but Spark's scan turns into a pushed parquet filter.
+  // Semi-join output feeds a 5-group partial-agg census. This completes
+  // the 22 public TPC-H query shapes (q13's customer-distribution shape
+  // ships as q_outer_join_hist in RelQueries).
+  private val q4 = QueryDef(
+    "q4_priority_waiting",
+    (s, dir) => {
+      val ordersQ = Records.table(s, dir, "orders")
+        .filter(col("o_orderdate").between(
+          lit("1997-01-01").cast("timestamp"),
+          lit("1997-03-31").cast("timestamp")))
+      val lateCandidates = Records.table(s, dir, "lineitem")
+        // implied by the residual: o_orderdate >= 1997-01-01 and
+        // datediff > 365 force l_shipdate past 1998-01-01
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ordersQ
+        .join(lateCandidates,
+          col("l_orderkey") === col("o_orderkey") &&
+            datediff(col("l_shipdate"), col("o_orderdate")) > 365,
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    Some(
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+        |                      AND TIMESTAMP '1997-03-31 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND date_diff('day', o_orderdate, l_shipdate) > 365)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(q2, q4, q8, q9, q11, q12, q16, q20, q21, q21b)
 }

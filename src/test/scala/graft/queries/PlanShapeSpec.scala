@@ -468,4 +468,27 @@ class PlanShapeSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"non-equi join in q21:\n$plan")
   }
+
+  test("q21b: salted twin stays one lineitem scan, no cartesian") {
+    val plan = finalPlan("q21b_waiting_supplier_salted")
+    assert(lineitemScans(plan) <= 1,
+      s"q21b re-scanned lineitem:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in q21b:\n$plan")
+    // the salt replication is an explode over a sequence literal, never
+    // a join multiplier on the big side
+    assert(plan.contains("_salt"), s"salt column missing in q21b:\n$plan")
+  }
+
+  test("q4: EXISTS is one equi-semi-join; implied shipdate bound reaches the scan") {
+    val plan = finalPlan("q4_priority_waiting")
+    assert(lineitemScans(plan) <= 1, s"q4 scans lineitem twice:\n$plan")
+    assert(plan.contains("LeftSemi"), s"q4 lost the semi-join form:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in q4:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"implied ship-date bound not pushed to the lineitem scan:\n$plan")
+  }
 }

@@ -245,9 +245,10 @@ object PipelineQueries {
         .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** The shared CTE chain for [[minhashPairs]]'s oracle (through `inter`
-    * and `sizes`). */
-  private val minhashSqlCtes =
+  /** Shingles → signatures → 16 band hashes, the LSH front half —
+    * shared with [[StreamingQueries]]' d13 oracle (the streaming
+    * incremental near-dup states its verdicts over the same bands). */
+  private[queries] val bandsSqlCtes =
     s"""$shingledSql,
          |sigs AS (
          |  SELECT doc_id,
@@ -265,7 +266,12 @@ object PipelineQueries {
          |  SELECT doc_id, b AS band,
          |    md5(array_to_string(list_transform(sig[b*4+1:b*4+4],
          |        x -> CAST(x AS VARCHAR)), ',')) AS band_hash
-         |  FROM sigs, range(16) t(b)),
+         |  FROM sigs, range(16) t(b))""".stripMargin
+
+  /** The shared CTE chain for [[minhashPairs]]'s oracle (through `inter`
+    * and `sizes`). */
+  private val minhashSqlCtes =
+    s"""$bandsSqlCtes,
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM bands x JOIN bands y

@@ -594,5 +594,40 @@ object StreamingQueries {
         |  AND p.pus >= v.vus AND p.pus <= v.vus + CAST(7200 AS BIGINT) * 1000000
         |ORDER BY purchase_id, view_id""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(k2, e3, d7, d8, d12, e4, e6, e7)
+  // D13 — STREAMING INCREMENTAL NEAR-DEDUP: the MinHash-LSH twin of
+  // d12, via [[graft.streaming.IncrementalNearDup]]. A doc is a
+  // near-dup iff ANY earlier doc shares one of its 16 band hashes
+  // (non-recursive — m(d) = min doc over d's band buckets, kept iff
+  // m(d) == d — so the verdicts are independent of batch slicing and a
+  // DuckDB oracle can state them over the whole corpus at once). The
+  // durable index holds per-bucket minima (16 rows/doc max,
+  // min-merged), batch-addressed overwrite partitions + strictly-prior
+  // reads give layout-borne exactly-once, and compaction is the shared
+  // crash-safe publish-then-delete (IncrementalNearDupSpec drives the
+  // mid-stream crash and the sliced==unsliced equivalence).
+  private val d13Runs = new java.util.concurrent.atomic.AtomicLong(0)
+  private val d13 = QueryDef(
+    "d13_stream_incremental_neardup",
+    (s, dir) => {
+      val runId = d13Runs.incrementAndGet()
+      val workDir = s"$e3TmpRoot/d13_$runId"
+      graft.streaming.IncrementalNearDup.run(s, dir, workDir)
+      graft.streaming.IncrementalNearDup.results(s, workDir)
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH ${PipelineQueries.bandsSqlCtes},
+         |bucket_min AS (
+         |  SELECT band, band_hash, MIN(doc_id) AS m
+         |  FROM bands GROUP BY band, band_hash),
+         |doc_min AS (
+         |  SELECT b.doc_id, MIN(bm.m) AS m
+         |  FROM bands b JOIN bucket_min bm USING (band, band_hash)
+         |  GROUP BY b.doc_id)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  m = doc_id AS kept,
+         |  CASE WHEN m < doc_id THEN CAST(m AS BIGINT) END AS dup_of
+         |FROM doc_min ORDER BY doc_id""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(k2, e3, d7, d8, d12, d13, e4, e6, e7)
 }

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Batch-addressed parquet index layout shared by the durable streaming
+  * dedup modules ([[IncrementalDedup]], [[IncrementalNearDup]]): one
+  * partition per micro-batch (`batch=<id>`), readers scan partitions
+  * with id strictly below their own batch (so a checkpoint-replayed
+  * batch never sees its failed attempt's rows), and compaction merges
+  * old partitions under a `compacted=<id>` name with crash-safe
+  * publish-then-delete ordering. Consumers must tolerate DUPLICATE rows
+  * across partitions (anti-joins and min-aggregations both do) — that
+  * tolerance is what lets every crash point leave a harmless superset,
+  * never a forgotten index. */
+private[streaming] object BatchedParquetIndex {
+
+  /** id of an index partition dir: `batch=<n>` (written by one batch) or
+    * `compacted=<n>` (the merge of every partition with id <= n). Both
+    * obey the same visibility rule — a partition named with id n holds
+    * ONLY rows first written at batches <= n. */
+  private def partitionId(name: String): Option[Long] = {
+    val eq = name.indexOf('=')
+    if (eq < 0) None
+    else name.take(eq) match {
+      case "batch" | "compacted" =>
+        try Some(name.drop(eq + 1).toLong)
+        catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+  }
+
+  private def parts(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[(Path, Long)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .flatMap(p => partitionId(p.getName).map(p -> _))
+
+  /** Partitions holding rows of batches strictly BEFORE `id` (never the
+    * current batch's own failed attempt). */
+  def prior(s: SparkSession, idxRoot: String, id: Long): Option[DataFrame] = {
+    val root = new Path(idxRoot)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ps = parts(fs, root).collect { case (p, n) if n < id => p }
+    if (ps.isEmpty) None
+    else Some(s.read.parquet(ps.map(_.toString): _*))
+  }
+
+  /** Compact all partitions with id <= `upToBatch` into ONE partition
+    * addressed `compacted=<upToBatch>` — identical row multiset modulo
+    * duplicates, one file set instead of one per batch. The merged
+    * partition keeps the HIGHEST compacted id and ids only grow, so the
+    * strictly-before pruning stays correct for every future batch
+    * (in-pipeline callers pass `id - 1`, never `id`).
+    *
+    * CRASH-SAFE by publish-then-delete: the merge is written to an
+    * `_`-prefixed tmp (invisible to [[prior]]), atomically renamed to
+    * its final `compacted=` name, and only THEN are the sources
+    * deleted. Any crash leaves the visible index a SUPERSET of the true
+    * row set. A re-run that finds the target already published skips
+    * the merge and only finishes the deletions (ids only grow, so no
+    * new source with id <= upToBatch can have appeared since).
+    * Single-writer assumption is the pipeline's own.
+    *
+    * `failpoint` is a test hook injecting a crash "before-publish",
+    * "after-publish", or "mid-delete". */
+  def compact(s: SparkSession, idxRoot: String, upToBatch: Long,
+      failpoint: String = ""): Unit = {
+    val root = new Path(idxRoot)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    // stale tmp from a previously crashed compaction: invisible to the
+    // scan, safe to drop and redo
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("_compact_"))
+      .foreach(p => fs.delete(p, true))
+    val all = parts(fs, root).filter(_._2 <= upToBatch)
+    if (all.size <= 1) return
+    val target = new Path(s"$idxRoot/compacted=$upToBatch")
+    // compare by NAME: listStatus paths are scheme-qualified
+    // (file:/...), `target` is not — URI equality would treat the
+    // published partition as a source and delete it
+    val sources = all.collect { case (p, _) if p.getName != target.getName => p }
+    if (!fs.exists(target)) {
+      val tmp = new Path(s"$idxRoot/_compact_$upToBatch")
+      s.read.parquet(sources.map(_.toString): _*)
+        .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      if (failpoint == "before-publish")
+        throw new RuntimeException("injected compaction crash before publish")
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"rename $tmp -> $target failed")
+    }
+    if (failpoint == "after-publish")
+      throw new RuntimeException("injected compaction crash after publish")
+    sources.foreach { p =>
+      fs.delete(p, true)
+      if (failpoint == "mid-delete")
+        throw new RuntimeException("injected compaction crash mid-delete")
+    }
+  }
+}

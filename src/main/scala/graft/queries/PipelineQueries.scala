@@ -1276,6 +1276,42 @@ object PipelineQueries {
         |FROM events GROUP BY event_type, window_start
         |ORDER BY event_type, window_start""".stripMargin))
 
+  // E9 — RETENTION COHORTS: the classic product-analytics matrix —
+  // cohort users by FIRST-seen week, count how many are active k weeks
+  // later. Three bounded shuffles, all partial-aggregated: (user, week)
+  // two-level distinct (never COUNT(DISTINCT)'s Expand), a per-user min
+  // for the cohort week, and a cohort-sized final count — the
+  // user-week table is the only thing wider than the output, and at
+  // 100 TB it is |users|·|weeks|, not |events|. Week buckets are plain
+  // epoch-floor integers (identical both engines, no tz arithmetic).
+  private val e9 = QueryDef(
+    "e9_retention_cohorts",
+    (s, dir) => {
+      val wk = 7L * 86400L
+      val uw = Records.table(s, dir, "events")
+        .select(col("user_id"),
+          (floor(unix_timestamp(col("ts")) / wk)).cast("long").as("week"))
+        .distinct()
+      val first = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+      uw.join(first, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some(
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS week
+        |  FROM events),
+        |first AS (
+        |  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id)
+        |SELECT f.cohort_week, u.week - f.cohort_week AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM uw u JOIN first f USING (user_id)
+        |GROUP BY f.cohort_week, week_offset
+        |ORDER BY f.cohort_week, week_offset""".stripMargin))
+
   // P1 — deterministic stratified sampling: downsample over-represented
   // strata (language here; domain/source in production) to a balanced
   // mix — the rebalancing step every training-data pipeline runs before
@@ -2709,6 +2745,6 @@ object PipelineQueries {
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, sim1, sim2, sim3, sim4,
     x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x11b, x12, x13, x14,
-    m1, m2, m3, e1, e1b, e2, e5, e5b,
+    m1, m2, m3, e1, e1b, e2, e5, e5b, e9,
     p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p11)
 }

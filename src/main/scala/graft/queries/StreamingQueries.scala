@@ -629,5 +629,50 @@ object StreamingQueries {
          |  CASE WHEN m < doc_id THEN CAST(m AS BIGINT) END AS dup_of
          |FROM doc_min ORDER BY doc_id""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(k2, e3, d7, d8, d12, d13, e4, e6, e7)
+  // D14 — STREAMING INCREMENTAL EMBEDDING DEDUP: the cosine-space
+  // member of the durable-dedup triple (d12 exact, d13 lexical LSH,
+  // d14 semantic), via [[graft.streaming.IncrementalEmbeddingDup]].
+  // A vector is a near-dup iff any earlier vector shares a
+  // (label, table, hyperplane-bucket) cell — d5's blocking buckets
+  // under the same non-recursive min rule as d13, so the oracle is
+  // batch SQL and the verdicts are slicing-invariant. The durable
+  // index holds per-cell minima (2 rows/vector), same layout-borne
+  // exactly-once + crash-safe compaction as d12/d13.
+  private val d14Runs = new java.util.concurrent.atomic.AtomicLong(0)
+  private val d14 = QueryDef(
+    "d14_stream_embedding_dedup",
+    (s, dir) => {
+      val runId = d14Runs.incrementAndGet()
+      val workDir = s"$e3TmpRoot/d14_$runId"
+      graft.streaming.IncrementalEmbeddingDup.run(s, dir, workDir)
+      graft.streaming.IncrementalEmbeddingDup.results(s, workDir)
+        .orderBy("vec_id")
+    },
+    Some {
+      import graft.functions.VectorLsh
+      val b0 = VectorLsh.bucketSql("v", 0,
+        graft.streaming.IncrementalEmbeddingDup.BitsPerTable,
+        graft.streaming.IncrementalEmbeddingDup.Dims)
+      val b1 = VectorLsh.bucketSql("v", 1,
+        graft.streaming.IncrementalEmbeddingDup.BitsPerTable,
+        graft.streaming.IncrementalEmbeddingDup.Dims)
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |tagged AS (
+         |  SELECT vec_id, label, 0 AS tbl, $b0 AS bucket FROM e
+         |  UNION ALL
+         |  SELECT vec_id, label, 1 AS tbl, $b1 AS bucket FROM e),
+         |cell_min AS (
+         |  SELECT label, tbl, bucket, MIN(vec_id) AS m
+         |  FROM tagged GROUP BY label, tbl, bucket),
+         |vec_min AS (
+         |  SELECT t.vec_id, MIN(cm.m) AS m
+         |  FROM tagged t JOIN cell_min cm USING (label, tbl, bucket)
+         |  GROUP BY t.vec_id)
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |  m = vec_id AS kept,
+         |  CASE WHEN m < vec_id THEN CAST(m AS BIGINT) END AS dup_of
+         |FROM vec_min ORDER BY vec_id""".stripMargin
+    })
+
+  val defs: Seq[QueryDef] = Seq(k2, e3, d7, d8, d12, d13, d14, e4, e6, e7)
 }

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Generic MIN-RULE incremental dedup over an arbitrary bucketing — the
+  * shared engine of [[IncrementalNearDup]] (MinHash-LSH band buckets)
+  * and [[IncrementalEmbeddingDup]] (hyperplane cosine buckets).
+  *
+  * Semantics: an item is a near-dup iff ANY earlier item (smaller id —
+  * arrival order) shares at least one bucket with it; `dup_of` is the
+  * smallest such item. Equivalently m(x) = min id over x's buckets
+  * (including x), kept iff m(x) == x. The rule is non-recursive — no
+  * verdict depends on another verdict — so results are independent of
+  * batch slicing (given id-ordered arrival) and a plain SQL oracle can
+  * state them over the whole corpus at once.
+  *
+  * The durable index stores per-bucket MINIMA only (min over
+  * batch-minima == min over items, so nothing corpus-sized persists),
+  * in [[BatchedParquetIndex]]'s batch-addressed layout: overwrite
+  * partitions + strictly-prior reads give layout-borne exactly-once
+  * under checkpoint replay, and compaction is the shared crash-safe
+  * publish-then-delete (min-aggregation tolerates duplicate bucket
+  * rows, which is what makes every crash point leave a usable
+  * superset). */
+private[streaming] object MinRuleIncremental {
+
+  private val thrown = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** @param bucketize batch → one row per (item, bucket):
+    *                  (`idCol`, `bucketCols`...) — everything else in
+    *                  the batch is the caller's business
+    * @param globFilter source-file glob inside `srcDir` */
+  def run(s: SparkSession, srcDir: String, workDir: String,
+      globFilter: String, idCol: String, bucketCols: Seq[String],
+      bucketize: DataFrame => DataFrame,
+      failAtBatch: Option[Long], compactEvery: Int): Unit = {
+    val schema = s.read.option("pathGlobFilter", globFilter)
+      .parquet(srcDir).schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", globFilter)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
+        runBatch(batch, id.toLong, workDir, idCol, bucketCols, bucketize)
+        if (failAtBatch.contains(id.toLong) &&
+            thrown.add(s"$workDir#$id"))
+          throw new RuntimeException(
+            s"injected crash after batch $id writes, before commit")
+        // strictly prior batches only (id - 1): a replayed batch must
+        // never see a compacted partition holding its own failed rows
+        if (compactEvery > 0 && id.toLong > 0 &&
+            id.toLong % compactEvery == 0)
+          BatchedParquetIndex.compact(batch.sparkSession,
+            s"$workDir/index", id.toLong - 1)
+        ()
+      }
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def runBatch(batch: DataFrame, id: Long, workDir: String,
+      idCol: String, bucketCols: Seq[String],
+      bucketize: DataFrame => DataFrame): Unit = {
+    val ss = batch.sparkSession
+    val b = bucketize(batch)
+    // per-bucket batch min — the index contribution AND the in-batch
+    // comparison table (future batches only ever need bucket minima)
+    val idxRows = b.groupBy(bucketCols.map(col): _*)
+      .agg(min(idCol).as("min_id"))
+    val mIn = b.join(idxRows, bucketCols)
+      .groupBy(idCol).agg(min("min_id").as("m_in"))
+    val m = BatchedParquetIndex.prior(ss, s"$workDir/index", id) match {
+      case Some(prior) =>
+        val mPrior = b.join(
+            prior.withColumnRenamed("min_id", "prior_id"), bucketCols)
+          .groupBy(idCol).agg(min("prior_id").as("m_prior"))
+        mIn.join(mPrior, Seq(idCol), "left")
+          .select(col(idCol),
+            least(col("m_in"), coalesce(col("m_prior"), col("m_in"))).as("m"))
+      case None => mIn.select(col(idCol), col("m_in").as("m"))
+    }
+    val status = m.select(col(idCol),
+      (col("m") === col(idCol)).as("kept"),
+      when(col("m") < col(idCol), col("m")).as("dup_of"))
+    status.write.mode("overwrite").parquet(s"$workDir/results/batch=$id")
+    idxRows.write.mode("overwrite").parquet(s"$workDir/index/batch=$id")
+  }
+
+  /** (idCol, kept, dup_of) across every processed batch. */
+  def results(s: SparkSession, workDir: String, idCol: String): DataFrame =
+    s.read.parquet(s"$workDir/results")
+      .select(col(idCol), col("kept"), col("dup_of"))
+}

@@ -1312,6 +1312,137 @@ object PipelineQueries {
         |GROUP BY f.cohort_week, week_offset
         |ORDER BY f.cohort_week, week_offset""".stripMargin))
 
+  // E10 — LAST-TOUCH ATTRIBUTION: pair every conversion (purchase) with
+  // the same user's most recent PRECEDING click, if one exists within a
+  // 7-day lookback — the marketing-attribution primitive, and the
+  // within-one-table form of the as-of join (j1 joins two tables; here
+  // source and conversion interleave in one event stream, so the match
+  // is a running carry, not a join at all). One scan, one user-keyed
+  // ordered window: `last(click, ignoreNulls)` over an unbounded-
+  // preceding frame carries the latest click forward in a single pass —
+  // no self-join, no per-purchase probe. Ties (click and purchase on
+  // the same timestamp) order by (ts, event_id) in both engines, so a
+  // same-instant click with a lower id attributes and a higher id does
+  // not — deterministic. The per-user ordered pass has the usual
+  // hot-key ceiling; one bot user ≈ a task width is exactly the regime
+  // e1b's (user, 6-h bucket) carry decomposition handles, and the same
+  // move applies here (per-bucket last click is a 1-row summary merged
+  // across buckets).
+  private val e10 = QueryDef(
+    "e10_last_touch",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inWin = col("click_epoch").isNotNull &&
+        col("epoch") - col("click_epoch") <= 604800L
+      // only clicks feed the carry and only purchases are emitted, so
+      // the other event types never enter the window — the isin filter
+      // reaches the parquet scan and drops ~60% of rows before the
+      // shuffle.
+      Records.table(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("epoch", unix_timestamp(col("ts")))
+        .withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(w))
+        .withColumn("click_epoch",
+          last(when(col("event_type") === "click", col("epoch")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("epoch").as("purchase_epoch"),
+          when(inWin, col("click_id")).as("click_id"),
+          when(inWin, col("epoch") - col("click_epoch")).as("secs_since_click"))
+        .orderBy("event_id")
+    },
+    Some(
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch, ts FROM events),
+        |marked AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |      IGNORE NULLS) OVER w AS click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN epoch END
+        |      IGNORE NULLS) OVER w AS click_epoch
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS UNBOUNDED PRECEDING))
+        |SELECT CAST(event_id AS BIGINT) AS event_id,
+        |  CAST(user_id AS BIGINT) AS user_id,
+        |  epoch AS purchase_epoch,
+        |  CASE WHEN click_epoch IS NOT NULL AND epoch - click_epoch <= 604800
+        |       THEN CAST(click_id AS BIGINT) END AS click_id,
+        |  CASE WHEN click_epoch IS NOT NULL AND epoch - click_epoch <= 604800
+        |       THEN epoch - click_epoch END AS secs_since_click
+        |FROM marked WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin))
+
+  // E10B — HOT-USER twin of e10 (same oracle SQL — the decomposition
+  // must be invisible). e10's carry window partitions on bare user_id:
+  // one bot user bigger than a task width serializes it (the regime the
+  // `hot` fixture makes measurable). Same move as j1b/e1b: the carry is
+  // re-keyed on (user_id, 6-h bucket) so the hot user spreads across
+  // buckets, and a per-(user, bucket) 1-row summary — the bucket's last
+  // click by (epoch, event_id) — is carried across buckets by a second
+  // window whose input is bucket-count-sized, not event-sized. Each
+  // purchase then takes the latest in-bucket click if one precedes it,
+  // else the incoming bucket carry. Tie order (epoch, event_id) is
+  // preserved exactly: in-bucket the window orders by it, and across
+  // buckets max_by compares the same struct.
+  private val e10b = QueryDef(
+    "e10b_last_touch_bucketed",
+    (s, dir) => {
+      val bucketS = 21600L // 6 h, matching e1b/j1b
+      val ev = Records.table(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("epoch", unix_timestamp(col("ts")))
+        .withColumn("bkt", (col("epoch") - pmod(col("epoch"), lit(bucketS)))
+          .divide(bucketS).cast("long"))
+      // per-(user, bucket) last click — map-side-combinable, absorbs the
+      // hot user in partial aggregation; ordering struct (epoch, id)
+      // reproduces the (ts, event_id) tie rule
+      // ordering struct (ts, event_id) reproduces e10's full-precision
+      // tie rule (epoch is second-truncated — ordering by it could flip
+      // same-second ties); the carried value keeps (epoch, event_id)
+      // for the output
+      val perBucket = ev
+        .groupBy("user_id", "bkt")
+        .agg(max_by(
+          when(col("event_type") === "click",
+            struct(col("epoch"), col("event_id"))),
+          when(col("event_type") === "click",
+            struct(col("ts"), col("event_id")))).as("last_click"))
+      val carryW = Window.partitionBy("user_id").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = perBucket
+        .withColumn("incoming",
+          last(col("last_click"), ignoreNulls = true).over(carryW))
+        .select("user_id", "bkt", "incoming")
+      // in-bucket carry partitions on (user_id, bkt) — the hot user
+      // spreads; the incoming summary seeds buckets whose click is
+      // earlier than the purchase's bucket
+      val w = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inWin = col("click_epoch").isNotNull &&
+        col("purchase_epoch") - col("click_epoch") <= 604800L
+      ev.join(carry, Seq("user_id", "bkt"), "left")
+        .withColumn("click",
+          coalesce(
+            last(when(col("event_type") === "click",
+              struct(col("epoch"), col("event_id"))),
+              ignoreNulls = true).over(w),
+            col("incoming")))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("epoch").as("purchase_epoch"),
+          col("click.epoch").as("click_epoch"), col("click.event_id").as("cid"))
+        .select(col("event_id"), col("user_id"), col("purchase_epoch"),
+          when(inWin, col("cid")).as("click_id"),
+          when(inWin, col("purchase_epoch") - col("click_epoch"))
+            .as("secs_since_click"))
+        .orderBy("event_id")
+    },
+    e10.oracle)
+
   // P1 — deterministic stratified sampling: downsample over-represented
   // strata (language here; domain/source in production) to a balanced
   // mix — the rebalancing step every training-data pipeline runs before
@@ -2363,6 +2494,79 @@ object PipelineQueries {
          |FROM withc w JOIN keep k USING (cluster_id)
          |ORDER BY w.doc_id""".stripMargin))
 
+  // D15 — BOILERPLATE REMOVAL: passage-level dedup ACROSS documents
+  // (the CCNet/RefinedWeb line-dedup step — headers, footers, cookie
+  // banners repeat verbatim across a crawl and must be cut from inside
+  // otherwise-unique documents, which doc-level dedup d1–d5 cannot do).
+  // Each document is segmented into fixed 3-token passages; a passage's
+  // document frequency is counted corpus-wide; passages appearing in
+  // ≥ 5 distinct documents are boilerplate and removed in place, the
+  // survivors re-joined in original order.
+  //
+  // Shape at 100 TB: the DF count is a two-level aggregate (distinct
+  // (passage, doc) pairs partial-agg away duplicates inside a doc,
+  // then a passage-keyed count), and the boilerplate SET — passages in
+  // ≥ K docs — is orders of magnitude smaller than the corpus (bounded
+  // by total_passages / K), so it collapses to a single broadcast
+  // array. The output pass then never shuffles: one scan re-segments
+  // and filters each row's passage array with a codegen'd higher-order
+  // `filter` against the broadcast set, preserving order for free —
+  // no explode, no join, no doc_id re-aggregation exchange on the
+  // corpus-sized side. Two scans + zero corpus shuffles beats one scan
+  // + explode + passage-join + reassembly shuffle (the explode form
+  // also needs a corpus-wide groupBy(doc_id) whose collect_list state
+  // is document-sized). If the boilerplate set ever outgrew a
+  // broadcast, the fallback is the p4 move: a Bloom pre-filter at the
+  // scan plus an exact anti-join for survivors only. The linear
+  // array_contains probe is fine at fixture scale; a sorted-array
+  // binary search or map literal is the drop-in when |boiler| reaches
+  // millions.
+  private val d15 = QueryDef(
+    "d15_boilerplate_removal",
+    (s, dir) => {
+      val seg = docs(s, dir)
+        .withColumn("ts", expr(tokensExpr))
+        .filter(size(col("ts")) > 0)
+        .withColumn("chunks",
+          expr("transform(sequence(0, cast(ceil(size(ts) / 3.0) as int) - 1)," +
+            " p -> array_join(slice(ts, p*3 + 1, 3), ' '))"))
+      val boiler = seg
+        .select(col("doc_id"), explode(col("chunks")).as("chunk"))
+        .distinct()
+        .groupBy("chunk").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 5)
+        .agg(sort_array(collect_list("chunk")).as("boiler"))
+      seg.crossJoin(broadcast(boiler))
+        .select(col("doc_id"),
+          size(col("chunks")).cast("long").as("n_chunks"),
+          expr("size(filter(chunks, c -> NOT array_contains(boiler, c)))")
+            .cast("long").as("n_kept"),
+          expr("array_join(filter(chunks, c -> NOT array_contains(boiler, c)), ' ')")
+            .as("kept_text"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, CAST(ceil(len(ts)/3.0) AS INT) - 1),
+        |      p -> array_to_string(ts[p*3+1 : p*3+3], ' ')) AS chunks
+        |  FROM toks WHERE len(ts) > 0),
+        |freq AS (
+        |  SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs
+        |  FROM (SELECT doc_id, unnest(chunks) AS chunk FROM seg) GROUP BY chunk),
+        |bl AS (SELECT COALESCE(list(chunk ORDER BY chunk), []) AS boiler
+        |       FROM freq WHERE n_docs >= 5)
+        |SELECT doc_id,
+        |  CAST(len(chunks) AS BIGINT) AS n_chunks,
+        |  CAST(len(list_filter(chunks, c -> NOT list_contains(bl.boiler, c)))
+        |    AS BIGINT) AS n_kept,
+        |  array_to_string(list_filter(chunks, c -> NOT list_contains(bl.boiler, c)),
+        |    ' ') AS kept_text
+        |FROM seg, bl ORDER BY doc_id""".stripMargin))
+
   // X11 — INVERTED INDEX build: token → (df, first-20 posting list) —
   // the retrieval-side artifact (BM25 index, contamination lookup)
   // pipelines build next to the vocabulary (x7). The scale hazard is
@@ -2742,9 +2946,46 @@ object PipelineQueries {
         |  md5(substring(text, CAST(chunk_idx*300+1 AS INT), 400)) AS chunk_md5
         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin))
 
+  // P12 — TRAINING-ORDER SHUFFLE: the last step before tokenization —
+  // a deterministic global shuffle that fixes the exact order examples
+  // will be consumed in, reproducibly. Each doc gets a salted content-id
+  // hash; shard = hash mod N, within-shard order = (hash, doc_id). The
+  // order depends only on doc ids — never on partitioning, cluster
+  // size, or scan order — so two runs (or two clusters) produce
+  // byte-identical shard files, which is what makes training runs
+  // repeatable and resumable. At 100 TB, N scales with the corpus
+  // (fixed ~1-GiB shards, N ≈ corpus/shard_bytes, tens of thousands),
+  // so the per-shard sort is one task's work: physically this is
+  // repartition-by-shard + sortWithinPartitions at the writer — a
+  // single corpus shuffle, no global sort. The rank materialized here
+  // (row_number per shard) is the oracle-checkable form of that
+  // write-side ordering; 16 shards stand in for N at fixture scale.
+  private val p12 = QueryDef(
+    "p12_training_order",
+    (s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5Long(concat(lit("ord:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("shard", pmod(col("h"), lit(16L)).cast("long"))
+        .withColumn("pos",
+          row_number().over(Window.partitionBy("shard").orderBy("h", "doc_id"))
+            .cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    },
+    Some(
+      """WITH h AS (SELECT doc_id,
+        |  ('0x' || substr(md5('ord:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    AS h
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(h % 16 AS BIGINT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
-    d1, d2, d3, d4, d5, d6, d9, d10, d11, sim1, sim2, sim3, sim4,
+    d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, sim1, sim2, sim3, sim4,
     x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x11b, x12, x13, x14,
-    m1, m2, m3, e1, e1b, e2, e5, e5b, e9,
-    p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p11)
+    m1, m2, m3, e1, e1b, e2, e5, e5b, e9, e10, e10b,
+    p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p11, p12)
 }

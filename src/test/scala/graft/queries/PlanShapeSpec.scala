@@ -491,4 +491,54 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
       s"implied ship-date bound not pushed to the lineitem scan:\n$plan")
   }
+
+  test("e10: last-touch attribution is join-free — one user-keyed carry window") {
+    val plan = finalPlan("e10_last_touch")
+    // the within-one-table as-of: the click carry is a running window,
+    // never a self-join or per-purchase probe
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("BroadcastHashJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"last-touch attribution materialized a join:\n$plan")
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty &&
+      windowLines.forall(_.contains("windowspecdefinition(user_id")),
+      s"carry window not partitioned by user_id:\n${windowLines.mkString("\n")}")
+  }
+
+  test("e10b: the event-sized carry window is keyed (user_id, bkt)") {
+    val plan = finalPlan("e10b_last_touch_bucketed")
+    // only the bucket-count-sized summary carry may partition on bare
+    // user_id; the raw-event window must carry the bucket key
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.exists(l =>
+      l.contains("windowspecdefinition(user_id") && l.contains("bkt")),
+      s"no (user_id, bkt)-keyed window:\n${windowLines.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"e10b planned a product:\n$plan")
+  }
+
+  test("d15: the only corpus-side join is the 1-row boilerplate broadcast") {
+    val plan = finalPlan("d15_boilerplate_removal")
+    // output pass = scan + broadcast filter; the corpus never shuffles
+    // for the join (the DF count's aggregate exchanges are chunk-sized)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("BroadcastHashJoin"),
+      s"boilerplate set joined by shuffle instead of broadcast:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"boilerplate set not broadcast:\n$plan")
+  }
+
+  test("p12: shard order is a per-shard window, no corpus-wide self-join") {
+    val plan = finalPlan("p12_training_order")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("BroadcastHashJoin") && !plan.contains("CartesianProduct"),
+      s"training-order shuffle planned a join:\n$plan")
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty &&
+      windowLines.forall(_.contains("windowspecdefinition(shard")),
+      s"rank window not partitioned by shard:\n${windowLines.mkString("\n")}")
+  }
 }

@@ -598,4 +598,91 @@ class TrainingPipelineSpec extends AnyFunSuite {
     val got = rows.find(_.getLong(0) == doc.getLong(0)).get.getDouble(2)
     assert(math.abs(got - expected) < 1e-9)
   }
+
+  // ------------------------------------------------------------- e10
+
+  test("e10: attribution matches a local per-user carry replay") {
+    val got = Catalog.byName("e10_last_touch").fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    val events = graft.sources.Records.table(spark, sfDir, "events")
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_timestamp(ts) as epoch")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // replay: walk each user's events in (ts, event_id) order carrying
+    // the last click; attribute purchases within the 7-day lookback
+    val expected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Option[Long], Option[Long])]
+    events.groupBy(_._1).foreach { case (_, es) =>
+      var lastClick: Option[(Long, Long)] = None // (event_id, epoch)
+      es.sortBy(e => (e._4, e._2)).foreach { case (_, id, tpe, ep) =>
+        if (tpe == "click") lastClick = Some((id, ep))
+        else if (tpe == "purchase") {
+          val hit = lastClick.filter { case (_, cep) => ep - cep <= 604800L }
+          expected += ((id, hit.map(_._1), hit.map(ep - _._2)))
+        }
+      }
+    }
+    assert(got == expected.sortBy(_._1).toSeq)
+    assert(got.exists(_._2.isDefined) && got.exists(_._2.isEmpty),
+      "fixture should exercise both attributed and unattributed purchases")
+    // the bucketed twin must be row-identical (same oracle SQL gates
+    // both; this pins it directly, including cross-bucket carries)
+    val gotB = Catalog.byName("e10b_last_touch_bucketed").fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(gotB == got, "e10b diverged from e10")
+  }
+
+  // ------------------------------------------------------------- d15
+
+  test("d15: boilerplate set and per-doc removal match a local rebuild") {
+    val rows = Catalog.byName("d15_boilerplate_removal").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def chunksOf(t: String): Seq[String] =
+      t.split(" ").filter(_.nonEmpty).grouped(3).map(_.mkString(" ")).toSeq
+    val df = scala.collection.mutable.Map.empty[String, Set[Long]]
+    texts.foreach { case (id, t) =>
+      chunksOf(t).foreach(c => df(c) = df.getOrElse(c, Set.empty) + id) }
+    val boiler = df.collect { case (c, ids) if ids.size >= 5 => c }.toSet
+    assert(boiler.nonEmpty, "fixture should contain boilerplate passages")
+    rows.foreach { case (id, nChunks, nKept, keptText) =>
+      val cs = chunksOf(texts(id))
+      assert(nChunks == cs.length.toLong, s"doc $id chunk count")
+      val kept = cs.filterNot(boiler.contains)
+      assert(nKept == kept.length.toLong, s"doc $id kept count")
+      assert(keptText == kept.mkString(" "), s"doc $id kept text")
+    }
+    assert(rows.exists(r => r._3 < r._2),
+      "fixture should have docs that lose passages")
+  }
+
+  // ------------------------------------------------------------- p12
+
+  test("p12: training order is reproducible and independent of layout") {
+    val a = Catalog.byName("p12_training_order").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // per-shard positions are contiguous from 1
+    a.groupBy(_._2).foreach { case (sh, rs) =>
+      assert(rs.map(_._3).sorted == (1L to rs.length.toLong),
+        s"shard $sh positions not contiguous") }
+    // every doc appears exactly once (a permutation, not a sample)
+    assert(a.map(_._1).distinct.length == a.length)
+    // layout independence: the same order under a different shuffle width
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      val b = Catalog.byName("p12_training_order").fn(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(a == b, "order changed with cluster layout")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

@@ -180,14 +180,18 @@ class SupervisionSpec extends AnyFunSuite {
     fn(df10, 0L)
     assert(written.get() == 10)
     assert(ac.lastPauseMillis == 0) // effectively unthrottled
-    // runtime rate change: 10 rows at 50 rows/sec → ~200 ms pause
+    // runtime rate change: 10 rows at 50 rows/sec → a 200 ms wall-time
+    // floor. The pause is target MINUS work time, so on a loaded box a
+    // slow count() legitimately leaves pause == 0 — the stable invariant
+    // is that the paced batch never finishes before the target, and the
+    // pause never overshoots it.
     ac.set(50.0)
     val t0 = System.nanoTime()
     fn(df10, 1L)
     val elapsedMs = (System.nanoTime() - t0) / 1000000
     assert(written.get() == 20)
-    assert(ac.lastPauseMillis > 0 && ac.lastPauseMillis <= 200)
-    assert(elapsedMs >= ac.lastPauseMillis)
+    assert(ac.lastPauseMillis <= 200)
+    assert(elapsedMs >= 195, s"paced batch beat the rate floor: $elapsedMs ms")
   }
 
   test("R1: rate change applies mid-stream without a restart") {

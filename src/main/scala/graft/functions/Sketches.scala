@@ -241,6 +241,43 @@ object Sketches {
     }
     acc
   }
+
+  /** Binary search over an ascending (UTF8String byte-order) non-null
+    * string array — the O(log n) probe backing
+    * [[ArrayExceptSorted]]. `sort_array` produces exactly this order
+    * (Spark's StringType ordering is UTF8String.compareTo, byte-wise). */
+  def containsSorted(sorted: ArrayData, v: UTF8String): Boolean = {
+    var lo = 0
+    var hi = sorted.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = sorted.getUTF8String(mid).compareTo(v)
+      if (c == 0) return true
+      if (c < 0) lo = mid + 1 else hi = mid - 1
+    }
+    false
+  }
+
+  /** Order-and-duplicate-preserving `items − sorted` (set semantics on
+    * the right side only): one call per row, |items|·log|sorted|
+    * comparisons — vs the |items|·|sorted| of
+    * `filter(items, x -> !array_contains(sorted, x))`, whose lambda is
+    * additionally interpreted per element. Null items can't match a
+    * non-null sorted set and are kept. */
+  def arrayExceptSorted(items: ArrayData, sorted: ArrayData): ArrayData = {
+    val n = items.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (items.isNullAt(i)) out.add(null)
+      else {
+        val v = items.getUTF8String(i)
+        if (!containsSorted(sorted, v)) out.add(v)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** `minhash_lsh_bands(shingles ARRAY<STRING>) -> ARRAY<STRING>` — the 16
@@ -387,5 +424,31 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `array_except_sorted(items ARRAY<STRING>, sorted ARRAY<STRING>) ->
+  * ARRAY<STRING>` — order/duplicate-preserving removal of every item
+  * present in the ASCENDING-sorted right array, by binary search
+  * ([[Sketches.arrayExceptSorted]]). The broadcast-set probe for
+  * boilerplate removal (d15): with the sorted set per-row constant,
+  * each row costs |items|·log|set| instead of the linear
+  * `array_contains` scan that turns a dense boilerplate set quadratic. */
+case class ArrayExceptSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "array_except_sorted"
+
+  override protected def nullSafeEval(items: Any, sorted: Any): Any =
+    Sketches.arrayExceptSorted(
+      items.asInstanceOf[ArrayData], sorted.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Sketches.arrayExceptSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayExceptSorted =
     copy(left = newLeft, right = newRight)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomContains, BottomKDistinct, KafkaMurmur2Partition, MinHashLshBands, RepetitionStats, SimHash16, VecDot, WordNGrams}
+import graft.functions.{ArrayExceptSorted, BloomContains, BottomKDistinct, KafkaMurmur2Partition, MinHashLshBands, RepetitionStats, SimHash16, VecDot, WordNGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -50,6 +50,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => BloomContains(c.head, c(1)))
     inject(ext, "bottom_k_distinct", 2, classOf[BottomKDistinct],
       c => BottomKDistinct(c.head, c(1)))
+    inject(ext, "array_except_sorted", 2, classOf[ArrayExceptSorted],
+      c => ArrayExceptSorted(c.head, c(1)))
     // band joins without an equi key (naive |ts_a - ts_b| <= C predicates,
     // incl. via spark.sql) become bucketed equi-joins instead of
     // cartesian products — see graft.plans.BandJoinRewrite

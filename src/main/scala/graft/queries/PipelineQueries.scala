@@ -2517,10 +2517,13 @@ object PipelineQueries {
   // also needs a corpus-wide groupBy(doc_id) whose collect_list state
   // is document-sized). If the boilerplate set ever outgrew a
   // broadcast, the fallback is the p4 move: a Bloom pre-filter at the
-  // scan plus an exact anti-join for survivors only. The linear
-  // array_contains probe is fine at fixture scale; a sorted-array
-  // binary search or map literal is the drop-in when |boiler| reaches
-  // millions.
+  // scan plus an exact anti-join for survivors only. The probe is the
+  // codegen'd `array_except_sorted` kernel ([[graft.functions
+  // .ArrayExceptSorted]]): `sort_array` already emits the boiler set
+  // in ascending UTF8String order, so each row costs
+  // |chunks|·log|boiler| byte-wise comparisons in one static call per
+  // row — vs the interpreted per-element `filter` lambda whose
+  // `array_contains` makes a dense boilerplate set quadratic.
   private val d15 = QueryDef(
     "d15_boilerplate_removal",
     (s, dir) => {
@@ -2537,12 +2540,11 @@ object PipelineQueries {
         .filter(col("n_docs") >= 5)
         .agg(sort_array(collect_list("chunk")).as("boiler"))
       seg.crossJoin(broadcast(boiler))
+        .withColumn("kept", expr("array_except_sorted(chunks, boiler)"))
         .select(col("doc_id"),
           size(col("chunks")).cast("long").as("n_chunks"),
-          expr("size(filter(chunks, c -> NOT array_contains(boiler, c)))")
-            .cast("long").as("n_kept"),
-          expr("array_join(filter(chunks, c -> NOT array_contains(boiler, c)), ' ')")
-            .as("kept_text"))
+          size(col("kept")).cast("long").as("n_kept"),
+          array_join(col("kept"), " ").as("kept_text"))
         .orderBy("doc_id")
     },
     Some(

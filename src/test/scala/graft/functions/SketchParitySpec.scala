@@ -208,6 +208,55 @@ class SketchParitySpec extends AnyFunSuite {
     assert(misses === 0)
   }
 
+  test("array_except_sorted matches the legacy filter(array_contains) form") {
+    // the d15 segmentation: fixed 3-token passages, probed against the
+    // corpus-wide sort_array'd boilerplate set (df >= 5)
+    val seg = graft.sources.Records.table(s, dir, "documents")
+      .withColumn("ts", expr(tokensExpr))
+      .filter(size(col("ts")) > 0)
+      .withColumn("chunks",
+        expr("transform(sequence(0, cast(ceil(size(ts) / 3.0) as int) - 1)," +
+          " p -> array_join(slice(ts, p*3 + 1, 3), ' '))"))
+    val boiler = seg
+      .select(col("doc_id"), explode(col("chunks")).as("chunk"))
+      .distinct()
+      .groupBy("chunk").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 5)
+      .agg(sort_array(collect_list("chunk")).as("boiler"))
+    val probed = seg.crossJoin(broadcast(boiler))
+    assert(probed.filter(expr("size(filter(boiler, b -> b IS NOT NULL)) > 0"))
+      .count() > 0, "fixture must actually exercise a non-empty boiler set")
+    val mismatches = probed
+      .select(expr("array_except_sorted(chunks, boiler)").as("kernel"),
+        expr("filter(chunks, c -> NOT array_contains(boiler, c))").as("hof"))
+      .filter(col("kernel") =!= col("hof"))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("array_except_sorted edges: order/dupes kept, empties, null items") {
+    val r = s.sql(
+      """SELECT
+        |  array_except_sorted(array('c','a','b','a','c'),
+        |                      array('b','c')) AS dupes,
+        |  array_except_sorted(array('x','y'),
+        |                      cast(array() as array<string>)) AS emptySet,
+        |  array_except_sorted(cast(array() as array<string>),
+        |                      array('a')) AS emptyItems,
+        |  array_except_sorted(array('a', cast(null as string), 'z'),
+        |                      array('a')) AS nullItem,
+        |  array_except_sorted(cast(null as array<string>),
+        |                      array('a')) AS nullLeft
+        |""".stripMargin).collect().head
+    // survivors keep original order AND duplicates; only the sorted-set
+    // members are removed
+    assert(r.getSeq[String](0) === Seq("a", "a"))
+    assert(r.getSeq[String](1) === Seq("x", "y"))
+    assert(r.getSeq[String](2) === Seq())
+    assert(r.getSeq[String](3) === Seq(null, "z"))
+    assert(r.isNullAt(4))
+  }
+
   test("bloom_contains null semantics") {
     import org.apache.spark.sql.functions.{call_function => cf}
     val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)

@@ -73,6 +73,91 @@ object StreamingQueries {
         |  AND NOT (topic = 'view' AND partition = 0 AND "offset" < 2)
         |ORDER BY event_id""".stripMargin))
 
+  // S2 — IN-FLIGHT TOPIC ASSIGNMENT through the custom DSv2 source
+  // (graft.sources.DynamicTopicLogProvider): the fixture record table is
+  // written once per (session, data dir) as a FileTopicLog (one
+  // append-only log per (topic, partition), executor-side via
+  // foreachPartition after a (topic, partition) repartition — TP-complete
+  // tasks, offset-ordered appends). The entry then runs ONE streaming
+  // query whose whitelist starts as the lexicographic first half of the
+  // topics and is widened to all topics WHILE THE QUERY RUNS — a
+  // `require` pins that the runId never changed, i.e. the assignment
+  // mutation really happened in flight (reference S2,
+  // `worker/ConsumerFetcherThread.java:183-240`), not via the
+  // restart path. The oracle is the full record relation: correct iff
+  // the late-added topics arrive complete (from offset 0) AND the
+  // initial topics are never replayed or dropped across the change.
+  private val s2SrcCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+  private val s2Runs = new java.util.concurrent.atomic.AtomicLong(0)
+  private val s2 = QueryDef(
+    "s2_dynamic_assign",
+    (s, dir) => {
+      import graft.sources.FileTopicLog
+      val root = s2SrcCache.computeIfAbsent((s, dir), _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_s2_log_").toString
+        val recs = Records.recordsFromEvents(Records.table(s, dir, "events"))
+          .select(col("key"), col("value"), col("topic"), col("partition"),
+            col("offset"), unix_millis(col("timestamp")).as("ts_ms"),
+            col("event_id").cast("string").cast("binary").as("eid"))
+        recs.repartition(col("topic"), col("partition"))
+          .sortWithinPartitions("topic", "partition", "offset")
+          .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+            // rows arrive TP-contiguous and offset-ordered; stream each
+            // run straight into append — O(1) task memory at any scale
+            val bit = it.buffered
+            while (bit.hasNext) {
+              val t = bit.head.getAs[String]("topic")
+              val p = bit.head.getAs[Int]("partition")
+              val run = new Iterator[FileTopicLog.LogRecord] {
+                def hasNext: Boolean = bit.hasNext &&
+                  bit.head.getAs[String]("topic") == t &&
+                  bit.head.getAs[Int]("partition") == p
+                def next(): FileTopicLog.LogRecord = {
+                  val r = bit.next()
+                  FileTopicLog.LogRecord(
+                    r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"),
+                    r.getAs[Long]("ts_ms"),
+                    headers = Seq("event_id" -> r.getAs[Array[Byte]]("eid")))
+                }
+              }
+              FileTopicLog.append(d, t, p, run)
+            }
+          }
+        d
+      })
+      val topics = Records.table(s, dir, "events")
+        .select("event_type").distinct().collect().map(_.getString(0)).sorted
+      val firstHalf = topics.take(math.max(topics.length / 2, 1)).toSeq
+      FileTopicLog.setWhitelist(root, firstHalf)
+      val base = s"$e3TmpRoot/s2_${s2Runs.incrementAndGet()}"
+      val q = s.readStream.format("graft-topiclog").option("path", root).load()
+        .selectExpr("topic", "partition", "offset",
+          "cast(key as string) AS user_id", "cast(value as string) AS props",
+          "cast(headers[0].value as string) AS event_id")
+        .writeStream.format("parquet")
+        .option("path", s"$base/sink")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("25 milliseconds"))
+        .start()
+      val runId = q.runId
+      try {
+        q.processAllAvailable()
+        FileTopicLog.setWhitelist(root, topics.toSeq) // F1 add, in flight
+        q.processAllAvailable()
+        require(q.runId == runId, "assignment change must not restart the query")
+      } finally q.stop()
+      s.read.parquet(s"$base/sink")
+        .select(col("topic"), col("partition"), col("offset"),
+          col("user_id"), col("props"), col("event_id").cast("long").as("event_id"))
+        .orderBy("topic", "partition", "offset")
+    },
+    Some(s"WITH ${Records.recordsSqlCte}\n" +
+      """SELECT topic, partition, "offset", key AS user_id, value AS props,
+        |  CAST(event_id AS BIGINT) AS event_id
+        |FROM records
+        |ORDER BY topic, partition, "offset"""".stripMargin))
+
   // E3 — watermarked event-time windows, run as a REAL append-mode
   // streaming query (AvailableNow over a file source): only windows the
   // final watermark (max event time − 1 h, ms precision) has passed are
@@ -162,9 +247,7 @@ object StreamingQueries {
         .option("pathGlobFilter", "events*.parquet")
         .option("maxFilesPerTrigger", "1")
         .parquet(dir)
-        .withColumn("ts",
-          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            expr("timestamp_micros(ts div 1000)") else col("ts"))
+        .withColumn("ts", Records.tsToTimestamp(schema("ts").dataType))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -386,9 +469,7 @@ object StreamingQueries {
         .option("pathGlobFilter", "events*.parquet")
         .option("maxFilesPerTrigger", "1")
         .parquet(dir)
-        .withColumn("ts",
-          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            expr("timestamp_micros(ts div 1000)") else col("ts"))
+        .withColumn("ts", Records.tsToTimestamp(schema("ts").dataType))
         .withWatermark("ts", "1 hour")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
@@ -467,9 +548,7 @@ object StreamingQueries {
         .option("pathGlobFilter", "events*.parquet")
         .option("maxFilesPerTrigger", "1")
         .parquet(dir)
-        .withColumn("ts",
-          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            expr("timestamp_micros(ts div 1000)") else col("ts"))
+        .withColumn("ts", Records.tsToTimestamp(schema("ts").dataType))
         .select(col("user_id").cast("long").as("user_id"),
           unix_micros(col("ts")).as("us"),
           col("event_id").cast("long").as("event_id"), col("event_type"))
@@ -559,9 +638,7 @@ object StreamingQueries {
           .option("pathGlobFilter", "events*.parquet")
           .option("maxFilesPerTrigger", "1")
           .parquet(dir)
-          .withColumn("ts",
-            if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-              expr("timestamp_micros(ts div 1000)") else col("ts"))
+          .withColumn("ts", Records.tsToTimestamp(schema("ts").dataType))
           .filter(col("event_type") === tpe)
           .select(col("user_id").cast("long").as(userAs),
             col("event_id").cast("long").as(idAs), col("ts").as(tsAs))
@@ -674,5 +751,5 @@ object StreamingQueries {
          |FROM vec_min ORDER BY vec_id""".stripMargin
     })
 
-  val defs: Seq[QueryDef] = Seq(k2, e3, d7, d8, d12, d13, d14, e4, e6, e7)
+  val defs: Seq[QueryDef] = Seq(k2, s2, e3, d7, d8, d12, d13, d14, e4, e6, e7)
 }

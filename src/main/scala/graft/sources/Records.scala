@@ -72,18 +72,28 @@ object Records {
       .option("includeHeaders", "true")
       .load()
 
-  /** Read one fixture table from an sf directory.
-    *
-    * `events.parquet` stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[graft.Sessions]])
-    * so it arrives as nanos-since-epoch LONG, converted here to a micros
-    * TIMESTAMP — the same truncation DuckDB applies, keeping the oracle
-    * bit-identical. */
+  /** Normalize an `events.ts` column to session-local TIMESTAMP whatever
+    * the fixture generation wrote:
+    *  - TIMESTAMP(NANOS) + `nanosAsLong=true` → LONG nanos → truncate to
+    *    micros (the same truncation DuckDB applies);
+    *  - TIMESTAMP(MICROS) without UTC adjustment → TIMESTAMP_NTZ → cast
+    *    (sessions run UTC, so the naive wall-clock IS the instant DuckDB
+    *    reads — values stay bit-identical to the oracle);
+    *  - already TIMESTAMP → unchanged. */
+  def tsToTimestamp(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    dt match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast("timestamp")
+      case _ => col("ts")
+    }
+
+  /** Read one fixture table from an sf directory, with `events.ts`
+    * normalized via [[tsToTimestamp]]. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (name == "events") df.withColumn("ts", tsToTimestamp(df.schema("ts").dataType))
     else df
   }
 

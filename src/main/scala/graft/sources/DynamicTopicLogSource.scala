@@ -153,14 +153,18 @@ final class DynamicTopicLogStream(root: String, maxRows: Option[Long])
   /** THE in-flight assignment read: whitelist + counts are consulted NOW,
     * every batch. Frozen (de-whitelisted) topics keep their last
     * position; budget is applied in sorted (topic, partition) order so
-    * capped batches are deterministic. */
+    * capped batches are deterministic. The runtime rate file (R1,
+    * [[FileTopicLog.setRate]]) tightens the static `maxRowsPerTrigger`
+    * option batch-by-batch — a rate change lands at the next batch with
+    * no restart, like the reference's live rate-limiter update. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startPos = start.asInstanceOf[TopicLogOffset].positions
     val live = availableNowTarget.getOrElse(FileTopicLog.endOffsets(root))
-    var budget = limit match {
+    val static = limit match {
       case mr: ReadMaxRows => mr.maxRows()
       case _ => Long.MaxValue
     }
+    var budget = FileTopicLog.rate(root).fold(static)(math.min(static, _))
     // advance whitelisted TPs within budget; frozen TPs carry unchanged
     val advanced = live.toSeq.sortBy(_._1).map { case (t, ps) =>
       t -> ps.toSeq.sortBy(_._1).map { case (p, end) =>

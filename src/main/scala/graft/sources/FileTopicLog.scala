@@ -208,4 +208,35 @@ object FileTopicLog {
       t -> partitionsOf(root, t)
         .map(p => p -> committedCount(root, t, p)).toMap
     }.toMap
+
+  // ---- rate control file (the runtime R1 channel) ----
+
+  private def rateFile(root: String): Path = Paths.get(root, "_rate.json")
+
+  /** Set (or clear) the max-rows-per-trigger cap on a RUNNING source —
+    * the reference's `PUT /ratelimiter?messagerate=` surface
+    * (`worker/RateLimiterResource.java:41-62`): the new rate applies
+    * from the next micro-batch, no restart. */
+  def setRate(root: String, maxRowsPerTrigger: Option[Long]): Unit = {
+    Files.createDirectories(Paths.get(root))
+    maxRowsPerTrigger match {
+      case Some(n) =>
+        require(n > 0, "rate must be positive")
+        atomicWrite(rateFile(root),
+          s"""{"maxRowsPerTrigger":$n}""".getBytes(StandardCharsets.UTF_8))
+      case None =>
+        Files.deleteIfExists(rateFile(root)): Unit
+    }
+  }
+
+  /** Current runtime rate cap (None = unlimited / file absent). */
+  def rate(root: String): Option[Long] = {
+    val f = rateFile(root)
+    if (!Files.exists(f)) None
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readAllBytes(f))
+      Option(node.get("maxRowsPerTrigger")).map(_.asLong()).filter(_ > 0)
+    }
+  }
 }

@@ -21,7 +21,11 @@ final class AutoWhitelister(
     srcObserver: TopicCatalogObserver,
     dstObserver: TopicCatalogObserver,
     blacklist: () => Set[String],
-    excludeRegex: String = "^__.*") {
+    excludeRegex: String = "^__.*",
+    // when the pipeline reads the dynamic source, its log root: adds are
+    // then applied IN FLIGHT (whitelist control file, next micro-batch)
+    // instead of via restart — the reference's actual S2/F1 composition
+    topicLogRoot: Option[String] = None) {
 
   @volatile private var sched: Option[ScheduledExecutorService] = None
 
@@ -49,9 +53,12 @@ final class AutoWhitelister(
           serving, bl, excludeRegex)
         .collect().map(_.getString(0)).toSeq.sorted
       if (candidates.isEmpty) return Nil
-      if (manager.updateIfCurrent(spec,
-          spec.copy(topics = spec.topics ++ candidates)))
-        return candidates
+      val next = spec.copy(topics = spec.topics ++ candidates)
+      val applied = topicLogRoot match {
+        case Some(root) => manager.updateIfCurrentInFlight(spec, next, root)
+        case None => manager.updateIfCurrent(spec, next)
+      }
+      if (applied) return candidates
       attempt += 1 // spec moved under us — recompute from the new one
     }
     Nil

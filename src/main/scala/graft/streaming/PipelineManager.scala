@@ -93,6 +93,24 @@ final class PipelineManager(spark: SparkSession) {
     else { update(next); true }
   }
 
+  /** CAS spec update applied IN FLIGHT for a pipeline reading the
+    * dynamic source ([[graft.sources.DynamicTopicLogProvider]]): the new
+    * topic set is written to the log's whitelist control file, which the
+    * RUNNING query observes at its next micro-batch — the reference's
+    * true S2 semantics (`worker/ConsumerFetcherThread.java:183-240`),
+    * no restart, no checkpoint churn. Same CAS contract as
+    * [[updateIfCurrent]]. */
+  def updateIfCurrentInFlight(expected: PipelineSpec, next: PipelineSpec,
+      topicLogRoot: String): Boolean = synchronized {
+    require(expected.name == next.name, "CAS must keep the pipeline name")
+    if (!specs.get(expected.name).contains(expected)) false
+    else {
+      specs.put(next.name, next)
+      graft.sources.FileTopicLog.setWhitelist(topicLogRoot, next.topics)
+      true
+    }
+  }
+
   def spec(name: String): Option[PipelineSpec] = specs.get(name)
   def allSpecs: Seq[PipelineSpec] = specs.values.toSeq.sortBy(_.name)
   def query(name: String): Option[StreamingQuery] = queries.get(name)

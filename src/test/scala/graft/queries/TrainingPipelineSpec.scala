@@ -565,9 +565,11 @@ class TrainingPipelineSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val got = Catalog.byName("e7_stream_join").fn(spark, sfDir)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = evRaw
+      .withColumn("ts", graft.sources.Records.tsToTimestamp(evRaw.schema("ts").dataType))
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("ts div 1000").as("tsus"))
+        expr("unix_micros(ts)").as("tsus"))
     val batch = ev.filter(col("event_type") === "purchase").as("p")
       .join(ev.filter(col("event_type") === "view").as("v"), expr(
         "p.user_id = v.user_id AND p.tsus >= v.tsus AND " +

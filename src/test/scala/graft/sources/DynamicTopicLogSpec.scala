@@ -167,6 +167,38 @@ class DynamicTopicLogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("runtime rate change (R1) tightens and releases batches in flight") {
+    val root = freshRoot()
+    val base = Files.createTempDirectory("graft_dynq_").toString
+    FileTopicLog.setWhitelist(root, Seq("t"))
+    FileTopicLog.append(root, "t", 0, (0 until 20).map(rec))
+
+    val q = startQuery(root, s"$base/ckpt", s"$base/sink")
+    try {
+      q.processAllAvailable() // batch 1: uncapped, all 20
+      val uncapped = q.recentProgress.map(_.numInputRows).max
+      assert(uncapped === 20, "no rate file → all available in one batch")
+
+      // PUT /ratelimiter analog: cap to 4 rows/trigger on the RUNNING query
+      FileTopicLog.setRate(root, Some(4L))
+      FileTopicLog.append(root, "t", 0, (20 until 32).map(rec))
+      q.processAllAvailable()
+      val capped = q.recentProgress.map(_.numInputRows)
+        .filter(n => n > 0 && n != 20)
+      assert(capped.nonEmpty && capped.forall(_ <= 4),
+        s"capped batches must be <= 4, got ${capped.mkString(",")}")
+      assert(capped.length >= 3, "12 rows at cap 4 needs >= 3 batches")
+
+      // release the cap, again in flight
+      FileTopicLog.setRate(root, None)
+      FileTopicLog.append(root, "t", 0, (32 until 42).map(rec))
+      q.processAllAvailable()
+      assert(sinkDf(s"$base/sink").count() === 42)
+      val released = q.recentProgress.map(_.numInputRows).filter(_ > 4)
+      assert(released.exists(_ >= 10), "released cap → wide batch again")
+    } finally q.stop()
+  }
+
   test("availableNow drains the start-time snapshot and terminates") {
     val root = freshRoot()
     val base = Files.createTempDirectory("graft_dynq_").toString

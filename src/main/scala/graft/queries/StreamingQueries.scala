@@ -90,6 +90,8 @@ object StreamingQueries {
   private val s2SrcCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
   private val s2Runs = new java.util.concurrent.atomic.AtomicLong(0)
+  private val s2Locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private val s2 = QueryDef(
     "s2_dynamic_assign",
     (s, dir) => {
@@ -104,7 +106,15 @@ object StreamingQueries {
           .sortWithinPartitions("topic", "partition", "offset")
           .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
             // rows arrive TP-contiguous and offset-ordered; stream each
-            // run straight into append — O(1) task memory at any scale
+            // run straight into append — O(1) task memory at any scale.
+            // Appends go to an ATTEMPT-SCOPED scratch root and are then
+            // atomically promoted (commit-last .count move): a task
+            // retry or speculative duplicate re-writing its run cannot
+            // double-append into the shared log — it either finds the
+            // partition published and skips, or publishes identical
+            // bytes (the input is deterministic per TP).
+            val attempt = java.nio.file.Files
+              .createTempDirectory("graft_s2_attempt_").toString
             val bit = it.buffered
             while (bit.hasNext) {
               val t = bit.head.getAs[String]("topic")
@@ -121,7 +131,8 @@ object StreamingQueries {
                     headers = Seq("event_id" -> r.getAs[Array[Byte]]("eid")))
                 }
               }
-              FileTopicLog.append(d, t, p, run)
+              FileTopicLog.append(attempt, t, p, run)
+              FileTopicLog.promote(attempt, d, t, p)
             }
           }
         d
@@ -129,24 +140,29 @@ object StreamingQueries {
       val topics = Records.table(s, dir, "events")
         .select("event_type").distinct().collect().map(_.getString(0)).sorted
       val firstHalf = topics.take(math.max(topics.length / 2, 1)).toSeq
-      FileTopicLog.setWhitelist(root, firstHalf)
       val base = s"$e3TmpRoot/s2_${s2Runs.incrementAndGet()}"
-      val q = s.readStream.format("graft-topiclog").option("path", root).load()
-        .selectExpr("topic", "partition", "offset",
-          "cast(key as string) AS user_id", "cast(value as string) AS props",
-          "cast(headers[0].value as string) AS event_id")
-        .writeStream.format("parquet")
-        .option("path", s"$base/sink")
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("25 milliseconds"))
-        .start()
-      val runId = q.runId
-      try {
-        q.processAllAvailable()
-        FileTopicLog.setWhitelist(root, topics.toSeq) // F1 add, in flight
-        q.processAllAvailable()
-        require(q.runId == runId, "assignment change must not restart the query")
-      } finally q.stop()
+      // the whitelist is SHARED per cached root: serialize runs on it so
+      // a concurrent run resetting it to firstHalf can never starve
+      // another run's drain (each run's sink/checkpoint stay unique)
+      s2Locks.computeIfAbsent(root, _ => new Object).synchronized {
+        FileTopicLog.setWhitelist(root, firstHalf)
+        val q = s.readStream.format("graft-topiclog").option("path", root).load()
+          .selectExpr("topic", "partition", "offset",
+            "cast(key as string) AS user_id", "cast(value as string) AS props",
+            "cast(headers[0].value as string) AS event_id")
+          .writeStream.format("parquet")
+          .option("path", s"$base/sink")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("25 milliseconds"))
+          .start()
+        val runId = q.runId
+        try {
+          q.processAllAvailable()
+          FileTopicLog.setWhitelist(root, topics.toSeq) // F1 add, in flight
+          q.processAllAvailable()
+          require(q.runId == runId, "assignment change must not restart the query")
+        } finally q.stop()
+      }
       s.read.parquet(s"$base/sink")
         .select(col("topic"), col("partition"), col("offset"),
           col("user_id"), col("props"), col("event_id").cast("long").as("event_id"))

@@ -62,7 +62,9 @@ class DynamicTopicLogProvider extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         "graft-topiclog requires .option(\"path\", <log root>)"))
     val maxRows = Option(properties.get("maxRowsPerTrigger")).map(_.toLong)
-    new DynamicTopicLogTable(root, maxRows)
+    val truncateOnCommit =
+      Option(properties.get("truncateOnCommit")).exists(_.toBoolean)
+    new DynamicTopicLogTable(root, maxRows, truncateOnCommit)
   }
 }
 
@@ -81,7 +83,8 @@ object DynamicTopicLog {
       StructField("value", BinaryType)))))))
 }
 
-final class DynamicTopicLogTable(root: String, maxRows: Option[Long])
+final class DynamicTopicLogTable(root: String, maxRows: Option[Long],
+    truncateOnCommit: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft-topiclog($root)"
   override def schema(): StructType = DynamicTopicLog.schema
@@ -92,7 +95,7 @@ final class DynamicTopicLogTable(root: String, maxRows: Option[Long])
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = DynamicTopicLog.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new DynamicTopicLogStream(root, maxRows)
+          new DynamicTopicLogStream(root, maxRows, truncateOnCommit)
       }
     }
 }
@@ -126,7 +129,8 @@ object TopicLogOffset {
   }
 }
 
-final class DynamicTopicLogStream(root: String, maxRows: Option[Long])
+final class DynamicTopicLogStream(root: String, maxRows: Option[Long],
+    truncateOnCommit: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -196,7 +200,18 @@ final class DynamicTopicLogStream(root: String, maxRows: Option[Long])
   override def createReaderFactory(): PartitionReaderFactory =
     new TopicLogReaderFactory
 
-  override def commit(end: Offset): Unit = ()
+  /** Retention hook (`.option("truncateOnCommit", "true")`): once Spark
+    * has durably committed a batch, records below the committed position
+    * are retired from the log — the single-consumer retention policy
+    * (Kafka's `delete` cleanup driven by consumer progress). Off by
+    * default: with multiple independent queries over one log, retention
+    * must be governed by the slowest consumer, not any one checkpoint. */
+  override def commit(end: Offset): Unit =
+    if (truncateOnCommit) {
+      end.asInstanceOf[TopicLogOffset].positions.foreach { case (t, ps) =>
+        ps.foreach { case (p, off) => FileTopicLog.truncateBelow(root, t, p, off) }
+      }
+    }
   override def stop(): Unit = ()
 }
 
@@ -223,7 +238,9 @@ final class TopicLogReaderFactory extends PartitionReaderFactory {
           true
         }
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      // a task killed or stopped early (limit, downstream failure) must
+      // not leak the log file handle — the iterator owns the stream
+      override def close(): Unit = it.close()
     }
   }
 }

@@ -1,8 +1,8 @@
 package graft.sources
 
-import java.io.{BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, FileInputStream, FileOutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
 /**
  * A file-backed topic log: a minimal Kafka-shaped broker surface on a
@@ -16,21 +16,44 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
  *   <root>/_whitelist.json          controller-owned topic whitelist
  *   <root>/<topic>/p<P>.log         length-prefixed records, append-only
  *   <root>/<topic>/p<P>.idx         8 bytes/record: byte pos of record i
- *   <root>/<topic>/p<P>.count       committed record count (atomic swap)
+ *   <root>/<topic>/p<P>.count       committed state (atomic swap)
  * }}}
  *
  * Why three files: `.log` holds the bytes, `.idx` makes seek-to-offset
  * O(1) (8-byte position per record — the same trick as Kafka's sparse
  * index, dense here because records are the unit), and `.count` is the
- * commit point — it is replaced via temp-file + ATOMIC_MOVE only AFTER
- * log+idx are flushed, so a reader that observes count=N can always read
- * N complete records. One writer per partition (Kafka's own contract);
- * any number of readers.
+ * COMMIT POINT — it is replaced via temp-file + ATOMIC_MOVE only AFTER
+ * log+idx are flushed, so a reader that observes the committed state can
+ * always read every committed record. The commit file carries the full
+ * partition state as JSON: `{"end":N,"endPos":P,"base":B,"epoch":E}` —
+ * `end` is the next offset to assign, `endPos` the byte length of the
+ * committed log prefix, `base` the lowest retained offset (retention,
+ * see [[truncateBelow]]), `epoch` the data-file generation. A legacy
+ * bare-integer `.count` (pre-retention format) still parses (end only;
+ * endPos is recovered by a one-record scan on the next append).
  *
- * Scale: readers seek, never scan-from-zero; the whitelist and counts are
- * O(#topic-partitions) metadata reads per micro-batch, and record bytes
- * flow executor-side through the DSv2 reader — nothing data-sized ever
- * crosses the driver.
+ * Retention ([[truncateBelow]]) follows Kafka's log-start-offset model:
+ * records below `base` are deleted; a consumer positioned at or above
+ * `base` is unaffected; a position below `base` clamps to `base`
+ * (`auto.offset.reset=earliest` semantics). Truncation rewrites the data
+ * files into a NEW epoch (`p<P>.e<E>.log/.idx`), commits by atomically
+ * swapping `.count`, then deletes the old epoch — publish-then-delete,
+ * the same crash-safe shape as the dedup index compaction
+ * ([[graft.streaming.BatchedParquetIndex]]). A crash at any point leaves
+ * either the old or the new epoch committed, never a torn mix.
+ *
+ * ONE writer per partition (Kafka's own contract — appends AND
+ * truncation); any number of readers. A writer that crashed mid-append
+ * leaves uncommitted bytes past the committed state; the next append
+ * reconciles by truncating `.idx`/`.log` back to the commit point before
+ * writing, so idx row i always corresponds to offset base+i.
+ *
+ * Scale: readers seek, never scan-from-zero; the whitelist and counts
+ * are O(#topic-partitions) metadata reads per micro-batch, and record
+ * bytes flow executor-side through the DSv2 reader — nothing data-sized
+ * ever crosses the driver. Byte positions are tracked as Long throughout
+ * (a single append call may exceed 2 GiB; `DataOutputStream.size()`'s
+ * int counter is never used for spans).
  */
 object FileTopicLog {
 
@@ -43,11 +66,21 @@ object FileTopicLog {
       timestampType: Int = 0,
       headers: Seq[(String, Array[Byte])] = Nil)
 
+  /** Records `[from, until)` plus the handle owning the underlying
+    * stream: a consumer that stops early (task kill, limit, downstream
+    * failure) MUST call `close()` — the DSv2 [[DynamicTopicLogSource]]
+    * reader does so from `PartitionReader.close()`. Draining the
+    * iterator also closes. */
+  trait RecordIterator extends Iterator[(Long, LogRecord)] with AutoCloseable
+
+  /** Committed per-partition state — the content of `p<P>.count`. */
+  final case class PartitionState(end: Long, endPos: Long, base: Long, epoch: Long)
+
   private def dir(root: String, topic: String): Path = Paths.get(root, topic)
-  private def logFile(root: String, topic: String, p: Int): Path =
-    dir(root, topic).resolve(s"p$p.log")
-  private def idxFile(root: String, topic: String, p: Int): Path =
-    dir(root, topic).resolve(s"p$p.idx")
+  private def dataFile(root: String, topic: String, p: Int, epoch: Long,
+      ext: String): Path =
+    dir(root, topic).resolve(
+      if (epoch == 0L) s"p$p.$ext" else s"p$p.e$epoch.$ext")
   private def countFile(root: String, topic: String, p: Int): Path =
     dir(root, topic).resolve(s"p$p.count")
 
@@ -60,9 +93,11 @@ object FileTopicLog {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def writeBytes(out: DataOutputStream, b: Array[Byte]): Unit =
-    if (b == null) out.writeInt(-1)
-    else { out.writeInt(b.length); out.write(b) }
+  /** Bytes written — callers accumulate into a Long position so spans
+    * never pass through an int counter. */
+  private def writeBytes(out: DataOutputStream, b: Array[Byte]): Long =
+    if (b == null) { out.writeInt(-1); 4L }
+    else { out.writeInt(b.length); out.write(b); 4L + b.length }
 
   private def readBytes(in: DataInputStream): Array[Byte] = {
     val n = in.readInt()
@@ -70,51 +105,232 @@ object FileTopicLog {
     else { val b = new Array[Byte](n); in.readFully(b); b }
   }
 
+  /** Committed state (zeros when the partition does not exist). A legacy
+    * bare-integer count file yields `endPos = -1` (unknown — recovered
+    * by [[committedEndPos]] when a writer next needs it). */
+  def state(root: String, topic: String, partition: Int): PartitionState = {
+    val cf = countFile(root, topic, partition)
+    if (!Files.exists(cf)) PartitionState(0L, 0L, 0L, 0L)
+    else {
+      val s = new String(Files.readAllBytes(cf), StandardCharsets.UTF_8).trim
+      if (s.startsWith("{")) {
+        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+        PartitionState(n.get("end").asLong(), n.get("endPos").asLong(),
+          n.get("base").asLong(), n.get("epoch").asLong())
+      } else PartitionState(s.toLong, -1L, 0L, 0L)
+    }
+  }
+
+  private def commitState(root: String, topic: String, partition: Int,
+      st: PartitionState): Unit =
+    atomicWrite(countFile(root, topic, partition),
+      s"""{"end":${st.end},"endPos":${st.endPos},"base":${st.base},"epoch":${st.epoch}}"""
+        .getBytes(StandardCharsets.UTF_8))
+
+  /** Committed record count == end offset (0 when absent). Retention
+    * does not lower it — `end` is the next offset to assign, `base` the
+    * lowest readable one. */
+  def committedCount(root: String, topic: String, partition: Int): Long =
+    state(root, topic, partition).end
+
+  /** Lowest retained offset (the Kafka log-start-offset). */
+  def startOffset(root: String, topic: String, partition: Int): Long =
+    state(root, topic, partition).base
+
+  /** Byte position of the 8-byte idx entry `rel` (0-based, relative to
+    * the epoch file). */
+  private def idxAt(xf: Path, rel: Long): Long = {
+    val in = new DataInputStream(new FileInputStream(xf.toFile))
+    try { in.skipNBytes(rel * 8); in.readLong() } finally in.close()
+  }
+
+  /** End byte position of the record starting at `start` — one bounded
+    * parse (used only to recover `endPos` from a legacy count file). */
+  private def recordEndPos(lf: Path, start: Long): Long = {
+    val in = new DataInputStream(new BufferedInputStream(
+      new FileInputStream(lf.toFile), 1 << 14))
+    try {
+      in.skipNBytes(start)
+      var consumed = 0L
+      def skipB(): Unit = {
+        val len = in.readInt(); consumed += 4
+        if (len > 0) { in.skipNBytes(len); consumed += len }
+      }
+      skipB(); skipB()                   // key, value
+      in.skipNBytes(12); consumed += 12  // tsMillis + timestampType
+      val nh = in.readInt(); consumed += 4
+      var i = 0
+      while (i < nh) { skipB(); skipB(); i += 1 }
+      start + consumed
+    } finally in.close()
+  }
+
+  /** Committed byte length of the log prefix, recovering it by scanning
+    * the last committed record when the count file predates `endPos`. */
+  private def committedEndPos(st: PartitionState, lf: Path, xf: Path): Long =
+    if (st.endPos >= 0L) st.endPos
+    else if (st.end == st.base) 0L
+    else recordEndPos(lf, idxAt(xf, st.end - st.base - 1))
+
+  // append and truncateBelow both rewrite partition state; within one
+  // JVM (local mode, or a broker-style daemon owning its log dirs — the
+  // Kafka deployment shape) this lock serializes them. Cross-process
+  // writers remain the caller's contract, exactly as with Kafka: one
+  // owner per partition's mutations.
+  private val partitionLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Object]()
+  private def lockFor(root: String, topic: String, partition: Int): Object =
+    partitionLocks.computeIfAbsent((root, topic, partition), _ => new Object)
+
+  private def truncateTo(path: Path, size: Long): Unit =
+    if (Files.exists(path) && Files.size(path) > size) {
+      val ch = java.nio.channels.FileChannel.open(path, StandardOpenOption.WRITE)
+      try { ch.truncate(size): Unit } finally ch.close()
+    }
+
   /** Append records to one partition log. Single writer per partition.
-    * Returns the new committed count. */
+    * Returns the new committed count (== end offset).
+    *
+    * Crash recovery: a previous writer may have died after flushing some
+    * idx entries / log bytes but before the `.count` commit. Those bytes
+    * are garbage — truncate both files back to the committed state
+    * first, so idx row i corresponds to offset base+i again and the new
+    * records land exactly at the commit point. */
   def append(root: String, topic: String, partition: Int,
-      records: IterableOnce[LogRecord]): Long = {
+      records: IterableOnce[LogRecord]): Long =
+    lockFor(root, topic, partition).synchronized {
     val d = dir(root, topic)
     Files.createDirectories(d)
-    val lf = logFile(root, topic, partition)
-    val xf = idxFile(root, topic, partition)
-    var pos = if (Files.exists(lf)) Files.size(lf) else 0L
-    var n = committedCount(root, topic, partition)
+    val st = state(root, topic, partition)
+    val lf = dataFile(root, topic, partition, st.epoch, "log")
+    val xf = dataFile(root, topic, partition, st.epoch, "idx")
+    val committedEnd =
+      if (!Files.exists(lf)) 0L else committedEndPos(st, lf, xf)
+    // reconcile uncommitted garbage from a crashed writer
+    truncateTo(xf, (st.end - st.base) * 8)
+    truncateTo(lf, committedEnd)
+    var pos = committedEnd
+    var n = st.end
     val log = new DataOutputStream(new BufferedOutputStream(
       new FileOutputStream(lf.toFile, true), 1 << 16))
     val idx = new DataOutputStream(new BufferedOutputStream(
       new FileOutputStream(xf.toFile, true), 1 << 14))
     try {
-      // ByteArrayOutputStream per record would double-copy; count bytes
-      // via the stream's written counter instead.
       records.iterator.foreach { r =>
         idx.writeLong(pos)
-        val before = log.size()
-        writeBytes(log, r.key)
-        writeBytes(log, r.value)
+        var len = 0L
+        len += writeBytes(log, r.key)
+        len += writeBytes(log, r.value)
         log.writeLong(r.tsMillis)
         log.writeInt(r.timestampType)
         log.writeInt(r.headers.size)
+        len += 16L
         r.headers.foreach { case (k, v) =>
-          writeBytes(log, k.getBytes(StandardCharsets.UTF_8))
-          writeBytes(log, v)
+          len += writeBytes(log, k.getBytes(StandardCharsets.UTF_8))
+          len += writeBytes(log, v)
         }
-        pos += (log.size() - before).toLong
+        pos += len
         n += 1
       }
     } finally { log.close(); idx.close() }
     // commit point: only now do readers see the new records
-    atomicWrite(countFile(root, topic, partition),
-      n.toString.getBytes(StandardCharsets.UTF_8))
+    commitState(root, topic, partition, st.copy(end = n, endPos = pos))
     n
   }
 
-  /** Committed record count (0 when the partition does not exist). */
-  def committedCount(root: String, topic: String, partition: Int): Long = {
-    val cf = countFile(root, topic, partition)
-    if (Files.exists(cf))
-      new String(Files.readAllBytes(cf), StandardCharsets.UTF_8).trim.toLong
-    else 0L
+  /** True when retention would be a no-op for `offset` — checked outside
+    * the partition lock so a hot commit hook skips cheaply. */
+  private def truncateIsNoop(root: String, topic: String, partition: Int,
+      offset: Long): Boolean = {
+    val st = state(root, topic, partition)
+    math.min(math.max(offset, st.base), st.end) == st.base
+  }
+
+  /** Delete records below `offset` (retention / the reference's log
+    * cleanup). Same single-writer contract as [[append]]. The retained
+    * suffix is rewritten into a NEW epoch's data files, the `.count`
+    * swap is the commit, then the old epoch is deleted — a crash leaves
+    * either epoch fully readable, never a torn mix. Offsets are STABLE:
+    * a reader at `offset` or above sees identical records before and
+    * after; a reader below clamps to the new start. */
+  def truncateBelow(root: String, topic: String, partition: Int,
+      offset: Long): Unit = {
+    if (truncateIsNoop(root, topic, partition, offset)) return
+    lockFor(root, topic, partition).synchronized {
+    val st = state(root, topic, partition)
+    val newBase = math.min(math.max(offset, st.base), st.end)
+    if (newBase == st.base) return
+    val oldLf = dataFile(root, topic, partition, st.epoch, "log")
+    val oldXf = dataFile(root, topic, partition, st.epoch, "idx")
+    val endPos = committedEndPos(st, oldLf, oldXf)
+    val dropRecs = newBase - st.base
+    val dropBytes =
+      if (newBase == st.end) endPos else idxAt(oldXf, dropRecs)
+    val newEpoch = st.epoch + 1
+    val newLf = dataFile(root, topic, partition, newEpoch, "log")
+    val newXf = dataFile(root, topic, partition, newEpoch, "idx")
+    // write the retained suffix: log bytes [dropBytes, endPos) verbatim,
+    // idx entries rebased by -dropBytes — via tmp + ATOMIC_MOVE so a
+    // concurrent reader never opens a half-written epoch file
+    val tmpLf = newLf.resolveSibling(s"_${newLf.getFileName}.tmp")
+    val tmpXf = newXf.resolveSibling(s"_${newXf.getFileName}.tmp")
+    val in = java.nio.channels.FileChannel.open(oldLf, StandardOpenOption.READ)
+    val out = java.nio.channels.FileChannel.open(tmpLf,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      var p = dropBytes
+      while (p < endPos) p += in.transferTo(p, endPos - p, out)
+    } finally { in.close(); out.close() }
+    val xin = new DataInputStream(new BufferedInputStream(
+      new FileInputStream(oldXf.toFile), 1 << 14))
+    val xout = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(tmpXf.toFile), 1 << 14))
+    try {
+      xin.skipNBytes(dropRecs * 8)
+      var i = newBase
+      while (i < st.end) { xout.writeLong(xin.readLong() - dropBytes); i += 1 }
+    } finally { xin.close(); xout.close() }
+    Files.move(tmpLf, newLf, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.move(tmpXf, newXf, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // COMMIT: readers atomically switch to the new epoch
+    commitState(root, topic, partition,
+      PartitionState(st.end, endPos - dropBytes, newBase, newEpoch))
+    // publish-then-delete: old epoch is garbage now; best-effort cleanup
+    // (a crash here leaves orphans that the next truncation re-deletes)
+    Files.deleteIfExists(oldLf): Unit
+    Files.deleteIfExists(oldXf): Unit
+    }
+  }
+
+  /** Atomically publish a partition written in a scratch root into
+    * `dstRoot` — the idempotent ingest pattern for task-side writers: a
+    * task attempt appends to its OWN attempt-scoped root (no shared
+    * mutable file), then promotes. Data files move first, the `.count`
+    * move is the commit — so a retry or speculative duplicate of a
+    * deterministic task either finds the partition already published
+    * (skips) or races to publish byte-identical files (harmless).
+    * Returns true when this call published. */
+  def promote(srcRoot: String, dstRoot: String, topic: String,
+      partition: Int): Boolean = {
+    val dstCount = countFile(dstRoot, topic, partition)
+    if (Files.exists(dstCount)) return false
+    Files.createDirectories(dir(dstRoot, topic))
+    val st = state(srcRoot, topic, partition)
+    Seq("log", "idx").foreach { ext =>
+      Files.move(dataFile(srcRoot, topic, partition, st.epoch, ext),
+        dataFile(dstRoot, topic, partition, st.epoch, ext),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    try {
+      Files.move(countFile(srcRoot, topic, partition), dstCount,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
   }
 
   /** Partition ids present for a topic (from `p<P>.count` files). */
@@ -134,25 +350,50 @@ object FileTopicLog {
 
   private val PartCount = "^p(\\d+)\\.count$".r
 
+  private val emptyIterator: RecordIterator = new RecordIterator {
+    def hasNext: Boolean = false
+    def next(): (Long, LogRecord) = Iterator.empty.next()
+    def close(): Unit = ()
+  }
+
   /** Read records `[from, until)` of one partition — O(1) seek via the
-    * index, then a single sequential scan of `until - from` records. */
+    * index, then a single sequential scan. `from` below the retained
+    * base clamps to the base (earliest-reset semantics). The returned
+    * handle owns an open stream: drain it or `close()` it. */
   def read(root: String, topic: String, partition: Int,
-      from: Long, until: Long): Iterator[(Long, LogRecord)] = {
-    val n = math.min(until, committedCount(root, topic, partition))
-    if (from >= n) return Iterator.empty
-    val startPos = {
-      val in = new DataInputStream(new FileInputStream(idxFile(root, topic, partition).toFile))
-      try { in.skipNBytes(from * 8); in.readLong() } finally in.close()
+      from: Long, until: Long): RecordIterator = {
+    // epoch-swap race: between reading the state and opening the files a
+    // concurrent truncation may delete this epoch — re-read and retry
+    // (bounded; the second state read sees the committed new epoch)
+    var attempt = 0
+    var opened: (DataInputStream, Long, Long) = null
+    while (opened == null) {
+      val st = state(root, topic, partition)
+      val n = math.min(until, st.end)
+      val lo = math.max(from, st.base)
+      if (lo >= n) return emptyIterator
+      try {
+        val lf = dataFile(root, topic, partition, st.epoch, "log")
+        val xf = dataFile(root, topic, partition, st.epoch, "idx")
+        val startPos = idxAt(xf, lo - st.base)
+        val s0 = new DataInputStream(new BufferedInputStream(
+          new FileInputStream(lf.toFile), 1 << 16))
+        s0.skipNBytes(startPos)
+        opened = (s0, lo, n)
+      } catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt >= 3) throw e
+      }
     }
-    val in = new DataInputStream(new java.io.BufferedInputStream(
-      new FileInputStream(logFile(root, topic, partition).toFile), 1 << 16))
-    in.skipNBytes(startPos)
-    var off = from
-    new Iterator[(Long, LogRecord)] {
+    val (in, lo, n) = opened
+    var off: Long = lo
+    new RecordIterator {
       private var closed = false
+      def close(): Unit = if (!closed) { closed = true; in.close() }
       def hasNext: Boolean = {
         val h = !closed && off < n
-        if (!h && !closed) { closed = true; in.close() }
+        if (!h) close()
         h
       }
       def next(): (Long, LogRecord) = {

@@ -199,6 +199,159 @@ class DynamicTopicLogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("truncateBelow retires a prefix; readers at/above the cut are unaffected") {
+    val root = freshRoot()
+    FileTopicLog.append(root, "t", 0, (0 until 20).map(rec))
+    val before = FileTopicLog.read(root, "t", 0, 8, 20).toSeq
+    FileTopicLog.truncateBelow(root, "t", 0, 8)
+    assert(FileTopicLog.startOffset(root, "t", 0) === 8)
+    assert(FileTopicLog.committedCount(root, "t", 0) === 20,
+      "end offset is stable across retention")
+    // identical records at identical offsets above the cut
+    val after = FileTopicLog.read(root, "t", 0, 8, 20).toSeq
+    assert(after.map(_._1) === before.map(_._1))
+    assert(after.map(t => new String(t._2.value, StandardCharsets.UTF_8)) ===
+      before.map(t => new String(t._2.value, StandardCharsets.UTF_8)))
+    // a position below the base clamps to earliest (Kafka reset semantics)
+    assert(FileTopicLog.read(root, "t", 0, 0, 20).map(_._1).toSeq ===
+      (8L until 20L))
+    // appends continue at the stable end offset; reads span the seam
+    FileTopicLog.append(root, "t", 0, (20 until 25).map(rec))
+    assert(FileTopicLog.read(root, "t", 0, 18, 25).map(_._1).toSeq ===
+      (18L until 25L))
+    // a second truncation (epoch 1 -> 2) composes
+    FileTopicLog.truncateBelow(root, "t", 0, 22)
+    assert(FileTopicLog.read(root, "t", 0, 0, 99).map(_._1).toSeq ===
+      (22L until 25L))
+    // truncating past the end clamps to end (empty but appendable)
+    FileTopicLog.truncateBelow(root, "t", 0, 999)
+    assert(FileTopicLog.startOffset(root, "t", 0) === 25)
+    assert(FileTopicLog.read(root, "t", 0, 0, 99).isEmpty)
+    FileTopicLog.append(root, "t", 0, (25 until 27).map(rec))
+    assert(FileTopicLog.read(root, "t", 0, 25, 27).map(_._1).toSeq ===
+      Seq(25L, 26L))
+  }
+
+  test("a frozen topic's position survives retention of OTHER offsets mid-query") {
+    val root = freshRoot()
+    val base = Files.createTempDirectory("graft_dynq_").toString
+    FileTopicLog.setWhitelist(root, Seq("a", "b"))
+    FileTopicLog.append(root, "a", 0, (0 until 10).map(rec))
+    FileTopicLog.append(root, "b", 0, (0 until 10).map(rec))
+    val q = startQuery(root, s"$base/ckpt", s"$base/sink")
+    try {
+      q.processAllAvailable()
+      // freeze a, retain-cut b below the consumed position, keep going
+      FileTopicLog.setWhitelist(root, Seq("b"))
+      FileTopicLog.truncateBelow(root, "b", 0, 10)
+      FileTopicLog.append(root, "b", 0, (10 until 14).map(rec))
+      q.processAllAvailable()
+      // re-add a: resumes at its frozen offset even though b was truncated
+      FileTopicLog.setWhitelist(root, Seq("a", "b"))
+      FileTopicLog.append(root, "a", 0, (10 until 12).map(rec))
+      q.processAllAvailable()
+      val rows = sinkDf(s"$base/sink")
+      assert(rows.filter("topic = 'a'").select("offset").collect()
+        .map(_.getLong(0)).sorted === (0L until 12L).toArray)
+      assert(rows.filter("topic = 'b'").select("offset").collect()
+        .map(_.getLong(0)).sorted === (0L until 14L).toArray)
+      assert(rows.select("topic", "partition", "offset").distinct().count()
+        === rows.count(), "no replay after retention")
+    } finally q.stop()
+  }
+
+  test("truncateOnCommit retires consumed records behind a running query") {
+    val root = freshRoot()
+    val base = Files.createTempDirectory("graft_dynq_").toString
+    FileTopicLog.setWhitelist(root, Seq("t"))
+    FileTopicLog.append(root, "t", 0, (0 until 10).map(rec))
+    val q = s.readStream.format("graft-topiclog").option("path", root)
+      .option("truncateOnCommit", "true")
+      .load()
+      .selectExpr("cast(value as string) AS v", "topic", "partition", "offset")
+      .writeStream.format("parquet")
+      .option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable()
+      FileTopicLog.append(root, "t", 0, (10 until 15).map(rec))
+      q.processAllAvailable()
+      // the log only retains the unconsumed tail (maybe the last batch)
+      assert(FileTopicLog.startOffset(root, "t", 0) >= 10,
+        "consumed prefix must be retired")
+      assert(FileTopicLog.committedCount(root, "t", 0) === 15)
+      // exactly-once output is unaffected by retention
+      val rows = sinkDf(s"$base/sink")
+      assert(rows.count() === 15)
+      assert(rows.select("offset").collect().map(_.getLong(0)).sorted ===
+        (0L until 15L).toArray)
+    } finally q.stop()
+  }
+
+  test("append reconciles uncommitted garbage left by a crashed writer") {
+    val root = freshRoot()
+    FileTopicLog.append(root, "t", 0, (0 until 5).map(rec))
+    // simulate a crash mid-append AFTER idx/log bytes flushed but BEFORE
+    // the .count commit: stray idx entries + partial record bytes
+    val d = java.nio.file.Paths.get(root, "t")
+    val idx = d.resolve("p0.idx")
+    val log = d.resolve("p0.log")
+    Files.write(idx, Array.fill[Byte](24)(7),
+      java.nio.file.StandardOpenOption.APPEND)
+    Files.write(log, Array.fill[Byte](13)(9),
+      java.nio.file.StandardOpenOption.APPEND)
+    // next append must land at the commit point, not after the garbage
+    FileTopicLog.append(root, "t", 0, (5 until 9).map(rec))
+    assert(Files.size(idx) === 9 * 8, "idx row i == offset i again")
+    val all = FileTopicLog.read(root, "t", 0, 0, 9).toSeq
+    assert(all.map(_._1) === (0L until 9L))
+    assert(all.map(t => new String(t._2.value, StandardCharsets.UTF_8)) ===
+      (0 until 9).map(i => s"v$i"))
+  }
+
+  test("promote publishes once; a duplicate attempt is a no-op") {
+    val dst = freshRoot()
+    val a1 = freshRoot()
+    val a2 = freshRoot()
+    FileTopicLog.append(a1, "t", 3, (0 until 6).map(rec))
+    FileTopicLog.append(a2, "t", 3, (0 until 6).map(rec))
+    assert(FileTopicLog.promote(a1, dst, "t", 3) === true)
+    assert(FileTopicLog.promote(a2, dst, "t", 3) === false,
+      "retry/speculative duplicate must not double-publish")
+    assert(FileTopicLog.committedCount(dst, "t", 3) === 6)
+    assert(FileTopicLog.read(dst, "t", 3, 0, 6).map(_._1).toSeq === (0L until 6L))
+  }
+
+  test("legacy bare-integer count files still parse (and upgrade on append)") {
+    val root = freshRoot()
+    FileTopicLog.append(root, "t", 0, (0 until 7).map(rec))
+    // rewrite the commit file in the pre-retention format: bare count
+    val cf = java.nio.file.Paths.get(root, "t", "p0.count")
+    Files.write(cf, "7".getBytes(StandardCharsets.UTF_8))
+    assert(FileTopicLog.committedCount(root, "t", 0) === 7)
+    assert(FileTopicLog.startOffset(root, "t", 0) === 0)
+    assert(FileTopicLog.read(root, "t", 0, 0, 7).size === 7)
+    // appending through the legacy state recovers endPos by a bounded scan
+    FileTopicLog.append(root, "t", 0, (7 until 10).map(rec))
+    val all = FileTopicLog.read(root, "t", 0, 0, 10).toSeq
+    assert(all.map(_._1) === (0L until 10L))
+    assert(new String(all.last._2.value, StandardCharsets.UTF_8) === "v9")
+  }
+
+  test("an abandoned reader frees its file handle on close()") {
+    val root = freshRoot()
+    FileTopicLog.append(root, "t", 0, (0 until 100).map(rec))
+    val it = FileTopicLog.read(root, "t", 0, 0, 100)
+    assert(it.hasNext)
+    it.next()
+    it.close() // early stop — e.g. a killed task or a LIMIT
+    assert(!it.hasNext, "closed reader yields no further records")
+    // close is idempotent
+    it.close()
+  }
+
   test("availableNow drains the start-time snapshot and terminates") {
     val root = freshRoot()
     val base = Files.createTempDirectory("graft_dynq_").toString

@@ -92,16 +92,14 @@ object StreamingQueries {
   private val s2Runs = new java.util.concurrent.atomic.AtomicLong(0)
   private val s2Locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private val s2 = QueryDef(
-    "s2_dynamic_assign",
-    (s, dir) => {
-      import graft.sources.FileTopicLog
-      val root = s2SrcCache.computeIfAbsent((s, dir), _ => {
+  /** The shared (session, data dir)-cached topic-log fixture root used
+    * by s2 and k2b. */
+  private def s2Root(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    import graft.sources.FileTopicLog
+    s2SrcCache.computeIfAbsent((s, dir), _ => {
         val d = java.nio.file.Files.createTempDirectory("graft_s2_log_").toString
-        val recs = Records.recordsFromEvents(Records.table(s, dir, "events"))
-          .select(col("key"), col("value"), col("topic"), col("partition"),
-            col("offset"), unix_millis(col("timestamp")).as("ts_ms"),
-            col("event_id").cast("string").cast("binary").as("eid"))
+        val recs = logRecords(s, dir)
         recs.repartition(col("topic"), col("partition"))
           .sortWithinPartitions("topic", "partition", "offset")
           .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
@@ -137,9 +135,15 @@ object StreamingQueries {
           }
         d
       })
-      val topics = Records.table(s, dir, "events")
-        .select("event_type").distinct().collect().map(_.getString(0)).sorted
-      val firstHalf = topics.take(math.max(topics.length / 2, 1)).toSeq
+  }
+
+  private val s2 = QueryDef(
+    "s2_dynamic_assign",
+    (s, dir) => {
+      import graft.sources.FileTopicLog
+      val root = s2Root(s, dir)
+      val topics = eventTopics(s, dir)
+      val firstHalf = topics.take(math.max(topics.length / 2, 1))
       val base = s"$e3TmpRoot/s2_${s2Runs.incrementAndGet()}"
       // the whitelist is SHARED per cached root: serialize runs on it so
       // a concurrent run resetting it to firstHalf can never starve
@@ -158,7 +162,7 @@ object StreamingQueries {
         val runId = q.runId
         try {
           q.processAllAvailable()
-          FileTopicLog.setWhitelist(root, topics.toSeq) // F1 add, in flight
+          FileTopicLog.setWhitelist(root, topics) // F1 add, in flight
           q.processAllAvailable()
           require(q.runId == runId, "assignment change must not restart the query")
         } finally q.stop()
@@ -767,5 +771,167 @@ object StreamingQueries {
          |FROM vec_min ORDER BY vec_id""".stripMargin
     })
 
-  val defs: Seq[QueryDef] = Seq(k2, s2, e3, d7, d8, d12, d13, d14, e4, e6, e7)
+  // ---- shared topic-log fixture plumbing (s2b / k2b) ----
+
+  private val topicsCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), Seq[String]]()
+  private def eventTopics(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] =
+    topicsCache.computeIfAbsent((s, dir), _ =>
+      Records.table(s, dir, "events").select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq)
+
+  /** The record relation projected to topic-log writer shape. */
+  private def logRecords(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Records.recordsFromEvents(Records.table(s, dir, "events"))
+      .select(col("key"), col("value"), col("topic"), col("partition"),
+        col("offset"), unix_millis(col("timestamp")).as("ts_ms"),
+        col("event_id").cast("string").cast("binary").as("eid"))
+
+  /** Executor-side idempotent topic-log writer: TP-complete tasks
+    * (repartition on (topic, partition)), offset-ordered runs, appended
+    * via [[FileTopicLog.appendAt]] — offsets already committed are
+    * dropped inside the partition lock, so task retries (and staged
+    * phase-2 appends that re-ship earlier offsets) cannot duplicate. */
+  private def writeLog(df: org.apache.spark.sql.DataFrame,
+      root: String): Unit = {
+    import graft.sources.FileTopicLog
+    df.repartition(col("topic"), col("partition"))
+      .sortWithinPartitions("topic", "partition", "offset")
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        val bit = it.buffered
+        while (bit.hasNext) {
+          val t = bit.head.getAs[String]("topic")
+          val p = bit.head.getAs[Int]("partition")
+          val run = new Iterator[(Long, FileTopicLog.LogRecord)] {
+            def hasNext: Boolean = bit.hasNext &&
+              bit.head.getAs[String]("topic") == t &&
+              bit.head.getAs[Int]("partition") == p
+            def next(): (Long, FileTopicLog.LogRecord) = {
+              val r = bit.next()
+              (r.getAs[Long]("offset"), FileTopicLog.LogRecord(
+                r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"),
+                r.getAs[Long]("ts_ms"),
+                headers = Seq("event_id" -> r.getAs[Array[Byte]]("eid"))))
+            }
+          }
+          FileTopicLog.appendAt(root, t, p, run)
+        }
+      }
+  }
+
+  private val recordsOracle: String =
+    s"WITH ${Records.recordsSqlCte}\n" +
+      """SELECT topic, partition, "offset", key AS user_id, value AS props,
+        |  CAST(event_id AS BIGINT) AS event_id
+        |FROM records
+        |ORDER BY topic, partition, "offset"""".stripMargin
+
+  // S2b — IN-FLIGHT TOPIC UNASSIGNMENT (topic DELETE) under the
+  // full-relation oracle: the mirror of s2's mid-query ADD. The fixture
+  // is staged in two halves per (topic, partition) into a RUN-SCOPED
+  // log (a shared cached root could not absorb mid-run appends
+  // idempotently). One query runs throughout (runId-pinned):
+  //   phase 1  whitelist = all topics, first halves drain;
+  //   phase 2  the victim topic is REMOVED in flight (reference F2,
+  //            `controller/rest/resources/TopicManagementRestletResource
+  //            .java:206-252`; fetcher removal `worker/
+  //            ConsumerFetcherThread.java:183-240`), then the second
+  //            halves land for ALL topics — the victim's offsets must
+  //            FREEZE at its half-1 position (require'd mid-run) while
+  //            every other topic drains;
+  //   phase 3  the victim is re-added in flight and resumes from the
+  //            frozen offset. The oracle is the full record relation:
+  //            any replay on re-add duplicates an offset, any loss
+  //            drops one — both hash-visible.
+  private val s2bRuns = new java.util.concurrent.atomic.AtomicLong(0)
+  private val s2b = QueryDef(
+    "s2b_dynamic_unassign",
+    (s, dir) => {
+      import graft.sources.FileTopicLog
+      import org.apache.spark.sql.expressions.Window
+      val root = java.nio.file.Files.createTempDirectory("graft_s2b_log_").toString
+      val recs = logRecords(s, dir)
+        .withColumn("tp_half",
+          (count(lit(1)).over(Window.partitionBy("topic", "partition")) / 2)
+            .cast("long"))
+      val topics = eventTopics(s, dir)
+      val victim = topics.last
+      writeLog(recs.filter(col("offset") < col("tp_half")), root)
+      val victimHalf1 = recs
+        .filter(col("topic") === victim && col("offset") < col("tp_half"))
+        .count()
+      FileTopicLog.setWhitelist(root, topics)
+      val base = s"$e3TmpRoot/s2b_${s2bRuns.incrementAndGet()}"
+      val q = s.readStream.format("graft-topiclog").option("path", root).load()
+        .selectExpr("topic", "partition", "offset",
+          "cast(key as string) AS user_id", "cast(value as string) AS props",
+          "cast(headers[0].value as string) AS event_id")
+        .writeStream.format("parquet")
+        .option("path", s"$base/sink")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("25 milliseconds"))
+        .start()
+      val runId = q.runId
+      try {
+        q.processAllAvailable()
+        FileTopicLog.setWhitelist(root, topics.filterNot(_ == victim)) // F2 delete, in flight
+        // flush any batch planned against the pre-delete whitelist BEFORE
+        // the second halves land, so the freeze point is deterministic
+        q.processAllAvailable()
+        writeLog(recs.filter(col("offset") >= col("tp_half")), root)
+        q.processAllAvailable()
+        val frozen = s.read.parquet(s"$base/sink")
+          .filter(col("topic") === victim).count()
+        require(frozen == victimHalf1,
+          s"deleted topic must freeze at its pre-delete position ($frozen != $victimHalf1)")
+        FileTopicLog.setWhitelist(root, topics) // re-add: resume, no replay
+        q.processAllAvailable()
+        require(q.runId == runId, "unassignment must not restart the query")
+      } finally q.stop()
+      s.read.parquet(s"$base/sink")
+        .select(col("topic"), col("partition"), col("offset"),
+          col("user_id"), col("props"), col("event_id").cast("long").as("event_id"))
+        .orderBy("topic", "partition", "offset")
+    },
+    Some(recordsOracle))
+
+  // K2b — the k2 replication pipeline with the DSv2 dynamic source as
+  // its data plane: format("graft-topiclog") → the IDENTICAL
+  // T1/T2/T5 + S5 transform chain → exactly-once parquet sink, under
+  // k2's oracle SQL. Gates the custom reader's full record path
+  // (binary key/value, headers, timestamps) through the production
+  // pipeline, not just the s2 assignment demo.
+  private val k2bRuns = new java.util.concurrent.atomic.AtomicLong(0)
+  private val k2b = QueryDef(
+    "k2b_dynamic_replication",
+    (s, dir) => {
+      import graft.sources.FileTopicLog
+      val root = s2Root(s, dir)
+      val topics = eventTopics(s, dir)
+      val base = s"$e3TmpRoot/k2b_${k2bRuns.incrementAndGet()}"
+      // shares the s2 fixture root → same whitelist lock as s2 runs
+      s2Locks.computeIfAbsent(root, _ => new Object).synchronized {
+        FileTopicLog.setWhitelist(root, topics)
+        val src = s.readStream.format("graft-topiclog")
+          .option("path", root).load()
+        val spec = k2Spec.copy(name = "k2b")
+        val q = ReplicationPipeline.parquetSink(
+          ReplicationPipeline.transform(src, spec),
+          s"$base/out", s"$base/ckpt").start()
+        q.awaitTermination()
+      }
+      s.read.parquet(s"$base/out")
+        .select(expr("cast(cast(headers[0].value as string) as long)")
+            .as("event_id"),
+          col("topic"),
+          col("partition").cast("long").as("dst_partition"),
+          col("offset"))
+        .orderBy("event_id")
+    },
+    k2.oracle)
+
+  val defs: Seq[QueryDef] =
+    Seq(k2, s2, s2b, k2b, e3, d7, d8, d12, d13, d14, e4, e6, e7)
 }

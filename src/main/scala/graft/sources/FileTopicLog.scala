@@ -238,6 +238,33 @@ object FileTopicLog {
     n
   }
 
+  /** Idempotent append for offset-addressed producers: records carry
+    * their ABSOLUTE offsets (contiguous, ascending); those below the
+    * committed end are dropped inside the partition lock, so a task
+    * retry — or an in-JVM concurrent duplicate — re-offering the same
+    * run appends nothing. The first retained offset must equal the
+    * committed end (no gaps). Multi-process producers that cannot share
+    * the JVM lock should stage into a scratch root and [[promote]]. */
+  def appendAt(root: String, topic: String, partition: Int,
+      records: IterableOnce[(Long, LogRecord)]): Long =
+    lockFor(root, topic, partition).synchronized {
+      val end = state(root, topic, partition).end
+      val part = partition
+      val fresh = records.iterator.dropWhile(_._1 < end)
+      val checked = new Iterator[LogRecord] {
+        private var expect = end
+        def hasNext: Boolean = fresh.hasNext
+        def next(): LogRecord = {
+          val (off, r) = fresh.next()
+          require(off == expect,
+            s"appendAt: non-contiguous offset $off for $topic/$part (expected $expect)")
+          expect += 1
+          r
+        }
+      }
+      append(root, topic, partition, checked)
+    }
+
   /** True when retention would be a no-op for `offset` — checked outside
     * the partition lock so a hot commit hook skips cheaply. */
   private def truncateIsNoop(root: String, topic: String, partition: Int,

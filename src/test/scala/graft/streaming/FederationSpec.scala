@@ -146,10 +146,17 @@ class FederationSpec extends AnyFunSuite {
       // assert the no-early-steal window only while the TTL genuinely
       // has not elapsed — on a loaded machine the time since ctrl-a's
       // last renewal (controller stop + dump counting included) can
-      // already exceed it, and a steal then is legitimate, not early
+      // already exceed it, and a steal then is legitimate, not early.
+      // SAMPLE the observables FIRST, read the clock AFTER: if the
+      // post-sample clock is still inside the TTL, the samples were
+      // provably taken inside it too — the check-then-sample order
+      // would let a legitimate steal land between clock and sample on
+      // a loaded box and flake the assert
+      val stoleEarly = eb.isLeader()
+      val dumpsInWindow = dumpCount()
       if (System.currentTimeMillis() < leaseExpiry - 100) {
-        assert(!eb.isLeader(), "follower stole an unexpired lease")
-        assert(dumpCount() == atCrash,
+        assert(!stoleEarly, "follower stole an unexpired lease")
+        assert(dumpsInWindow == atCrash,
           "backups written while nobody held the lease")
       }
 

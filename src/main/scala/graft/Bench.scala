@@ -132,11 +132,17 @@ object Bench {
     val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    // loadavg at END too: contention that started mid-run (the common
-    // case — a cron kicking in) shows here even when the start was clean
+    // Contention that started mid-run (the common case — a cron kicking
+    // in) must still flag the artifact — but a 134-query bench on
+    // local[32] drives the box's OWN 1-min loadavg well past any sane
+    // gate, so raw loadavg_end is useless as rival evidence (an isolated
+    // run would stamp contended forever). End-of-run contention therefore
+    // comes only from re-counting rival JVMs; loadavg_end stays as an
+    // informational field.
     val loadAtEnd = loadAvg1m()
+    val rivalJvmsEnd = otherJavaProcs()
     val contentionStamp =
-      f""","contended":${contended || loadAtEnd > loadGate},"loadavg_start":$loadAtStart%.2f,"loadavg_end":$loadAtEnd%.2f,"other_jvms":$rivalJvms"""
+      f""","contended":${contended || rivalJvmsEnd > 0},"loadavg_start":$loadAtStart%.2f,"loadavg_end":$loadAtEnd%.2f,"other_jvms":${math.max(rivalJvms, rivalJvmsEnd)}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"max_task_sec":$tm,"failed":$failed$contentionStamp,"sf":"$sfDir"}""")
     // The harness keeps only a ~2000-char tail of this process's output,
     // and the full per-query line above outgrows it (the JSON gets cut

@@ -932,6 +932,66 @@ object StreamingQueries {
     },
     k2.oracle)
 
+  // K2c — k2b's transform chain with RETENTION ON (`truncateOnCommit`):
+  // as Spark durably commits each micro-batch, the source retires the
+  // consumed prefix from the log (Kafka's `delete` cleanup driven by
+  // consumer progress, reference `controller/.../OffsetMonitor` +
+  // broker log cleanup). The oracle is UNCHANGED from k2 — retention
+  // must be invisible to results while the log physically shrinks; a
+  // mid-run `require` pins that every consumed TP's base offset really
+  // advanced past its phase-1 prefix. Run-scoped log root: truncation
+  // mutates the fixture, so the shared s2 root cannot be used.
+  private val k2cRuns = new java.util.concurrent.atomic.AtomicLong(0)
+  private val k2c = QueryDef(
+    "k2c_retention_replication",
+    (s, dir) => {
+      import graft.sources.FileTopicLog
+      import org.apache.spark.sql.expressions.Window
+      val root = java.nio.file.Files.createTempDirectory("graft_k2c_log_").toString
+      val recs = logRecords(s, dir)
+        .withColumn("tp_half",
+          (count(lit(1)).over(Window.partitionBy("topic", "partition")) / 2)
+            .cast("long"))
+      val topics = eventTopics(s, dir)
+      // two staged halves: Spark's source-commit callback lags one batch,
+      // so retention of batch 0 (the first halves) is only observable
+      // after batch 1 has run — the phase-1 per-TP counts are the
+      // deterministic floor the mid-run assert checks against
+      writeLog(recs.filter(col("offset") < col("tp_half")), root)
+      val half1 = recs.filter(col("offset") < col("tp_half"))
+        .groupBy("topic", "partition").count().collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      FileTopicLog.setWhitelist(root, topics)
+      val base = s"$e3TmpRoot/k2c_${k2cRuns.incrementAndGet()}"
+      val src = s.readStream.format("graft-topiclog")
+        .option("path", root)
+        .option("truncateOnCommit", "true")
+        .load()
+      val q = ReplicationPipeline.parquetSink(
+          ReplicationPipeline.transform(src, k2Spec.copy(name = "k2c")),
+          s"$base/out", s"$base/ckpt", availableNow = false)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("25 milliseconds"))
+        .start()
+      try {
+        q.processAllAvailable()
+        writeLog(recs.filter(col("offset") >= col("tp_half")), root)
+        q.processAllAvailable()
+        half1.foreach { case ((t, p), n) =>
+          val b = FileTopicLog.startOffset(root, t, p)
+          require(b >= n,
+            s"retention must advance $t/$p base past the consumed prefix ($b < $n)")
+        }
+      } finally q.stop()
+      s.read.parquet(s"$base/out")
+        .select(expr("cast(cast(headers[0].value as string) as long)")
+            .as("event_id"),
+          col("topic"),
+          col("partition").cast("long").as("dst_partition"),
+          col("offset"))
+        .orderBy("event_id")
+    },
+    k2.oracle)
+
   val defs: Seq[QueryDef] =
-    Seq(k2, s2, s2b, k2b, e3, d7, d8, d12, d13, d14, e4, e6, e7)
+    Seq(k2, s2, s2b, k2b, k2c, e3, d7, d8, d12, d13, d14, e4, e6, e7)
 }

@@ -172,7 +172,12 @@ final class DynamicTopicLogStream(root: String, maxRows: Option[Long],
     // advance whitelisted TPs within budget; frozen TPs carry unchanged
     val advanced = live.toSeq.sortBy(_._1).map { case (t, ps) =>
       t -> ps.toSeq.sortBy(_._1).map { case (p, end) =>
-        val from = startPos.getOrElse(t, Map.empty[Int, Long]).getOrElse(p, 0L)
+        // a TP never seen by this checkpoint starts at the RETAINED base,
+        // not 0 — Kafka's earliest = log-start-offset. Seeding at 0 over an
+        // already-truncated log would charge the maxRowsPerTrigger budget
+        // for phantom rows below base and under-deliver early batches.
+        val from = startPos.getOrElse(t, Map.empty[Int, Long]).get(p)
+          .getOrElse(FileTopicLog.startOffset(root, t, p))
         val take = math.min(math.max(end - from, 0L), budget)
         budget -= take
         p -> (from + take)

@@ -172,15 +172,48 @@ object FileTopicLog {
     else if (st.end == st.base) 0L
     else recordEndPos(lf, idxAt(xf, st.end - st.base - 1))
 
-  // append and truncateBelow both rewrite partition state; within one
-  // JVM (local mode, or a broker-style daemon owning its log dirs — the
-  // Kafka deployment shape) this lock serializes them. Cross-process
-  // writers remain the caller's contract, exactly as with Kafka: one
-  // owner per partition's mutations.
+  // append/appendAt/truncateBelow/promote all rewrite partition state,
+  // and with `truncateOnCommit` the DRIVER becomes a mutator while
+  // producers append from executor JVMs — an in-process monitor alone
+  // cannot serialize that (an append that read state for epoch E could
+  // commit after a concurrent truncation published epoch E+1 and deleted
+  // E's files). Mutations therefore hold BOTH a reentrant JVM lock (two
+  // FileLocks on one file in one JVM throw OverlappingFileLockException,
+  // so in-JVM threads must serialize first) and an OS-level advisory
+  // lock on `p<P>.lockf`, acquired only at the outermost entry — true
+  // cross-process single-writer, the contract Kafka gets from one broker
+  // owning its log dirs. NFS caveat: POSIX advisory locks need a
+  // lock-coherent filesystem (local disk, NFSv4); on a non-coherent
+  // mount the contract degrades to the prior same-JVM guarantee.
+  private final class PartLock {
+    val mon = new java.util.concurrent.locks.ReentrantLock()
+    var ch: java.nio.channels.FileChannel = _
+    var osLock: java.nio.channels.FileLock = _
+  }
   private val partitionLocks =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Object]()
-  private def lockFor(root: String, topic: String, partition: Int): Object =
-    partitionLocks.computeIfAbsent((root, topic, partition), _ => new Object)
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), PartLock]()
+
+  private def withPartitionLock[T](root: String, topic: String, partition: Int)(
+      body: => T): T = {
+    val pl = partitionLocks.computeIfAbsent((root, topic, partition),
+      _ => new PartLock)
+    pl.mon.lock()
+    try {
+      val outermost = pl.mon.getHoldCount == 1
+      if (outermost) {
+        Files.createDirectories(dir(root, topic))
+        pl.ch = java.nio.channels.FileChannel.open(
+          dir(root, topic).resolve(s"p$partition.lockf"),
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        pl.osLock = pl.ch.lock()
+      }
+      try body
+      finally if (outermost) {
+        try { pl.osLock.release(); pl.ch.close() }
+        finally { pl.osLock = null; pl.ch = null }
+      }
+    } finally pl.mon.unlock()
+  }
 
   private def truncateTo(path: Path, size: Long): Unit =
     if (Files.exists(path) && Files.size(path) > size) {
@@ -198,7 +231,7 @@ object FileTopicLog {
     * records land exactly at the commit point. */
   def append(root: String, topic: String, partition: Int,
       records: IterableOnce[LogRecord]): Long =
-    lockFor(root, topic, partition).synchronized {
+    withPartitionLock(root, topic, partition) {
     val d = dir(root, topic)
     Files.createDirectories(d)
     val st = state(root, topic, partition)
@@ -247,7 +280,7 @@ object FileTopicLog {
     * the JVM lock should stage into a scratch root and [[promote]]. */
   def appendAt(root: String, topic: String, partition: Int,
       records: IterableOnce[(Long, LogRecord)]): Long =
-    lockFor(root, topic, partition).synchronized {
+    withPartitionLock(root, topic, partition) {
       val end = state(root, topic, partition).end
       val part = partition
       val fresh = records.iterator.dropWhile(_._1 < end)
@@ -283,7 +316,7 @@ object FileTopicLog {
   def truncateBelow(root: String, topic: String, partition: Int,
       offset: Long): Unit = {
     if (truncateIsNoop(root, topic, partition, offset)) return
-    lockFor(root, topic, partition).synchronized {
+    withPartitionLock(root, topic, partition) {
     val st = state(root, topic, partition)
     val newBase = math.min(math.max(offset, st.base), st.end)
     if (newBase == st.base) return
@@ -344,6 +377,7 @@ object FileTopicLog {
       partition: Int): Boolean = {
     val dstCount = countFile(dstRoot, topic, partition)
     if (Files.exists(dstCount)) return false
+    withPartitionLock(dstRoot, topic, partition) {
     Files.createDirectories(dir(dstRoot, topic))
     val st = state(srcRoot, topic, partition)
     Seq("log", "idx").foreach { ext =>
@@ -351,12 +385,25 @@ object FileTopicLog {
         dataFile(dstRoot, topic, partition, st.epoch, ext),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
+    // The commit is a hard LINK, not a move: under a true two-attempt race
+    // both callers pass the exists() pre-check, and rename(2) — what
+    // ATOMIC_MOVE maps to on POSIX — silently replaces an existing target
+    // even without REPLACE_EXISTING, so a move could never report the
+    // loser. link(2) is atomic AND fails with EEXIST, so exactly one
+    // attempt returns true. Same-filesystem is already a precondition (the
+    // data-file ATOMIC_MOVEs above require it); data files keep
+    // REPLACE_EXISTING — losing-attempt bytes are byte-identical for a
+    // deterministic task and overwriting them is crash-orphan cleanup.
+    val srcCount = countFile(srcRoot, topic, partition)
     try {
-      Files.move(countFile(srcRoot, topic, partition), dstCount,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      Files.createLink(dstCount, srcCount)
+      Files.deleteIfExists(srcCount)
       true
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(srcCount)
+        false
+    }
     }
   }
 

@@ -17,18 +17,26 @@ class GraftSource(override val sourceName: String,
 
 object GraftMetricsAccess {
 
+  /** SparkEnv.get is null before a SparkSession exists and after stop()
+    * (e.g. a shutdown hook) — surface that as a named precondition, not
+    * an opaque NPE from inside the metrics system. */
+  private def env: SparkEnv =
+    Option(SparkEnv.get).getOrElse(throw new IllegalStateException(
+      "no active SparkEnv — start a SparkSession before registering graft metrics " +
+        "(or the session was already stopped)"))
+
   /** Register `src`, replacing any existing source of the same name
     * (idempotent across pipeline restarts). */
   def replace(src: GraftSource): Unit = {
-    val ms = SparkEnv.get.metricsSystem
+    val ms = env.metricsSystem
     ms.getSourcesByName(src.sourceName).foreach(ms.removeSource)
     ms.registerSource(src)
   }
 
   def remove(src: GraftSource): Unit =
-    SparkEnv.get.metricsSystem.removeSource(src)
+    env.metricsSystem.removeSource(src)
 
   /** Registries of the sources currently registered under `name`. */
   def registriesOf(name: String): Seq[MetricRegistry] =
-    SparkEnv.get.metricsSystem.getSourcesByName(name).map(_.metricRegistry)
+    env.metricsSystem.getSourcesByName(name).map(_.metricRegistry)
 }

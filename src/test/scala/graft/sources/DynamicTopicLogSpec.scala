@@ -324,6 +324,32 @@ class DynamicTopicLogSpec extends AnyFunSuite {
     assert(FileTopicLog.read(dst, "t", 3, 0, 6).map(_._1).toSeq === (0L until 6L))
   }
 
+  test("promote race: exactly one of two concurrent attempts reports published") {
+    // Both racers pass the exists() pre-check before either commits — the
+    // hard-link commit must hand FileAlreadyExistsException to the loser so
+    // the publish-once return contract holds under a TRUE race, not just for
+    // sequential retries. Repeat to make the interleaving land.
+    for (round <- 0 until 20) {
+      val dst = freshRoot()
+      val roots = Seq(freshRoot(), freshRoot())
+      roots.foreach(r => FileTopicLog.append(r, "t", 1, (0 until 4).map(rec)))
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = roots.map { r =>
+        new Thread(() => {
+          gate.await()
+          if (FileTopicLog.promote(r, dst, "t", 1)) wins.incrementAndGet(): Unit
+        })
+      }
+      threads.foreach(_.start())
+      gate.countDown()
+      threads.foreach(_.join())
+      assert(wins.get() === 1, s"round $round: exactly one racer must publish")
+      assert(FileTopicLog.committedCount(dst, "t", 1) === 4)
+      assert(FileTopicLog.read(dst, "t", 1, 0, 4).map(_._1).toSeq === (0L until 4L))
+    }
+  }
+
   test("legacy bare-integer count files still parse (and upgrade on append)") {
     val root = freshRoot()
     FileTopicLog.append(root, "t", 0, (0 until 7).map(rec))

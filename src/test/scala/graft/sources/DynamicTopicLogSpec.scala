@@ -324,6 +324,49 @@ class DynamicTopicLogSpec extends AnyFunSuite {
     assert(FileTopicLog.read(dst, "t", 3, 0, 6).map(_._1).toSeq === (0L until 6L))
   }
 
+  test("concurrent producer appends and retention truncations never lose records") {
+    // The truncateOnCommit feature makes the engine itself a concurrent
+    // partition mutator (driver commit hook) while producers append —
+    // the partition lock must serialize them such that every offset the
+    // producer committed is either retained with its exact bytes or was
+    // deliberately retired (base advanced past it); a torn epoch or a
+    // lost committed suffix would surface as a gap or wrong value here.
+    val root = freshRoot()
+    val total = 1500L
+    val writer = new Thread(() => {
+      var off = 0L
+      while (off < total) {
+        val n = 1 + (off % 7)
+        val until = math.min(off + n, total)
+        FileTopicLog.appendAt(root, "t", 0,
+          (off until until).map(i => (i, rec(i.toInt))))
+        off = until
+      }
+    })
+    @volatile var stop = false
+    val truncator = new Thread(() => {
+      val rnd = new scala.util.Random(7)
+      while (!stop) {
+        val st = FileTopicLog.state(root, "t", 0)
+        if (st.end > st.base)
+          FileTopicLog.truncateBelow(root, "t", 0,
+            st.base + 1 + rnd.nextInt((st.end - st.base).toInt))
+        Thread.sleep(1)
+      }
+    })
+    writer.start(); truncator.start()
+    writer.join(); stop = true; truncator.join()
+    val st = FileTopicLog.state(root, "t", 0)
+    assert(st.end === total, "every produced offset must be committed")
+    val retained = FileTopicLog.read(root, "t", 0, st.base, st.end).toSeq
+    assert(retained.map(_._1) === (st.base until st.end),
+      "retained suffix must be offset-contiguous from base")
+    retained.foreach { case (off, r) =>
+      assert(new String(r.value, StandardCharsets.UTF_8) === s"v$off",
+        s"record at offset $off must carry its original bytes")
+    }
+  }
+
   test("promote race: exactly one of two concurrent attempts reports published") {
     // Both racers pass the exists() pre-check before either commits — the
     // hard-link commit must hand FileAlreadyExistsException to the loser so

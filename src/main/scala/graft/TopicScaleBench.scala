@@ -97,5 +97,48 @@ object TopicScaleBench {
       f""""tp_ratio":${walks.last.toDouble / walks.head}%.0f"""
     }
     println(s"""{"metric":"topiclog_metadata_walk","unit":"ms_per_walk",$ratio,${out.map(_._2).mkString(",")},"iters":$iters}""")
+    if (args.contains("--stream")) streamDrain()
+  }
+
+  /** End-to-end check that a reference-scale assignment (1000 TPs in one
+    * whitelist) flows through the ACTUAL streaming source, not just the
+    * metadata walk: 250 topics x 4 partitions x 20 records drained by a
+    * real query, once unbounded (1 batch) and once rate-capped to force
+    * ~10 planning walks. Wall seconds per drain, plus a row-count
+    * assert so a planning bug cannot read as a speedup. */
+  private def streamDrain(): Unit = {
+    val nTopics = 250; val parts = 4; val per = 20
+    val root = Files.createTempDirectory("graft_tpstream_").toString
+    val topics = (0 until nTopics).map(i => f"topic$i%04d")
+    topics.foreach { t =>
+      (0 until parts).foreach(p =>
+        FileTopicLog.append(root, t, p, (0 until per).map(rec)))
+    }
+    FileTopicLog.setWhitelist(root, topics)
+    val spark = Sessions.local("graft-tpstream",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    spark.sparkContext.setLogLevel("WARN")
+    val want = nTopics.toLong * parts * per
+    def drain(maxRows: Option[Long]): Double = {
+      val base = Files.createTempDirectory("graft_tpstream_q_").toString
+      val r = spark.readStream.format("graft-topiclog").option("path", root)
+      val src = maxRows.fold(r)(n => r.option("maxRowsPerTrigger", n.toString))
+      val t0 = System.nanoTime()
+      val q = src.load().selectExpr("topic", "partition", "offset")
+        .writeStream.format("parquet")
+        .option("path", s"$base/sink")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val got = spark.read.parquet(s"$base/sink").count()
+      require(got == want, s"drained $got of $want rows")
+      secs
+    }
+    val oneBatch = drain(None)
+    val tenBatch = drain(Some(want / 10))
+    println(f"""{"metric":"topiclog_stream_drain_1000tp","unit":"sec","rows":$want,"one_batch":$oneBatch%.2f,"ten_batches":$tenBatch%.2f}""")
+    spark.stop()
   }
 }

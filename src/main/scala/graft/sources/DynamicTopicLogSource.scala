@@ -190,16 +190,40 @@ final class DynamicTopicLogStream(root: String, maxRows: Option[Long],
     }.toMap)
   }
 
+  /** One task per TP does not survive reference-scale assignments: a
+    * thousands-of-TPs route would schedule thousands of tiny tasks per
+    * micro-batch (measured: a 1000-TP drain spends its wall on task
+    * dispatch, not rows). Mirror the reference's fetcher-thread model
+    * (many TPs per fetcher, `W/FetcherManager.java:125-134`): pack the
+    * non-empty ranges onto at most 2x-parallelism tasks by least-loaded
+    * greedy assignment on row count — per-TP offset order is preserved
+    * inside each task; cross-TP order was never guaranteed. Small
+    * assignments keep the 1:1 layout (maximum split parallelism). */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TopicLogOffset].positions
     val e = end.asInstanceOf[TopicLogOffset].positions
-    e.toSeq.sortBy(_._1).flatMap { case (t, ps) =>
+    val ranges = e.toSeq.sortBy(_._1).flatMap { case (t, ps) =>
       ps.toSeq.sortBy(_._1).flatMap { case (p, until) =>
         val from = s.getOrElse(t, Map.empty[Int, Long]).getOrElse(p, 0L)
-        if (until > from) Some(TopicLogInputPartition(root, t, p, from, until))
+        if (until > from) Some(TopicLogRange(t, p, from, until))
         else None
       }
-    }.toArray
+    }
+    val targetTasks = math.max(1,
+      2 * org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism)
+    if (ranges.size <= targetTasks)
+      ranges.map(r => TopicLogInputPartition(root, Seq(r)): InputPartition).toArray
+    else {
+      val buckets = Array.fill(targetTasks)(Vector.empty[TopicLogRange])
+      val loads = Array.fill(targetTasks)(0L)
+      ranges.sortBy(r => -(r.until - r.from)).foreach { r =>
+        val i = loads.indices.minBy(loads(_))
+        buckets(i) :+= r
+        loads(i) += r.until - r.from
+      }
+      buckets.filter(_.nonEmpty)
+        .map(b => TopicLogInputPartition(root, b): InputPartition)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -220,32 +244,42 @@ final class DynamicTopicLogStream(root: String, maxRows: Option[Long],
   override def stop(): Unit = ()
 }
 
+final case class TopicLogRange(
+    topic: String, partition: Int, from: Long, until: Long)
+
 final case class TopicLogInputPartition(
-    root: String, topic: String, partition: Int, from: Long, until: Long)
+    root: String, ranges: Seq[TopicLogRange])
     extends InputPartition
 
 final class TopicLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TopicLogInputPartition]
     new PartitionReader[InternalRow] {
-      private val it = FileTopicLog.read(p.root, p.topic, p.partition, p.from, p.until)
+      private val rangeIt = p.ranges.iterator
+      private var range: TopicLogRange = _
+      private var it: FileTopicLog.RecordIterator = _
       private var current: InternalRow = _
-      override def next(): Boolean =
-        if (!it.hasNext) false
-        else {
-          val (off, r) = it.next()
-          val headers = new GenericArrayData(r.headers.map { case (k, v) =>
-            new GenericInternalRow(Array[Any](UTF8String.fromString(k), v))
-          }.toArray[Any])
-          current = new GenericInternalRow(Array[Any](
-            r.key, r.value, UTF8String.fromString(p.topic), p.partition,
-            off, r.tsMillis * 1000L, r.timestampType, headers))
-          true
+      override def next(): Boolean = {
+        while (it == null || !it.hasNext) {
+          if (it != null) { it.close(); it = null }
+          if (!rangeIt.hasNext) return false
+          range = rangeIt.next()
+          it = FileTopicLog.read(p.root, range.topic, range.partition,
+            range.from, range.until)
         }
+        val (off, r) = it.next()
+        val headers = new GenericArrayData(r.headers.map { case (k, v) =>
+          new GenericInternalRow(Array[Any](UTF8String.fromString(k), v))
+        }.toArray[Any])
+        current = new GenericInternalRow(Array[Any](
+          r.key, r.value, UTF8String.fromString(range.topic), range.partition,
+          off, r.tsMillis * 1000L, r.timestampType, headers))
+        true
+      }
       override def get(): InternalRow = current
       // a task killed or stopped early (limit, downstream failure) must
-      // not leak the log file handle — the iterator owns the stream
-      override def close(): Unit = it.close()
+      // not leak the log file handle — the open iterator owns the stream
+      override def close(): Unit = if (it != null) it.close()
     }
   }
 }

@@ -137,41 +137,92 @@ object StreamingQueries {
       })
   }
 
-  private val s2 = QueryDef(
-    "s2_dynamic_assign",
-    (s, dir) => {
+  // S2 + S2B — ONE combined lifecycle run (gated once per (session,
+  // data dir), both oracle entries re-read its sink): the full
+  // add → remove → re-add assignment story of the reference through a
+  // single runId-pinned query, instead of two separately-staged
+  // streaming lifecycles per bench/verify pass (the per-entry gate cost
+  // was growing linearly with the catalog — VERDICT r11 #6). Phases:
+  //   1  whitelist = lexicographic first half, half-1 records staged,
+  //      drain — the initial assignment;
+  //   2  widen to ALL topics in flight (F1 add): late topics must
+  //      arrive complete from offset 0 — s2's gate;
+  //   3  victim topic REMOVED in flight (F2 delete), then half-2
+  //      records land for every topic: the victim's sink count must
+  //      FREEZE at its half-1 position (require'd) while every other
+  //      topic drains — s2b's gate;
+  //   4  victim re-added in flight: resumes from the frozen offset, no
+  //      replay; runId pinned across all phases.
+  // The oracle for both entries is the full record relation: any
+  // replay duplicates an offset, any loss drops one — hash-visible.
+  // Per-entry oracle independence is preserved (each entry has its own
+  // queries + oracleSql pair over the shared verified sink).
+  private val s2ScenarioCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+  private def s2Scenario(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    s2ScenarioCache.computeIfAbsent((s, dir), _ => {
       import graft.sources.FileTopicLog
-      val root = s2Root(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val root = java.nio.file.Files.createTempDirectory("graft_s2life_log_").toString
+      val recs = logRecords(s, dir)
+        .withColumn("tp_half",
+          (count(lit(1)).over(Window.partitionBy("topic", "partition")) / 2)
+            .cast("long"))
       val topics = eventTopics(s, dir)
       val firstHalf = topics.take(math.max(topics.length / 2, 1))
-      val base = s"$e3TmpRoot/s2_${s2Runs.incrementAndGet()}"
-      // the whitelist is SHARED per cached root: serialize runs on it so
-      // a concurrent run resetting it to firstHalf can never starve
-      // another run's drain (each run's sink/checkpoint stay unique)
-      s2Locks.computeIfAbsent(root, _ => new Object).synchronized {
-        FileTopicLog.setWhitelist(root, firstHalf)
-        val q = s.readStream.format("graft-topiclog").option("path", root).load()
-          .selectExpr("topic", "partition", "offset",
-            "cast(key as string) AS user_id", "cast(value as string) AS props",
-            "cast(headers[0].value as string) AS event_id")
-          .writeStream.format("parquet")
-          .option("path", s"$base/sink")
-          .option("checkpointLocation", s"$base/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("25 milliseconds"))
-          .start()
-        val runId = q.runId
-        try {
-          q.processAllAvailable()
-          FileTopicLog.setWhitelist(root, topics) // F1 add, in flight
-          q.processAllAvailable()
-          require(q.runId == runId, "assignment change must not restart the query")
-        } finally q.stop()
-      }
-      s.read.parquet(s"$base/sink")
-        .select(col("topic"), col("partition"), col("offset"),
-          col("user_id"), col("props"), col("event_id").cast("long").as("event_id"))
-        .orderBy("topic", "partition", "offset")
-    },
+      val victim = topics.last
+      writeLog(recs.filter(col("offset") < col("tp_half")), root)
+      val victimHalf1 = recs
+        .filter(col("topic") === victim && col("offset") < col("tp_half"))
+        .count()
+      FileTopicLog.setWhitelist(root, firstHalf)
+      val base = s"$e3TmpRoot/s2life_${s2Runs.incrementAndGet()}"
+      val q = s.readStream.format("graft-topiclog").option("path", root).load()
+        .selectExpr("topic", "partition", "offset",
+          "cast(key as string) AS user_id", "cast(value as string) AS props",
+          "cast(headers[0].value as string) AS event_id")
+        .writeStream.format("parquet")
+        .option("path", s"$base/sink")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("25 milliseconds"))
+        .start()
+      val runId = q.runId
+      try {
+        q.processAllAvailable()
+        FileTopicLog.setWhitelist(root, topics) // F1 add, in flight
+        q.processAllAvailable()
+        val lateArrived = s.read.parquet(s"$base/sink")
+          .filter(!col("topic").isin(firstHalf: _*)).count()
+        require(lateArrived > 0, "late-added topics must arrive after the widen")
+        FileTopicLog.setWhitelist(root, topics.filterNot(_ == victim)) // F2 delete
+        // flush any batch planned against the pre-delete whitelist BEFORE
+        // the second halves land, so the freeze point is deterministic
+        q.processAllAvailable()
+        writeLog(recs.filter(col("offset") >= col("tp_half")), root)
+        q.processAllAvailable()
+        val frozen = s.read.parquet(s"$base/sink")
+          .filter(col("topic") === victim).count()
+        require(frozen == victimHalf1,
+          s"deleted topic must freeze at its pre-delete position ($frozen != $victimHalf1)")
+        FileTopicLog.setWhitelist(root, topics) // re-add: resume, no replay
+        q.processAllAvailable()
+        require(q.runId == runId,
+          "assignment changes must not restart the query")
+      } finally q.stop()
+      s"$base/sink"
+    })
+
+  private def s2SinkRelation(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(s2Scenario(s, dir))
+      .select(col("topic"), col("partition"), col("offset"),
+        col("user_id"), col("props"), col("event_id").cast("long").as("event_id"))
+      .orderBy("topic", "partition", "offset")
+
+  private val s2 = QueryDef(
+    "s2_dynamic_assign",
+    (s, dir) => s2SinkRelation(s, dir),
     Some(s"WITH ${Records.recordsSqlCte}\n" +
       """SELECT topic, partition, "offset", key AS user_id, value AS props,
         |  CAST(event_id AS BIGINT) AS event_id
@@ -828,73 +879,16 @@ object StreamingQueries {
         |FROM records
         |ORDER BY topic, partition, "offset"""".stripMargin
 
-  // S2b — IN-FLIGHT TOPIC UNASSIGNMENT (topic DELETE) under the
-  // full-relation oracle: the mirror of s2's mid-query ADD. The fixture
-  // is staged in two halves per (topic, partition) into a RUN-SCOPED
-  // log (a shared cached root could not absorb mid-run appends
-  // idempotently). One query runs throughout (runId-pinned):
-  //   phase 1  whitelist = all topics, first halves drain;
-  //   phase 2  the victim topic is REMOVED in flight (reference F2,
-  //            `controller/rest/resources/TopicManagementRestletResource
-  //            .java:206-252`; fetcher removal `worker/
-  //            ConsumerFetcherThread.java:183-240`), then the second
-  //            halves land for ALL topics — the victim's offsets must
-  //            FREEZE at its half-1 position (require'd mid-run) while
-  //            every other topic drains;
-  //   phase 3  the victim is re-added in flight and resumes from the
-  //            frozen offset. The oracle is the full record relation:
-  //            any replay on re-add duplicates an offset, any loss
-  //            drops one — both hash-visible.
-  private val s2bRuns = new java.util.concurrent.atomic.AtomicLong(0)
+  // S2b — IN-FLIGHT TOPIC UNASSIGNMENT (topic DELETE, reference F2:
+  // `controller/rest/resources/TopicManagementRestletResource.java:206-252`,
+  // fetcher removal `worker/ConsumerFetcherThread.java:183-240`): gated
+  // by phases 3-4 of the combined [[s2Scenario]] lifecycle (victim
+  // removed mid-query, offsets frozen — require'd — then re-added and
+  // resumed with no replay), verified here under its own full-relation
+  // oracle over the shared sink.
   private val s2b = QueryDef(
     "s2b_dynamic_unassign",
-    (s, dir) => {
-      import graft.sources.FileTopicLog
-      import org.apache.spark.sql.expressions.Window
-      val root = java.nio.file.Files.createTempDirectory("graft_s2b_log_").toString
-      val recs = logRecords(s, dir)
-        .withColumn("tp_half",
-          (count(lit(1)).over(Window.partitionBy("topic", "partition")) / 2)
-            .cast("long"))
-      val topics = eventTopics(s, dir)
-      val victim = topics.last
-      writeLog(recs.filter(col("offset") < col("tp_half")), root)
-      val victimHalf1 = recs
-        .filter(col("topic") === victim && col("offset") < col("tp_half"))
-        .count()
-      FileTopicLog.setWhitelist(root, topics)
-      val base = s"$e3TmpRoot/s2b_${s2bRuns.incrementAndGet()}"
-      val q = s.readStream.format("graft-topiclog").option("path", root).load()
-        .selectExpr("topic", "partition", "offset",
-          "cast(key as string) AS user_id", "cast(value as string) AS props",
-          "cast(headers[0].value as string) AS event_id")
-        .writeStream.format("parquet")
-        .option("path", s"$base/sink")
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("25 milliseconds"))
-        .start()
-      val runId = q.runId
-      try {
-        q.processAllAvailable()
-        FileTopicLog.setWhitelist(root, topics.filterNot(_ == victim)) // F2 delete, in flight
-        // flush any batch planned against the pre-delete whitelist BEFORE
-        // the second halves land, so the freeze point is deterministic
-        q.processAllAvailable()
-        writeLog(recs.filter(col("offset") >= col("tp_half")), root)
-        q.processAllAvailable()
-        val frozen = s.read.parquet(s"$base/sink")
-          .filter(col("topic") === victim).count()
-        require(frozen == victimHalf1,
-          s"deleted topic must freeze at its pre-delete position ($frozen != $victimHalf1)")
-        FileTopicLog.setWhitelist(root, topics) // re-add: resume, no replay
-        q.processAllAvailable()
-        require(q.runId == runId, "unassignment must not restart the query")
-      } finally q.stop()
-      s.read.parquet(s"$base/sink")
-        .select(col("topic"), col("partition"), col("offset"),
-          col("user_id"), col("props"), col("event_id").cast("long").as("event_id"))
-        .orderBy("topic", "partition", "offset")
-    },
+    (s, dir) => s2SinkRelation(s, dir),
     Some(recordsOracle))
 
   // K2b — the k2 replication pipeline with the DSv2 dynamic source as

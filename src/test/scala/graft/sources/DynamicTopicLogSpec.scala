@@ -324,6 +324,38 @@ class DynamicTopicLogSpec extends AnyFunSuite {
     assert(FileTopicLog.read(dst, "t", 3, 0, 6).map(_._1).toSeq === (0L until 6L))
   }
 
+  test("the partition lock serializes mutators ACROSS PROCESSES") {
+    // A second JVM ([[LockProbe]]) holds the partition lock mid-append
+    // (slow record iterator) while this JVM races an appendAt. The
+    // in-process monitor cannot see the child; only the OS-level
+    // advisory lock on p<P>.lockf serializes them. If it failed to, this
+    // JVM would read the pre-append committed end (0) and the
+    // contiguity require in appendAt would throw ("non-contiguous
+    // offset 5, expected 0") — so plain success IS the gate.
+    val root = freshRoot()
+    val marker = s"$root/.probe_in_lock"
+    val cp = System.getProperty("java.class.path")
+    val child = new ProcessBuilder(
+      "java", "-cp", cp, "graft.sources.LockProbe",
+      root, "t", "0", "5", "200", marker).inheritIO().start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!Files.exists(java.nio.file.Paths.get(marker))) {
+        assert(System.nanoTime() < deadline, "child never reached its append")
+        assert(child.isAlive || child.exitValue() == 0, "child JVM died early")
+        Thread.sleep(20)
+      }
+      // child is inside append holding the lock for >= 4 * 200 ms more
+      FileTopicLog.appendAt(root, "t", 0,
+        (5 until 10).map(i => (i.toLong, rec(i))))
+      assert(child.waitFor() === 0, "child append must succeed")
+      val all = FileTopicLog.read(root, "t", 0, 0, 10).toSeq
+      assert(all.map(_._1) === (0L until 10L))
+      assert(all.map(t => new String(t._2.value, StandardCharsets.UTF_8)) ===
+        (0 until 5).map(i => s"v$i") ++ (5 until 10).map(i => s"v$i"))
+    } finally { child.destroyForcibly(); () }
+  }
+
   test("concurrent producer appends and retention truncations never lose records") {
     // The truncateOnCommit feature makes the engine itself a concurrent
     // partition mutator (driver commit hook) while producers append —

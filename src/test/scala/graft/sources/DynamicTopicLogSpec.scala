@@ -324,6 +324,39 @@ class DynamicTopicLogSpec extends AnyFunSuite {
     assert(FileTopicLog.read(dst, "t", 3, 0, 6).map(_._1).toSeq === (0L until 6L))
   }
 
+  test("a wide assignment packs onto bounded tasks per micro-batch") {
+    // Reference routes carry thousands of TPs; one task per TP per batch
+    // would spend the batch on dispatch. planInputPartitions must pack
+    // the non-empty ranges onto at most 2x-parallelism tasks — pinned
+    // here via a listener so a regression to 1:1 cannot pass silently —
+    // while every record still arrives exactly once.
+    val root = freshRoot()
+    val topics = (0 until 50).map(i => f"t$i%02d")
+    topics.foreach { t =>
+      (0 until 4).foreach(p => FileTopicLog.append(root, t, p, (0 until 3).map(rec)))
+    } // 200 TPs, 600 records
+    FileTopicLog.setWhitelist(root, topics)
+    val maxStageTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          ev: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        maxStageTasks.getAndUpdate(m => math.max(m, ev.stageInfo.numTasks)): Unit
+    }
+    val base = Files.createTempDirectory("graft_dynq_").toString
+    s.sparkContext.addSparkListener(listener)
+    try {
+      val q = startQuery(root, s"$base/ckpt", s"$base/sink")
+      try q.processAllAvailable() finally q.stop()
+    } finally s.sparkContext.removeSparkListener(listener)
+    val bound = 2 * s.sparkContext.defaultParallelism
+    assert(maxStageTasks.get() > 0, "listener must have observed the batch")
+    assert(maxStageTasks.get() <= bound,
+      s"200-TP batch must pack onto <= $bound tasks, saw ${maxStageTasks.get()}")
+    val rows = sinkDf(s"$base/sink")
+    assert(rows.count() === 600)
+    assert(rows.select("topic", "partition", "offset").distinct().count() === 600)
+  }
+
   test("the partition lock serializes mutators ACROSS PROCESSES") {
     // A second JVM ([[LockProbe]]) holds the partition lock mid-append
     // (slow record iterator) while this JVM races an appendAt. The

@@ -64,7 +64,12 @@ class DynamicTopicLogProvider extends TableProvider with DataSourceRegister {
     val maxRows = Option(properties.get("maxRowsPerTrigger")).map(_.toLong)
     val truncateOnCommit =
       Option(properties.get("truncateOnCommit")).exists(_.toBoolean)
-    new DynamicTopicLogTable(root, maxRows, truncateOnCommit)
+    // the reference worker's fetcher-count knob (how many consumer
+    // threads share a route's TPs): caps how many tasks a micro-batch
+    // fans out to; default 2x cluster parallelism
+    val maxTasks = Option(properties.get("maxTasksPerBatch")).map(_.toInt)
+    maxTasks.foreach(n => require(n > 0, "maxTasksPerBatch must be positive"))
+    new DynamicTopicLogTable(root, maxRows, truncateOnCommit, maxTasks)
   }
 }
 
@@ -84,7 +89,7 @@ object DynamicTopicLog {
 }
 
 final class DynamicTopicLogTable(root: String, maxRows: Option[Long],
-    truncateOnCommit: Boolean = false)
+    truncateOnCommit: Boolean = false, maxTasks: Option[Int] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft-topiclog($root)"
   override def schema(): StructType = DynamicTopicLog.schema
@@ -95,7 +100,7 @@ final class DynamicTopicLogTable(root: String, maxRows: Option[Long],
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = DynamicTopicLog.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new DynamicTopicLogStream(root, maxRows, truncateOnCommit)
+          new DynamicTopicLogStream(root, maxRows, truncateOnCommit, maxTasks)
       }
     }
 }
@@ -130,7 +135,7 @@ object TopicLogOffset {
 }
 
 final class DynamicTopicLogStream(root: String, maxRows: Option[Long],
-    truncateOnCommit: Boolean = false)
+    truncateOnCommit: Boolean = false, maxTasks: Option[Int] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -209,8 +214,8 @@ final class DynamicTopicLogStream(root: String, maxRows: Option[Long],
         else None
       }
     }
-    val targetTasks = math.max(1,
-      2 * org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism)
+    val targetTasks = maxTasks.getOrElse(math.max(1,
+      2 * org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism))
     if (ranges.size <= targetTasks)
       ranges.map(r => TopicLogInputPartition(root, Seq(r)): InputPartition).toArray
     else {

@@ -357,6 +357,38 @@ class DynamicTopicLogSpec extends AnyFunSuite {
     assert(rows.select("topic", "partition", "offset").distinct().count() === 600)
   }
 
+  test("maxTasksPerBatch caps the batch fan-out (the fetcher-count knob)") {
+    val root = freshRoot()
+    val topics = (0 until 10).map(i => f"t$i%02d")
+    topics.foreach { t =>
+      (0 until 4).foreach(p => FileTopicLog.append(root, t, p, (0 until 2).map(rec)))
+    } // 40 TPs, 80 records
+    FileTopicLog.setWhitelist(root, topics)
+    val maxStageTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          ev: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        maxStageTasks.getAndUpdate(m => math.max(m, ev.stageInfo.numTasks)): Unit
+    }
+    val base = Files.createTempDirectory("graft_dynq_").toString
+    s.sparkContext.addSparkListener(listener)
+    try {
+      val q = s.readStream.format("graft-topiclog").option("path", root)
+        .option("maxTasksPerBatch", "3")
+        .load()
+        .selectExpr("cast(value as string) AS v", "topic", "partition", "offset")
+        .writeStream.format("parquet")
+        .option("path", s"$base/sink")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.sparkContext.removeSparkListener(listener)
+    assert(maxStageTasks.get() > 0 && maxStageTasks.get() <= 3,
+      s"40-TP batch must fan out to <= 3 tasks, saw ${maxStageTasks.get()}")
+    assert(sinkDf(s"$base/sink").count() === 80)
+  }
+
   test("the partition lock serializes mutators ACROSS PROCESSES") {
     // A second JVM ([[LockProbe]]) holds the partition lock mid-append
     // (slow record iterator) while this JVM races an appendAt. The

@@ -93,7 +93,8 @@ object StreamingQueries {
   private val s2Locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   /** The shared (session, data dir)-cached topic-log fixture root used
-    * by s2 and k2b. */
+    * by k2b (s2/s2b moved to the run-scoped [[s2Scenario]] log in round
+    * 12 — mid-run staged appends need a root no other entry reads). */
   private def s2Root(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     import graft.sources.FileTopicLog

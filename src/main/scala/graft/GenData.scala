@@ -317,6 +317,12 @@ object GenData {
     writeOne(embeddings(spark, 2000L * mult), "embeddings", "vec_id")
     writeOne(events(spark, 100000L * mult, 1500L * mult, zipf), "events",
       "event_id")
+    if (args.lift(2).contains("pipeline")) {
+      // doc/emb/events only — the pipeline-family scale fixture; skips
+      // the relational tables whose generation dominates at high mult
+      spark.stop()
+      return
+    }
     // relational tables need no single-file layout (nothing streams
     // them) — a plain distributed write into <table>.parquet/ keeps
     // generation and scans parallel at any multiplier

@@ -36,8 +36,8 @@ object TemporalJoins {
     require(suffix.nonEmpty || carried.forall(!leftRest.contains(_)),
       s"carried right columns collide with left (${carried.mkString(",")}); " +
         "pass a suffix")
-    val rStruct = struct((right(ts).as("__rts") +: carried.map(right(_))): _*)
-    val lStruct = struct(leftRest.map(left(_)): _*)
+    val rStruct = struct((right(ts).as("__rts") +: carried.map(right(_))).toIndexedSeq: _*)
+    val lStruct = struct(leftRest.toIndexedSeq.map(left(_)): _*)
     val rType = org.apache.spark.sql.types.StructType(
       right.schema(ts).copy(name = "__rts") +: carried.map(right.schema(_))
     ).catalogString
@@ -90,8 +90,8 @@ object TemporalJoins {
     require(suffix.nonEmpty || carried.forall(!leftRest.contains(_)),
       s"carried right columns collide with left (${carried.mkString(",")}); " +
         "pass a suffix")
-    val rStruct = struct((right(ts).as("__rts") +: carried.map(right(_))): _*)
-    val lStruct = struct(leftRest.map(left(_)): _*)
+    val rStruct = struct((right(ts).as("__rts") +: carried.map(right(_))).toIndexedSeq: _*)
+    val lStruct = struct(leftRest.toIndexedSeq.map(left(_)): _*)
     val rType = org.apache.spark.sql.types.StructType(
       right.schema(ts).copy(name = "__rts") +: carried.map(right.schema(_))
     ).catalogString

@@ -357,6 +357,34 @@ class DynamicTopicLogSpec extends AnyFunSuite {
     assert(rows.select("topic", "partition", "offset").distinct().count() === 600)
   }
 
+  test("a fresh checkpoint over a truncated log seeds from the retained base") {
+    // Kafka's earliest = log-start-offset: an unseen TP must start at
+    // base, not 0. Seeding at 0 would charge the maxRowsPerTrigger
+    // budget for phantom rows below base — with base=8 and a 2-row cap,
+    // the first batches would plan [0,2), [2,4) ... and emit NOTHING
+    // until the position caught up. The first non-empty batch must
+    // instead deliver the two real records immediately.
+    val root = freshRoot()
+    FileTopicLog.setWhitelist(root, Seq("t"))
+    FileTopicLog.append(root, "t", 0, (0 until 10).map(rec))
+    FileTopicLog.truncateBelow(root, "t", 0, 8L)
+    assert(FileTopicLog.startOffset(root, "t", 0) === 8)
+    val base = Files.createTempDirectory("graft_dynq_").toString
+    val q = startQuery(root, s"$base/ckpt", s"$base/sink", maxRows = Some(2L))
+    try {
+      q.processAllAvailable()
+      val rows = sinkDf(s"$base/sink")
+      assert(rows.count() === 2)
+      assert(rows.select("offset").collect().map(_.getLong(0)).sorted ===
+        Array(8L, 9L))
+      // and the first completed batch already carried them (no empty
+      // budget-burning batches before the data)
+      val p = q.lastProgress
+      assert(p.batchId <= 1,
+        s"retained records must arrive in the first batch(es), batchId=${p.batchId}")
+    } finally q.stop()
+  }
+
   test("maxTasksPerBatch caps the batch fan-out (the fetcher-count knob)") {
     val root = freshRoot()
     val topics = (0 until 10).map(i => f"t$i%02d")

@@ -541,4 +541,23 @@ class PlanShapeSpec extends AnyFunSuite {
       windowLines.forall(_.contains("windowspecdefinition(shard")),
       s"rank window not partitioned by shard:\n${windowLines.mkString("\n")}")
   }
+
+  test("d15: the chunking expression never sinks below the width exchange") {
+    // Round-12 regression guard: explode's inferred size(chunks)>0 filter
+    // used to be pushed below the parallelism-floor repartition,
+    // substituting the full tokenize+chunk expression into the narrow
+    // scan stage (3 recomputations per row, an 8 s straggler at 10x).
+    // Structurally: every Filter line mentioning the chunk-builder
+    // (`transform(sequence(`) would sit under the scan — assert none
+    // does; the only scan-side filter allowed is the cheap token-count
+    // gate. (explode_outer + explicit isNotNull keeps inference off.)
+    val plan = finalPlan("d15_boilerplate_removal")
+    val filterLines = plan.linesIterator
+      .filter(l => l.trim.startsWith("+- Filter") || l.trim.startsWith(":- Filter")
+        || l.trim.startsWith("Filter"))
+      .toSeq
+    val heavyFilters = filterLines.filter(_.contains("transform(sequence("))
+    assert(heavyFilters.isEmpty,
+      s"chunk expression recomputed inside a Filter (pushdown regression):\n${heavyFilters.mkString("\n")}")
+  }
 }

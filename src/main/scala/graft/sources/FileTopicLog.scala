@@ -238,12 +238,18 @@ object FileTopicLog {
         pl.ch = java.nio.channels.FileChannel.open(
           dir(root, topic).resolve(s"p$partition.lockf"),
           StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-        pl.osLock = pl.ch.lock()
+        try pl.osLock = pl.ch.lock()
+        catch { case e: Throwable =>
+          pl.ch.close(); pl.ch = null; throw e
+        }
       }
       try body
       finally if (outermost) {
-        try { pl.osLock.release(); pl.ch.close() }
-        finally { pl.osLock = null; pl.ch = null }
+        try pl.osLock.release()
+        finally {
+          try pl.ch.close()
+          finally { pl.osLock = null; pl.ch = null }
+        }
       }
     } finally pl.mon.unlock()
   }

@@ -72,4 +72,46 @@ object TopicLogPlanProps extends Properties("TopicLogPlanning") {
         (parts.length <= 1 || expected.size <= target ||
           loads.max <= total / parts.length + maxRange)
     }
+
+  // --- rate budget: deterministic sorted-greedy allocation ---
+
+  private def rec(i: Int): FileTopicLog.LogRecord =
+    FileTopicLog.LogRecord(null,
+      Array[Byte](i.toByte), 1700000000000L + i)
+
+  private val genLog: Gen[List[(String, Int, Int)]] = for {
+    nt <- Gen.chooseNum(1, 4)
+    tps <- Gen.listOfN(nt, for {
+      np <- Gen.chooseNum(1, 3)
+      counts <- Gen.listOfN(np, Gen.chooseNum(1, 20))
+    } yield counts)
+  } yield tps.zipWithIndex.flatMap { case (cs, t) =>
+    cs.zipWithIndex.map { case (c, p) => (f"t$t%02d", p, c) }
+  }
+
+  propertyWithSeed("maxRows budget is allocated greedily in sorted TP order", None) =
+    forAll(genLog, Gen.chooseNum(0L, 60L)) { (tps, budget) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_budget_").toString
+      tps.foreach { case (t, p, n) =>
+        FileTopicLog.append(root, t, p, (0 until n).map(rec))
+      }
+      FileTopicLog.setWhitelist(root, tps.map(_._1).distinct)
+      val stream = new DynamicTopicLogStream(root, None)
+      val end = stream.latestOffset(TopicLogOffset(Map.empty),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(budget))
+        .asInstanceOf[TopicLogOffset].positions
+      // expected: walk (topic, partition) sorted, draining each TP's
+      // count until the budget runs out — byte-for-byte what a capped
+      // batch must plan so replays are deterministic
+      var left = budget
+      val want = tps.sortBy(t => (t._1, t._2)).map { case (t, p, n) =>
+        val take = math.min(n.toLong, math.max(left, 0L))
+        left -= take
+        (t, p) -> take
+      }.toMap
+      tps.forall { case (t, p, _) =>
+        end.getOrElse(t, Map.empty[Int, Long]).getOrElse(p, 0L) == want((t, p))
+      }
+    }
 }

@@ -357,6 +357,28 @@ class DynamicTopicLogSpec extends AnyFunSuite {
     assert(rows.select("topic", "partition", "offset").distinct().count() === 600)
   }
 
+  test("a topic whitelisted before it exists starts flowing when produced") {
+    // The reference auto-whitelists topics ahead of creation (F1/F3 —
+    // the whitelist is controller state, the topic appears when the
+    // first producer lands). A running query over a whitelist entry
+    // with no log directory yet must plan empty batches, then pick the
+    // topic up from offset 0 at the first post-creation batch.
+    val root = freshRoot()
+    FileTopicLog.setWhitelist(root, Seq("future"))
+    val base = Files.createTempDirectory("graft_dynq_").toString
+    val q = startQuery(root, s"$base/ckpt", s"$base/sink")
+    try {
+      q.processAllAvailable() // no data, no directory — must not throw
+      FileTopicLog.append(root, "future", 0, (0 until 5).map(rec))
+      FileTopicLog.append(root, "future", 1, (0 until 3).map(rec))
+      q.processAllAvailable()
+      val rows = sinkDf(s"$base/sink")
+      assert(rows.count() === 8)
+      assert(rows.filter(org.apache.spark.sql.functions.col("partition") === 0)
+        .select("offset").collect().map(_.getLong(0)).sorted === (0L until 5L).toArray)
+    } finally q.stop()
+  }
+
   test("a fresh checkpoint over a truncated log seeds from the retained base") {
     // Kafka's earliest = log-start-offset: an unseen TP must start at
     // base, not 0. Seeding at 0 would charge the maxRowsPerTrigger

@@ -357,6 +357,35 @@ class DynamicTopicLogSpec extends AnyFunSuite {
     assert(rows.select("topic", "partition", "offset").distinct().count() === 600)
   }
 
+  test("partition-count expansion is picked up mid-query (F6)") {
+    // The reference extends a topic's assignment when its partition
+    // count grows, initializing the new partitions at offset 0
+    // (`C/core/IdealStateBuilder.java:63-132`). The dynamic source must
+    // do the same WITHOUT a restart: a partition that appears after the
+    // query started flows from 0 at the next batch, and the existing
+    // partition neither replays nor drops across the expansion.
+    val root = freshRoot()
+    FileTopicLog.setWhitelist(root, Seq("t"))
+    FileTopicLog.append(root, "t", 0, (0 until 4).map(rec))
+    val base = Files.createTempDirectory("graft_dynq_").toString
+    val q = startQuery(root, s"$base/ckpt", s"$base/sink")
+    try {
+      val runId = q.runId
+      q.processAllAvailable()
+      FileTopicLog.append(root, "t", 1, (0 until 6).map(rec)) // expansion
+      FileTopicLog.append(root, "t", 0, (4 until 7).map(rec))
+      q.processAllAvailable()
+      assert(q.runId === runId, "expansion must not restart the query")
+      val rows = sinkDf(s"$base/sink")
+      assert(rows.count() === 13)
+      val byPart = rows.collect()
+        .groupBy(_.getAs[Int]("partition"))
+        .view.mapValues(_.map(_.getAs[Long]("offset")).sorted.toList).toMap
+      assert(byPart(0) === (0L until 7L).toList, "no replay/loss on p0")
+      assert(byPart(1) === (0L until 6L).toList, "new partition starts at 0")
+    } finally q.stop()
+  }
+
   test("a topic whitelisted before it exists starts flowing when produced") {
     // The reference auto-whitelists topics ahead of creation (F1/F3 —
     // the whitelist is controller state, the topic appears when the

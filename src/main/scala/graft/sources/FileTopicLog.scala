@@ -371,6 +371,32 @@ object FileTopicLog {
     // write the retained suffix: log bytes [dropBytes, endPos) verbatim,
     // idx entries rebased by -dropBytes — via tmp + ATOMIC_MOVE so a
     // concurrent reader never opens a half-written epoch file
+    // Crash-garbage sweep (under the lock): a cleaner that died between
+    // tmp-write and publish leaves epoch-named tmps that never recur
+    // (unlike `_p<P>.count.tmp`, which is reused and self-heals), and
+    // one that died between commit and old-epoch delete leaves data
+    // files of a SUPERSEDED epoch that the next truncation — which only
+    // deletes its own predecessor — would otherwise never touch. Both
+    // are dead by construction once `.count` names a different epoch;
+    // deleting them is safe even with readers open (POSIX keeps open
+    // FDs alive past unlink).
+    locally {
+      import scala.jdk.CollectionConverters._
+      val tmpRe = s"^_p$partition\\.e\\d+\\.(log|idx)\\.tmp$$".r
+      val dataRe = s"^p$partition(?:\\.e(\\d+))?\\.(log|idx)$$".r
+      val sweep = Files.list(dir(root, topic))
+      try sweep.iterator().asScala
+        .filter { f =>
+          f.getFileName.toString match {
+            case tmpRe(_) => true
+            case dataRe(e, _) =>
+              (if (e == null) 0L else e.toLong) != st.epoch
+            case _ => false
+          }
+        }
+        .foreach(Files.deleteIfExists(_))
+      finally sweep.close()
+    }
     val tmpLf = newLf.resolveSibling(s"_${newLf.getFileName}.tmp")
     val tmpXf = newXf.resolveSibling(s"_${newXf.getFileName}.tmp")
     val in = java.nio.channels.FileChannel.open(oldLf, StandardOpenOption.READ)

@@ -290,6 +290,32 @@ class DynamicTopicLogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("truncation sweeps crash garbage from dead cleaner runs") {
+    // A cleaner crash can leave (a) epoch-named tmps (died before
+    // publish) and (b) data files of a superseded epoch (died between
+    // commit and delete). Neither is referenced by .count; the next
+    // truncation must remove both, and reads must be unaffected
+    // throughout.
+    val root = freshRoot()
+    FileTopicLog.append(root, "t", 0, (0 until 10).map(rec))
+    FileTopicLog.truncateBelow(root, "t", 0, 3L) // now epoch 1
+    val d = java.nio.file.Paths.get(root, "t")
+    Files.write(d.resolve("p0.e5.log"), Array[Byte](1, 2, 3))      // orphan epoch
+    Files.write(d.resolve("p0.e5.idx"), Array[Byte](4, 5))
+    Files.write(d.resolve("_p0.e3.log.tmp"), Array[Byte](6))       // dead tmp
+    // other partitions' files must survive the sweep
+    FileTopicLog.append(root, "t", 1, (0 until 2).map(rec))
+    FileTopicLog.truncateBelow(root, "t", 0, 6L) // sweeps, then epoch 2
+    assert(!Files.exists(d.resolve("p0.e5.log")), "orphan epoch swept")
+    assert(!Files.exists(d.resolve("p0.e5.idx")), "orphan idx swept")
+    assert(!Files.exists(d.resolve("_p0.e3.log.tmp")), "dead tmp swept")
+    assert(FileTopicLog.committedCount(root, "t", 1) === 2, "p1 untouched")
+    val back = FileTopicLog.read(root, "t", 0, 6, 10).toSeq
+    assert(back.map(_._1) === (6L until 10L))
+    assert(back.map(t => new String(t._2.value, StandardCharsets.UTF_8)) ===
+      (6 until 10).map(i => s"v$i"))
+  }
+
   test("append reconciles uncommitted garbage left by a crashed writer") {
     val root = freshRoot()
     FileTopicLog.append(root, "t", 0, (0 until 5).map(rec))

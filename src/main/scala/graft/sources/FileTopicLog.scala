@@ -85,12 +85,21 @@ object FileTopicLog {
     dir(root, topic).resolve(s"p$p.count")
 
   /** Atomically replace `path` with `bytes` (temp file + ATOMIC_MOVE —
-    * same idiom as [[graft.streaming.LeaseElection]] writes). */
+    * same idiom as [[graft.streaming.LeaseElection]] writes). The tmp
+    * name is UNIQUE per call: control files (whitelist, rate) are
+    * written by concurrent uncoordinated callers, and a shared tmp name
+    * would let one caller publish another's half-written bytes or throw
+    * NoSuchFileException when both race the move. A crash mid-call
+    * leaks at most one uniquely-named tmp (deleted here on every
+    * non-crash path; partition tmps are also swept by truncation). */
   private def atomicWrite(path: Path, bytes: Array[Byte]): Unit = {
-    val tmp = path.resolveSibling(s"_${path.getFileName}.tmp")
-    Files.write(tmp, bytes)
-    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val tmp = path.resolveSibling(
+      s"_${path.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+    try {
+      Files.write(tmp, bytes)
+      Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp): Unit
   }
 
   /** Bytes written — callers accumulate into a Long position so spans
@@ -382,13 +391,13 @@ object FileTopicLog {
     // FDs alive past unlink).
     locally {
       import scala.jdk.CollectionConverters._
-      val tmpRe = s"^_p$partition\\.e\\d+\\.(log|idx)\\.tmp$$".r
+      val tmpRe = s"^_p$partition\\..*\\.tmp$$".r
       val dataRe = s"^p$partition(?:\\.e(\\d+))?\\.(log|idx)$$".r
       val sweep = Files.list(dir(root, topic))
       try sweep.iterator().asScala
         .filter { f =>
           f.getFileName.toString match {
-            case tmpRe(_) => true
+            case tmpRe() => true
             case dataRe(e, _) =>
               (if (e == null) 0L else e.toLong) != st.epoch
             case _ => false

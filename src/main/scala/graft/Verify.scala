@@ -7,6 +7,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
+    // A shell redirection token passed unquoted as the outDir argument once
+    // created a literal "2>/dev/null" directory tree; fail fast on anything
+    // that looks like a redirect or option rather than a real path.
+    require(
+      !outDir.exists(c => c == '>' || c == '<' || c == '|') && !outDir.startsWith("-"),
+      s"suspicious outDir '$outDir' — looks like a shell redirect/option, not a path")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local("graft-verify", cpus)
     spark.sparkContext.setLogLevel("WARN")

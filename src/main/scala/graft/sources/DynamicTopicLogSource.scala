@@ -161,8 +161,19 @@ final class DynamicTopicLogStream(root: String, maxRows: Option[Long],
 
   /** THE in-flight assignment read: whitelist + counts are consulted NOW,
     * every batch. Frozen (de-whitelisted) topics keep their last
-    * position; budget is applied in sorted (topic, partition) order so
-    * capped batches are deterministic. The runtime rate file (R1,
+    * position; the budget is PRORATED across (topic, partition)s by each
+    * one's available rows — a pure sorted-order drain would let one hot
+    * lexicographically-early topic that alone produces >= budget per
+    * trigger starve every later topic forever, where the reference's
+    * poll loop services every assigned TP each cycle
+    * (`W/ConsumerFetcherThread.java:134-154`). Floor-divide shares; any
+    * TP with data gets at least one row (a sub-1 share would floor to
+    * zero and re-starve low-volume TPs behind a growing hot backlog —
+    * Spark's Kafka source ceils sub-1 prorations for the same reason),
+    * so a capped batch may overshoot the budget by at most one row per
+    * non-empty TP. The allocation is a pure function of
+    * (start, live counts, budget): replay after a crash re-plans the
+    * identical ranges. The runtime rate file (R1,
     * [[FileTopicLog.setRate]]) tightens the static `maxRowsPerTrigger`
     * option batch-by-batch — a rate change lands at the next batch with
     * no restart, like the reference's live rate-limiter update. */
@@ -173,21 +184,37 @@ final class DynamicTopicLogStream(root: String, maxRows: Option[Long],
       case mr: ReadMaxRows => mr.maxRows()
       case _ => Long.MaxValue
     }
-    var budget = FileTopicLog.rate(root).fold(static)(math.min(static, _))
-    // advance whitelisted TPs within budget; frozen TPs carry unchanged
-    val advanced = live.toSeq.sortBy(_._1).map { case (t, ps) =>
-      t -> ps.toSeq.sortBy(_._1).map { case (p, end) =>
+    val budget = FileTopicLog.rate(root).fold(static)(math.min(static, _))
+    // available rows per TP, in sorted order (determinism of the share
+    // rounding below does not depend on order, but planned map iteration
+    // elsewhere does — keep the canonical ordering throughout)
+    val avail = live.toSeq.sortBy(_._1).flatMap { case (t, ps) =>
+      ps.toSeq.sortBy(_._1).map { case (p, end) =>
         // a TP never seen by this checkpoint starts at the RETAINED base,
         // not 0 — Kafka's earliest = log-start-offset. Seeding at 0 over an
         // already-truncated log would charge the maxRowsPerTrigger budget
         // for phantom rows below base and under-deliver early batches.
         val from = startPos.getOrElse(t, Map.empty[Int, Long]).get(p)
           .getOrElse(FileTopicLog.startOffset(root, t, p))
-        val take = math.min(math.max(end - from, 0L), budget)
-        budget -= take
-        p -> (from + take)
-      }.toMap
-    }.toMap
+        (t, p, from, math.max(end - from, 0L))
+      }
+    }
+    val total = avail.map(_._4).sum
+    val takes: Seq[((String, Int), Long)] = avail.map { case (t, p, from, a) =>
+      val take =
+        if (total <= budget) a // uncapped (or everything fits): drain all
+        else if (budget <= 0L || a == 0L) 0L
+        else {
+          // floor share via BigInt (budget * a overflows Long at scale);
+          // min 1 row keeps every non-empty TP live under a sustained cap
+          val share = (BigInt(budget) * BigInt(a) / BigInt(total)).toLong
+          math.min(a, math.max(share, 1L))
+        }
+      (t, p) -> (from + take)
+    }
+    val advanced = takes.groupBy(_._1._1).map { case (t, tps) =>
+      t -> tps.map { case ((_, p), pos) => p -> pos }.toMap
+    }
     val topics = startPos.keySet ++ advanced.keySet
     TopicLogOffset(topics.map { t =>
       t -> (startPos.getOrElse(t, Map.empty[Int, Long]) ++

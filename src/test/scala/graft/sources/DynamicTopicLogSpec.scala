@@ -199,6 +199,41 @@ class DynamicTopicLogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a hot first topic under a sustained cap cannot starve a cold later one") {
+    val root = freshRoot()
+    // "aaa" sorts first and ALONE produces more than the cap every
+    // batch — the shape that permanently starved later topics when the
+    // budget drained in sorted (topic, partition) order. "zzz" is a
+    // low-volume topic that must still advance every single batch.
+    FileTopicLog.setWhitelist(root, Seq("aaa", "zzz"))
+    FileTopicLog.append(root, "aaa", 0, (0 until 50).map(rec))
+    FileTopicLog.append(root, "zzz", 0, (0 until 8).map(rec))
+    val stream = new DynamicTopicLogStream(root, None)
+    val cap = org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(10L)
+    var pos: Map[String, Map[Int, Long]] = Map.empty
+    var hotBase = 50
+    (0 until 8).foreach { round =>
+      val next = stream.latestOffset(TopicLogOffset(pos), cap)
+        .asInstanceOf[TopicLogOffset].positions
+      val hotBefore = pos.getOrElse("aaa", Map.empty[Int, Long]).getOrElse(0, 0L)
+      val coldBefore = pos.getOrElse("zzz", Map.empty[Int, Long]).getOrElse(0, 0L)
+      val hotAfter = next("aaa")(0)
+      val coldAfter = next.getOrElse("zzz", Map.empty[Int, Long]).getOrElse(0, 0L)
+      assert(hotAfter > hotBefore, s"round $round: hot topic advances")
+      if (coldBefore < 8L)
+        assert(coldAfter > coldBefore,
+          s"round $round: cold topic must advance every batch while it has data " +
+            s"(was $coldBefore, still $coldAfter)")
+      assert((hotAfter - hotBefore) + (coldAfter - coldBefore) <= 10L + 2L,
+        s"round $round: overshoot bounded by one row per non-empty TP")
+      pos = next
+      // the hot topic keeps producing ABOVE the cap — backlog never drains
+      FileTopicLog.append(root, "aaa", 0, (hotBase until hotBase + 20).map(rec))
+      hotBase += 20
+    }
+    assert(pos("zzz")(0) === 8L, "cold topic fully delivered despite the hot backlog")
+  }
+
   test("truncateBelow retires a prefix; readers at/above the cut are unaffected") {
     val root = freshRoot()
     FileTopicLog.append(root, "t", 0, (0 until 20).map(rec))

@@ -73,7 +73,7 @@ object TopicLogPlanProps extends Properties("TopicLogPlanning") {
           loads.max <= total / parts.length + maxRange)
     }
 
-  // --- rate budget: deterministic sorted-greedy allocation ---
+  // --- rate budget: deterministic prorated allocation ---
 
   private def rec(i: Int): FileTopicLog.LogRecord =
     FileTopicLog.LogRecord(null,
@@ -89,7 +89,7 @@ object TopicLogPlanProps extends Properties("TopicLogPlanning") {
     cs.zipWithIndex.map { case (c, p) => (f"t$t%02d", p, c) }
   }
 
-  propertyWithSeed("maxRows budget is allocated greedily in sorted TP order", None) =
+  propertyWithSeed("maxRows budget prorates by available rows, min 1/TP", None) =
     forAll(genLog, Gen.chooseNum(0L, 60L)) { (tps, budget) =>
       val root = java.nio.file.Files
         .createTempDirectory("graft_budget_").toString
@@ -101,17 +101,62 @@ object TopicLogPlanProps extends Properties("TopicLogPlanning") {
       val end = stream.latestOffset(TopicLogOffset(Map.empty),
         org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(budget))
         .asInstanceOf[TopicLogOffset].positions
-      // expected: walk (topic, partition) sorted, draining each TP's
-      // count until the budget runs out — byte-for-byte what a capped
-      // batch must plan so replays are deterministic
-      var left = budget
-      val want = tps.sortBy(t => (t._1, t._2)).map { case (t, p, n) =>
-        val take = math.min(n.toLong, math.max(left, 0L))
-        left -= take
+      // expected: the fair-share model — floor(budget * avail / total),
+      // clamped to [1, avail] when capped (liveness: every non-empty TP
+      // advances), full drain when everything fits. Byte-for-byte what a
+      // capped batch must plan so replays are deterministic.
+      val total = tps.map(_._3.toLong).sum
+      val want = tps.map { case (t, p, n) =>
+        val take =
+          if (total <= budget) n.toLong
+          else if (budget <= 0L) 0L
+          else math.min(n.toLong,
+            math.max((BigInt(budget) * BigInt(n) / BigInt(total)).toLong, 1L))
         (t, p) -> take
       }.toMap
       tps.forall { case (t, p, _) =>
         end.getOrElse(t, Map.empty[Int, Long]).getOrElse(p, 0L) == want((t, p))
       }
+    }
+
+  /** Liveness under a sustained cap: however hot one TP is, every TP
+    * with available rows advances every batch, and the overshoot of the
+    * cap is bounded by one row per non-empty TP. */
+  propertyWithSeed("no TP with data is starved under a sustained cap", None) =
+    forAll(genLog, Gen.chooseNum(1L, 30L)) { (tps, budget) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_starve_").toString
+      tps.foreach { case (t, p, n) =>
+        FileTopicLog.append(root, t, p, (0 until n).map(rec))
+      }
+      // make the lexicographically-FIRST TP hot enough to saturate the
+      // cap alone — the shape that starved later TPs under sorted drain
+      val (ht, hp, _) = tps.minBy(t => (t._1, t._2))
+      FileTopicLog.append(root, ht, hp, (0 until 200).map(rec))
+      FileTopicLog.setWhitelist(root, tps.map(_._1).distinct)
+      val stream = new DynamicTopicLogStream(root, None)
+      val limit = org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(budget)
+      var pos: Map[String, Map[Int, Long]] = Map.empty
+      var ok = true
+      (0 until 4).foreach { _ =>
+        val next = stream.latestOffset(TopicLogOffset(pos), limit)
+          .asInstanceOf[TopicLogOffset].positions
+        val counts = FileTopicLog.endOffsets(root)
+        var planned = 0L
+        tps.map(t => (t._1, t._2)).distinct.foreach { case (t, p) =>
+          val before = pos.getOrElse(t, Map.empty[Int, Long]).getOrElse(p, 0L)
+          val after = next.getOrElse(t, Map.empty[Int, Long]).getOrElse(p, 0L)
+          val avail = counts(t)(p) - before
+          planned += after - before
+          ok &&= after >= before && after <= counts(t)(p) &&
+            (avail == 0L || after > before) // every non-empty TP advances
+        }
+        val nonEmpty = tps.map(t => (t._1, t._2)).distinct.count { case (t, p) =>
+          counts(t)(p) > pos.getOrElse(t, Map.empty[Int, Long]).getOrElse(p, 0L)
+        }
+        ok &&= planned <= budget + nonEmpty // bounded overshoot
+        pos = next
+      }
+      ok
     }
 }

@@ -69,7 +69,12 @@ class DynamicTopicLogProvider extends TableProvider with DataSourceRegister {
     // fans out to; default 2x cluster parallelism
     val maxTasks = Option(properties.get("maxTasksPerBatch")).map(_.toInt)
     maxTasks.foreach(n => require(n > 0, "maxTasksPerBatch must be positive"))
-    new DynamicTopicLogTable(root, maxRows, truncateOnCommit, maxTasks)
+    // the reference's consumer-group identity (ZK group offsets,
+    // `W/ZookeeperCheckpointManager.java:73-130`): a query that sets it
+    // publishes its committed positions under the log root and is
+    // thereby protected from a truncating peer's retention
+    val groupId = Option(properties.get("groupId"))
+    new DynamicTopicLogTable(root, maxRows, truncateOnCommit, maxTasks, groupId)
   }
 }
 
@@ -89,7 +94,8 @@ object DynamicTopicLog {
 }
 
 final class DynamicTopicLogTable(root: String, maxRows: Option[Long],
-    truncateOnCommit: Boolean = false, maxTasks: Option[Int] = None)
+    truncateOnCommit: Boolean = false, maxTasks: Option[Int] = None,
+    groupId: Option[String] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft-topiclog($root)"
   override def schema(): StructType = DynamicTopicLog.schema
@@ -100,7 +106,7 @@ final class DynamicTopicLogTable(root: String, maxRows: Option[Long],
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = DynamicTopicLog.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new DynamicTopicLogStream(root, maxRows, truncateOnCommit, maxTasks)
+          new DynamicTopicLogStream(root, maxRows, truncateOnCommit, maxTasks, groupId)
       }
     }
 }
@@ -135,9 +141,14 @@ object TopicLogOffset {
 }
 
 final class DynamicTopicLogStream(root: String, maxRows: Option[Long],
-    truncateOnCommit: Boolean = false, maxTasks: Option[Int] = None)
+    truncateOnCommit: Boolean = false, maxTasks: Option[Int] = None,
+    groupId: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+
+  // registration is the protection boundary: from here until this
+  // group's first commit, retention is blocked at each partition's base
+  groupId.foreach(g => FileTopicLog.registerGroup(root, g))
 
   // AvailableNow: end offsets snapshotted once at query start; batches
   // drain toward the snapshot (capped by the read limit) and the query
@@ -262,17 +273,29 @@ final class DynamicTopicLogStream(root: String, maxRows: Option[Long],
     new TopicLogReaderFactory
 
   /** Retention hook (`.option("truncateOnCommit", "true")`): once Spark
-    * has durably committed a batch, records below the committed position
-    * are retired from the log — the single-consumer retention policy
-    * (Kafka's `delete` cleanup driven by consumer progress). Off by
-    * default: with multiple independent queries over one log, retention
-    * must be governed by the slowest consumer, not any one checkpoint. */
-  override def commit(end: Offset): Unit =
+    * has durably committed a batch, records below the SAFE cut are
+    * retired from the log — Kafka's `delete` cleanup driven by consumer
+    * progress. The cut is this query's committed position clamped to
+    * the min across every registered consumer group
+    * ([[FileTopicLog.retentionCut]]), the reference's
+    * min-across-ZK-group-offsets retention model
+    * (`W/ZookeeperCheckpointManager.java:73-130`) — a faster committing
+    * query can never delete records a slower registered group has not
+    * read. With no groups registered the cut is this query's own
+    * position (single-consumer retention). A query that sets `groupId`
+    * also publishes its own positions here on every commit. */
+  override def commit(end: Offset): Unit = {
+    val pos = end.asInstanceOf[TopicLogOffset].positions
+    groupId.foreach(g => FileTopicLog.commitGroup(root, g, pos))
     if (truncateOnCommit) {
-      end.asInstanceOf[TopicLogOffset].positions.foreach { case (t, ps) =>
-        ps.foreach { case (p, off) => FileTopicLog.truncateBelow(root, t, p, off) }
+      pos.foreach { case (t, ps) =>
+        ps.foreach { case (p, off) =>
+          FileTopicLog.truncateBelow(root, t, p,
+            FileTopicLog.retentionCut(root, t, p, off))
+        }
       }
     }
+  }
   override def stop(): Unit = ()
 }
 

@@ -637,6 +637,88 @@ object FileTopicLog {
         .map(p => p -> committedCount(root, t, p)).toMap
     }.toMap
 
+  // ---- consumer-group committed positions (retention governance) ----
+  //
+  // The reference keeps per-consumer-group committed offsets in ZK
+  // (`worker/ZookeeperCheckpointManager.java:73-130`) and retention must
+  // never outrun the slowest group. Here each group is one JSON file
+  // under `<root>/_groups/` in the offset-map shape
+  // `{"topic":{"0":12}}`, atomically replaced by its OWN query on every
+  // commit (single writer per group; readers see old-or-new, and old is
+  // lower == more conservative, so the race is safe). A truncating query
+  // clamps its retention cut to the min across every registered group;
+  // a group that has registered but not yet committed a position for a
+  // (topic, partition) defaults to that partition's current base —
+  // blocking retention entirely until its first commit, which matches
+  // how a fresh checkpoint seeds from the retained base.
+
+  private def groupsDir(root: String): Path = Paths.get(root, "_groups")
+  private def groupFile(root: String, group: String): Path = {
+    require(group.nonEmpty && group.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"group id '$group' must be [A-Za-z0-9._-]+ (it names a file)")
+    groupsDir(root).resolve(s"$group.json")
+  }
+
+  /** Register a consumer group (idempotent; never clobbers recorded
+    * positions). From registration until its first commit the group
+    * blocks retention on every partition. */
+  def registerGroup(root: String, group: String): Unit = {
+    val f = groupFile(root, group)
+    Files.createDirectories(groupsDir(root))
+    try Files.write(f, "{}".getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW): Unit
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
+  /** Record a group's committed positions (merge-max with what is
+    * already recorded — positions are monotonic per group). */
+  def commitGroup(root: String, group: String,
+      positions: Map[String, Map[Int, Long]]): Unit = {
+    val prev = groupPositions(root, group)
+    val topics = prev.keySet ++ positions.keySet
+    val merged = topics.map { t =>
+      val a = prev.getOrElse(t, Map.empty[Int, Long])
+      val b = positions.getOrElse(t, Map.empty[Int, Long])
+      t -> (a.keySet ++ b.keySet).map(p =>
+        p -> math.max(a.getOrElse(p, 0L), b.getOrElse(p, 0L))).toMap
+    }.toMap
+    Files.createDirectories(groupsDir(root))
+    atomicWrite(groupFile(root, group),
+      TopicLogOffset(merged).json().getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** A group's recorded positions (empty when unregistered). */
+  def groupPositions(root: String, group: String): Map[String, Map[Int, Long]] =
+    try TopicLogOffset.fromJson(new String(
+      Files.readAllBytes(groupFile(root, group)), StandardCharsets.UTF_8)).positions
+    catch { case _: java.io.IOException => Map.empty }
+
+  /** Registered consumer groups. */
+  def groups(root: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val d = groupsDir(root)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val s = try Files.list(d) catch { case _: java.io.IOException => return Seq.empty }
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .collect { case n if n.endsWith(".json") => n.dropRight(5) }
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  /** The safe retention cut for one partition: the committing query's
+    * own position clamped to the min across every registered group
+    * (an unrecorded (topic, partition) in a registered group counts as
+    * the current base — full block). With no groups registered this is
+    * `own` — the legacy single-consumer retention semantics. */
+  def retentionCut(root: String, topic: String, partition: Int,
+      own: Long): Long =
+    groups(root).foldLeft(own) { (cut, g) =>
+      math.min(cut, groupPositions(root, g)
+        .getOrElse(topic, Map.empty[Int, Long])
+        .getOrElse(partition, state(root, topic, partition).base))
+    }
+
   // ---- rate control file (the runtime R1 channel) ----
 
   private def rateFile(root: String): Path = Paths.get(root, "_rate.json")

@@ -35,9 +35,12 @@ class DynamicTopicLogSpec extends AnyFunSuite {
     Files.createTempDirectory("graft_dynlog_").toString
 
   private def startQuery(root: String, ckpt: String, sink: String,
-      maxRows: Option[Long] = None): StreamingQuery = {
+      maxRows: Option[Long] = None, truncateOnCommit: Boolean = false,
+      groupId: Option[String] = None): StreamingQuery = {
     val base = s.readStream.format("graft-topiclog").option("path", root)
-    val src = maxRows.fold(base)(n => base.option("maxRowsPerTrigger", n.toString))
+      .option("truncateOnCommit", truncateOnCommit.toString)
+    val withRows = maxRows.fold(base)(n => base.option("maxRowsPerTrigger", n.toString))
+    val src = groupId.fold(withRows)(g => withRows.option("groupId", g))
     src.load()
       .selectExpr("cast(key as string) AS k", "cast(value as string) AS v",
         "topic", "partition", "offset",
@@ -323,6 +326,76 @@ class DynamicTopicLogSpec extends AnyFunSuite {
       assert(rows.select("offset").collect().map(_.getLong(0)).sorted ===
         (0L until 15L).toArray)
     } finally q.stop()
+  }
+
+  test("retention is clamped to the slowest registered group: two checkpoints, no loss") {
+    // protocol level: the cut is min across registered groups; a group
+    // with no recorded position for the partition counts as the base
+    // (full block), and recorded positions are monotonic (merge-max)
+    locally {
+      val r = freshRoot()
+      FileTopicLog.append(r, "t", 0, (0 until 4).map(rec))
+      assert(FileTopicLog.retentionCut(r, "t", 0, 4L) === 4L,
+        "no groups registered → single-consumer retention")
+      FileTopicLog.registerGroup(r, "slow")
+      assert(FileTopicLog.retentionCut(r, "t", 0, 4L) === 0L,
+        "registered-but-uncommitted group pins the cut at the base")
+      FileTopicLog.commitGroup(r, "slow", Map("t" -> Map(0 -> 2L)))
+      assert(FileTopicLog.retentionCut(r, "t", 0, 4L) === 2L)
+      FileTopicLog.commitGroup(r, "slow", Map("t" -> Map(0 -> 1L)))
+      assert(FileTopicLog.retentionCut(r, "t", 0, 4L) === 2L,
+        "group positions never move backward")
+      FileTopicLog.registerGroup(r, "slow")
+      assert(FileTopicLog.retentionCut(r, "t", 0, 4L) === 2L,
+        "re-registration never clobbers a recorded position")
+    }
+
+    // end to end: a truncating fast query and a late-starting slow query
+    // on their OWN checkpoints. Source commits land one micro-batch late
+    // (the engine commits batch N while constructing N+1), so each round
+    // appends fresh data and drains BOTH queries to flush them through.
+    val root = freshRoot()
+    val base = Files.createTempDirectory("graft_dynq_").toString
+    FileTopicLog.setWhitelist(root, Seq("t"))
+    FileTopicLog.append(root, "t", 0, (0 until 12).map(rec))
+    FileTopicLog.registerGroup(root, "slow")
+
+    val fast = startQuery(root, s"$base/fastCkpt", s"$base/fastSink",
+      truncateOnCommit = true, groupId = Some("fast"))
+    try {
+      fast.processAllAvailable()
+      FileTopicLog.append(root, "t", 0, (12 until 18).map(rec))
+      fast.processAllAvailable() // commits the 12-record batch → wants to cut
+      assert(FileTopicLog.startOffset(root, "t", 0) === 0L,
+        "a registered group with no committed position blocks retention")
+
+      // the slow consumer starts AFTER fast consumed everything — and
+      // still reads from offset 0 because retention was pinned
+      val slow = startQuery(root, s"$base/slowCkpt", s"$base/slowSink",
+        groupId = Some("slow"))
+      try {
+        slow.processAllAvailable()
+        assert(sinkDf(s"$base/slowSink").count() === 18,
+          "records fast already consumed are intact for the slow group")
+        (0 until 3).foreach { i =>
+          FileTopicLog.append(root, "t", 0, (18 + i * 2 until 20 + i * 2).map(rec))
+          slow.processAllAvailable()
+          fast.processAllAvailable()
+        }
+        val slowRows = sinkDf(s"$base/slowSink")
+        assert(slowRows.count() === 24, "the slow consumer never loses a record")
+        assert(slowRows.select("offset").collect().map(_.getLong(0)).sorted ===
+          (0L until 24L).toArray)
+        assert(slowRows.select("offset").distinct().count() === 24,
+          "exactly once despite retention behind it")
+        assert(sinkDf(s"$base/fastSink").count() === 24)
+        val cut = FileTopicLog.startOffset(root, "t", 0)
+        val slowRecorded = FileTopicLog.groupPositions(root, "slow")("t")(0)
+        assert(cut >= 12L, "retention advanced once the slow group recorded progress")
+        assert(cut <= slowRecorded,
+          "the base never outruns the slowest group's recorded position")
+      } finally slow.stop()
+    } finally fast.stop()
   }
 
   test("truncation sweeps crash garbage from dead cleaner runs") {

@@ -147,7 +147,13 @@ object FileTopicLog {
         classOf[java.nio.file.attribute.BasicFileAttributes])
       catch { case _: java.io.IOException => return PartitionState(0L, 0L, 0L, 0L) }
     val stamp = StateStamp(attrs.fileKey, attrs.lastModifiedTime, attrs.size)
-    val hit = stateCache.get(cf)
+    // BasicFileAttributes.fileKey may be null on some filesystems; the
+    // stamp then degrades to (mtime, size), where a same-size rename-
+    // replace within one timestamp tick would serve stale committed
+    // offsets. Correctness must not rest on timestamp granularity —
+    // bypass the cache entirely and parse every time.
+    val cacheable = attrs.fileKey != null
+    val hit = if (cacheable) stateCache.get(cf) else null
     if (hit != null && hit._1 == stamp) hit._2
     else {
       val st =
@@ -157,8 +163,10 @@ object FileTopicLog {
         }
       // unbounded roots (test/bench temp dirs) must not leak the JVM:
       // the cache is an optimization, dropping it wholesale is always safe
-      if (stateCache.size() > 100000) stateCache.clear()
-      stateCache.put(cf, (stamp, st))
+      if (cacheable) {
+        if (stateCache.size() > 100000) stateCache.clear()
+        stateCache.put(cf, (stamp, st))
+      }
       st
     }
   }
@@ -452,6 +460,11 @@ object FileTopicLog {
     val dstCount = countFile(dstRoot, topic, partition)
     if (Files.exists(dstCount)) return false
     withPartitionLock(dstRoot, topic, partition) {
+    // Re-check INSIDE the lock: a racing attempt that published while we
+    // waited must not have its committed data files overwritten by ours
+    // (REPLACE_EXISTING below) — byte-identical only for a deterministic
+    // task, and the commit contract must not rest on task determinism.
+    if (Files.exists(dstCount)) return false
     Files.createDirectories(dir(dstRoot, topic))
     val st = state(srcRoot, topic, partition)
     Seq("log", "idx").foreach { ext =>
@@ -490,7 +503,20 @@ object FileTopicLog {
   private val listingCache =
     new java.util.concurrent.ConcurrentHashMap[Path, (StateStamp, Seq[Int])]()
 
-  /** Partition ids present for a topic (from `p<P>.count` files). */
+  /** Partition ids present for a topic (from `p<P>.count` files).
+    *
+    * Caching a DIRECTORY listing is racier than caching a rename-
+    * replaced file: the dir is mutated in place, so fileKey never
+    * changes and a `p<P>.count` created in the same filesystem-
+    * timestamp tick just after we list leaves (mtime, size) unchanged —
+    * the stale listing would validate forever and a one-shot partition
+    * created then never appended again would stay invisible to the
+    * planner (exactly the F6 mid-query-expansion path). Git-style
+    * racy-stamp handling: (a) re-stat AFTER listing and only cache when
+    * the stamp did not move underneath us, and (b) refuse to cache while
+    * the dir mtime is within clock granularity of now — a concurrent
+    * creator may still land in the same tick. Steady-state walks (dirs
+    * quiet for longer than the margin) still cache fully. */
   def partitionsOf(root: String, topic: String): Seq[Int] = {
     import scala.jdk.CollectionConverters._
     val d = dir(root, topic)
@@ -512,11 +538,25 @@ object FileTopicLog {
             .toSeq.sorted
           finally s.close()
         } catch { case _: java.io.IOException => return Seq.empty }
-      if (listingCache.size() > 100000) listingCache.clear()
-      listingCache.put(d, (stamp, listed))
+      val after =
+        try Files.readAttributes(d,
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+        catch { case _: java.io.IOException => return listed }
+      val settled = after.lastModifiedTime.toMillis <
+        System.currentTimeMillis() - RacyStampMarginMs
+      if (attrs.fileKey != null && settled &&
+          StateStamp(after.fileKey, after.lastModifiedTime, after.size) == stamp) {
+        if (listingCache.size() > 100000) listingCache.clear()
+        listingCache.put(d, (stamp, listed))
+      }
       listed
     }
   }
+
+  /** Margin under which a directory mtime counts as "could still be
+    * racing": covers coarse-clock filesystem timestamp granularity
+    * (1s on some filesystems/mounts). */
+  private val RacyStampMarginMs = 2000L
 
   private val PartCount = "^p(\\d+)\\.count$".r
 
@@ -614,7 +654,11 @@ object FileTopicLog {
         classOf[java.nio.file.attribute.BasicFileAttributes])
       catch { case _: java.io.IOException => return Seq.empty }
     val stamp = StateStamp(attrs.fileKey, attrs.lastModifiedTime, attrs.size)
-    val hit = whitelistCache.get(f)
+    // same null-fileKey rule as the state cache: without an inode
+    // identity a same-size rename-replace in one tick could validate a
+    // stale whitelist — always parse on such filesystems
+    val cacheable = attrs.fileKey != null
+    val hit = if (cacheable) whitelistCache.get(f) else null
     if (hit != null && hit._1 == stamp) hit._2
     else {
       val parsed =
@@ -623,8 +667,10 @@ object FileTopicLog {
           val node = m.readTree(Files.readAllBytes(f))
           (0 until node.size()).map(node.get(_).asText())
         } catch { case _: java.io.IOException => return Seq.empty }
-      if (whitelistCache.size() > 10000) whitelistCache.clear()
-      whitelistCache.put(f, (stamp, parsed))
+      if (cacheable) {
+        if (whitelistCache.size() > 10000) whitelistCache.clear()
+        whitelistCache.put(f, (stamp, parsed))
+      }
       parsed
     }
   }

@@ -703,6 +703,57 @@ class DynamicTopicLogSpec extends AnyFunSuite {
     }
   }
 
+  test("promote race: the loser never overwrites the winner's published bytes") {
+    // A loser that passed the exists() pre-check used to ATOMIC_MOVE its
+    // data files over the winner's BEFORE its link commit failed — safe
+    // only for byte-identical retries. With nondeterministic task output
+    // the winner's committed count must keep describing the winner's
+    // bytes; the in-lock re-check returns false before any move.
+    for (round <- 0 until 20) {
+      val dst = freshRoot()
+      val roots = Seq(freshRoot(), freshRoot())
+      roots.zipWithIndex.foreach { case (r, i) =>
+        FileTopicLog.append(r, "t", 1,
+          (0 until 4).map(j => LogRecord(b(s"k$j"), b(s"racer$i-$j"), 1L)))
+      }
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val winner = new java.util.concurrent.atomic.AtomicInteger(-1)
+      val threads = roots.zipWithIndex.map { case (r, i) =>
+        new Thread(() => {
+          gate.await()
+          if (FileTopicLog.promote(r, dst, "t", 1)) winner.set(i): Unit
+        })
+      }
+      threads.foreach(_.start())
+      gate.countDown()
+      threads.foreach(_.join())
+      val w = winner.get()
+      assert(w >= 0, s"round $round: someone must publish")
+      val values = FileTopicLog.read(dst, "t", 1, 0, 4)
+        .map(r => new String(r._2.value, StandardCharsets.UTF_8)).toSeq
+      assert(values === (0 until 4).map(j => s"racer$w-$j"),
+        s"round $round: published bytes must be the WINNER's")
+    }
+  }
+
+  test("a partition created in the listing's timestamp tick is not masked by the cache") {
+    // The dir-listing cache is validated by the dir's (fileKey, mtime,
+    // size); a p<P>.count created in the same filesystem-timestamp tick
+    // right after a listing leaves that stamp unchanged. Simulate the
+    // granularity collapse: list (fresh mtime — must NOT cache), create
+    // a second partition, then restore the dir mtime to the pre-create
+    // value. A stale cache would keep returning only p0.
+    val root = freshRoot()
+    FileTopicLog.append(root, "t", 0, (0 until 2).map(rec))
+    val d = java.nio.file.Paths.get(root, "t")
+    val preStamp = Files.getLastModifiedTime(d)
+    assert(FileTopicLog.partitionsOf(root, "t") === Seq(0))
+    FileTopicLog.append(root, "t", 1, (0 until 2).map(rec))
+    Files.setLastModifiedTime(d, preStamp) // same-tick mtime collapse
+    assert(FileTopicLog.partitionsOf(root, "t") === Seq(0, 1),
+      "a fresh-mtime listing must not be cached — the next walk re-lists")
+  }
+
   test("legacy bare-integer count files still parse (and upgrade on append)") {
     val root = freshRoot()
     FileTopicLog.append(root, "t", 0, (0 until 7).map(rec))

@@ -153,7 +153,12 @@ object StreamingQueries {
   //      FREEZE at its half-1 position (require'd) while every other
   //      topic drains — s2b's gate;
   //   4  victim re-added in flight: resumes from the frozen offset, no
-  //      replay; runId pinned across all phases.
+  //      replay;
+  //   5  partition EXPANSION (F6): one (topic, partition) of an
+  //      always-whitelisted topic is held back entirely until now —
+  //      when its files first appear the running query must pick the
+  //      new partition up mid-flight and deliver it complete from
+  //      offset 0 (require'd); runId pinned across all phases.
   // The oracle for both entries is the full record relation: any
   // replay duplicates an offset, any loss drops one — hash-visible.
   // Per-entry oracle independence is preserved (each entry has its own
@@ -173,7 +178,22 @@ object StreamingQueries {
       val topics = eventTopics(s, dir)
       val firstHalf = topics.take(math.max(topics.length / 2, 1))
       val victim = topics.last
-      writeLog(recs.filter(col("offset") < col("tp_half")), root)
+      // F6 expansion subject: the highest partition of an always-
+      // whitelisted non-victim topic is withheld from EVERY earlier
+      // write — to the running query its topic's partition count grows
+      // mid-flight. Degenerates to no-op when the fixture has one topic
+      // (victim == every topic) or the topic has a single partition.
+      val expandTopic = firstHalf.head
+      val expandPart: Int =
+        if (expandTopic == victim) -1
+        else {
+          val parts = recs.filter(col("topic") === expandTopic)
+            .agg(min("partition"), max("partition")).head()
+          if (parts.getInt(0) == parts.getInt(1)) -1 else parts.getInt(1)
+        }
+      val isExpansion =
+        col("topic") === expandTopic && col("partition") === lit(expandPart)
+      writeLog(recs.filter(col("offset") < col("tp_half") && !isExpansion), root)
       val victimHalf1 = recs
         .filter(col("topic") === victim && col("offset") < col("tp_half"))
         .count()
@@ -200,7 +220,7 @@ object StreamingQueries {
         // flush any batch planned against the pre-delete whitelist BEFORE
         // the second halves land, so the freeze point is deterministic
         q.processAllAvailable()
-        writeLog(recs.filter(col("offset") >= col("tp_half")), root)
+        writeLog(recs.filter(col("offset") >= col("tp_half") && !isExpansion), root)
         q.processAllAvailable()
         val frozen = s.read.parquet(s"$base/sink")
           .filter(col("topic") === victim).count()
@@ -208,6 +228,21 @@ object StreamingQueries {
           s"deleted topic must freeze at its pre-delete position ($frozen != $victimHalf1)")
         FileTopicLog.setWhitelist(root, topics) // re-add: resume, no replay
         q.processAllAvailable()
+        if (expandPart >= 0) { // F6: the new partition appears mid-query
+          writeLog(recs.filter(isExpansion), root)
+          q.processAllAvailable()
+          val expansionRows = s.read.parquet(s"$base/sink")
+            .filter(col("topic") === expandTopic &&
+              col("partition") === expandPart)
+          val expected = recs.filter(isExpansion).count()
+          val (got, minOff) = expansionRows
+            .agg(count(lit(1)), coalesce(min("offset"), lit(-1L))).head() match {
+              case r => (r.getLong(0), r.getLong(1))
+            }
+          require(got == expected && minOff == 0L,
+            s"an expanded partition must deliver complete from offset 0 " +
+              s"mid-query (got $got/$expected rows, min offset $minOff)")
+        }
         require(q.runId == runId,
           "assignment changes must not restart the query")
       } finally q.stop()

@@ -43,8 +43,12 @@ object Bench {
     // Wait (bounded) for the box to go quiet; if it never does, run
     // anyway but stamp the artifact as contended so a slow total is
     // read as "machine was busy", not "code got slower".
-    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "4.0").toDouble
-    val maxWaits = sys.env.getOrElse("SPARK_GRAFT_LOAD_RETRIES", "10").toInt
+    // Gate 1.0 (was 4.0): a residual loadavg of 3.3 on a 32-core box —
+    // below the old gate, zero rival JVMs — still inflated a recorded
+    // total 1.26x vs an isolated re-run; residual load decays in a few
+    // 30 s ticks, so waiting it out is cheap and off the clock.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.0").toDouble
+    val maxWaits = sys.env.getOrElse("SPARK_GRAFT_LOAD_RETRIES", "20").toInt
     var waits = 0
     while (waits < maxWaits && loadAvg1m() > loadGate) {
       System.err.println(

@@ -95,6 +95,33 @@ object FileTopicLogProps extends Properties("FileTopicLog") {
           .forall { case (a, b) => sameRecord(a, b) }
     }
 
+  /** Model: the retention cut equals min(own, every registered group's
+    * recorded position — defaulting to the partition base when a group
+    * has no entry), and commitGroup is merge-max monotonic. */
+  propertyWithSeed("retentionCut is the min across groups with base default", None) =
+    forAll(
+      Gen.chooseNum(0L, 50L),                            // own position
+      Gen.chooseNum(1L, 30L),                            // records in log
+      Gen.listOf(Gen.zip(Gen.oneOf("g1", "g2", "g3"),
+        Gen.option(Gen.chooseNum(0L, 40L))))             // (group, maybe pos)
+    ) { (own, n, commits) =>
+      val root = freshRoot()
+      FileTopicLog.append(root, "t", 0,
+        (0 until n.toInt).map(i => LogRecord(null, Array(i.toByte), 1L)))
+      // register all mentioned groups; commit only the Some positions
+      commits.foreach { case (g, posOpt) =>
+        FileTopicLog.registerGroup(root, g)
+        posOpt.foreach(p => FileTopicLog.commitGroup(root, g, Map("t" -> Map(0 -> p))))
+      }
+      val base = FileTopicLog.state(root, "t", 0).base // 0 here
+      val modelPos: Map[String, Long] = commits.groupBy(_._1).map { case (g, cs) =>
+        val ps = cs.flatMap(_._2)
+        g -> (if (ps.isEmpty) base else ps.max) // merge-max; none => base
+      }
+      val want = (own +: modelPos.values.toSeq).min
+      FileTopicLog.retentionCut(root, "t", 0, own) == want
+    }
+
   propertyWithSeed("appendAt drops re-offered prefixes exactly", None) =
     forAll(genRecords, Gen.chooseNum(0, 40)) { (recs, overlap) =>
       val root = freshRoot()

@@ -1022,6 +1022,97 @@ object StreamingQueries {
     },
     k2.oracle)
 
+  // K2d — MULTI-CONSUMER RETENTION GOVERNANCE (round 13): a truncating
+  // fast replica (`truncateOnCommit` + groupId "fast") and a
+  // LATE-STARTING slow consumer (groupId "slow", registered before the
+  // fast query ever commits) share one log. The oracle gates the SLOW
+  // query's sink: it must deliver the k2 transform chain's complete
+  // result even though the fast query consumed everything first and
+  // retention ran ahead of the slow checkpoint — the reference's
+  // min-across-ZK-group-offsets model
+  // (`W/ZookeeperCheckpointManager.java:73-130`). Mid-run requires pin
+  // the governance mechanics: (1) while the slow group has no recorded
+  // position the base stays 0 (full block); (2) after the slow group
+  // records progress the base really advances (retention is live, not
+  // disabled) and never exceeds the slow group's recorded position.
+  // Stages are thirds so both queries see multiple batches (a source
+  // commit lands one batch late — stage N's commit fires while the
+  // stage-N+1 batch is constructed).
+  private val k2dRuns = new java.util.concurrent.atomic.AtomicLong(0)
+  private val k2d = QueryDef(
+    "k2d_group_retention",
+    (s, dir) => {
+      import graft.sources.FileTopicLog
+      import org.apache.spark.sql.expressions.Window
+      val root = java.nio.file.Files.createTempDirectory("graft_k2d_log_").toString
+      val recs = logRecords(s, dir)
+        .withColumn("tp_n",
+          count(lit(1)).over(Window.partitionBy("topic", "partition")))
+        .withColumn("t1", (col("tp_n") / 3).cast("long"))
+        .withColumn("t2", (col("tp_n") * 2 / 3).cast("long"))
+      val topics = eventTopics(s, dir)
+      writeLog(recs.filter(col("offset") < col("t1")), root)
+      val stageA = recs.filter(col("offset") < col("t1"))
+        .groupBy("topic", "partition").count().collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      FileTopicLog.setWhitelist(root, topics)
+      FileTopicLog.registerGroup(root, "slow")
+      val base = s"$e3TmpRoot/k2d_${k2dRuns.incrementAndGet()}"
+      val fastSrc = s.readStream.format("graft-topiclog")
+        .option("path", root)
+        .option("truncateOnCommit", "true")
+        .option("groupId", "fast")
+        .load()
+      val fast = fastSrc
+        .select(col("key"), col("value"), col("topic"), col("partition"),
+          col("offset"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/fastOut")
+        .option("checkpointLocation", s"$base/fastCkpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("25 milliseconds"))
+        .start()
+      try {
+        fast.processAllAvailable()
+        writeLog(recs.filter(col("offset") >= col("t1") &&
+          col("offset") < col("t2")), root)
+        fast.processAllAvailable() // stage-A commit fired → wants to cut
+        require(topics.forall(t => FileTopicLog.partitionsOf(root, t)
+            .forall(p => FileTopicLog.startOffset(root, t, p) == 0L)),
+          "a registered group with no committed position must block retention")
+        val slowSrc = s.readStream.format("graft-topiclog")
+          .option("path", root)
+          .option("groupId", "slow")
+          .load()
+        val slow = ReplicationPipeline.parquetSink(
+            ReplicationPipeline.transform(slowSrc, k2Spec.copy(name = "k2d")),
+            s"$base/out", s"$base/ckpt", availableNow = false)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("25 milliseconds"))
+          .start()
+        try {
+          slow.processAllAvailable() // reads stages A+B from offset 0
+          writeLog(recs.filter(col("offset") >= col("t2")), root)
+          slow.processAllAvailable() // stage-C batch commits the A+B position
+          fast.processAllAvailable() // stage-B commit → cut to min(own, slow)
+          stageA.foreach { case ((t, p), n) =>
+            val b = FileTopicLog.startOffset(root, t, p)
+            val slowRec = FileTopicLog.groupPositions(root, "slow")
+              .getOrElse(t, Map.empty[Int, Long]).getOrElse(p, 0L)
+            require(b >= n, s"retention must advance $t/$p past stage A ($b < $n)")
+            require(b <= slowRec,
+              s"base must never outrun the slow group at $t/$p ($b > $slowRec)")
+          }
+        } finally slow.stop()
+      } finally fast.stop()
+      s.read.parquet(s"$base/out")
+        .select(expr("cast(cast(headers[0].value as string) as long)")
+            .as("event_id"),
+          col("topic"),
+          col("partition").cast("long").as("dst_partition"),
+          col("offset"))
+        .orderBy("event_id")
+    },
+    k2.oracle)
+
   val defs: Seq[QueryDef] =
-    Seq(k2, s2, s2b, k2b, k2c, e3, d7, d8, d12, d13, d14, e4, e6, e7)
+    Seq(k2, s2, s2b, k2b, k2c, k2d, e3, d7, d8, d12, d13, d14, e4, e6, e7)
 }

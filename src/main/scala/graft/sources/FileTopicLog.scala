@@ -734,6 +734,28 @@ object FileTopicLog {
       TopicLogOffset(merged).json().getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Release a consumer group's retention pin: drop its recorded
+    * positions so truncation no longer waits for it — the analog of
+    * Kafka's admin group-offset deletion (a retired consumer group must
+    * not pin log cleanup forever); the reference tears down per-topic ZK
+    * state the same way when an operator retires it
+    * (`uReplicator-Controller/.../AutoTopicWhitelistingManager.java:258`).
+    * Deliberately NOT automatic:
+    * expiring an idle group is a data-loss policy decision, so the
+    * building blocks ([[groups]], [[groupLastCommitMillis]]) are
+    * exposed for an operator loop to decide, and the release itself is
+    * this one idempotent call. Records below the remaining groups' min
+    * become reclaimable at the next truncating commit. */
+  def unregisterGroup(root: String, group: String): Unit =
+    Files.deleteIfExists(groupFile(root, group)): Unit
+
+  /** Epoch millis of the group's registration or last committed
+    * position (None when unregistered) — the staleness signal an
+    * expiry policy loop keys on. */
+  def groupLastCommitMillis(root: String, group: String): Option[Long] =
+    try Some(Files.getLastModifiedTime(groupFile(root, group)).toMillis)
+    catch { case _: java.io.IOException => None }
+
   /** A group's recorded positions (empty when unregistered). */
   def groupPositions(root: String, group: String): Map[String, Map[Int, Long]] =
     try TopicLogOffset.fromJson(new String(

@@ -348,6 +348,24 @@ class DynamicTopicLogSpec extends AnyFunSuite {
       FileTopicLog.registerGroup(r, "slow")
       assert(FileTopicLog.retentionCut(r, "t", 0, 4L) === 2L,
         "re-registration never clobbers a recorded position")
+      // explicit teardown releases the pin (Kafka's admin group-offset
+      // deletion analog); idempotent, and the staleness signal an
+      // expiry policy would key on disappears
+      assert(FileTopicLog.groupLastCommitMillis(r, "slow").nonEmpty)
+      FileTopicLog.unregisterGroup(r, "slow")
+      FileTopicLog.unregisterGroup(r, "slow")
+      assert(FileTopicLog.groupPositions(r, "slow").isEmpty)
+      assert(FileTopicLog.groupLastCommitMillis(r, "slow").isEmpty)
+      assert(FileTopicLog.retentionCut(r, "t", 0, 4L) === 4L,
+        "unregistering the last group restores single-consumer retention")
+      FileTopicLog.registerGroup(r, "a")
+      FileTopicLog.commitGroup(r, "a", Map("t" -> Map(0 -> 3L)))
+      FileTopicLog.registerGroup(r, "b")
+      FileTopicLog.commitGroup(r, "b", Map("t" -> Map(0 -> 1L)))
+      assert(FileTopicLog.retentionCut(r, "t", 0, 4L) === 1L)
+      FileTopicLog.unregisterGroup(r, "b")
+      assert(FileTopicLog.retentionCut(r, "t", 0, 4L) === 3L,
+        "releasing the slowest group advances the cut to the remaining min")
     }
 
     // end to end: a truncating fast query and a late-starting slow query

@@ -3008,9 +3008,141 @@ object PipelineQueries {
         |    AS BIGINT) AS pos
         |FROM h ORDER BY shard, pos""".stripMargin))
 
+  // X15 — BM25 TOP-K RETRIEVAL: score a fixed query set against the
+  // corpus with Okapi BM25 (k1 = 1.2, b = 0.75, Lucene's always-positive
+  // idf = ln((N − df + ½)/(df + ½) + 1)) and keep each query's 10 best
+  // documents — the retrieval primitive behind query-driven
+  // decontamination and targeted quality mining in a training-data
+  // pipeline. ONE corpus scan feeds everything: each doc is tokenized
+  // once and reduced in-row to (doc_id, dl, per-term tf vector) — the
+  // corpus never reaches ANY exchange, because tf per term is computed
+  // by expression (size(filter(ts, t = q))), not by exploding tokens
+  // into a shuffle. The 13-narrow-column result lands in session-temp
+  // parquet; corpus stats (N, Σdl — exact BIGINTs, so avgdl is a
+  // single IEEE division), document frequencies, and scoring all
+  // derive from that tiny table. df/stats/query-terms are broadcast
+  // joins; the top-k is a rank-over-window the optimizer executes as
+  // WindowGroupLimit (per-partition partial top-10, no global sort).
+  // Determinism is engineered like p10: each term's contribution is
+  // floored to integer micro-units (floor(c·10⁶) as BIGINT) so the
+  // per-(query, doc) sum is EXACT integer math — summation order can
+  // never reorder two documents — and ties break by doc_id. At 100 TB
+  // the upgrade path is the x11/x11b inverted index: precompute
+  // postings + per-doc norms once, and each query set probes the
+  // term-bucketed index instead of rescanning the corpus; the scoring
+  // and ranking shape here carries over unchanged.
+  private val x15 = QueryDef(
+    "x15_bm25_topk",
+    (s, dir) => {
+      val queryTerms: Seq[(Long, String)] = Seq(
+        1L -> "spark", 1L -> "stream", 1L -> "join",
+        2L -> "fast", 2L -> "query",
+        3L -> "hash", 3L -> "table", 3L -> "scan",
+        4L -> "slow", 4L -> "window", 4L -> "merge")
+      import s.implicits._
+      val terms = queryTerms.toDF("query_id", "token")
+      val termList = queryTerms.map(_._2).distinct
+      // ONE corpus scan: tokenize once, emit (doc_id, dl, per-term tf
+      // vector) — 13 narrow columns — to session-temp parquet (x14's
+      // materialization pattern: nothing stays pinned, survives
+      // executor loss). Corpus stats, document frequencies, and the
+      // scored rows all derive from the tiny table, never rescanning
+      // (or re-tokenizing) the corpus.
+      val termArr = termList.map(t => s"'$t'").mkString("array(", ", ", ")")
+      val base = docs(s, dir)
+        .select(col("doc_id"), expr(tokensExpr).as("ts"))
+        .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+          expr(s"transform($termArr, q -> size(filter(ts, t -> t = q)))")
+            .as("tfs"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_x15_tf_").toString
+      base.write.mode("overwrite").parquet(tmp)
+      val bd = s.read.parquet(tmp)
+      val stats = bd.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+      val tf = bd
+        .select(col("doc_id"), col("dl"),
+          posexplode(col("tfs")).as(Seq("i", "tfi")))
+        .filter(col("tfi") > 0)
+        .select(col("doc_id"), col("dl"),
+          element_at(typedLit(termList), col("i") + 1).as("token"),
+          col("tfi").cast("long").as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      // op-for-op the same arithmetic as the oracle SQL: every input is
+      // an exact BIGINT, each double op is IEEE-determined
+      // left-to-right, and the one libm call (ln) matches across
+      // engines on identical args (x14's proven envelope); floor to
+      // micro-units makes the per-group sum order-independent
+      val scored = tf
+        .join(broadcast(dfreq), "token")
+        .join(broadcast(terms), "token")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(((col("n") - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+        .withColumn("c",
+          floor(col("idf") * (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+              lit(0.75) * col("dl").cast("double") * col("n").cast("double") /
+                col("sumdl").cast("double"))) * lit(1000000.0)).cast("long"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum("c").as("score_micro"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("doc_id").cast("long")
+          .as("doc_id"), col("score_micro"))
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      """WITH terms(query_id, token) AS (VALUES
+        |    (1, 'spark'), (1, 'stream'), (1, 'join'),
+        |    (2, 'fast'), (2, 'query'),
+        |    (3, 'hash'), (3, 'table'), (3, 'scan'),
+        |    (4, 'slow'), (4, 'window'), (4, 'merge')),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      AS BIGINT) AS dl,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |                 CAST(SUM(dl) AS BIGINT) AS sumdl FROM base),
+        |tf AS (
+        |  SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ts) AS token FROM base)
+        |  WHERE token IN (SELECT token FROM terms)
+        |  GROUP BY doc_id, dl, token),
+        |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        |          FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT t.query_id, f.doc_id,
+        |    CAST(SUM(CAST(FLOOR(
+        |      ln((CAST(s.n - d.df AS DOUBLE) + 0.5)
+        |           / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(f.tf AS DOUBLE) * 2.2)
+        |      / (CAST(f.tf AS DOUBLE) + 1.2 * (0.25
+        |           + 0.75 * CAST(f.dl AS DOUBLE) * CAST(s.n AS DOUBLE)
+        |             / CAST(s.sumdl AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+        |  FROM tf f
+        |  JOIN dfreq d USING (token)
+        |  JOIN terms t USING (token)
+        |  CROSS JOIN stats s
+        |  GROUP BY t.query_id, f.doc_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, rank,
+        |  CAST(doc_id AS BIGINT) AS doc_id, score_micro
+        |FROM (
+        |  SELECT query_id, doc_id, score_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, doc_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, sim1, sim2, sim3, sim4,
-    x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x11b, x12, x13, x14,
+    x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x11b, x12, x13, x14, x15,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e9, e10, e10b,
     p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p11, p12)
 }

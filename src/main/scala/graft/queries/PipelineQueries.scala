@@ -3140,9 +3140,101 @@ object PipelineQueries {
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin))
 
+  // X15b — the AMORTIZED form of x15: BM25 probing a PRE-BUILT
+  // bucket-partitioned postings index instead of scanning the corpus.
+  // x15's scan-reduce is optimal for one query set (the corpus never
+  // reaches an exchange); once many query sets probe the same corpus,
+  // the index pays off — build once (the one corpus-wide shuffle, the
+  // x11 inverted-index shape), then every probe reads ONLY the query
+  // terms' buckets via partition pruning and never touches the corpus.
+  // Index layout: postings (token, doc_id, tf, dl) written
+  // `partitionBy(bucket = hash(token) % 64)` after a repartition on the
+  // bucket (one file per bucket, no small-files storm); dl is
+  // DENORMALIZED into each posting — Lucene's norms-per-posting trade:
+  // +8 bytes/row buys scoring without a corpus-sized doc-length join,
+  // which at 100 TB would be a shuffle no probe should pay. Corpus
+  // stats (N, Σdl) are pre-aggregated at build into a 1-row table, so
+  // a probe's physical work is: pruned scan of ≤|terms| buckets →
+  // tiny local df agg → broadcast joins → WindowGroupLimit top-k.
+  // The bench time includes the BUILD (honest amortization baseline);
+  // the probe alone is the steady-state cost. Same oracle SQL as x15 —
+  // two physical strategies, one relational contract.
+  private val x15b = QueryDef(
+    "x15b_bm25_indexed",
+    (s, dir) => {
+      val queryTerms: Seq[(Long, String)] = Seq(
+        1L -> "spark", 1L -> "stream", 1L -> "join",
+        2L -> "fast", 2L -> "query",
+        3L -> "hash", 3L -> "table", 3L -> "scan",
+        4L -> "slow", 4L -> "window", 4L -> "merge")
+      import s.implicits._
+      val terms = queryTerms.toDF("query_id", "token")
+      val termList = queryTerms.map(_._2).distinct
+      val nBuckets = 64L
+      // ---- build (once per corpus, amortized across query sets) ----
+      val idx = java.nio.file.Files.createTempDirectory("graft_x15b_idx_")
+        .toString
+      val base = docs(s, dir)
+        .select(col("doc_id"), expr(tokensExpr).as("ts"))
+        .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+          col("ts"))
+      base.select(col("doc_id"), col("dl"), explode(col("ts")).as("token"))
+        .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+        .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets)))
+        .repartition(nBuckets.toInt, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$idx/postings")
+      base.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+        .write.mode("overwrite").parquet(s"$idx/stats")
+      // ---- probe (steady-state: corpus never touched) ----
+      val stats = s.read.parquet(s"$idx/stats")
+      val tf = s.read.parquet(s"$idx/postings")
+        .filter(col("bucket").isin(bucketIdsOf(s, termList, nBuckets): _*) &&
+          col("token").isInCollection(termList))
+        .select(col("doc_id"), col("dl"), col("token"),
+          col("tf").cast("long").as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(dfreq), "token")
+        .join(broadcast(terms), "token")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(((col("n") - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+        .withColumn("c",
+          floor(col("idf") * (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+              lit(0.75) * col("dl").cast("double") * col("n").cast("double") /
+                col("sumdl").cast("double"))) * lit(1000000.0)).cast("long"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum("c").as("score_micro"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("doc_id").cast("long")
+          .as("doc_id"), col("score_micro"))
+        .orderBy("query_id", "rank")
+    },
+    x15.oracle)
+
+  /** Bucket ids of the given tokens under the SAME xxhash64 the index
+    * write used — computed through a Spark expression (not a JVM
+    * reimplementation) so probe-side pruning can never drift from the
+    * engine's hash. One metadata-sized local eval. */
+  private def bucketIdsOf(s: org.apache.spark.sql.SparkSession,
+      tokens: Seq[String], nBuckets: Long): Seq[Long] = {
+    import s.implicits._
+    tokens.toDF("token")
+      .select(pmod(xxhash64(col("token")), lit(nBuckets)).as("b"))
+      .collect().map(_.getLong(0)).toSeq.distinct
+  }
+
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, sim1, sim2, sim3, sim4,
     x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x11b, x12, x13, x14, x15,
+    x15b,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e9, e10, e10b,
     p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p11, p12)
 }

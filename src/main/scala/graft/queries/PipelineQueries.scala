@@ -3231,10 +3231,77 @@ object PipelineQueries {
       .collect().map(_.getLong(0)).toSeq.distinct
   }
 
+  // X16 — REPETITION QUALITY FILTER (the Gopher/MassiveText repetition
+  // rules): per-document duplicate-trigram fraction
+  // (1 − distinct/total 3-grams — repeated passages and boilerplate
+  // loops score high) and top-token fraction (share of the single most
+  // frequent token — degenerate keyword-stuffed docs score high), with
+  // the standard keep gate (dup ≤ 0.3 AND top ≤ 0.2). Everything is
+  // computed IN-ROW by codegen'd expressions (the word_ngrams kernel
+  // gives distinct trigrams in one call; the top-token count is a
+  // distinct×occurrence lambda over ≤~100 tokens) — one corpus scan,
+  // zero shuffles, embarrassingly parallel at any scale: the 100 TB
+  // plan is identical to the fixture plan. Fractions are single IEEE
+  // divisions of exact BIGINTs, so both engines produce bit-identical
+  // doubles and the keep gate can compare against thresholds without a
+  // boundary hazard.
+  private val x16 = QueryDef(
+    "x16_repetition_filter",
+    (s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), expr(tokensExpr).as("ts"), col("text"))
+        .select(col("doc_id"),
+          size(col("ts")).cast("long").as("n_tok"),
+          greatest(size(col("ts")) - 2, lit(0)).cast("long").as("tri_total"),
+          size(expr("word_ngrams(text, 3)")).cast("long").as("tri_distinct"),
+          expr("array_max(transform(array_distinct(ts), " +
+            "t -> size(filter(ts, x -> x = t))))")
+            .cast("long").as("top_cnt"))
+        .withColumn("dup3_frac",
+          when(col("tri_total") === 0, lit(0.0))
+            .otherwise(lit(1.0) - col("tri_distinct").cast("double") /
+              col("tri_total").cast("double")))
+        .withColumn("top_frac",
+          col("top_cnt").cast("double") / col("n_tok").cast("double"))
+        .withColumn("keep_doc",
+          (col("dup3_frac") <= lit(0.3) && col("top_frac") <= lit(0.2))
+            .cast("long"))
+        .select(col("doc_id"), col("n_tok"), col("tri_total"),
+          col("tri_distinct"), col("dup3_frac"), col("top_frac"),
+          col("keep_doc"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+        |    AS ts
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_tok,
+        |    CAST(greatest(len(ts) - 2, 0) AS BIGINT) AS tri_total,
+        |    CAST(len(list_distinct(list_transform(range(1, len(ts) - 1),
+        |      i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])))
+        |      AS BIGINT) AS tri_distinct,
+        |    CAST(list_aggregate(list_transform(list_distinct(ts),
+        |      t -> len(list_filter(ts, x -> x = t))), 'max')
+        |      AS BIGINT) AS top_cnt
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, n_tok, tri_total, tri_distinct,
+        |    CASE WHEN tri_total = 0 THEN 0.0
+        |         ELSE CAST(1 AS DOUBLE) - CAST(tri_distinct AS DOUBLE)
+        |              / CAST(tri_total AS DOUBLE) END AS dup3_frac,
+        |    CAST(top_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_frac
+        |  FROM m)
+        |SELECT doc_id, n_tok, tri_total, tri_distinct, dup3_frac, top_frac,
+        |  CAST(dup3_frac <= 0.3 AND top_frac <= 0.2 AS BIGINT) AS keep_doc
+        |FROM f ORDER BY doc_id""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, sim1, sim2, sim3, sim4,
     x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x11b, x12, x13, x14, x15,
-    x15b,
+    x15b, x16,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e9, e10, e10b,
     p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p11, p12)
 }

@@ -3244,11 +3244,16 @@ object PipelineQueries {
   // plan is identical to the fixture plan. Fractions are single IEEE
   // divisions of exact BIGINTs, so both engines produce bit-identical
   // doubles and the keep gate can compare against thresholds without a
-  // boundary hazard.
+  // boundary hazard. The metrics land in session-temp parquet before
+  // the output orderBy: a global sort directly over the heavy
+  // projection would evaluate it TWICE (the range partitioner's
+  // sampling pass executes the child plan, then the exchange executes
+  // it again — measured 2× 18 s stages at 300×); sorting the
+  // materialized 7-narrow-column table keeps the heavy pass single.
   private val x16 = QueryDef(
     "x16_repetition_filter",
     (s, dir) => {
-      docs(s, dir)
+      val metrics = docs(s, dir)
         .select(col("doc_id"), expr(tokensExpr).as("ts"), col("text"))
         .select(col("doc_id"),
           size(col("ts")).cast("long").as("n_tok"),
@@ -3269,7 +3274,9 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_tok"), col("tri_total"),
           col("tri_distinct"), col("dup3_frac"), col("top_frac"),
           col("keep_doc"))
-        .orderBy("doc_id")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_x16_").toString
+      metrics.write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp).orderBy("doc_id")
     },
     Some(
       """WITH t AS (

@@ -1093,6 +1093,19 @@ object StreamingQueries {
           writeLog(recs.filter(col("offset") >= col("t2")), root)
           slow.processAllAvailable() // stage-C batch commits the A+B position
           fast.processAllAvailable() // stage-B commit → cut to min(own, slow)
+          // Both queries pick up stage C on independent 25 ms triggers,
+          // and a source commit (where the cut runs) fires on the tick
+          // AFTER its batch completes — so the fast query's cut can
+          // race the slow group's position commit by a tick or two.
+          // Spark re-runs the cleanup every trigger, so the cut
+          // self-heals within ~one tick; poll bounded instead of
+          // asserting against the scheduler's clock (the flake showed
+          // up only inside the 139-query driver session under load).
+          val deadline = System.nanoTime + 20L * 1000 * 1000 * 1000
+          while (stageA.exists { case ((t, p), n) =>
+              FileTopicLog.startOffset(root, t, p) < n } &&
+              System.nanoTime < deadline)
+            Thread.sleep(25)
           stageA.foreach { case ((t, p), n) =>
             val b = FileTopicLog.startOffset(root, t, p)
             val slowRec = FileTopicLog.groupPositions(root, "slow")

@@ -128,11 +128,19 @@ object GenData {
       .select("vec_id", "embedding", "label")
   }
 
+  /** `spanScale` stretches the 30-day window (default 1): the driver
+    * fixture and every m-multiplied twin pack m× the events into the
+    * SAME span, so temporal density — and the true output of
+    * density-quadratic queries like j2's within-60s pair join — grows
+    * with m. A real corpus grows by TIME at roughly fixed density;
+    * `spanScale = m` generates that production shape (same rows, same
+    * keys, m× the span) for density-sensitive scale evidence. */
   def events(spark: SparkSession, rows: Long, users: Long,
-      zipf: Boolean = false, hotShare: Double = 0.0): DataFrame = {
+      zipf: Boolean = false, hotShare: Double = 0.0,
+      spanScale: Double = 1.0): DataFrame = {
     val startUs = java.time.Instant.parse("2024-01-01T00:00:00Z")
       .getEpochSecond * 1000000L
-    val spanUs = 30L * 24 * 3600 * 1000000L
+    val spanUs = (30L * 24 * 3600 * 1000000L * spanScale).toLong
     spark.range(rows).toDF("event_id")
       .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
       .withColumn("ts", expr(
@@ -309,6 +317,18 @@ object GenData {
       // b-variants; other tables are unaffected by user skew
       writeOne(events(spark, 100000L * mult, 1500L * mult, zipf = false,
         hotShare = 0.5), "events", "event_id")
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("span")) {
+      // events-only, density-matched: m× the events over m× the time
+      // span (fixed events/day — how a real corpus grows). The fixture
+      // for showing that "quadratic at m×" findings on the packed
+      // default fixture (j2's within-60s pair join) are density
+      // artifacts: at fixed density the pair count, and the join, stay
+      // linear in m.
+      writeOne(events(spark, 100000L * mult, 1500L * mult, zipf = false,
+        spanScale = mult.toDouble), "events", "event_id")
       spark.stop()
       return
     }

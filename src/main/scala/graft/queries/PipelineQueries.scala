@@ -3172,20 +3172,29 @@ object PipelineQueries {
       val termList = queryTerms.map(_._2).distinct
       val nBuckets = 64L
       // ---- build (once per corpus, amortized across query sets) ----
-      val idx = java.nio.file.Files.createTempDirectory("graft_x15b_idx_")
-        .toString
-      val base = docs(s, dir)
-        .select(col("doc_id"), expr(tokensExpr).as("ts"))
-        .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
-          col("ts"))
-      base.select(col("doc_id"), col("dl"), explode(col("ts")).as("token"))
-        .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
-        .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets)))
-        .repartition(nBuckets.toInt, col("bucket"))
-        .write.partitionBy("bucket").mode("overwrite")
-        .parquet(s"$idx/postings")
-      base.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
-        .write.mode("overwrite").parquet(s"$idx/stats")
+      // GRAFT_X15B_INDEX_DIR pins the index location so later query
+      // sets REUSE it (the actual amortization surface — and how the
+      // probe-only steady state is measured); unset, each call builds
+      // into its own session-temp dir. The `_built` marker commits a
+      // finished build: half-written indexes (crash mid-build) rebuild.
+      val idx = sys.env.get("GRAFT_X15B_INDEX_DIR").getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_x15b_idx_").toString)
+      val marker = java.nio.file.Paths.get(idx, "_built")
+      if (!java.nio.file.Files.exists(marker)) {
+        val base = docs(s, dir)
+          .select(col("doc_id"), expr(tokensExpr).as("ts"))
+          .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+            col("ts"))
+        base.select(col("doc_id"), col("dl"), explode(col("ts")).as("token"))
+          .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+          .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets)))
+          .repartition(nBuckets.toInt, col("bucket"))
+          .write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$idx/postings")
+        base.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+          .write.mode("overwrite").parquet(s"$idx/stats")
+        java.nio.file.Files.write(marker, Array.empty[Byte]): Unit
+      }
       // ---- probe (steady-state: corpus never touched) ----
       val stats = s.read.parquet(s"$idx/stats")
       val tf = s.read.parquet(s"$idx/postings")

@@ -288,10 +288,16 @@ final class DynamicTopicLogStream(root: String, maxRows: Option[Long],
     val pos = end.asInstanceOf[TopicLogOffset].positions
     groupId.foreach(g => FileTopicLog.commitGroup(root, g, pos))
     if (truncateOnCommit) {
+      // one group snapshot per commit, not per partition — the
+      // min over a stale-by-milliseconds snapshot is only ever lower
+      // (more conservative), and per-partition re-reads would re-list
+      // _groups + re-parse every group file thousands of times at
+      // reference-scale assignments
+      val snap = FileTopicLog.groupSnapshot(root)
       pos.foreach { case (t, ps) =>
         ps.foreach { case (p, off) =>
           FileTopicLog.truncateBelow(root, t, p,
-            FileTopicLog.retentionCut(root, t, p, off))
+            FileTopicLog.retentionCut(snap, root, t, p, off))
         }
       }
     }

@@ -774,6 +774,17 @@ object FileTopicLog {
     finally s.close()
   }
 
+  /** Every registered group's recorded positions, read once. A commit
+    * that truncates N partitions takes ONE snapshot and cuts all N
+    * against it — per-partition re-reads would re-list `_groups` and
+    * re-parse every group file N times (at 1000 TPs that I/O swamps
+    * the stamp-cached metadata walk). Safe because staleness is
+    * one-sided: a group advancing DURING the commit only raises its
+    * position, and cutting against the older, lower snapshot value
+    * cuts LESS — strictly more conservative, never data loss. */
+  def groupSnapshot(root: String): Seq[Map[String, Map[Int, Long]]] =
+    groups(root).map(groupPositions(root, _))
+
   /** The safe retention cut for one partition: the committing query's
     * own position clamped to the min across every registered group
     * (an unrecorded (topic, partition) in a registered group counts as
@@ -781,9 +792,13 @@ object FileTopicLog {
     * `own` — the legacy single-consumer retention semantics. */
   def retentionCut(root: String, topic: String, partition: Int,
       own: Long): Long =
-    groups(root).foldLeft(own) { (cut, g) =>
-      math.min(cut, groupPositions(root, g)
-        .getOrElse(topic, Map.empty[Int, Long])
+    retentionCut(groupSnapshot(root), root, topic, partition, own)
+
+  /** [[retentionCut]] against a pre-read [[groupSnapshot]]. */
+  def retentionCut(snapshot: Seq[Map[String, Map[Int, Long]]],
+      root: String, topic: String, partition: Int, own: Long): Long =
+    snapshot.foldLeft(own) { (cut, g) =>
+      math.min(cut, g.getOrElse(topic, Map.empty[Int, Long])
         .getOrElse(partition, state(root, topic, partition).base))
     }
 

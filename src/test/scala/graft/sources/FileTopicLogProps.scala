@@ -119,7 +119,11 @@ object FileTopicLogProps extends Properties("FileTopicLog") {
         g -> (if (ps.isEmpty) base else ps.max) // merge-max; none => base
       }
       val want = (own +: modelPos.values.toSeq).min
-      FileTopicLog.retentionCut(root, "t", 0, own) == want
+      // the per-call form and the snapshot form (what commit() uses —
+      // one _groups read for N partitions) must agree
+      FileTopicLog.retentionCut(root, "t", 0, own) == want &&
+        FileTopicLog.retentionCut(FileTopicLog.groupSnapshot(root),
+          root, "t", 0, own) == want
     }
 
   propertyWithSeed("appendAt drops re-offered prefixes exactly", None) =

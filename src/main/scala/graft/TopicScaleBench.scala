@@ -89,8 +89,26 @@ object TopicScaleBench {
       val end = FileTopicLog.endOffsets(root)
       require(end(topics.head)(0) > 1L, "dirty commits must be visible")
       require(end.size == nTopics && end.forall(_._2.size == parts))
+      // retention-cut cost of one truncating commit over EVERY assigned
+      // partition, with 3 registered consumer groups: the snapshot form
+      // (one _groups read per commit — what commit() does since r13) vs
+      // naive per-partition re-reads (the per-call overload's shape)
+      Seq("g1", "g2", "g3").foreach { g =>
+        FileTopicLog.registerGroup(root, g)
+        FileTopicLog.commitGroup(root, g,
+          topics.map(t => t -> (0 until parts).map(p => p -> 1L).toMap).toMap)
+      }
+      val cutSnap = time {
+        val snap = FileTopicLog.groupSnapshot(root)
+        topics.foreach(t => (0 until parts).foreach(p =>
+          FileTopicLog.retentionCut(snap, root, t, p, 1L): Unit))
+      }
+      val cutPer = time {
+        topics.foreach(t => (0 until parts).foreach(p =>
+          FileTopicLog.retentionCut(root, t, p, 1L): Unit))
+      }
       (nTopics * parts,
-        f""""tps_${nTopics * parts}":{"uncached_ms":$uncached%.3f,"steady_ms":$steady%.3f,"dirty1_ms":$dirty%.3f}""")
+        f""""tps_${nTopics * parts}":{"uncached_ms":$uncached%.3f,"steady_ms":$steady%.3f,"dirty1_ms":$dirty%.3f,"cut_snapshot_ms":$cutSnap%.3f,"cut_perpart_ms":$cutPer%.3f}""")
     }
     val ratio = {
       val walks = out.map(_._1)

@@ -3031,69 +3031,21 @@ object PipelineQueries {
   // postings + per-doc norms once, and each query set probes the
   // term-bucketed index instead of rescanning the corpus; the scoring
   // and ranking shape here carries over unchanged.
+  // The full scan-form design (one corpus pass, in-row tf vectors, the
+  // corpus never reaching an exchange, exact micro-unit arithmetic,
+  // WindowGroupLimit top-k) lives in operators/Retrieval.scala — this
+  // entry is the catalog binding of that capability to the fixture
+  // corpus and the standing 4-query term set.
+  private val bm25QueryTerms: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "stream", 1L -> "join",
+    2L -> "fast", 2L -> "query",
+    3L -> "hash", 3L -> "table", 3L -> "scan",
+    4L -> "slow", 4L -> "window", 4L -> "merge")
+
   private val x15 = QueryDef(
     "x15_bm25_topk",
-    (s, dir) => {
-      val queryTerms: Seq[(Long, String)] = Seq(
-        1L -> "spark", 1L -> "stream", 1L -> "join",
-        2L -> "fast", 2L -> "query",
-        3L -> "hash", 3L -> "table", 3L -> "scan",
-        4L -> "slow", 4L -> "window", 4L -> "merge")
-      import s.implicits._
-      val terms = queryTerms.toDF("query_id", "token")
-      val termList = queryTerms.map(_._2).distinct
-      // ONE corpus scan: tokenize once, emit (doc_id, dl, per-term tf
-      // vector) — 13 narrow columns — to session-temp parquet (x14's
-      // materialization pattern: nothing stays pinned, survives
-      // executor loss). Corpus stats, document frequencies, and the
-      // scored rows all derive from the tiny table, never rescanning
-      // (or re-tokenizing) the corpus.
-      val termArr = termList.map(t => s"'$t'").mkString("array(", ", ", ")")
-      val base = docs(s, dir)
-        .select(col("doc_id"), expr(tokensExpr).as("ts"))
-        .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
-          expr(s"transform($termArr, q -> size(filter(ts, t -> t = q)))")
-            .as("tfs"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_x15_tf_").toString
-      base.write.mode("overwrite").parquet(tmp)
-      val bd = s.read.parquet(tmp)
-      val stats = bd.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
-      val tf = bd
-        .select(col("doc_id"), col("dl"),
-          posexplode(col("tfs")).as(Seq("i", "tfi")))
-        .filter(col("tfi") > 0)
-        .select(col("doc_id"), col("dl"),
-          element_at(typedLit(termList), col("i") + 1).as("token"),
-          col("tfi").cast("long").as("tf"))
-      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      // op-for-op the same arithmetic as the oracle SQL: every input is
-      // an exact BIGINT, each double op is IEEE-determined
-      // left-to-right, and the one libm call (ln) matches across
-      // engines on identical args (x14's proven envelope); floor to
-      // micro-units makes the per-group sum order-independent
-      val scored = tf
-        .join(broadcast(dfreq), "token")
-        .join(broadcast(terms), "token")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log(((col("n") - col("df")).cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5)) + lit(1.0)))
-        .withColumn("c",
-          floor(col("idf") * (col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
-              lit(0.75) * col("dl").cast("double") * col("n").cast("double") /
-                col("sumdl").cast("double"))) * lit(1000000.0)).cast("long"))
-        .groupBy("query_id", "doc_id")
-        .agg(sum("c").as("score_micro"))
-      scored
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("query_id")
-            .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
-        .filter(col("rank") <= 10)
-        .select(col("query_id"), col("rank"), col("doc_id").cast("long")
-          .as("doc_id"), col("score_micro"))
-        .orderBy("query_id", "rank")
-    },
+    (s, dir) =>
+      graft.operators.Retrieval.bm25TopK(docs(s, dir), bm25QueryTerms, 10),
     Some(
       """WITH terms(query_id, token) AS (VALUES
         |    (1, 'spark'), (1, 'stream'), (1, 'join'),
@@ -3148,7 +3100,8 @@ object PipelineQueries {
   // x11 inverted-index shape), then every probe reads ONLY the query
   // terms' buckets via partition pruning and never touches the corpus.
   // Index layout: postings (token, doc_id, tf, dl) written
-  // `partitionBy(bucket = hash(token) % 64)` after a repartition on the
+  // `partitionBy(bucket = hash(token) % nBuckets)` — nBuckets
+  // corpus-scaled (Retrieval.adaptiveBuckets) — after a repartition on the
   // bucket (one file per bucket, no small-files storm); dl is
   // DENORMALIZED into each posting — Lucene's norms-per-posting trade:
   // +8 bytes/row buys scoring without a corpus-sized doc-length join,
@@ -3162,83 +3115,25 @@ object PipelineQueries {
   private val x15b = QueryDef(
     "x15b_bm25_indexed",
     (s, dir) => {
-      val queryTerms: Seq[(Long, String)] = Seq(
-        1L -> "spark", 1L -> "stream", 1L -> "join",
-        2L -> "fast", 2L -> "query",
-        3L -> "hash", 3L -> "table", 3L -> "scan",
-        4L -> "slow", 4L -> "window", 4L -> "merge")
-      import s.implicits._
-      val terms = queryTerms.toDF("query_id", "token")
-      val termList = queryTerms.map(_._2).distinct
-      val nBuckets = 64L
-      // ---- build (once per corpus, amortized across query sets) ----
       // GRAFT_X15B_INDEX_DIR pins the index location so later query
       // sets REUSE it (the actual amortization surface — and how the
       // probe-only steady state is measured); unset, each call builds
-      // into its own session-temp dir. The `_built` marker commits a
-      // finished build: half-written indexes (crash mid-build) rebuild.
+      // into its own session-temp dir. Reuse is guarded by the
+      // fingerprinted `_built` marker (Retrieval.ensureIndex): a
+      // regenerated/switched fixture changes the documents.parquet
+      // fingerprint and forces a rebuild instead of silently serving
+      // top-k from the stale corpus; a half-written index (crash
+      // mid-build) has no marker and rebuilds. nBuckets is
+      // corpus-scaled (Retrieval.adaptiveBuckets) so bucket files stay
+      // near fixed size as the corpus grows.
       val idx = sys.env.get("GRAFT_X15B_INDEX_DIR").getOrElse(
         java.nio.file.Files.createTempDirectory("graft_x15b_idx_").toString)
-      val marker = java.nio.file.Paths.get(idx, "_built")
-      if (!java.nio.file.Files.exists(marker)) {
-        val base = docs(s, dir)
-          .select(col("doc_id"), expr(tokensExpr).as("ts"))
-          .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
-            col("ts"))
-        base.select(col("doc_id"), col("dl"), explode(col("ts")).as("token"))
-          .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
-          .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets)))
-          .repartition(nBuckets.toInt, col("bucket"))
-          .write.partitionBy("bucket").mode("overwrite")
-          .parquet(s"$idx/postings")
-        base.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
-          .write.mode("overwrite").parquet(s"$idx/stats")
-        java.nio.file.Files.write(marker, Array.empty[Byte]): Unit
-      }
-      // ---- probe (steady-state: corpus never touched) ----
-      val stats = s.read.parquet(s"$idx/stats")
-      val tf = s.read.parquet(s"$idx/postings")
-        .filter(col("bucket").isin(bucketIdsOf(s, termList, nBuckets): _*) &&
-          col("token").isInCollection(termList))
-        .select(col("doc_id"), col("dl"), col("token"),
-          col("tf").cast("long").as("tf"))
-      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val scored = tf
-        .join(broadcast(dfreq), "token")
-        .join(broadcast(terms), "token")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log(((col("n") - col("df")).cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5)) + lit(1.0)))
-        .withColumn("c",
-          floor(col("idf") * (col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
-              lit(0.75) * col("dl").cast("double") * col("n").cast("double") /
-                col("sumdl").cast("double"))) * lit(1000000.0)).cast("long"))
-        .groupBy("query_id", "doc_id")
-        .agg(sum("c").as("score_micro"))
-      scored
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("query_id")
-            .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
-        .filter(col("rank") <= 10)
-        .select(col("query_id"), col("rank"), col("doc_id").cast("long")
-          .as("doc_id"), col("score_micro"))
-        .orderBy("query_id", "rank")
+      val fp = graft.operators.Retrieval.pathFingerprint(
+        s"$dir/documents.parquet")
+      graft.operators.Retrieval.ensureIndex(docs(s, dir), idx, fp)
+      graft.operators.Retrieval.probeIndex(s, idx, bm25QueryTerms, 10)
     },
     x15.oracle)
-
-  /** Bucket ids of the given tokens under the SAME xxhash64 the index
-    * write used — computed through a Spark expression (not a JVM
-    * reimplementation) so probe-side pruning can never drift from the
-    * engine's hash. One metadata-sized local eval. */
-  private def bucketIdsOf(s: org.apache.spark.sql.SparkSession,
-      tokens: Seq[String], nBuckets: Long): Seq[Long] = {
-    import s.implicits._
-    tokens.toDF("token")
-      .select(pmod(xxhash64(col("token")), lit(nBuckets)).as("b"))
-      .collect().map(_.getLong(0)).toSeq.distinct
-  }
 
   // X16 — REPETITION QUALITY FILTER (the Gopher/MassiveText repetition
   // rules): per-document duplicate-trigram fraction

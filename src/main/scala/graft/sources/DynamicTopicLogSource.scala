@@ -286,21 +286,28 @@ final class DynamicTopicLogStream(root: String, maxRows: Option[Long],
     * also publishes its own positions here on every commit. */
   override def commit(end: Offset): Unit = {
     val pos = end.asInstanceOf[TopicLogOffset].positions
-    groupId.foreach(g => FileTopicLog.commitGroup(root, g, pos))
     if (truncateOnCommit) {
       // one group snapshot per commit, not per partition — the
       // min over a stale-by-milliseconds snapshot is only ever lower
       // (more conservative), and per-partition re-reads would re-list
       // _groups + re-parse every group file thousands of times at
-      // reference-scale assignments
-      val snap = FileTopicLog.groupSnapshot(root)
-      pos.foreach { case (t, ps) =>
-        ps.foreach { case (p, off) =>
-          FileTopicLog.truncateBelow(root, t, p,
-            FileTopicLog.retentionCut(snap, root, t, p, off))
+      // reference-scale assignments. The snapshot AND the cuts run
+      // under the group lock, serializing with registerGroup: "from
+      // registration the group blocks retention" holds exactly — no
+      // one-commit window where a just-registered group is invisible
+      // to an in-flight cut. Cheap to hold: the snapshot+cut pass is
+      // ~ms even at 1000-TP assignments (see TopicScaleBench).
+      FileTopicLog.withGroupsLock(root) {
+        groupId.foreach(g => FileTopicLog.commitGroup(root, g, pos))
+        val snap = FileTopicLog.groupSnapshot(root)
+        pos.foreach { case (t, ps) =>
+          ps.foreach { case (p, off) =>
+            FileTopicLog.truncateBelow(root, t, p,
+              FileTopicLog.retentionCut(snap, root, t, p, off))
+          }
         }
       }
-    }
+    } else groupId.foreach(g => FileTopicLog.commitGroup(root, g, pos))
   }
   override def stop(): Unit = ()
 }

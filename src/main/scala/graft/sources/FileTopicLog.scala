@@ -699,6 +699,53 @@ object FileTopicLog {
   // how a fresh checkpoint seeds from the retained base.
 
   private def groupsDir(root: String): Path = Paths.get(root, "_groups")
+
+  // One mutual exclusion domain per root for group registration,
+  // position commits, and the snapshot-then-truncate sequence.
+  // Cross-process: an OS file lock on `_groups/.lock` (registration and
+  // truncation may come from different JVMs — a bench registering while
+  // a pipeline commits). In-process: a per-root ReentrantLock, both
+  // because overlapping FileLocks in one JVM throw instead of blocking
+  // and because the commit path re-enters (commit() holds the lock
+  // around commitGroup + snapshot + truncate).
+  private val groupsJvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.locks.ReentrantLock]()
+
+  /** Run `body` holding the root's group lock. Closes the
+    * register-vs-truncating-commit race: a registration either
+    * completes before a commit's group snapshot (and blocks that
+    * commit's cut) or starts after the whole cut (and records the
+    * already-truncated base) — never the in-between where a commit
+    * snapshots, a group registers, and the cut proceeds without it. */
+  private[graft] def withGroupsLock[T](root: String)(body: => T): T = {
+    val canonical = Paths.get(root).toAbsolutePath.normalize.toString
+    val jvm = groupsJvmLocks.computeIfAbsent(canonical,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    if (jvm.isHeldByCurrentThread) { // re-entry: file lock is already ours
+      jvm.lock(); try body finally jvm.unlock()
+    } else {
+      jvm.lock()
+      try {
+        Files.createDirectories(groupsDir(root))
+        val ch = java.nio.channels.FileChannel.open(
+          groupsDir(root).resolve(".lock"),
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        try {
+          val fl = ch.lock()
+          try body finally fl.release()
+        } finally ch.close()
+      } finally jvm.unlock()
+    }
+  }
+
+  /** Current base (log-start) position of every whitelisted
+    * (topic, partition) — what a registering group pins. */
+  private def basePositions(root: String): Map[String, Map[Int, Long]] =
+    whitelist(root).map { t =>
+      t -> partitionsOf(root, t)
+        .map(p => p -> state(root, t, p).base).toMap
+    }.toMap.filter(_._2.nonEmpty)
   private def groupFile(root: String, group: String): Path = {
     require(group.nonEmpty && group.forall(c =>
       c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
@@ -708,19 +755,36 @@ object FileTopicLog {
 
   /** Register a consumer group (idempotent; never clobbers recorded
     * positions). From registration until its first commit the group
-    * blocks retention on every partition. */
-  def registerGroup(root: String, group: String): Unit = {
-    val f = groupFile(root, group)
-    Files.createDirectories(groupsDir(root))
-    try Files.write(f, "{}".getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE_NEW): Unit
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
-  }
+    * blocks retention on every partition. The pin is EXPLICIT data:
+    * registration records the current base of every whitelisted
+    * (topic, partition) under the group lock, so a registration racing
+    * a truncating commit is serialized — it either lands before the
+    * commit's group snapshot (blocking that cut) or after the whole
+    * cut (recording the already-truncated base); there is no
+    * in-between commit that truncates past an invisible registrant.
+    * Partitions that appear after registration stay unrecorded and
+    * default to their current base in [[retentionCut]] (still a full
+    * block until the group's first commit covers them). */
+  def registerGroup(root: String, group: String): Unit =
+    withGroupsLock(root) {
+      val f = groupFile(root, group)
+      if (!Files.exists(f))
+        atomicWrite(f, TopicLogOffset(basePositions(root)).json()
+          .getBytes(StandardCharsets.UTF_8))
+    }
 
   /** Record a group's committed positions (merge-max with what is
-    * already recorded — positions are monotonic per group). */
+    * already recorded — positions are monotonic per group). The
+    * read-merge-write runs under the group lock: two writers sharing a
+    * groupId (registerGroup is idempotent and silent, so nothing
+    * prevents it) can no longer interleave and lose the higher merged
+    * position — monotonicity holds even under a misconfigured shared
+    * group, where the recorded position is then the max of the two
+    * writers (retention tracks the furthest committer; the SLOWER
+    * sharer is mis-tracked, which is the inherent cost of sharing one
+    * groupId, not of this merge). */
   def commitGroup(root: String, group: String,
-      positions: Map[String, Map[Int, Long]]): Unit = {
+      positions: Map[String, Map[Int, Long]]): Unit = withGroupsLock(root) {
     val prev = groupPositions(root, group)
     val topics = prev.keySet ++ positions.keySet
     val merged = topics.map { t =>
@@ -747,7 +811,26 @@ object FileTopicLog {
     * this one idempotent call. Records below the remaining groups' min
     * become reclaimable at the next truncating commit. */
   def unregisterGroup(root: String, group: String): Unit =
-    Files.deleteIfExists(groupFile(root, group)): Unit
+    withGroupsLock(root) {
+      Files.deleteIfExists(groupFile(root, group)): Unit
+    }
+
+  /** Unregister `group` ONLY if its last registration/commit is older
+    * than `olderThanMillis` — the atomic check-then-delete an expiry
+    * policy loop needs: a commit landing between the staleness check
+    * and the delete would otherwise expire a live group (the commit
+    * bumps the file mtime under the same lock, so here the check and
+    * the delete observe one consistent state). Returns true when the
+    * group was expired. */
+  def unregisterGroupIfIdle(root: String, group: String,
+      olderThanMillis: Long): Boolean =
+    withGroupsLock(root) {
+      groupLastCommitMillis(root, group) match {
+        case Some(t) if t < olderThanMillis =>
+          Files.deleteIfExists(groupFile(root, group))
+        case _ => false
+      }
+    }
 
   /** Epoch millis of the group's registration or last committed
     * position (None when unregistered) — the staleness signal an

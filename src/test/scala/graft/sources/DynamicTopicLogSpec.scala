@@ -416,6 +416,54 @@ class DynamicTopicLogSpec extends AnyFunSuite {
     } finally fast.stop()
   }
 
+  test("registration racing a truncating commit: the group is pinned to a base it can read") {
+    // The contract "from registration the group blocks retention" must
+    // hold with NO one-commit window: a registerGroup concurrent with a
+    // commit's snapshot-then-cut either lands before the snapshot (the
+    // cut is blocked at the group's pin) or after the whole cut (the
+    // group records the already-truncated base). The broken middle —
+    // commit snapshots, group registers expecting base 0, cut deletes
+    // to 10 anyway — would leave base > pin: data the group was
+    // promised, gone. Many trials to let the scheduler find any
+    // interleaving the lock failed to exclude.
+    (1 to 40).foreach { _ =>
+      val root = freshRoot()
+      FileTopicLog.setWhitelist(root, Seq("t"))
+      FileTopicLog.append(root, "t", 0, (0 until 10).map(rec))
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val done = new java.util.concurrent.CountDownLatch(2)
+      var err: Throwable = null
+      def spawn(body: => Unit): Unit = {
+        val th = new Thread(() => {
+          start.await()
+          try body catch { case t: Throwable => err = t }
+          finally done.countDown()
+        })
+        th.setDaemon(true); th.start()
+      }
+      // thread A: the exact locked sequence DynamicTopicLogSource.commit
+      // runs for a truncating query whose own position is 10
+      spawn {
+        FileTopicLog.withGroupsLock(root) {
+          val snap = FileTopicLog.groupSnapshot(root)
+          FileTopicLog.truncateBelow(root, "t", 0,
+            FileTopicLog.retentionCut(snap, root, "t", 0, 10L))
+        }
+      }
+      // thread B: a consumer group registering concurrently
+      spawn { FileTopicLog.registerGroup(root, "late") }
+      start.countDown()
+      assert(done.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      if (err != null) throw err
+      val base = FileTopicLog.startOffset(root, "t", 0)
+      val pin = FileTopicLog.groupPositions(root, "late")("t")(0)
+      assert(base <= pin,
+        s"base $base outran the group's pin $pin — registration lost data")
+      assert((base, pin) == (0L, 0L) || (base, pin) == (10L, 10L),
+        s"serialization must yield register-first (0,0) or cut-first (10,10), got ($base,$pin)")
+    }
+  }
+
   test("truncation sweeps crash garbage from dead cleaner runs") {
     // A cleaner crash can leave (a) epoch-named tmps (died before
     // publish) and (b) data files of a superseded epoch (died between

@@ -560,4 +560,55 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(heavyFilters.isEmpty,
       s"chunk expression recomputed inside a Filter (pushdown regression):\n${heavyFilters.mkString("\n")}")
   }
+
+  // ---- unpartitioned windows: provably aggregate-bounded ----
+  // Bench stderr shows `WindowExec: No Partition Defined` for the
+  // documented global-total windows (q20's design note: the window form
+  // is single-scan where a second agg branch re-planned the lineitem
+  // scan). Benign ONLY while the window's input is an aggregate, never
+  // a corpus-sized relation — this pins that structurally, so the
+  // warning can't silently start meaning "global sort of the corpus".
+
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+  import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+  import org.apache.spark.sql.execution.window.WindowExec
+
+  /** Children, piercing AQE stage / reuse wrappers (QueryStageExec and
+    * ReusedExchangeExec are leaves to TreeNode traversal but hold the
+    * real subtree). */
+  private def through(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+    case q: QueryStageExec => Seq(q.plan)
+    case r: ReusedExchangeExec => Seq(r.child)
+    case other => other.children
+  }
+  private def flattenPlan(p: SparkPlan): Seq[SparkPlan] =
+    p +: through(p).flatMap(flattenPlan)
+  /** Every root-to-leaf path below `p` crosses an aggregate — the input
+    * is aggregate-sized regardless of which branch produced it. */
+  private def aggBounded(p: SparkPlan): Boolean = p match {
+    case _: BaseAggregateExec => true
+    case other =>
+      val kids = through(other)
+      kids.nonEmpty && kids.forall(aggBounded)
+  }
+
+  test("unpartitioned windows rank aggregate-bounded inputs only (q20, o1)") {
+    for (name <- Seq("q20_top_part_suppliers", "o1_least_loaded")) {
+      val df = Catalog.byName(name).fn(spark, sfDir)
+      df.collect() // AQE finalizes the plan only after execution
+      val plan = df.queryExecution.executedPlan
+      val unpartitioned = flattenPlan(plan)
+        .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(unpartitioned.nonEmpty,
+        s"$name is documented to use a global-total window; none found:\n$plan")
+      unpartitioned.foreach { w =>
+        assert(aggBounded(w.child),
+          s"$name: unpartitioned window over a NON-aggregate child — " +
+            s"a corpus-sized relation would serialize through one task:\n${w.child}")
+      }
+    }
+  }
 }

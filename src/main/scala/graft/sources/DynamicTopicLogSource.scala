@@ -180,9 +180,13 @@ final class DynamicTopicLogStream(root: String, maxRows: Option[Long],
     * (`W/ConsumerFetcherThread.java:134-154`). Floor-divide shares; any
     * TP with data gets at least one row (a sub-1 share would floor to
     * zero and re-starve low-volume TPs behind a growing hot backlog —
-    * Spark's Kafka source ceils sub-1 prorations for the same reason),
-    * so a capped batch may overshoot the budget by at most one row per
-    * non-empty TP. The allocation is a pure function of
+    * Spark's Kafka source ceils sub-1 prorations for the same reason).
+    * When the budget is smaller than the number of non-empty TPs the
+    * per-TP floor itself would overshoot unboundedly, so the floor is
+    * round-robined instead: exactly `budget` TPs take 1 row, the run
+    * rotating deterministically batch-to-batch so every TP is served
+    * within ceil(#TPs/budget) batches. The aggregate plan is therefore
+    * always < 2× budget. The allocation is a pure function of
     * (start, live counts, budget): replay after a crash re-plans the
     * identical ranges. The runtime rate file (R1,
     * [[FileTopicLog.setRate]]) tightens the static `maxRowsPerTrigger`
@@ -211,18 +215,50 @@ final class DynamicTopicLogStream(root: String, maxRows: Option[Long],
       }
     }
     val total = avail.map(_._4).sum
-    val takes: Seq[((String, Int), Long)] = avail.map { case (t, p, from, a) =>
-      val take =
-        if (total <= budget) a // uncapped (or everything fits): drain all
-        else if (budget <= 0L || a == 0L) 0L
-        else {
-          // floor share via BigInt (budget * a overflows Long at scale);
-          // min 1 row keeps every non-empty TP live under a sustained cap
-          val share = (BigInt(budget) * BigInt(a) / BigInt(total)).toLong
-          math.min(a, math.max(share, 1L))
+    val nonEmptyCount = avail.count(_._4 > 0)
+    val takes: Seq[((String, Int), Long)] =
+      if (total <= budget) // uncapped (or everything fits): drain all
+        avail.map { case (t, p, from, a) => (t, p) -> (from + a) }
+      else if (budget < nonEmptyCount) {
+        // The min-1 liveness floor would make the aggregate take equal
+        // to the NUMBER of non-empty TPs — at reference-scale
+        // assignments (~1000 TPs) a small rate cap would be overshot by
+        // orders of magnitude every batch. Below the floor's break-even
+        // the guarantee is ROUND-ROBINED instead: exactly `budget` TPs
+        // (a contiguous run in canonical order, rotated by the sum of
+        // consumed positions) take 1 row each. The rotation is a pure
+        // function of (start, budget) — replays re-plan identically —
+        // and advances by `budget mod nonEmpty` per batch, whose
+        // windows cover every residue class: each stably-non-empty TP
+        // is served within ceil(nonEmpty/budget) batches. Aggregate
+        // bound across BOTH regimes: planned ≤ budget + min(budget,
+        // nonEmpty) < 2·budget — never the unbounded #TPs floor.
+        val rot = (avail.filter(_._4 > 0)
+          .map(x => BigInt(x._3)).sum % nonEmptyCount).toLong
+        var idx = 0L
+        avail.map { case (t, p, from, a) =>
+          val take =
+            if (a == 0L || budget <= 0L) 0L
+            else {
+              val i = idx; idx += 1
+              val slot = ((i - rot) % nonEmptyCount + nonEmptyCount) %
+                nonEmptyCount
+              if (slot < budget) 1L else 0L
+            }
+          (t, p) -> (from + take)
         }
-      (t, p) -> (from + take)
-    }
+      } else avail.map { case (t, p, from, a) =>
+        val take =
+          if (a == 0L) 0L
+          else {
+            // floor share via BigInt (budget * a overflows Long at
+            // scale); min 1 row keeps every non-empty TP live under a
+            // sustained cap (overshoot ≤ 1 row/TP ≤ budget here)
+            val share = (BigInt(budget) * BigInt(a) / BigInt(total)).toLong
+            math.min(a, math.max(share, 1L))
+          }
+        (t, p) -> (from + take)
+      }
     val advanced = takes.groupBy(_._1._1).map { case (t, tps) =>
       t -> tps.map { case ((_, p), pos) => p -> pos }.toMap
     }

@@ -103,25 +103,35 @@ object TopicLogPlanProps extends Properties("TopicLogPlanning") {
         .asInstanceOf[TopicLogOffset].positions
       // expected: the fair-share model — floor(budget * avail / total),
       // clamped to [1, avail] when capped (liveness: every non-empty TP
-      // advances), full drain when everything fits. Byte-for-byte what a
-      // capped batch must plan so replays are deterministic.
+      // advances), full drain when everything fits, and — when the
+      // budget is below the number of non-empty TPs — the round-robined
+      // floor: the first `budget` TPs in canonical order (rotation 0
+      // here: all start positions are 0) take exactly 1 row.
+      // Byte-for-byte what a capped batch must plan so replays are
+      // deterministic.
       val total = tps.map(_._3.toLong).sum
-      val want = tps.map { case (t, p, n) =>
-        val take =
-          if (total <= budget) n.toLong
-          else if (budget <= 0L) 0L
-          else math.min(n.toLong,
+      val sorted = tps.sortBy(t => (t._1, t._2))
+      val nonEmpty = sorted.size // genLog counts are >= 1
+      val want: Map[(String, Int), Long] =
+        if (total <= budget) sorted.map(t => (t._1, t._2) -> t._3.toLong).toMap
+        else if (budget < nonEmpty)
+          sorted.zipWithIndex.map { case ((t, p, _), i) =>
+            (t, p) -> (if (i < budget) 1L else 0L)
+          }.toMap
+        else sorted.map { case (t, p, n) =>
+          (t, p) -> math.min(n.toLong,
             math.max((BigInt(budget) * BigInt(n) / BigInt(total)).toLong, 1L))
-        (t, p) -> take
-      }.toMap
+        }.toMap
       tps.forall { case (t, p, _) =>
         end.getOrElse(t, Map.empty[Int, Long]).getOrElse(p, 0L) == want((t, p))
       }
     }
 
   /** Liveness under a sustained cap: however hot one TP is, every TP
-    * with available rows advances every batch, and the overshoot of the
-    * cap is bounded by one row per non-empty TP. */
+    * with available rows advances every batch (when the budget covers
+    * the per-TP floor; below that the floor round-robins — see the
+    * coverage property), and the aggregate plan is always < 2× the
+    * budget — never the unbounded one-row-per-TP floor. */
   propertyWithSeed("no TP with data is starved under a sustained cap", None) =
     forAll(genLog, Gen.chooseNum(1L, 30L)) { (tps, budget) =>
       val root = java.nio.file.Files
@@ -143,20 +153,59 @@ object TopicLogPlanProps extends Properties("TopicLogPlanning") {
           .asInstanceOf[TopicLogOffset].positions
         val counts = FileTopicLog.endOffsets(root)
         var planned = 0L
+        val nonEmpty = tps.map(t => (t._1, t._2)).distinct.count { case (t, p) =>
+          counts(t)(p) > pos.getOrElse(t, Map.empty[Int, Long]).getOrElse(p, 0L)
+        }
         tps.map(t => (t._1, t._2)).distinct.foreach { case (t, p) =>
           val before = pos.getOrElse(t, Map.empty[Int, Long]).getOrElse(p, 0L)
           val after = next.getOrElse(t, Map.empty[Int, Long]).getOrElse(p, 0L)
           val avail = counts(t)(p) - before
           planned += after - before
           ok &&= after >= before && after <= counts(t)(p) &&
-            (avail == 0L || after > before) // every non-empty TP advances
+            // every non-empty TP advances — per batch when the budget
+            // covers the floor; below that the round-robin serves it
+            // across batches instead
+            (avail == 0L || budget < nonEmpty || after > before)
         }
-        val nonEmpty = tps.map(t => (t._1, t._2)).distinct.count { case (t, p) =>
-          counts(t)(p) > pos.getOrElse(t, Map.empty[Int, Long]).getOrElse(p, 0L)
-        }
-        ok &&= planned <= budget + nonEmpty // bounded overshoot
+        ok &&= planned <= budget + math.min(budget, nonEmpty) // < 2× budget
         pos = next
       }
       ok
+    }
+
+  /** Below the floor's break-even (budget < #non-empty TPs) the 1-row
+    * guarantee round-robins: each batch plans EXACTLY `budget` rows,
+    * and the rotating run covers every TP within a bounded number of
+    * batches — no TP starves, no batch overshoots. */
+  propertyWithSeed("budget below #TPs: exact budget per batch, full coverage", None) =
+    forAll(Gen.chooseNum(3, 9), Gen.chooseNum(1L, 2L)) { (nTps, budget) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_rr_").toString
+      val tps = (0 until nTps).map(p => ("t00", p))
+      tps.foreach { case (t, p) =>
+        FileTopicLog.append(root, t, p, (0 until 100).map(rec))
+      }
+      FileTopicLog.setWhitelist(root, Seq("t00"))
+      val stream = new DynamicTopicLogStream(root, None)
+      val limit = org.apache.spark.sql.connector.read.streaming.ReadLimit
+        .maxRows(budget)
+      var pos: Map[String, Map[Int, Long]] = Map.empty
+      var ok = true
+      // enough batches that the rotating window must lap every TP
+      val batches = 2 * nTps
+      (0 until batches).foreach { _ =>
+        val next = stream.latestOffset(TopicLogOffset(pos), limit)
+          .asInstanceOf[TopicLogOffset].positions
+        val planned = tps.map { case (t, p) =>
+          next.getOrElse(t, Map.empty[Int, Long]).getOrElse(p, 0L) -
+            pos.getOrElse(t, Map.empty[Int, Long]).getOrElse(p, 0L)
+        }.sum
+        ok &&= planned == budget
+        pos = next
+      }
+      val served = tps.count { case (t, p) =>
+        pos.getOrElse(t, Map.empty[Int, Long]).getOrElse(p, 0L) > 0L
+      }
+      ok && served == nTps
     }
 }

@@ -84,6 +84,27 @@ object TopicScaleBench {
         FileTopicLog.append(root, topics.head, 0, Seq(rec(bump))); bump += 1
         FileTopicLog.endOffsets(root): Unit
       }
+      // continuous ingest on EVERY topic — each append bumps its dir
+      // mtime, so the racy-stamp rule keeps the listing cache cold and
+      // the exact walk re-lists every dir every trigger. The paired TTL
+      // walk (the source's listingTtlMs) reuses recent listings. The
+      // appends run BETWEEN iterations, outside the timed region: only
+      // the walk itself is measured.
+      def timeHotWalk(walk: => Unit): Double = {
+        var ns = 0L
+        (0 until iters).foreach { _ =>
+          topics.foreach(t => FileTopicLog.append(root, t, 0, Seq(rec(bump))))
+          bump += 1
+          val t0 = System.nanoTime()
+          walk
+          ns += System.nanoTime() - t0
+        }
+        ns / 1e6 / iters
+      }
+      val hotExact = timeHotWalk { FileTopicLog.endOffsets(root): Unit }
+      val hotTtl = timeHotWalk {
+        FileTopicLog.endOffsets(root, listingStalenessMs = 60000L): Unit
+      }
       // the walk must SEE the commits the dirty loop made (cache coherence
       // under measurement, not just speed)
       val end = FileTopicLog.endOffsets(root)
@@ -108,7 +129,7 @@ object TopicScaleBench {
           FileTopicLog.retentionCut(root, t, p, 1L): Unit))
       }
       (nTopics * parts,
-        f""""tps_${nTopics * parts}":{"uncached_ms":$uncached%.3f,"steady_ms":$steady%.3f,"dirty1_ms":$dirty%.3f,"cut_snapshot_ms":$cutSnap%.3f,"cut_perpart_ms":$cutPer%.3f}""")
+        f""""tps_${nTopics * parts}":{"uncached_ms":$uncached%.3f,"steady_ms":$steady%.3f,"dirty1_ms":$dirty%.3f,"allhot_exact_ms":$hotExact%.3f,"allhot_ttl_ms":$hotTtl%.3f,"cut_snapshot_ms":$cutSnap%.3f,"cut_perpart_ms":$cutPer%.3f}""")
     }
     val ratio = {
       val walks = out.map(_._1)

@@ -503,6 +503,24 @@ object FileTopicLog {
   private val listingCache =
     new java.util.concurrent.ConcurrentHashMap[Path, (StateStamp, Seq[Int])]()
 
+  // Positive short-TTL twin of the stamp cache for HOT directories:
+  // every append commit bumps the topic dir's mtime (count-file
+  // tmp+rename), so under continuous ingest the racy-stamp rule below
+  // keeps the stamp cache permanently cold and every micro-batch pays
+  // the full re-list — the cost the cache existed to remove (~60% of a
+  // 1000-TP walk). Every exact listing is also recorded here with its
+  // wall-clock; callers that opt into BOUNDED STALENESS
+  // ([[partitionsOf]] with maxStalenessMs > 0 — the source's
+  // `listingTtlMs` option) reuse a recent listing instead of
+  // re-listing. Kafka's own consumers discover new partitions with up
+  // to `metadata.max.age.ms` (default 5 min!) of delay — a
+  // trigger-interval TTL here is the same contract, scoped to the one
+  // metadata read whose exactness is not load-bearing per batch (a
+  // partition surfacing one trigger late is indistinguishable from it
+  // having been created one trigger later).
+  private val hotListingCache =
+    new java.util.concurrent.ConcurrentHashMap[Path, (Long, Seq[Int])]()
+
   /** Partition ids present for a topic (from `p<P>.count` files).
     *
     * Caching a DIRECTORY listing is racier than caching a rename-
@@ -527,10 +545,13 @@ object FileTopicLog {
     if (!attrs.isDirectory) return Seq.empty
     val stamp = StateStamp(attrs.fileKey, attrs.lastModifiedTime, attrs.size)
     val hit = listingCache.get(d)
-    if (hit != null && hit._1 == stamp) hit._2
-    else {
+    if (hit != null && hit._1 == stamp) {
+      hotListingCache.put(d, (System.currentTimeMillis(), hit._2))
+      hit._2
+    } else {
       val listed =
         try {
+          listingWalks.incrementAndGet(): Unit
           val s = Files.list(d)
           try s.iterator().asScala
             .map(_.getFileName.toString)
@@ -549,9 +570,35 @@ object FileTopicLog {
         if (listingCache.size() > 100000) listingCache.clear()
         listingCache.put(d, (stamp, listed))
       }
+      if (hotListingCache.size() > 100000) hotListingCache.clear()
+      hotListingCache.put(d, (System.currentTimeMillis(), listed))
       listed
     }
   }
+
+  /** [[partitionsOf]] with opt-in bounded staleness: a listing of this
+    * topic recorded within the last `maxStalenessMs` is reused without
+    * touching the filesystem — the steady-state walk cost under
+    * continuous ingest, where every append bumps the dir mtime and the
+    * exact path must re-list every trigger. `maxStalenessMs <= 0` is
+    * the exact path. A new partition becomes visible at most
+    * `maxStalenessMs` late (one trigger, with the source's
+    * `listingTtlMs` = trigger interval) — the `metadata.max.age.ms`
+    * contract, never applied to committed COUNTS (data availability
+    * stays exact; only the partition-set discovery is TTL'd). */
+  def partitionsOf(root: String, topic: String,
+      maxStalenessMs: Long): Seq[Int] = {
+    if (maxStalenessMs > 0) {
+      val hot = hotListingCache.get(dir(root, topic))
+      if (hot != null &&
+        System.currentTimeMillis() - hot._1 < maxStalenessMs) return hot._2
+    }
+    partitionsOf(root, topic)
+  }
+
+  /** Count of actual directory walks (cache misses) — observability
+    * for specs and the scale bench; not part of the API surface. */
+  private[graft] val listingWalks = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Margin under which a directory mtime counts as "could still be
     * racing": covers coarse-clock filesystem timestamp granularity
@@ -676,10 +723,14 @@ object FileTopicLog {
   }
 
   /** End offsets (committed counts) for every (whitelisted topic,
-    * partition): the per-batch metadata read. */
-  def endOffsets(root: String): Map[String, Map[Int, Long]] =
+    * partition): the per-batch metadata read. `listingStalenessMs > 0`
+    * lets the partition-set discovery reuse listings that recent
+    * (bounded staleness — see [[partitionsOf]]); counts are always
+    * read exact. */
+  def endOffsets(root: String,
+      listingStalenessMs: Long = 0L): Map[String, Map[Int, Long]] =
     whitelist(root).map { t =>
-      t -> partitionsOf(root, t)
+      t -> partitionsOf(root, t, listingStalenessMs)
         .map(p => p -> committedCount(root, t, p)).toMap
     }.toMap
 

@@ -820,6 +820,69 @@ class DynamicTopicLogSpec extends AnyFunSuite {
       "a fresh-mtime listing must not be cached — the next walk re-lists")
   }
 
+  test("bounded-staleness listing: hot dirs stop re-listing, exactness on demand") {
+    // Under continuous ingest every append bumps the topic dir mtime,
+    // so the exact path re-lists every call (the racy-stamp rule). The
+    // opt-in TTL path must (a) serve a recent listing WITHOUT a walk,
+    // (b) stay bounded: the exact path — what ttl=0 callers and data
+    // counts use — always sees new partitions immediately, and the TTL
+    // path catches up as soon as the exact path has re-listed.
+    val root = freshRoot()
+    FileTopicLog.append(root, "t", 0, (0 until 2).map(rec))
+    assert(FileTopicLog.partitionsOf(root, "t") === Seq(0))
+    val walks0 = FileTopicLog.listingWalks.get()
+    // (a) hot reuse: a 10-minute TTL must serve from the hot cache
+    (1 to 5).foreach { _ =>
+      assert(FileTopicLog.partitionsOf(root, "t", 600000L) === Seq(0))
+    }
+    assert(FileTopicLog.listingWalks.get() === walks0,
+      "TTL reads within staleness must not walk the directory")
+    // a new partition appears: the TTL path may serve the stale set...
+    FileTopicLog.append(root, "t", 1, (0 until 2).map(rec))
+    assert(FileTopicLog.partitionsOf(root, "t", 600000L) === Seq(0),
+      "bounded staleness: the pre-append listing is within its TTL")
+    // ...but the EXACT path sees it immediately (data counts and
+    // ttl=0 sources are never stale) and refreshes the hot cache
+    assert(FileTopicLog.partitionsOf(root, "t") === Seq(0, 1))
+    assert(FileTopicLog.partitionsOf(root, "t", 600000L) === Seq(0, 1),
+      "the TTL path serves the refreshed listing")
+    // ttl=0 is byte-for-byte the exact path
+    FileTopicLog.append(root, "t", 2, (0 until 2).map(rec))
+    assert(FileTopicLog.partitionsOf(root, "t", 0L) === Seq(0, 1, 2))
+  }
+
+  test("a listingTtlMs source discovers an expanded partition within the TTL") {
+    // end-to-end: a stream with bounded-staleness discovery still picks
+    // up a partition created mid-query — just possibly one TTL late.
+    val root = freshRoot()
+    val base = Files.createTempDirectory("graft_ttlq_").toString
+    FileTopicLog.setWhitelist(root, Seq("t"))
+    FileTopicLog.append(root, "t", 0, (0 until 3).map(rec))
+    val q = s.readStream.format("graft-topiclog").option("path", root)
+      .option("listingTtlMs", "200")
+      .load()
+      .selectExpr("cast(value as string) AS v", "partition", "offset")
+      .writeStream.format("parquet")
+      .option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable()
+      FileTopicLog.append(root, "t", 1, (0 until 2).map(rec))
+      // poll-bounded-wait: discovery is allowed to lag by the TTL, so
+      // processAllAvailable alone can't be trusted right after the append
+      val deadline = System.currentTimeMillis() + 15000L
+      var n = 0L
+      while (n < 5L && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        n = try sinkDf(s"$base/sink").count() catch { case _: Throwable => 0L }
+        if (n < 5L) Thread.sleep(100L)
+      }
+      assert(n === 5L, "the expanded partition lands within the TTL")
+    } finally q.stop()
+  }
+
   test("legacy bare-integer count files still parse (and upgrade on append)") {
     val root = freshRoot()
     FileTopicLog.append(root, "t", 0, (0 until 7).map(rec))

@@ -1126,6 +1126,99 @@ object StreamingQueries {
     },
     k2.oracle)
 
+  // K2e — GROUP-EXPIRY GOVERNANCE under the oracle: k2d proved a
+  // registered group PINS retention; this proves the policy loop
+  // RELEASES an abandoned pin without costing the pipeline a record.
+  // One truncating replication pipeline (groupId "fast") runs against
+  // a log where a second group registered and went silent — the
+  // operator-forgot-to-unregister case. Phases: (1) with the abandoned
+  // group registered, a commit that wants to cut is blocked at base 0;
+  // (2) the group's liveness stamp ages past the TTL (mtime backdate —
+  // the same signal a real idle group shows) and one
+  // [[GroupExpiryService]] pass expires exactly it; (3) the next
+  // commits advance retention past the previously-pinned records. The
+  // pipeline's replicated output then faces the same full-relation
+  // hash gate as k2: expiry released storage without reordering,
+  // duplicating, or dropping anything. Expiry-vs-live-commit atomicity
+  // is the group lock's job (GroupExpiryServiceSpec); here the policy
+  // loop is exercised against a RUNNING query under the oracle.
+  private val k2eRuns = new java.util.concurrent.atomic.AtomicLong(0)
+  private val k2e = QueryDef(
+    "k2e_group_expiry",
+    (s, dir) => {
+      import graft.sources.FileTopicLog
+      import org.apache.spark.sql.expressions.Window
+      val root = java.nio.file.Files.createTempDirectory("graft_k2e_log_").toString
+      val recs = logRecords(s, dir)
+        .withColumn("tp_n",
+          count(lit(1)).over(Window.partitionBy("topic", "partition")))
+        .withColumn("t1", (col("tp_n") / 3).cast("long"))
+        .withColumn("t2", (col("tp_n") * 2 / 3).cast("long"))
+      val topics = eventTopics(s, dir)
+      writeLog(recs.filter(col("offset") < col("t1")), root)
+      val stageA = recs.filter(col("offset") < col("t1"))
+        .groupBy("topic", "partition").count().collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      FileTopicLog.setWhitelist(root, topics)
+      FileTopicLog.registerGroup(root, "abandoned")
+      val base = s"$e3TmpRoot/k2e_${k2eRuns.incrementAndGet()}"
+      val src = s.readStream.format("graft-topiclog")
+        .option("path", root)
+        .option("truncateOnCommit", "true")
+        .option("groupId", "fast")
+        .load()
+      val q = graft.streaming.ReplicationPipeline.parquetSink(
+          graft.streaming.ReplicationPipeline.transform(src,
+            k2Spec.copy(name = "k2e")),
+          s"$base/out", s"$base/ckpt", availableNow = false)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("25 milliseconds"))
+        .start()
+      try {
+        q.processAllAvailable()
+        writeLog(recs.filter(col("offset") >= col("t1") &&
+          col("offset") < col("t2")), root)
+        q.processAllAvailable() // stage-A commit fired → wants to cut
+        require(topics.forall(t => FileTopicLog.partitionsOf(root, t)
+            .forall(p => FileTopicLog.startOffset(root, t, p) == 0L)),
+          "the abandoned group must block retention until expired")
+        // the group goes idle past the TTL (liveness is the group
+        // file's mtime; backdating it is exactly the stamp a real
+        // abandoned group shows after ttl of silence)
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(root, "_groups", "abandoned.json"),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 120000L))
+        val expired = new graft.streaming.GroupExpiryService(root,
+          ttlMillis = 60000L).expireOnce()
+        require(expired == Seq("abandoned"),
+          s"exactly the idle group must expire (got $expired); " +
+            "the live query's own group never ages while committing")
+        // the cut runs at each batch's source commit, so the release
+        // shows at the commit AFTER the next data lands — write stage
+        // C, drain, and poll bounded (commits lag their batch by a
+        // trigger tick, the k2d adjudication)
+        writeLog(recs.filter(col("offset") >= col("t2")), root)
+        q.processAllAvailable()
+        val deadline = System.nanoTime + 20L * 1000 * 1000 * 1000
+        while (stageA.exists { case ((t, p), n) =>
+            FileTopicLog.startOffset(root, t, p) < n } &&
+            System.nanoTime < deadline)
+          Thread.sleep(25)
+        stageA.foreach { case ((t, p), n) =>
+          require(FileTopicLog.startOffset(root, t, p) >= n,
+            s"retention must advance past the released pin at $t/$p")
+        }
+      } finally q.stop()
+      s.read.parquet(s"$base/out")
+        .select(expr("cast(cast(headers[0].value as string) as long)")
+            .as("event_id"),
+          col("topic"),
+          col("partition").cast("long").as("dst_partition"),
+          col("offset"))
+        .orderBy("event_id")
+    },
+    k2.oracle)
+
   val defs: Seq[QueryDef] =
-    Seq(k2, s2, s2b, k2b, k2c, k2d, e3, d7, d8, d12, d13, d14, e4, e6, e7)
+    Seq(k2, s2, s2b, k2b, k2c, k2d, k2e, e3, d7, d8, d12, d13, d14, e4, e6, e7)
 }

@@ -9,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * `ControllerInstance` (`controller/ControllerStarter.java:49-90`,
  * `controller/ControllerInstance.java:71-118,163-216`): route manager,
  * crash supervisor, auto-whitelisting loop, 60-s validation loop, state
- * backup loop and the REST surface on a real port.
+ * backup loop, optional consumer-group expiry loop and the REST surface
+ * on a real port.
  *
  * Every component remains independently constructible (the specs drive
  * them standalone); this class only owns construction order, start order
@@ -38,7 +39,8 @@ final class GraftController(
     isLeader: () => Boolean = () => true,
     fencingToken: () => Long = () => -1L,
     gitBackup: Boolean = false,
-    httpPort: Int = 0) {
+    httpPort: Int = 0,
+    groupExpiry: Option[(String, Long)] = None) {
 
   val manager = new PipelineManager(spark)
   val supervisor = new RouteSupervisor(manager)
@@ -47,6 +49,12 @@ final class GraftController(
   val validation = new ValidationService(idealView, externalView, isLeader)
   val backup =
     new StateBackupManager(manager, backupDir, gitBackup, isLeader, fencingToken)
+  // (logRoot, ttlMillis): the offsets.retention.minutes analog over the
+  // topic-log's consumer groups — leader-gated like validation/backup,
+  // so one controller applies retention policy per log root
+  val expiry = groupExpiry.map { case (root, ttl) =>
+    new GroupExpiryService(root, ttl, isLeader)
+  }
   val api = new AdminApi(manager, admission, feeds)
   val http = new AdminHttpServer(api, Some(validation), httpPort)
 
@@ -68,6 +76,7 @@ final class GraftController(
     validation.start(validationPeriodSeconds)
     whitelistPipeline.foreach(whitelister.start(_, whitelistPeriodSeconds))
     backup.start(backupPeriodSeconds)
+    expiry.foreach(_.start())
     http.start()
     started = true
   }
@@ -76,6 +85,7 @@ final class GraftController(
   def stop(): Unit = synchronized {
     if (started) {
       http.stop()
+      expiry.foreach(_.stop())
       backup.stop()
       whitelister.stop()
       validation.stop()

@@ -96,4 +96,43 @@ class GraftControllerSpec extends AnyFunSuite {
     // idempotent: a second stop (post-shutdown) must not throw
     ctrl.stop()
   }
+
+  test("the wired group-expiry loop releases an abandoned pin, leader-gated") {
+    import graft.sources.FileTopicLog
+    val base = java.nio.file.Files.createTempDirectory("graft_ctrl_exp_").toString
+    records(Seq("click")).write.parquet(s"$base/src")
+    val root = s"$base/log"
+    FileTopicLog.registerGroup(root, "dead")
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(root, "_groups", "dead.json"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10000L))
+    @volatile var leader = false
+    val view = Seq(("w1", "click", 0, "ONLINE"))
+      .toDF("instance", "topic", "partition", "state")
+    val ctrl = new GraftController(
+      spark,
+      srcObserver = TopicCatalogObserver.fromRecords(() =>
+        spark.read.parquet(s"$base/src")),
+      dstObserver = new TopicCatalogObserver(() =>
+        Seq(("click", 2)).toDF("topic", "num_partitions")),
+      idealView = () => view,
+      externalView = () => view,
+      backupDir = s"$base/backup",
+      isLeader = () => leader,
+      groupExpiry = Some((root, 1000L)))
+    ctrl.start(validationPeriodSeconds = 3600, backupPeriodSeconds = 3600)
+    try {
+      // non-leader: the loop runs but applies nothing
+      assert(ctrl.expiry.get.expireOnce().isEmpty)
+      assert(FileTopicLog.groups(root) == Seq("dead"))
+      leader = true
+      // leader: the periodic loop (ttl/4-bounded cadence ≥ 1 s) expires
+      val deadline = System.currentTimeMillis() + 15000L
+      while (FileTopicLog.groups(root).nonEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50L)
+      assert(FileTopicLog.groups(root).isEmpty,
+        "leadership gained → the wired loop expires the abandoned group")
+    } finally ctrl.stop()
+  }
 }

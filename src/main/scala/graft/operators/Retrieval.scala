@@ -167,6 +167,22 @@ object Retrieval {
     * reuse — a marker whose fingerprint no longer matches the corpus is
     * a stale index and [[ensureIndex]] rebuilds instead of silently
     * serving top-k from the old corpus. */
+  /** Postings schema, pinned so reads never depend on inference — a
+    * corpus of all-empty documents writes ZERO postings rows (just the
+    * directory), and schema inference over an empty parquet dir throws
+    * where an explicit schema reads an empty relation. */
+  private val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("token",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("tf",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.LongType)))
+
   private case class IndexMeta(fingerprint: String, nBuckets: Long, n: Long)
   private def markerPath(dir: String) = java.nio.file.Paths.get(dir, "_built")
   private def readMeta(dir: String): Option[IndexMeta] =
@@ -204,7 +220,15 @@ object Retrieval {
       .repartition(nb.toInt, col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexDir/postings")
-    base.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+    // stats WITHOUT a second corpus pass (tokenization is the build's
+    // dominant per-row cost — paying it twice doubles a 100 TB build):
+    // n is the already-computed count; Σdl folds over the written
+    // postings (dl is constant per doc; a token-less doc is absent from
+    // postings and contributes exactly its dl = 0)
+    s.read.schema(postingsSchema).parquet(s"$indexDir/postings")
+      .groupBy("doc_id").agg(max("dl").as("dl"))
+      .agg(lit(nDocs).cast("long").as("n"), sum("dl").as("sumdl"))
+      .na.fill(0L, Seq("sumdl")) // all-empty corpus: SUM over no rows
       .write.mode("overwrite").parquet(s"$indexDir/stats")
     val meta =
       s"""{"fingerprint":"$fingerprint","nBuckets":$nb,"n":$nDocs}"""
@@ -252,7 +276,7 @@ object Retrieval {
       s"no committed index at $indexDir (run buildPostingsIndex first)"))
     val termList = queries.map(_._2).distinct
     val stats = s.read.parquet(s"$indexDir/stats")
-    val tf = s.read.parquet(s"$indexDir/postings")
+    val tf = s.read.schema(postingsSchema).parquet(s"$indexDir/postings")
       .filter(col("bucket").isin(bucketIdsOf(s, termList, meta.nBuckets): _*) &&
         col("token").isInCollection(termList))
       .select(col("doc_id"), col("dl"), col("token"),

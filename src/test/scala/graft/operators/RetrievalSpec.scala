@@ -70,6 +70,21 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == 1L)
   }
 
+  test("an all-empty-document corpus builds a zero-posting index that probes cleanly") {
+    // zero postings rows means the bucket-partitioned write produces no
+    // part files — reads are schema-pinned so this degenerate corpus
+    // still builds, and a probe returns an empty top-k, not an
+    // inference error
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_retr_empty_").toString
+    Retrieval.buildPostingsIndex(corpus(Seq("", "")), idx, "fp-empty")
+    assert(Retrieval.probeIndex(spark, idx, Seq(1L -> "spark"), 5)
+      .count() == 0L)
+    val st = spark.read.parquet(s"$idx/stats").collect()(0)
+    assert((st.getLong(0), st.getLong(1)) == (2L, 0L),
+      "stats must record n=2 docs, sum dl=0")
+  }
+
   test("pathFingerprint tracks file content changes and is order-stable") {
     val d = java.nio.file.Files.createTempDirectory("graft_retr_fp_")
     java.nio.file.Files.write(d.resolve("a.parquet"), "aaaa".getBytes)

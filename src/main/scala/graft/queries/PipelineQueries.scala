@@ -3209,10 +3209,92 @@ object PipelineQueries {
         |  CAST(dup3_frac <= 0.3 AND top_frac <= 0.2 AS BIGINT) AS keep_doc
         |FROM f ORDER BY doc_id""".stripMargin))
 
+  // P13 — TOKEN-BUDGET CORPUS SELECTION: keep the best-quality subset
+  // of the corpus whose total token count fits a budget (here 30% of
+  // corpus tokens) — the standard final step of training-set
+  // construction ("rank by quality, take until the token budget is
+  // spent"). Selection order is the exact total order
+  // (quality_micro DESC, doc_id); a doc is kept iff its inclusive
+  // running token sum in that order fits the budget. Quality is
+  // vocabulary richness in pure integer micro-units
+  // (1e6·distinct/total tokens, integer division — no FP anywhere, so
+  // both engines agree bit-for-bit including ties).
+  //
+  // Scale shape: the oracle's formulation is a running sum over the
+  // GLOBALLY SORTED corpus — an unpartitioned corpus-sized window that
+  // serializes through one task (exactly what PlanShapeSpec forbids).
+  // This implementation never sorts the corpus: ONE scan reduces each
+  // doc to 3 narrow integers (materialized, x16's pattern), token
+  // totals aggregate per quality VALUE (≤ 1e6+1 groups — the window
+  // that computes exclusive prefix sums is unpartitioned but
+  // AGGREGATE-bounded, the sanctioned q20 shape), the budget boundary
+  // picks ≤ 1 quality value, fully-kept quality values join back
+  // broadcast, and only the docs AT the boundary value pay a keyed
+  // running-sum window (boundary-group-sized, not corpus-sized). The
+  // 100 TB plan: scan + one narrow agg exchange + broadcast joins.
+  private val p13 = QueryDef(
+    "p13_token_budget",
+    (s, dir) => {
+      val m0 = docs(s, dir)
+        .select(col("doc_id"), expr(tokensExpr).as("ts"))
+        .select(col("doc_id"),
+          size(col("ts")).cast("long").as("n_tok"),
+          expr("size(array_distinct(ts))").cast("long").as("n_distinct"))
+        .select(col("doc_id"), col("n_tok"),
+          when(col("n_tok") === 0L, 0L)
+            .otherwise(expr("1000000L * n_distinct div n_tok"))
+            .cast("long").as("quality_micro"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_p13_").toString
+      m0.write.mode("overwrite").parquet(tmp)
+      val m = s.read.parquet(tmp)
+      val tot = m.agg(expr("sum(n_tok) * 3 div 10").cast("long").as("b"))
+      val qmeta = m.groupBy("quality_micro")
+        .agg(sum("n_tok").as("q_tok"))
+        .withColumn("cum_excl", coalesce(
+          sum("q_tok").over(Window.orderBy(col("quality_micro").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .crossJoin(broadcast(tot))
+      val fullQ = qmeta
+        .filter(col("cum_excl") + col("q_tok") <= col("b"))
+        .select(col("quality_micro"))
+      val boundaryQ = qmeta
+        .filter(col("cum_excl") < col("b") &&
+          col("cum_excl") + col("q_tok") > col("b"))
+        .select(col("quality_micro"), col("cum_excl"), col("b"))
+      val kept = m.join(broadcast(fullQ), Seq("quality_micro"))
+        .select(col("doc_id"), col("quality_micro"), col("n_tok"))
+        .unionAll(
+          m.join(broadcast(boundaryQ), Seq("quality_micro"))
+            .withColumn("run", sum("n_tok").over(
+              Window.partitionBy("quality_micro").orderBy("doc_id")))
+            .filter(col("cum_excl") + col("run") <= col("b"))
+            .select(col("doc_id"), col("quality_micro"), col("n_tok")))
+      kept.orderBy(col("quality_micro").desc, col("doc_id"))
+    },
+    Some(
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_tok,
+        |    CASE WHEN len(ts) = 0 THEN 0
+        |         ELSE CAST(CAST(1000000 AS BIGINT) * len(list_distinct(ts))
+        |              // len(ts) AS BIGINT) END AS quality_micro
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |        FROM documents)),
+        |tot AS (SELECT CAST(SUM(n_tok) * 3 // 10 AS BIGINT) AS b FROM m),
+        |sel AS (
+        |  SELECT doc_id, quality_micro, n_tok,
+        |    SUM(n_tok) OVER (ORDER BY quality_micro DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM m)
+        |SELECT doc_id, quality_micro, n_tok
+        |FROM sel, tot WHERE cum <= b
+        |ORDER BY quality_micro DESC, doc_id""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, sim1, sim2, sim3, sim4,
     x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x11b, x12, x13, x14, x15,
     x15b, x16,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e9, e10, e10b,
-    p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p11, p12)
+    p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p11, p12, p13)
 }

@@ -595,8 +595,9 @@ class PlanShapeSpec extends AnyFunSuite {
       kids.nonEmpty && kids.forall(aggBounded)
   }
 
-  test("unpartitioned windows rank aggregate-bounded inputs only (q20, o1)") {
-    for (name <- Seq("q20_top_part_suppliers", "o1_least_loaded")) {
+  test("unpartitioned windows rank aggregate-bounded inputs only (q20, o1, p13)") {
+    for (name <- Seq("q20_top_part_suppliers", "o1_least_loaded",
+        "p13_token_budget")) {
       val df = Catalog.byName(name).fn(spark, sfDir)
       df.collect() // AQE finalizes the plan only after execution
       val plan = df.queryExecution.executedPlan

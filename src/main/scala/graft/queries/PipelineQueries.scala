@@ -3209,6 +3209,72 @@ object PipelineQueries {
         |  CAST(dup3_frac <= 0.3 AND top_frac <= 0.2 AS BIGINT) AS keep_doc
         |FROM f ORDER BY doc_id""".stripMargin))
 
+  // X17 — PER-SOURCE TOKEN-DISTRIBUTION DIVERGENCE: KL(source ‖ corpus)
+  // over unigram distributions — the drift/mixture diagnostic that
+  // tells a pipeline operator which source's language has wandered from
+  // the blend (a scraper gone bad, a source flooded by boilerplate)
+  // before it poisons the mixture weights (p9). One corpus explode
+  // lands in a (source, token) count aggregate — map-side partials
+  // absorb the token fan-out inside the scan stage (the x7 shape), and
+  // the aggregate is (sources × vocabulary)-sized (≪ corpus, Heaps) —
+  // materialized to session-temp parquet; corpus token counts, source
+  // totals and the corpus total all DERIVE from that tiny table, never
+  // re-exploding the corpus. The divergence join is token-keyed
+  // (vocab-sized both sides), totals broadcast. Determinism: each
+  // term's contribution p·ln(p/q) is computed on ratios of exact
+  // BIGINTs (identical IEEE doubles both engines, ln in the proven
+  // x14/x15 libm envelope) and floored to SIGNED integer micro-units
+  // (p < q terms are negative), so the per-source sum is exact integer
+  // math — order-free.
+  private val x17 = QueryDef(
+    "x17_source_divergence",
+    (s, dir) => {
+      val st0 = docs(s, dir)
+        .select(col("source"), explode(expr(tokensExpr)).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_x17_").toString
+      st0.write.mode("overwrite").parquet(tmp)
+      val st = s.read.parquet(tmp)
+      val ct = st.groupBy("token").agg(sum("c_st").as("c_t"))
+      val ts = st.groupBy("source").agg(sum("c_st").as("t_s"))
+      val tot = st.agg(sum("c_st").as("t_all"))
+      st.join(ct, "token")
+        .join(broadcast(ts), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("p", col("c_st").cast("double") / col("t_s").cast("double"))
+        .withColumn("q", col("c_t").cast("double") / col("t_all").cast("double"))
+        .withColumn("term_micro",
+          floor(col("p") * log(col("p") / col("q")) * lit(1000000.0))
+            .cast("long"))
+        .groupBy("source")
+        .agg(max("t_s").as("n_tokens"), sum("term_micro").as("kl_micro"))
+        .orderBy("source")
+    },
+    Some(
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |  FROM documents),
+        |st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c_st
+        |       FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT token, CAST(SUM(c_st) AS BIGINT) AS c_t
+        |       FROM st GROUP BY 1),
+        |ts AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS t_s
+        |       FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS t_all FROM st)
+        |SELECT st.source, CAST(MAX(t_s) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CAST(FLOOR(
+        |    (CAST(c_st AS DOUBLE) / CAST(t_s AS DOUBLE))
+        |    * ln((CAST(c_st AS DOUBLE) / CAST(t_s AS DOUBLE))
+        |         / (CAST(c_t AS DOUBLE) / CAST(t_all AS DOUBLE)))
+        |    * 1000000.0) AS BIGINT)) AS BIGINT) AS kl_micro
+        |FROM st
+        |JOIN ct USING (token)
+        |JOIN ts USING (source)
+        |CROSS JOIN tot
+        |GROUP BY st.source
+        |ORDER BY st.source""".stripMargin))
+
   // P13 — TOKEN-BUDGET CORPUS SELECTION: keep the best-quality subset
   // of the corpus whose total token count fits a budget (here 30% of
   // corpus tokens) — the standard final step of training-set
@@ -3294,7 +3360,7 @@ object PipelineQueries {
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, sim1, sim2, sim3, sim4,
     x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x11b, x12, x13, x14, x15,
-    x15b, x16,
+    x15b, x16, x17,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e9, e10, e10b,
     p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p11, p12, p13)
 }

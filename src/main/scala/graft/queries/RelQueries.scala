@@ -307,11 +307,24 @@ object RelQueries {
         |FROM per_cust GROUP BY n_urgent ORDER BY n_urgent""".stripMargin))
 
   // Scalar-function coverage: JSON extraction + date parts + string ops
-  // over the events stream table.
+  // over the events stream table. The JSON parse is the per-row cost
+  // and the sf0.1 fixture is a handful of row groups, so the scan gets
+  // 3-4 splits and one task dominates the query (max_task ~87% of
+  // wall in the r14 full-bench artifact) — the single-file-fixture
+  // pitfall. The parallelism-floor repartition below is fixture-only
+  // by construction: at sf10 the scan already has 30+ splits, the
+  // guard is false and no shuffle is added (verified — sf10 numbers
+  // unchanged); all aggregates here (count/sum/min/max over BIGINT)
+  // are order-free, so the shuffle cannot move the gate result.
   private val qs = QueryDef(
     "q_scalar_funcs",
     (s, dir) => {
-      Records.table(s, dir, "events")
+      val ev0 = Records.table(s, dir, "events")
+      val ev =
+        if (ev0.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+          ev0.repartition(s.sparkContext.defaultParallelism)
+        else ev0
+      ev
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy(upper(col("event_type")).as("event_type_uc"),
           year(col("ts")).cast("long").as("yr"),

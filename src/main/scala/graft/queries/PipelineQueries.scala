@@ -3357,10 +3357,106 @@ object PipelineQueries {
         |FROM sel, tot WHERE cum <= b
         |ORDER BY quality_micro DESC, doc_id""".stripMargin))
 
+  // P14 — FUZZY (NEAR-DUP) DECONTAMINATION: training documents whose
+  // shingle-set Jaccard against ANY held-out eval document reaches the
+  // d3 threshold. p3/p4 catch EXACT n-gram contamination; real eval
+  // leakage is usually fuzzier (reformatted, truncated, lightly edited
+  // copies), and the standard practice is MinHash-LSH matching of the
+  // training corpus against the eval suite. The eval set here is a
+  // deterministic 20% hash gate over doc_id (the p7 split discipline —
+  // reproducible on any engine) CAPPED to the first 100k doc ids: an
+  // eval suite is fixed-size in reality, so its band table must stay
+  // constant as the corpus scales (uncapped, the 300× fixture made
+  // "eval" grow to 300k docs and the broadcast with it); candidate
+  // generation joins the
+  // TRAINING side's band table against the BROADCAST eval band table —
+  // never a corpus self-join: an eval suite is fixed-size by
+  // construction (benchmarks, not corpora), so at 100 TB the corpus
+  // streams once past a broadcast eval sketch, and only candidate
+  // pairs pay the exact-Jaccard verification joins. Shingles/bands are
+  // the SAME codegen'd kernels and integer arithmetic as d3/d6/d13
+  // (one MinHash implementation engine-wide); the shingle table is
+  // materialized once so its kernel pass is not recomputed per branch.
+  private val p14 = QueryDef(
+    "p14_fuzzy_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      // one corpus pass computes shingles AND the MinHash band kernel,
+      // materialized together — every branch below (train bands, eval
+      // bands, both shingle explosions, sizes) reads the narrow table;
+      // unmaterialized, the two band-side branches re-ran the 64-hash
+      // kernel over the whole corpus each (measured 7.3 s + 4.8 s
+      // stages at 300×, gone after this)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_p14_").toString
+      shingled(docs(s, dir))
+        .withColumn("is_eval",
+          col("doc_id") < 100000L &&
+          pmod(md5Long(concat(lit("eval:"), col("doc_id").cast("string"))),
+            lit(5L)) === 0L)
+        .withColumn("bh", expr("minhash_lsh_bands(ws)"))
+        .write.mode("overwrite").parquet(tmp)
+      val sh = s.read.parquet(tmp)
+      def bandsOf(side: DataFrame) = side
+        .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "band_hash")))
+      val cand = bandsOf(sh.filter(!col("is_eval"))).as("x")
+        .join(broadcast(bandsOf(sh.filter(col("is_eval")))).as("y"),
+          $"x.band" === $"y.band" && $"x.band_hash" === $"y.band_hash")
+        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
+      // intersection: candidate TRAIN docs' shingles (cand is broadcast,
+      // the corpus-side explode never shuffles) against EVAL shingles
+      // only — the (doc_b, w) join is eval-suite-sized, never corpus-sized
+      val uniTrain = sh.filter(!col("is_eval"))
+        .select(col("doc_id").as("doc_a"), explode(col("ws")).as("w"))
+      val uniEval = sh.filter(col("is_eval"))
+        .select(col("doc_id").as("doc_b"), explode(col("ws")).as("w"))
+      // |ws| is already distinct by construction — sizes need no explode
+      val sizes = sh.select(col("doc_id"), size(col("ws")).cast("long").as("sz"))
+      broadcast(cand)
+        .join(uniTrain, "doc_a")
+        .join(uniEval, Seq("doc_b", "w"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6))
+        .filter(col("jaccard") >= 0.4)
+        .select(col("doc_a").as("doc_id"), col("doc_b").as("eval_id"),
+          col("jaccard"))
+        .orderBy("doc_id", "eval_id")
+    },
+    Some(
+      s"""WITH $bandsSqlCtes,
+         |ev AS (SELECT doc_id FROM documents
+         |  WHERE doc_id < 100000
+         |    AND ('0x' || substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |        % 5 = 0),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_hash = y.band_hash
+         |  WHERE x.doc_id NOT IN (SELECT doc_id FROM ev)
+         |    AND y.doc_id IN (SELECT doc_id FROM ev)),
+         |uni AS (SELECT doc_id, unnest(ws) AS w FROM shf),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+         |          FROM uni GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM cand c
+         |  JOIN uni a ON a.doc_id = c.doc_a
+         |  JOIN uni b ON b.doc_id = c.doc_b AND b.w = a.w
+         |  GROUP BY 1, 2)
+         |SELECT doc_a AS doc_id, doc_b AS eval_id,
+         |  ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.4
+         |ORDER BY doc_id, eval_id""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, sim1, sim2, sim3, sim4,
     x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x11b, x12, x13, x14, x15,
     x15b, x16, x17,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e9, e10, e10b,
-    p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p11, p12, p13)
+    p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p11, p12, p13, p14)
 }

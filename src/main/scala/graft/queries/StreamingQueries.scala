@@ -1101,16 +1101,24 @@ object StreamingQueries {
           // self-heals within ~one tick; poll bounded instead of
           // asserting against the scheduler's clock (the flake showed
           // up only inside the 139-query driver session under load).
-          val deadline = System.nanoTime + 20L * 1000 * 1000 * 1000
+          val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
           while (stageA.exists { case ((t, p), n) =>
               FileTopicLog.startOffset(root, t, p) < n } &&
               System.nanoTime < deadline)
             Thread.sleep(25)
+          // on a timeout the interesting question is WHICH link stalled:
+          // the slow group's position publish, the fast cut, or a dead
+          // query — put all three in the failure message
+          def health = s"fastActive=${fast.isActive} fastEx=${fast.exception} " +
+            s"slowActive=${slow.isActive} slowEx=${slow.exception} " +
+            s"groups=${FileTopicLog.groups(root).map(g =>
+              g -> FileTopicLog.groupPositions(root, g)).toMap}"
           stageA.foreach { case ((t, p), n) =>
             val b = FileTopicLog.startOffset(root, t, p)
             val slowRec = FileTopicLog.groupPositions(root, "slow")
               .getOrElse(t, Map.empty[Int, Long]).getOrElse(p, 0L)
-            require(b >= n, s"retention must advance $t/$p past stage A ($b < $n)")
+            require(b >= n,
+              s"retention must advance $t/$p past stage A ($b < $n); $health")
             require(b <= slowRec,
               s"base must never outrun the slow group at $t/$p ($b > $slowRec)")
           }
@@ -1199,14 +1207,17 @@ object StreamingQueries {
         // trigger tick, the k2d adjudication)
         writeLog(recs.filter(col("offset") >= col("t2")), root)
         q.processAllAvailable()
-        val deadline = System.nanoTime + 20L * 1000 * 1000 * 1000
+        val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
         while (stageA.exists { case ((t, p), n) =>
             FileTopicLog.startOffset(root, t, p) < n } &&
             System.nanoTime < deadline)
           Thread.sleep(25)
         stageA.foreach { case ((t, p), n) =>
           require(FileTopicLog.startOffset(root, t, p) >= n,
-            s"retention must advance past the released pin at $t/$p")
+            s"retention must advance past the released pin at $t/$p; " +
+              s"qActive=${q.isActive} qEx=${q.exception} groups=" +
+              s"${FileTopicLog.groups(root).map(g =>
+                g -> FileTopicLog.groupPositions(root, g)).toMap}")
         }
       } finally q.stop()
       s.read.parquet(s"$base/out")

@@ -329,7 +329,7 @@ final class DynamicTopicLogStream(root: String, maxRows: Option[Long],
     * read. With no groups registered the cut is this query's own
     * position (single-consumer retention). A query that sets `groupId`
     * also publishes its own positions here on every commit. */
-  override def commit(end: Offset): Unit = {
+  override def commit(end: Offset): Unit = try {
     val pos = end.asInstanceOf[TopicLogOffset].positions
     if (truncateOnCommit) {
       // one group snapshot per commit, not per partition — the
@@ -353,6 +353,19 @@ final class DynamicTopicLogStream(root: String, maxRows: Option[Long],
         }
       }
     } else groupId.foreach(g => FileTopicLog.commitGroup(root, g, pos))
+  } catch {
+    // Source.commit is advisory cleanup in Spark's contract — position
+    // publishing and retention are retried verbatim on the next
+    // trigger's commit, and a lower-than-reality published position or
+    // a deferred cut is strictly conservative (retention only lags).
+    // Throwing here instead kills the WHOLE streaming query over a
+    // transient filesystem hiccup in a maintenance pass — the
+    // reference's cleanup paths log-and-continue for the same reason.
+    case t: Throwable =>
+      System.err.println(
+        s"[graft-topiclog] commit-time retention/offset publish failed " +
+          s"(retrying next trigger): $t")
+      t.printStackTrace()
   }
   override def stop(): Unit = ()
 }

@@ -58,12 +58,8 @@ object PipelineQueries {
   // D1 — exact dedup via content-hash groupBy (keeper = min doc_id).
   private val d1 = QueryDef(
     "d1_exact_dedup",
-    (s, dir) => {
-      docs(s, dir)
-        .groupBy(md5(col("text")).as("content_hash"))
-        .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
-        .orderBy("content_hash")
-    },
+    (s, dir) => graft.operators.Dedup.exactDuplicates(docs(s, dir))
+      .orderBy("content_hash"),
     Some(
       """SELECT md5(text) AS content_hash,
         |  CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
@@ -181,9 +177,7 @@ object PipelineQueries {
     * let-binding subtleties (CollapseProject re-inlining a referenced
     * tokens column per element) the kernel renders moot. */
   private def shingled(d: DataFrame): DataFrame =
-    d.withColumn("ws", expr("word_ngrams(text, 3)"))
-      .filter(size(col("ws")) > 0)
-      .select("doc_id", "ws")
+    graft.operators.Dedup.shingles(d)
 
   private val shingledSql =
     """toks AS (
@@ -210,40 +204,13 @@ object PipelineQueries {
     * pair build and drops it the moment the tiny pair table is
     * materialized, so nothing corpus-sized stays pinned. */
   private def minhashPairs(s: SparkSession, dir: String,
-      sh: DataFrame): DataFrame = {
-      import s.implicits._
-      // The whole 64-permutation signature and its 16 band hashes are ONE
-      // per-row codegen'd kernel call with zero shuffle
-      // ([[graft.functions.Sketches.minhashBands]]): each shingle
-      // md5-hashed once, folded through all 64 exact-integer universal
-      // hashes h_s = (a_s·h + s) mod p, p = 2^31−1, as running minima —
-      // no intermediate arrays, no interpreted lambda per element (the
-      // higher-order-function form this replaced cost 64·|shingles|
-      // interpreted evaluations per row and dominated the sf1 scale run
-      // at 31 s). Coefficients and arithmetic are bit-identical to the
-      // oracle's SQL-side derivation. Only the 16-rows-per-doc band
-      // table ever shuffles, for the candidate self-join on
-      // (band, band_hash).
-      val bands = sh.withColumn("bh", expr("minhash_lsh_bands(ws)"))
-        .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "band_hash")))
-      val cand = bands.as("x").join(bands.as("y"),
-          $"x.band" === $"y.band" && $"x.band_hash" === $"y.band_hash" &&
-            $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
-      val uni = sh.select(col("doc_id"), explode(col("ws")).as("w"))
-      val sizes = uni.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = cand
-        .join(uni.select(col("doc_id").as("doc_a"), col("w")), "doc_a")
-        .join(uni.select(col("doc_id").as("doc_b"), col("w")), Seq("doc_b", "w"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
-        .withColumn("jaccard",
-          round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
-        .filter(col("jaccard") >= 0.4)
-        .select("doc_a", "doc_b", "jaccard")
-  }
+      sh: DataFrame): DataFrame =
+    // The whole LSH pipeline (64-permutation signature + 16 band
+    // hashes as ONE codegen'd kernel call, band equi-join candidates,
+    // exact-Jaccard verification) now lives in operators/Dedup — the
+    // engine capability surface; this catalog keeps the session pair
+    // cache and the DuckDB oracle that pins the arithmetic.
+    graft.operators.Dedup.nearDupPairs(s, sh)
 
   /** Shingles → signatures → 16 band hashes, the LSH front half —
     * shared with [[StreamingQueries]]' d13 oracle (the streaming
@@ -364,7 +331,7 @@ object PipelineQueries {
   private val d6 = QueryDef(
     "d6_dedup_keeplist",
     (s, dir) => {
-      val dropped = minhashPairsShared(s, dir).select(col("doc_b").as("doc_id"))
+      val dropped = graft.operators.Dedup.dropIds(minhashPairsShared(s, dir))
       docs(s, dir).select("doc_id")
         .join(dropped, Seq("doc_id"), "left_anti")
         .select(col("doc_id").cast("long").as("doc_id"))

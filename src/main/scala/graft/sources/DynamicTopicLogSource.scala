@@ -361,7 +361,8 @@ final class DynamicTopicLogStream(root: String, maxRows: Option[Long],
     // Throwing here instead kills the WHOLE streaming query over a
     // transient filesystem hiccup in a maintenance pass — the
     // reference's cleanup paths log-and-continue for the same reason.
-    case t: Throwable =>
+    // NonFatal only: an OOM or fatal VM error must still propagate.
+    case t: Throwable if scala.util.control.NonFatal(t) =>
       System.err.println(
         s"[graft-topiclog] commit-time retention/offset publish failed " +
           s"(retrying next trigger): $t")

@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.functions.VectorLsh
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search as an engine capability: the four ANN strategies
+ * behind catalog entries sim_topk_{bruteforce,ivf,lsh,quant}, lifted to
+ * a parameterized library surface (the [[TemporalJoins]] / [[Retrieval]]
+ * / [[Dedup]] promotion pattern). Input is always an embedding relation
+ * `(vec_id: long, v: array<double>)`; `queryPred` selects which vectors
+ * are queries (kept as a predicate, not a join, so the gated entries'
+ * plan shapes are unchanged); `k` is the per-query result size.
+ *
+ * Scale shapes (unchanged from the gated entries):
+ *  - [[bruteForceTopK]]: the exact baseline — a deliberate cross join,
+ *    the ONLY all-pairs form in the engine (PlanShapeSpec pins that).
+ *  - [[ivfTopK]]: deterministic seed selection via TakeOrderedAndProject
+ *    (partial top-k, never a corpus-wide window), nearest-cell
+ *    assignment as a map-side-combinable max_by aggregation, probes
+ *    touch nprobe/nCells of the corpus.
+ *  - [[lshTopK]]: multi-table hyperplane buckets; only bucket-mates are
+ *    scored — candidate volume bounded by table count × bucket sizes.
+ *  - [[quantizedTopK]]: int8 symmetric quantization (exact integer dot
+ *    products — no float-sum rounding boundary can flip a rank), LSH
+ *    candidates coarse-ranked on int8 only, and full-precision vectors
+ *    fetched BY ID for the ≤coarseK survivors (broadcast against the
+ *    store — the quantized index is the only corpus-wide scan, 4× less
+ *    IO than float32).
+ *
+ * All arithmetic is the exact cross-engine envelope the DuckDB oracles
+ * pin: `vec_dot` ≡ `list_dot_product` (sequential index-order fold),
+ * cosine rounded to 4 decimals, ties broken by vec_id.
+ */
+object Similarity {
+
+  /** Exact cosine of two array<double> columns — the codegen'd
+    * `vec_dot` kernel (sequential fold, matches DuckDB's
+    * list_dot_product term-for-term). */
+  def cosine(a: String, b: String): Column = {
+    val dot = expr(s"vec_dot($a, $b)")
+    val na = expr(s"vec_dot($a, $a)")
+    val nb = expr(s"vec_dot($b, $b)")
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Exact brute-force cosine top-k: every query against every vector.
+    * Output (q_id, vec_id, cos, rank). The recall baseline the
+    * approximate forms are measured against (AnnRecallSpec). */
+  def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    q.crossJoin(emb).filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine("qv", "v"), 4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
+  /** IVF ANN: `nCells` deterministically seeded centroids (smallest
+    * md5 of "c:"||vec_id — reproducible on any engine), one
+    * assignment pass, queries probe the `nprobe` nearest cells and
+    * brute-force only there. Output (q_id, vec_id, cell, cos, rank). */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nCells: Int = 8, nprobe: Int = 2): DataFrame = {
+    val h = conv(substring(md5(concat(lit("c:"),
+      col("vec_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val seeds = emb
+      .withColumn("h", h)
+      .orderBy("h", "vec_id").limit(nCells)
+      .withColumn("crank", row_number().over(Window.orderBy("h", "vec_id")))
+      .select(col("crank").cast("long").as("cell"), col("v").as("cv"))
+    val assign = emb.crossJoin(broadcast(seeds))
+      .withColumn("sim", round(cosine("v", "cv"), 6))
+      .groupBy(col("vec_id"), col("v"))
+      .agg(max_by(col("cell"),
+        struct(col("sim"), (-col("cell")).as("nc"))).as("cell"))
+      .select(col("vec_id"), col("cell"), col("v"))
+    val probes = emb.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("sim", round(cosine("qv", "cv"), 6))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("cell"))))
+      .filter(col("prn") <= nprobe)
+      .select(col("q_id"), col("qv"), col("cell"))
+    probes.join(assign, "cell").filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine("qv", "v"), 4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cell"), col("cos"), col("rank"))
+  }
+
+  /** The (vec_id, v, tbl, bucket) relation of `tables` hyperplane LSH
+    * tables at `bits` bits over `dims`-dim vectors. */
+  def lshTagged(emb: DataFrame, tables: Int, bits: Int,
+      dims: Int): DataFrame = {
+    val buckets = (0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        expr(VectorLsh.bucketExpr("v", t, bits, dims)).as("bucket")))
+    emb.withColumn("tb", explode(array(buckets: _*)))
+      .select(col("vec_id"), col("v"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** LSH-bucketed ANN (label-free scale path): queries probe their own
+    * buckets across `tables` tables; only bucket-mates are scored.
+    * Output (q_id, vec_id, cos, rank). */
+  def lshTopK(emb: DataFrame, queryPred: Column, k: Int,
+      tables: Int = 2, bits: Int = 3, dims: Int = 64): DataFrame = {
+    val tagged = lshTagged(emb, tables, bits, dims)
+    val q = tagged.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("tbl"), col("bucket"))
+    val cand = q.join(tagged, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "qv", "vec_id", "v").distinct()
+    cand.withColumn("cos", round(cosine("qv", "v"), 4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
+  /** Quantized ANN: int8 coarse scoring + full-precision re-rank — the
+    * production serving pipeline. LSH candidates are ranked by the
+    * EXACT integer int8 dot; only the `coarseK` survivors per query
+    * fetch their full-precision vectors back by id for the exact-cosine
+    * top-k. Output (q_id, vec_id, qdot, cos, rank). */
+  def quantizedTopK(emb: DataFrame, queryPred: Column, k: Int,
+      coarseK: Int = 10, tables: Int = 2, bits: Int = 3,
+      dims: Int = 64): DataFrame = {
+    val e = emb
+      .filter(expr("vec_dot(v, v)") > 0)
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+      .withColumn("q8", expr("transform(v, x -> round(x / nrm * 127))"))
+    val buckets = (0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        expr(VectorLsh.bucketExpr("v", t, bits, dims)).as("bucket")))
+    val tagged = e.withColumn("tb", explode(array(buckets: _*)))
+      .select(col("vec_id"), col("q8"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = tagged.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("q8").as("qq8"),
+        col("tbl"), col("bucket"))
+    // candidate generation + coarse scoring touch ONLY int8 vectors
+    val coarse = q.join(tagged, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "qq8", "vec_id", "q8").distinct()
+      .withColumn("qdot", expr("cast(vec_dot(qq8, q8) as long)"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("qdot").desc, col("vec_id"))))
+      .filter(col("crank") <= coarseK)
+      .select("q_id", "vec_id", "qdot")
+    // full precision only for the survivors: fetch by id
+    val full = e.select(col("vec_id"), col("v"))
+    val qfull = e.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    broadcast(coarse).join(full, "vec_id")
+      .join(broadcast(qfull), "q_id")
+      .withColumn("cos", round(cosine("qv", "v"), 4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("qdot"), col("cos"),
+        col("rank"))
+  }
+}

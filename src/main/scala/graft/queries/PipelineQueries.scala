@@ -447,19 +447,13 @@ object PipelineQueries {
   // SIM1 — brute-force cosine top-k (baseline ANN): 5 query vectors × all.
   private val sim1 = QueryDef(
     "sim_topk_bruteforce",
-    (s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val pairs = q.crossJoin(e).filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", round(cosineCols("qv", "v"), 4))
-      pairs
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
-        .orderBy("q_id", "rank")
-    },
+    (s, dir) =>
+      graft.operators.Similarity.bruteForceTopK(
+        emb(s, dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")),
+        col("vec_id") < 5, k = 5)
+      .orderBy("q_id", "rank"),
+    
     Some(
       s"""WITH e AS (SELECT vec_id, embeddings.embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
@@ -489,35 +483,13 @@ object PipelineQueries {
   //    instead of sorting every (vec x 8 centroids) group in a window.
   private val sim2 = QueryDef(
     "sim_topk_ivf",
-    (s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))
-      val seeds = e
-        .withColumn("h", md5Long(concat(lit("c:"), col("vec_id").cast("string"))))
-        .orderBy("h", "vec_id").limit(8)
-        .withColumn("crank", row_number().over(Window.orderBy("h", "vec_id")))
-        .select(col("crank").cast("long").as("cell"), col("v").as("cv"))
-      val assign = e.crossJoin(broadcast(seeds))
-        .withColumn("sim", round(cosineCols("v", "cv"), 6))
-        .groupBy(col("vec_id"), col("v"))
-        .agg(max_by(col("cell"), struct(col("sim"), (-col("cell")).as("nc"))).as("cell"))
-        .select(col("vec_id"), col("cell"), col("v"))
-      val probes = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-        .crossJoin(broadcast(seeds))
-        .withColumn("sim", round(cosineCols("qv", "cv"), 6))
-        .withColumn("prn", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("sim").desc, col("cell"))))
-        .filter(col("prn") <= 2)
-        .select(col("q_id"), col("qv"), col("cell"))
-      probes.join(assign, "cell").filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", round(cosineCols("qv", "v"), 4))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("vec_id"), col("cell"), col("cos"), col("rank"))
-        .orderBy("q_id", "rank")
-    },
+    (s, dir) =>
+      graft.operators.Similarity.ivfTopK(
+        emb(s, dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")),
+        col("vec_id") < 20, k = 3, nCells = 8, nprobe = 2)
+      .orderBy("q_id", "rank"),
+    
     Some(
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |seeds AS (
@@ -552,29 +524,13 @@ object PipelineQueries {
   // bounded by 2^bits, recall from multi-table probing.
   private val sim3 = QueryDef(
     "sim_topk_lsh",
-    (s, dir) => {
-      import graft.functions.VectorLsh
-      val e = emb(s, dir).select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))
-      val buckets = (0 until 2).map(t =>
-        struct(lit(t).as("tbl"),
-          expr(VectorLsh.bucketExpr("v", t, 3, 64)).as("bucket")))
-      val tagged = e.withColumn("tb", explode(array(buckets: _*)))
-        .select(col("vec_id"), col("v"),
-          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      val q = tagged.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("tbl"), col("bucket"))
-      val cand = q.join(tagged, Seq("tbl", "bucket"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select("q_id", "qv", "vec_id", "v").distinct()
-      cand.withColumn("cos", round(cosineCols("qv", "v"), 4))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
-        .orderBy("q_id", "rank")
-    },
+    (s, dir) =>
+      graft.operators.Similarity.lshTopK(
+        emb(s, dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")),
+        col("vec_id") < 20, k = 3, tables = 2, bits = 3, dims = 64)
+      .orderBy("q_id", "rank"),
+    
     Some {
       import graft.functions.VectorLsh
       val b0 = VectorLsh.bucketSql("v", 0, 3, 64)
@@ -614,46 +570,14 @@ object PipelineQueries {
   // style against sim1's exact baseline); emitted scores are exact.
   private val sim4 = QueryDef(
     "sim_topk_quant",
-    (s, dir) => {
-      import graft.functions.VectorLsh
-      val e = emb(s, dir).select(col("vec_id"),
-          col("embedding").cast("array<double>").as("v"))
-        .filter(expr("vec_dot(v, v)") > 0)
-        .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
-        .withColumn("q8", expr("transform(v, x -> round(x / nrm * 127))"))
-      val buckets = (0 until 2).map(t =>
-        struct(lit(t).as("tbl"),
-          expr(VectorLsh.bucketExpr("v", t, 3, 64)).as("bucket")))
-      val tagged = e.withColumn("tb", explode(array(buckets: _*)))
-        .select(col("vec_id"), col("q8"),
-          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      val q = tagged.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("q8").as("qq8"),
-          col("tbl"), col("bucket"))
-      // candidate generation + coarse scoring touch ONLY int8 vectors
-      val coarse = q.join(tagged, Seq("tbl", "bucket"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select("q_id", "qq8", "vec_id", "q8").distinct()
-        .withColumn("qdot", expr("cast(vec_dot(qq8, q8) as long)"))
-        .withColumn("crank", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("qdot").desc, col("vec_id"))))
-        .filter(col("crank") <= 10)
-        .select("q_id", "vec_id", "qdot")
-      // full precision only for the ≤10 survivors per query: fetch by id
-      val full = e.select(col("vec_id"), col("v"))
-      val qfull = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      broadcast(coarse).join(full, "vec_id")
-        .join(broadcast(qfull), "q_id")
-        .withColumn("cos", round(cosineCols("qv", "v"), 4))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id")))
-          .cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("vec_id"), col("qdot"), col("cos"),
-          col("rank"))
-        .orderBy("q_id", "rank")
-    },
+    (s, dir) =>
+      graft.operators.Similarity.quantizedTopK(
+        emb(s, dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")),
+        col("vec_id") < 20, k = 3, coarseK = 10, tables = 2, bits = 3,
+        dims = 64)
+      .orderBy("q_id", "rank"),
+    
     Some {
       import graft.functions.VectorLsh
       val b0 = VectorLsh.bucketSql("v", 0, 3, 64)

@@ -453,7 +453,6 @@ object PipelineQueries {
           col("embedding").cast("array<double>").as("v")),
         col("vec_id") < 5, k = 5)
       .orderBy("q_id", "rank"),
-    
     Some(
       s"""WITH e AS (SELECT vec_id, embeddings.embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
@@ -489,7 +488,6 @@ object PipelineQueries {
           col("embedding").cast("array<double>").as("v")),
         col("vec_id") < 20, k = 3, nCells = 8, nprobe = 2)
       .orderBy("q_id", "rank"),
-    
     Some(
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |seeds AS (
@@ -530,7 +528,6 @@ object PipelineQueries {
           col("embedding").cast("array<double>").as("v")),
         col("vec_id") < 20, k = 3, tables = 2, bits = 3, dims = 64)
       .orderBy("q_id", "rank"),
-    
     Some {
       import graft.functions.VectorLsh
       val b0 = VectorLsh.bucketSql("v", 0, 3, 64)
@@ -577,7 +574,6 @@ object PipelineQueries {
         col("vec_id") < 20, k = 3, coarseK = 10, tables = 2, bits = 3,
         dims = 64)
       .orderBy("q_id", "rank"),
-    
     Some {
       import graft.functions.VectorLsh
       val b0 = VectorLsh.bucketSql("v", 0, 3, 64)

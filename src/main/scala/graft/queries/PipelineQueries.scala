@@ -1344,19 +1344,13 @@ object PipelineQueries {
   // so the gate hashes identically.
   private val p1 = QueryDef(
     "p1_stratified_sample",
-    (s, dir) => {
-      val d = docs(s, dir)
-      val counts = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
-      val tgt = counts.agg(min("cnt").as("t"))
-      val thr = counts.crossJoin(broadcast(tgt))
-        .select(col("lang"),
-          floor(lit(1000000.0) * col("t") / col("cnt")).cast("long").as("thr"))
-      d.join(broadcast(thr), "lang")
-        .filter(pmod(md5Long(concat(lit("smp:"), col("doc_id").cast("string"))),
-          lit(1000000L)) < col("thr"))
+    (s, dir) =>
+      // full balance: thr = floor(1e6·min/cnt) — the expression is
+      // passed verbatim so the cross-engine double program is unchanged
+      graft.operators.Sampling.sampleByStratum(docs(s, dir), "lang",
+          "doc_id", "smp", (t, cnt) => floor(lit(1000000.0) * t / cnt))
         .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
     Some(
       """WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt
         |               FROM documents GROUP BY lang),
@@ -1706,18 +1700,15 @@ object PipelineQueries {
   private val p5 = QueryDef(
     "p5_temperature_sample",
     (s, dir) => {
+      import graft.operators.Sampling
       val d = docs(s, dir)
-      val counts = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      val tgt = counts.agg(min("n_docs").as("t"))
-      val thr = counts.crossJoin(broadcast(tgt))
-        .select(col("source"), col("n_docs"),
-          floor(lit(1000000.0) *
-            sqrt(col("t").cast("double") / col("n_docs"))).cast("long").as("thr"))
+      // temperature T=2: thr = floor(1e6·sqrt(min/cnt)), verbatim
+      val thr = Sampling.stratumThresholds(d, "source",
+        (t, n) => floor(lit(1000000.0) * sqrt(t.cast("double") / n)))
       val kept = d.join(broadcast(thr.select("source", "thr")), "source")
-        .filter(pmod(md5Long(concat(lit("tsmp:"), col("doc_id").cast("string"))),
-          lit(1000000L)) < col("thr"))
+        .filter(Sampling.hashUnitMicro("tsmp", col("doc_id")) < col("thr"))
         .groupBy("source").agg(count(lit(1)).as("kept"))
-      thr.select("source", "n_docs")
+      thr.select(col("source"), col("cnt").as("n_docs"))
         .join(kept, Seq("source"), "left")
         .select(col("source"), col("n_docs"),
           coalesce(col("kept"), lit(0L)).as("n_kept"))
@@ -1823,12 +1814,7 @@ object PipelineQueries {
       docs(s, dir)
         .select(col("source"),
           size(expr(tokensExpr)).cast("long").as("n_tokens"),
-          pmod(md5Long(concat(lit("split:"), col("doc_id").cast("string"))),
-            lit(100L)).as("bucket"))
-        .withColumn("split",
-          when(col("bucket") < 90, lit("train"))
-            .when(col("bucket") < 95, lit("val"))
-            .otherwise(lit("test")))
+          graft.operators.Sampling.splitLabel(col("doc_id")).as("split"))
         .groupBy("source", "split")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
         .orderBy("source", "split")

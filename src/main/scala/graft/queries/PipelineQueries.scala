@@ -617,35 +617,14 @@ object PipelineQueries {
 
   // ---------------------------------------------------- text analysis
 
-  /** Let-bound token-count struct: `fields` are (name, exprOf(ts));
-    * tokenization runs ONCE per row regardless of how many counts read
-    * it (a bare `toks` column would be re-inlined per reference by
-    * CollapseProject — see [[shingled]]). */
-  private def tokenCounts(d: DataFrame, fields: (String, String)*): DataFrame = {
-    val body = fields.map { case (n, e) => s"'$n', $e" }.mkString(", ")
-    d.withColumn("tc", expr(
-      s"transform(array($tokensExpr), ts -> named_struct($body))[0]"))
-  }
-
-  // X1 — language-marker profile (n-gram heuristic scoring).
+  // X1 — language-marker profile (n-gram heuristic scoring). The
+  // per-row signal builder (single let-bound tokenization, marker
+  // counts, ratio + label) lives in operators/TextAnalysis.scala —
+  // this entry pins the default marker set under the oracle gate.
   private val x1 = QueryDef(
     "x1_lang_profile",
-    (s, dir) => {
-      val d = tokenCounts(docs(s, dir),
-        "n_tokens" -> "size(ts)",
-        "n_the" -> "size(filter(ts, t -> t = 'the'))",
-        "n_a" -> "size(filter(ts, t -> t = 'a'))")
-        .withColumn("n_tokens", col("tc.n_tokens").cast("long"))
-        .withColumn("n_the", col("tc.n_the").cast("long"))
-        .withColumn("n_a", col("tc.n_a").cast("long"))
-      d.withColumn("marker_ratio",
-          round((col("n_the") + col("n_a")).cast("double") / col("n_tokens"), 6))
-        .withColumn("predicted",
-          when(col("marker_ratio") >= 0.05, "en-like").otherwise("other"))
-        .select(col("doc_id"), col("n_tokens"), col("n_the"), col("n_a"),
-          col("marker_ratio"), col("predicted"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => graft.operators.TextAnalysis.langProfile(docs(s, dir))
+      .orderBy("doc_id"),
     Some(
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
@@ -661,29 +640,12 @@ object PipelineQueries {
         |       THEN 'en-like' ELSE 'other' END AS predicted
         |FROM c ORDER BY doc_id""".stripMargin))
 
-  // X2 — quality scoring: lexical diversity + stopword ratio buckets.
+  // X2 — quality scoring: lexical diversity + stopword ratio buckets
+  // (operators/TextAnalysis.qualityScore; defaults pinned here).
   private val x2 = QueryDef(
     "x2_quality_score",
-    (s, dir) => {
-      val d = tokenCounts(docs(s, dir),
-        "n_tokens" -> "size(ts)",
-        "n_distinct" -> "size(array_distinct(ts))",
-        "n_stop" -> "size(filter(ts, t -> t = 'the' or t = 'a' or t = 'of'))")
-        .withColumn("n_tokens", col("tc.n_tokens").cast("long"))
-        .withColumn("n_distinct", col("tc.n_distinct").cast("long"))
-        .withColumn("n_stop", col("tc.n_stop").cast("long"))
-      d.withColumn("distinct_ratio",
-          round(col("n_distinct").cast("double") / col("n_tokens"), 6))
-        .withColumn("stopword_ratio",
-          round(col("n_stop").cast("double") / col("n_tokens"), 6))
-        .withColumn("quality",
-          when(col("n_tokens") < 20, "too_short")
-            .when(col("distinct_ratio") < 0.3, "repetitive")
-            .otherwise("ok"))
-        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-          col("distinct_ratio"), col("stopword_ratio"), col("quality"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => graft.operators.TextAnalysis.qualityScore(docs(s, dir))
+      .orderBy("doc_id"),
     Some(
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
@@ -703,23 +665,11 @@ object PipelineQueries {
         |       ELSE 'ok' END AS quality
         |FROM c ORDER BY doc_id""".stripMargin))
 
-  // X3 — token statistics (whitespace + alpha-regex counting).
+  // X3 — token statistics (operators/TextAnalysis.tokenStats).
   private val x3 = QueryDef(
     "x3_token_stats",
-    (s, dir) => {
-      tokenCounts(docs(s, dir),
-        "n_tokens" -> "size(ts)",
-        "n_alpha" -> "size(filter(ts, t -> t rlike '^[a-z]+$'))",
-        "token_chars" -> "aggregate(ts, 0L, (acc, t) -> acc + length(t))")
-        .select(col("doc_id"),
-          col("tc.n_tokens").cast("long").as("n_tokens"),
-          col("tc.n_alpha").cast("long").as("n_alpha"),
-          col("tc.token_chars").cast("long").as("token_chars"),
-          col("n_chars"))
-        .withColumn("chars_per_token",
-          round(col("token_chars").cast("double") / col("n_tokens"), 4))
-        .orderBy("doc_id")
-    },
+    (s, dir) => graft.operators.TextAnalysis.tokenStats(docs(s, dir))
+      .orderBy("doc_id"),
     Some(
       """WITH t AS (
         |  SELECT doc_id, n_chars,
@@ -736,18 +686,12 @@ object PipelineQueries {
         |        / len(toks), 4) AS chars_per_token
         |FROM t ORDER BY doc_id""".stripMargin))
 
-  // X4 — positional document fingerprint (exact integer arithmetic).
+  // X4 — positional document fingerprint, exact integer arithmetic
+  // (operators/TextAnalysis.positionalFingerprint).
   private val x4 = QueryDef(
     "x4_fingerprint",
-    (s, dir) => {
-      docs(s, dir)
-        .select(col("doc_id"), posexplode(expr(tokensExpr)).as(Seq("pos", "w")))
-        .groupBy("doc_id")
-        .agg(sum((col("pos") + 1) * (ascii(col("w")) + lit(7) * length(col("w"))))
-          .cast("long").as("fingerprint"),
-          count(lit(1)).as("n_tokens"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => graft.operators.TextAnalysis
+      .positionalFingerprint(docs(s, dir)).orderBy("doc_id"),
     Some(
       """WITH tok AS (
         |  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
@@ -758,26 +702,13 @@ object PipelineQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_tokens
         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
-  // X5 — rolling-rotate document fingerprint: each token's 32-bit md5
-  // hash is rotated by its position (order-sensitive), then XOR-folded.
-  // XOR is commutative, so the aggregation parallelizes with map-side
-  // combine and is order-insensitive across partitions while the rotate
-  // keeps the fingerprint order-sensitive in the document.
+  // X5 — rolling-rotate document fingerprint (operators/TextAnalysis
+  // .rollingFingerprint): position-rotated 32-bit hashes XOR-folded —
+  // order-sensitive in the document, order-free across partitions.
   private val x5 = QueryDef(
     "x5_rolling_fingerprint",
-    (s, dir) => {
-      docs(s, dir)
-        .select(col("doc_id"), posexplode(expr(tokensExpr)).as(Seq("pos", "w")))
-        .withColumn("h32", pmod(md5Long(col("w")), lit(4294967296L)))
-        .withColumn("r", pmod(col("pos"), lit(32)))
-        .withColumn("rot",
-          expr("pmod(shiftleft(h32, cast(r as int)), 4294967296L) + " +
-            "shiftright(h32, cast(32 - r as int))"))
-        .groupBy("doc_id")
-        .agg(expr("bit_xor(rot)").as("fingerprint"),
-          count(lit(1)).as("n_tokens"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => graft.operators.TextAnalysis
+      .rollingFingerprint(docs(s, dir)).orderBy("doc_id"),
     Some(
       """WITH tok AS (
         |  SELECT doc_id, unnest(toks) AS w,
@@ -798,31 +729,14 @@ object PipelineQueries {
         |FROM rotted GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   // X6 — repetition / boilerplate signals (the Gopher-family repetition
-  // quality filters): duplicate-token fraction, duplicate-3-gram
-  // fraction, and the coverage of the single most frequent bigram, per
-  // document. All six underlying counters come from ONE codegen'd
-  // kernel call per row ([[graft.functions.Sketches.repetitionStats]]):
-  // zero shuffle, the whole operator pipelines inside the scan stage at
-  // 100 TB — where the relational form would explode and re-aggregate
-  // corpus-sized token tables twice.
+  // quality filters), all six counters from ONE codegen'd kernel call
+  // per row (operators/TextAnalysis.repetitionSignals over
+  // [[graft.functions.Sketches.repetitionStats]]): zero shuffle, the
+  // whole operator pipelines inside the scan stage at 100 TB.
   private val x6 = QueryDef(
     "x6_repetition",
-    (s, dir) => {
-      docs(s, dir)
-        .withColumn("rs", expr("repetition_stats(text)"))
-        .select(col("doc_id"),
-          col("rs")(0).as("n_tokens"),
-          round(when(col("rs")(0) > 0,
-            (col("rs")(0) - col("rs")(1)).cast("double") / col("rs")(0))
-            .otherwise(0.0), 6).as("dup_word_frac"),
-          round(when(col("rs")(4) > 0,
-            (col("rs")(4) - col("rs")(5)).cast("double") / col("rs")(4))
-            .otherwise(0.0), 6).as("dup_trigram_frac"),
-          round(when(col("rs")(2) > 0,
-            col("rs")(3).cast("double") / col("rs")(2))
-            .otherwise(0.0), 6).as("top_bigram_frac"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => graft.operators.TextAnalysis
+      .repetitionSignals(docs(s, dir)).orderBy("doc_id"),
     Some(
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
@@ -1604,16 +1518,13 @@ object PipelineQueries {
   private val p3 = QueryDef(
     "p3_decontaminate",
     (s, dir) => {
-      val grams = docs(s, dir)
-        .select(col("doc_id"), explode(expr("word_ngrams(text, 4)")).as("g"))
-        .select(col("doc_id"), md5Long(col("g")).as("gh"))
+      // Core in operators/Decontamination: every 97th doc stands in
+      // for the benchmark suite, split on the shared n-gram-hash table.
+      val grams = graft.operators.Decontamination.ngramHashes(docs(s, dir), 4)
       val eval = grams.filter(pmod(col("doc_id"), lit(97)) === 0)
         .select(col("doc_id").as("eval_id"), col("gh")).distinct()
-      grams.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-        .join(broadcast(eval), "gh")
-        .groupBy("doc_id")
-        .agg(countDistinct("gh").as("n_shared_ngrams"),
-          countDistinct("eval_id").as("n_eval_docs"))
+      graft.operators.Decontamination
+        .flagExact(grams.filter(pmod(col("doc_id"), lit(97)) =!= 0), eval)
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_shared_ngrams"), col("n_eval_docs"))
         .orderBy("doc_id")
@@ -1659,24 +1570,19 @@ object PipelineQueries {
   private val p4 = QueryDef(
     "p4_bloom_decontaminate",
     (s, dir) => {
-      val grams = docs(s, dir)
-        .select(col("doc_id"), explode(expr("word_ngrams(text, 4)")).as("g"))
-        .select(col("doc_id"), md5Long(col("g")).as("gh"))
+      // Same core as p3 with the Bloom pre-filter threaded through
+      // (Decontamination.evalBloom → flagExact(bloomBytes=...)); eval
+      // is persisted because the bloom build and the exact join both
+      // read it, and released before returning.
+      val grams = graft.operators.Decontamination.ngramHashes(docs(s, dir), 4)
       val eval = grams.filter(pmod(col("doc_id"), lit(97)) === 0)
         .select(col("doc_id").as("eval_id"), col("gh")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bf = eval.stat.bloomFilter("gh", math.max(eval.count(), 1L), 0.01)
-      val bytes = {
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        bos.toByteArray
-      }
-      val result = grams.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-        .filter(call_function("bloom_contains", lit(bytes), col("gh")))
-        .join(broadcast(eval), "gh")
-        .groupBy("doc_id")
-        .agg(countDistinct("gh").as("n_shared_ngrams"),
-          countDistinct("eval_id").as("n_eval_docs"))
+      val bytes = graft.operators.Decontamination
+        .evalBloom(eval, eval.count(), 0.01)
+      val result = graft.operators.Decontamination
+        .flagExact(grams.filter(pmod(col("doc_id"), lit(97)) =!= 0), eval,
+          Some(bytes))
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_shared_ngrams"), col("n_eval_docs"))
       val out = java.nio.file.Files.createTempDirectory("graft_p4_").toString
@@ -3030,27 +2936,11 @@ object PipelineQueries {
   private val x16 = QueryDef(
     "x16_repetition_filter",
     (s, dir) => {
-      val metrics = docs(s, dir)
-        .select(col("doc_id"), expr(tokensExpr).as("ts"), col("text"))
-        .select(col("doc_id"),
-          size(col("ts")).cast("long").as("n_tok"),
-          greatest(size(col("ts")) - 2, lit(0)).cast("long").as("tri_total"),
-          size(expr("word_ngrams(text, 3)")).cast("long").as("tri_distinct"),
-          expr("array_max(transform(array_distinct(ts), " +
-            "t -> size(filter(ts, x -> x = t))))")
-            .cast("long").as("top_cnt"))
-        .withColumn("dup3_frac",
-          when(col("tri_total") === 0, lit(0.0))
-            .otherwise(lit(1.0) - col("tri_distinct").cast("double") /
-              col("tri_total").cast("double")))
-        .withColumn("top_frac",
-          col("top_cnt").cast("double") / col("n_tok").cast("double"))
-        .withColumn("keep_doc",
-          (col("dup3_frac") <= lit(0.3) && col("top_frac") <= lit(0.2))
-            .cast("long"))
-        .select(col("doc_id"), col("n_tok"), col("tri_total"),
-          col("tri_distinct"), col("dup3_frac"), col("top_frac"),
-          col("keep_doc"))
+      // Signal builder in operators/TextAnalysis.repetitionFilter
+      // (Gopher thresholds pinned at the defaults 0.3/0.2);
+      // materialize-before-sort so the range partitioner never re-runs
+      // the heavy projection.
+      val metrics = graft.operators.TextAnalysis.repetitionFilter(docs(s, dir))
       val tmp = java.nio.file.Files.createTempDirectory("graft_x16_").toString
       metrics.write.mode("overwrite").parquet(tmp)
       s.read.parquet(tmp).orderBy("doc_id")
@@ -3102,25 +2992,13 @@ object PipelineQueries {
   private val x17 = QueryDef(
     "x17_source_divergence",
     (s, dir) => {
-      val st0 = docs(s, dir)
-        .select(col("source"), explode(expr(tokensExpr)).as("token"))
-        .groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+      // Both halves live in operators/TextAnalysis: unigramCounts is
+      // the one corpus explode (materialized here, x16's pattern);
+      // sourceDivergence derives KL from that vocab-sized table.
+      val st0 = graft.operators.TextAnalysis.unigramCounts(docs(s, dir))
       val tmp = java.nio.file.Files.createTempDirectory("graft_x17_").toString
       st0.write.mode("overwrite").parquet(tmp)
-      val st = s.read.parquet(tmp)
-      val ct = st.groupBy("token").agg(sum("c_st").as("c_t"))
-      val ts = st.groupBy("source").agg(sum("c_st").as("t_s"))
-      val tot = st.agg(sum("c_st").as("t_all"))
-      st.join(ct, "token")
-        .join(broadcast(ts), "source")
-        .crossJoin(broadcast(tot))
-        .withColumn("p", col("c_st").cast("double") / col("t_s").cast("double"))
-        .withColumn("q", col("c_t").cast("double") / col("t_all").cast("double"))
-        .withColumn("term_micro",
-          floor(col("p") * log(col("p") / col("q")) * lit(1000000.0))
-            .cast("long"))
-        .groupBy("source")
-        .agg(max("t_s").as("n_tokens"), sum("term_micro").as("kl_micro"))
+      graft.operators.TextAnalysis.sourceDivergence(s.read.parquet(tmp))
         .orderBy("source")
     },
     Some(
@@ -3253,13 +3131,13 @@ object PipelineQueries {
   private val p14 = QueryDef(
     "p14_fuzzy_decontaminate",
     (s, dir) => {
-      import s.implicits._
       // one corpus pass computes shingles AND the MinHash band kernel,
-      // materialized together — every branch below (train bands, eval
-      // bands, both shingle explosions, sizes) reads the narrow table;
-      // unmaterialized, the two band-side branches re-ran the 64-hash
-      // kernel over the whole corpus each (measured 7.3 s + 4.8 s
-      // stages at 300×, gone after this)
+      // materialized together — every branch of the fuzzy matcher
+      // (train bands, eval bands, both shingle explosions, sizes)
+      // reads the narrow table; unmaterialized, the two band-side
+      // branches re-ran the 64-hash kernel over the whole corpus each
+      // (measured 7.3 s + 4.8 s stages at 300×, gone after this). The
+      // matcher itself lives in operators/Decontamination.fuzzyMatches.
       val tmp = java.nio.file.Files.createTempDirectory("graft_p14_").toString
       shingled(docs(s, dir))
         .withColumn("is_eval",
@@ -3268,33 +3146,8 @@ object PipelineQueries {
             lit(5L)) === 0L)
         .withColumn("bh", expr("minhash_lsh_bands(ws)"))
         .write.mode("overwrite").parquet(tmp)
-      val sh = s.read.parquet(tmp)
-      def bandsOf(side: DataFrame) = side
-        .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "band_hash")))
-      val cand = bandsOf(sh.filter(!col("is_eval"))).as("x")
-        .join(broadcast(bandsOf(sh.filter(col("is_eval")))).as("y"),
-          $"x.band" === $"y.band" && $"x.band_hash" === $"y.band_hash")
-        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
-      // intersection: candidate TRAIN docs' shingles (cand is broadcast,
-      // the corpus-side explode never shuffles) against EVAL shingles
-      // only — the (doc_b, w) join is eval-suite-sized, never corpus-sized
-      val uniTrain = sh.filter(!col("is_eval"))
-        .select(col("doc_id").as("doc_a"), explode(col("ws")).as("w"))
-      val uniEval = sh.filter(col("is_eval"))
-        .select(col("doc_id").as("doc_b"), explode(col("ws")).as("w"))
-      // |ws| is already distinct by construction — sizes need no explode
-      val sizes = sh.select(col("doc_id"), size(col("ws")).cast("long").as("sz"))
-      broadcast(cand)
-        .join(uniTrain, "doc_a")
-        .join(uniEval, Seq("doc_b", "w"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
-        .withColumn("jaccard", round(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")), 6))
-        .filter(col("jaccard") >= 0.4)
-        .select(col("doc_a").as("doc_id"), col("doc_b").as("eval_id"),
-          col("jaccard"))
+      graft.operators.Decontamination
+        .fuzzyMatches(s, s.read.parquet(tmp), 0.4)
         .orderBy("doc_id", "eval_id")
     },
     Some(

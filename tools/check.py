@@ -32,6 +32,51 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 
+# --- manifest gate -----------------------------------------------------
+# graft.Verify writes manifest.json with one row per catalog entry it
+# attempted ({"name": {"ok": bool, "error": str?}}). Round 14 showed why
+# this must be load-bearing: one entry's output silently vanished from the
+# artifact (142 keys vs a 143-entry catalog) and every layer above still
+# read "all green". Refuse to pass unless the manifest exists, covers
+# every oracle entry, and reports ok for each attempted entry.
+manifest_fails = []
+mpath = f"{out}/manifest.json"
+if not os.path.exists(mpath):
+    print(f"FAIL manifest: {mpath} missing — Verify did not complete "
+          "(or predates the manifest gate); rerun without --skip-verify")
+    manifest_fails.append("manifest-missing")
+    manifest = {}
+else:
+    manifest = json.load(open(mpath))
+    expect = set(only) if only else set(oracle.keys())
+    missing = expect - set(manifest.keys())
+    if missing:
+        print(f"FAIL manifest: {len(missing)} catalog entr{'y' if len(missing)==1 else 'ies'} "
+              f"never attempted: {sorted(missing)[:10]}")
+        manifest_fails.append("manifest-incomplete")
+    for name, row in sorted(manifest.items()):
+        if only and name not in only:
+            continue
+        if not row.get("ok"):
+            print(f"FAIL manifest: {name} errored in Verify: {row.get('error','?')[:200]}")
+            manifest_fails.append(name)
+        elif not glob.glob(f"{out}/{name}/*.parquet"):
+            print(f"FAIL manifest: {name} reported ok but wrote no parquet output")
+            manifest_fails.append(name)
+
+# Entries in the manifest with no oracle SQL (non-SQL-expressible ops) get
+# the weaker rows-only check the driver applies: output exists, rows > 0.
+for name in sorted(set(manifest.keys()) - set(oracle.keys())):
+    if only and name not in only:
+        continue
+    files = glob.glob(f"{out}/{name}/*.parquet")
+    n = con.execute(f"SELECT COUNT(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
+    if n <= 0:
+        print(f"FAIL {name}: rows-only check, {n} rows")
+        manifest_fails.append(name)
+    else:
+        print(f"OK   {name} (rows-only, {n} rows)")
+
 def canon(df):
     df = df[sorted(df.columns)]
     def cell(v):
@@ -73,5 +118,6 @@ for name in names:
     else:
         print(f"OK   {name} ({len(a)} rows)")
 
-print(f"\n{len(names)-len(fails)}/{len(names)} queries match")
-sys.exit(1 if fails else 0)
+print(f"\n{len(names)-len(fails)}/{len(names)} queries match"
+      + (f"; {len(manifest_fails)} manifest failure(s)" if manifest_fails else ""))
+sys.exit(1 if fails or manifest_fails else 0)

@@ -90,9 +90,7 @@ object Retrieval {
   private def scanTf(corpus: DataFrame, termList: Seq[String],
       tokensExpr: String): (DataFrame, DataFrame) = {
     val s = corpus.sparkSession
-    val termArr = termList.map(t =>
-      "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'")
-      .mkString("array(", ", ", ")")
+    val termArr = SqlLit.quoteArray(termList)
     val base = corpus
       .select(col("doc_id"), expr(tokensExpr).as("ts"))
       .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),

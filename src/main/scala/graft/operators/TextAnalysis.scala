@@ -48,7 +48,7 @@ object TextAnalysis {
     * CollapseProject — the `transform(array(...), ts -> ...)` wrapper
     * is the stable let-binding. Returned as struct column `tc`. */
   def tokenCounts(d: DataFrame, fields: (String, String)*): DataFrame = {
-    val body = fields.map { case (n, e) => s"'$n', $e" }.mkString(", ")
+    val body = fields.map { case (n, e) => s"${SqlLit.quote(n)}, $e" }.mkString(", ")
     d.withColumn("tc", expr(
       s"transform(array($tokensExpr), ts -> named_struct($body))[0]"))
   }
@@ -62,12 +62,18 @@ object TextAnalysis {
       threshold: Double = 0.05, label: String = "en-like",
       otherLabel: String = "other"): DataFrame = {
     require(markers.nonEmpty, "at least one marker token")
-    val cnt = markers.map(m => s"n_$m" -> s"size(filter(ts, t -> t = '$m'))")
+    // markers are quoted into the count expression and read back via
+    // getField / backticked refs, so quote-, backslash-, dot- or
+    // unicode-bearing marker tokens count correctly instead of breaking
+    // the expression parse (SqlLitProps pins this on hostile tokens).
+    val cnt = markers.map(m =>
+      s"n_$m" -> s"size(filter(ts, t -> t = ${SqlLit.quote(m)}))")
     val names = "n_tokens" +: cnt.map(_._1)
     val base = names.foldLeft(
       tokenCounts(d, ("n_tokens" -> "size(ts)") +: cnt: _*)) { (df, n) =>
-        df.withColumn(n, col(s"tc.$n").cast("long")) }
-    val total = markers.map(m => col(s"n_$m"))
+        df.withColumn(n, col("tc").getField(n).cast("long")) }
+    def ref(n: String) = col(SqlLit.quoteName(n))
+    val total = cnt.map { case (n, _) => ref(n) }
       .reduce((a, b) => a + b)
     base
       .withColumn("marker_ratio",
@@ -75,7 +81,7 @@ object TextAnalysis {
       .withColumn("predicted",
         when(col("marker_ratio") >= threshold, label).otherwise(otherLabel))
       .select(col("doc_id") +: col("n_tokens") +:
-        markers.map(m => col(s"n_$m")) :+
+        cnt.map { case (n, _) => ref(n) } :+
         col("marker_ratio") :+ col("predicted"): _*)
   }
 
@@ -86,7 +92,7 @@ object TextAnalysis {
       stopwords: Seq[String] = Seq("the", "a", "of"),
       minTokens: Int = 20, minDistinctRatio: Double = 0.3): DataFrame = {
     require(stopwords.nonEmpty, "at least one stopword")
-    val stopPred = stopwords.map(w => s"t = '$w'").mkString(" or ")
+    val stopPred = stopwords.map(w => s"t = ${SqlLit.quote(w)}").mkString(" or ")
     val base = tokenCounts(d,
       "n_tokens" -> "size(ts)",
       "n_distinct" -> "size(array_distinct(ts))",

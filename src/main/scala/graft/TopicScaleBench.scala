@@ -65,7 +65,7 @@ object TopicScaleBench {
     val sizes = Seq(5, 25, 250) // topics -> 20 / 100 / 1000 TPs
     val iters = args.headOption.map(_.toInt).getOrElse(40)
     val out = sizes.map { nTopics =>
-      val root = Files.createTempDirectory(s"graft_tpscale_$nTopics").toString
+      val root = graft.SessionTemp.dir(s"graft_tpscale_$nTopics")
       val topics = (0 until nTopics).map(i => f"topic$i%04d")
       topics.foreach { t =>
         (0 until parts).foreach(p => FileTopicLog.append(root, t, p, Seq(rec(p))))
@@ -147,7 +147,7 @@ object TopicScaleBench {
     * assert so a planning bug cannot read as a speedup. */
   private def streamDrain(): Unit = {
     val nTopics = 250; val parts = 4; val per = 20
-    val root = Files.createTempDirectory("graft_tpstream_").toString
+    val root = graft.SessionTemp.dir("graft_tpstream_")
     val topics = (0 until nTopics).map(i => f"topic$i%04d")
     topics.foreach { t =>
       (0 until parts).foreach(p =>
@@ -159,7 +159,7 @@ object TopicScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     val want = nTopics.toLong * parts * per
     def drain(maxRows: Option[Long]): Double = {
-      val base = Files.createTempDirectory("graft_tpstream_q_").toString
+      val base = graft.SessionTemp.dir("graft_tpstream_q_")
       val r = spark.readStream.format("graft-topiclog").option("path", root)
       val src = maxRows.fold(r)(n => r.option("maxRowsPerTrigger", n.toString))
       val t0 = System.nanoTime()

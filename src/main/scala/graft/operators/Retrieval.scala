@@ -96,7 +96,7 @@ object Retrieval {
       .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
         expr(s"transform($termArr, q -> size(filter(ts, t -> t = q)))")
           .as("tfs"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_tf_").toString
+    val tmp = graft.SessionTemp.dir("graft_bm25_tf_")
     base.write.mode("overwrite").parquet(tmp)
     val bd = s.read.parquet(tmp)
     val stats = bd.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))

@@ -129,7 +129,7 @@ object PipelineQueries {
           round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
         .filter(col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
-      val out = java.nio.file.Files.createTempDirectory("graft_d2_").toString
+      val out = graft.SessionTemp.dir("graft_d2_")
       pairs.write.mode("overwrite").parquet(out)
       sh.unpersist()
       s.read.parquet(out).orderBy("doc_a", "doc_b")
@@ -1337,7 +1337,7 @@ object PipelineQueries {
       s"min-label propagation did not converge in $rounds rounds: the " +
         "pair graph has diameter > 50 (not an LSH near-clique graph); " +
         "raise the cap or switch to the small-star/large-star variant")
-    val outDir = java.nio.file.Files.createTempDirectory("graft_d9_labels_").toString
+    val outDir = graft.SessionTemp.dir("graft_d9_labels_")
     labels.write.mode("overwrite").parquet(outDir)
     labels.unpersist()
     spark.read.parquet(outDir)
@@ -1585,7 +1585,7 @@ object PipelineQueries {
           Some(bytes))
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_shared_ngrams"), col("n_eval_docs"))
-      val out = java.nio.file.Files.createTempDirectory("graft_p4_").toString
+      val out = graft.SessionTemp.dir("graft_p4_")
       result.write.mode("overwrite").parquet(out)
       eval.unpersist()
       s.read.parquet(out).orderBy("doc_id")
@@ -2648,7 +2648,7 @@ object PipelineQueries {
       val probs = model.join(ptot, "prev").crossJoin(vocab)
         .select(col("prev"), col("cur"),
           log((col("cnt") + lit(1.0)) / (col("tot") + col("v"))).as("lp"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_x14_model_").toString
+      val tmp = graft.SessionTemp.dir("graft_x14_model_")
       probs.write.mode("overwrite").parquet(tmp) // the one build scan runs here
       model.unpersist()
       bigrams.join(broadcast(s.read.parquet(tmp)), Seq("prev", "cur"))
@@ -2906,7 +2906,7 @@ object PipelineQueries {
       // corpus-scaled (Retrieval.adaptiveBuckets) so bucket files stay
       // near fixed size as the corpus grows.
       val idx = sys.env.get("GRAFT_X15B_INDEX_DIR").getOrElse(
-        java.nio.file.Files.createTempDirectory("graft_x15b_idx_").toString)
+        graft.SessionTemp.dir("graft_x15b_idx_"))
       val fp = graft.operators.Retrieval.pathFingerprint(
         s"$dir/documents.parquet")
       graft.operators.Retrieval.ensureIndex(docs(s, dir), idx, fp)
@@ -2941,7 +2941,7 @@ object PipelineQueries {
       // materialize-before-sort so the range partitioner never re-runs
       // the heavy projection.
       val metrics = graft.operators.TextAnalysis.repetitionFilter(docs(s, dir))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_x16_").toString
+      val tmp = graft.SessionTemp.dir("graft_x16_")
       metrics.write.mode("overwrite").parquet(tmp)
       s.read.parquet(tmp).orderBy("doc_id")
     },
@@ -2996,7 +2996,7 @@ object PipelineQueries {
       // the one corpus explode (materialized here, x16's pattern);
       // sourceDivergence derives KL from that vocab-sized table.
       val st0 = graft.operators.TextAnalysis.unigramCounts(docs(s, dir))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_x17_").toString
+      val tmp = graft.SessionTemp.dir("graft_x17_")
       st0.write.mode("overwrite").parquet(tmp)
       graft.operators.TextAnalysis.sourceDivergence(s.read.parquet(tmp))
         .orderBy("source")
@@ -3061,7 +3061,7 @@ object PipelineQueries {
           when(col("n_tok") === 0L, 0L)
             .otherwise(expr("1000000L * n_distinct div n_tok"))
             .cast("long").as("quality_micro"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_p13_").toString
+      val tmp = graft.SessionTemp.dir("graft_p13_")
       m0.write.mode("overwrite").parquet(tmp)
       val m = s.read.parquet(tmp)
       val tot = m.agg(expr("sum(n_tok) * 3 div 10").cast("long").as("b"))
@@ -3138,7 +3138,7 @@ object PipelineQueries {
       // branches re-ran the 64-hash kernel over the whole corpus each
       // (measured 7.3 s + 4.8 s stages at 300×, gone after this). The
       // matcher itself lives in operators/Decontamination.fuzzyMatches.
-      val tmp = java.nio.file.Files.createTempDirectory("graft_p14_").toString
+      val tmp = graft.SessionTemp.dir("graft_p14_")
       shingled(docs(s, dir))
         .withColumn("is_eval",
           col("doc_id") < 100000L &&

@@ -42,9 +42,9 @@ object StreamingQueries {
   private val k2 = QueryDef(
     "k2_replication_pipeline",
     (s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_k2_").toString
+      val base = graft.SessionTemp.dir("graft_k2_")
       val srcDir = k2SrcCache.computeIfAbsent((s, dir), _ => {
-        val d = java.nio.file.Files.createTempDirectory("graft_k2_src_").toString
+        val d = graft.SessionTemp.dir("graft_k2_src_")
         Records.recordsFromEvents(Records.table(s, dir, "events"))
           .write.mode("overwrite").parquet(d)
         d
@@ -99,7 +99,7 @@ object StreamingQueries {
       dir: String): String = {
     import graft.sources.FileTopicLog
     s2SrcCache.computeIfAbsent((s, dir), _ => {
-        val d = java.nio.file.Files.createTempDirectory("graft_s2_log_").toString
+        val d = graft.SessionTemp.dir("graft_s2_log_")
         val recs = logRecords(s, dir)
         recs.repartition(col("topic"), col("partition"))
           .sortWithinPartitions("topic", "partition", "offset")
@@ -112,8 +112,7 @@ object StreamingQueries {
             // double-append into the shared log — it either finds the
             // partition published and skips, or publishes identical
             // bytes (the input is deterministic per TP).
-            val attempt = java.nio.file.Files
-              .createTempDirectory("graft_s2_attempt_").toString
+            val attempt = graft.SessionTemp.dir("graft_s2_attempt_")
             val bit = it.buffered
             while (bit.hasNext) {
               val t = bit.head.getAs[String]("topic")
@@ -170,7 +169,7 @@ object StreamingQueries {
     s2ScenarioCache.computeIfAbsent((s, dir), _ => {
       import graft.sources.FileTopicLog
       import org.apache.spark.sql.expressions.Window
-      val root = java.nio.file.Files.createTempDirectory("graft_s2life_log_").toString
+      val root = graft.SessionTemp.dir("graft_s2life_log_")
       val recs = logRecords(s, dir)
         .withColumn("tp_half",
           (count(lit(1)).over(Window.partitionBy("topic", "partition")) / 2)
@@ -327,7 +326,7 @@ object StreamingQueries {
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
   private val e3Runs = new java.util.concurrent.atomic.AtomicLong(0)
   private lazy val e3TmpRoot =
-    java.nio.file.Files.createTempDirectory("graft_e3_").toString
+    graft.SessionTemp.dir("graft_e3_")
   private val e3 = QueryDef(
     "e3_watermarked_windows",
     (s, dir) => {
@@ -977,7 +976,7 @@ object StreamingQueries {
     (s, dir) => {
       import graft.sources.FileTopicLog
       import org.apache.spark.sql.expressions.Window
-      val root = java.nio.file.Files.createTempDirectory("graft_k2c_log_").toString
+      val root = graft.SessionTemp.dir("graft_k2c_log_")
       val recs = logRecords(s, dir)
         .withColumn("tp_half",
           (count(lit(1)).over(Window.partitionBy("topic", "partition")) / 2)
@@ -1044,7 +1043,7 @@ object StreamingQueries {
     (s, dir) => {
       import graft.sources.FileTopicLog
       import org.apache.spark.sql.expressions.Window
-      val root = java.nio.file.Files.createTempDirectory("graft_k2d_log_").toString
+      val root = graft.SessionTemp.dir("graft_k2d_log_")
       val recs = logRecords(s, dir)
         .withColumn("tp_n",
           count(lit(1)).over(Window.partitionBy("topic", "partition")))
@@ -1156,7 +1155,7 @@ object StreamingQueries {
     (s, dir) => {
       import graft.sources.FileTopicLog
       import org.apache.spark.sql.expressions.Window
-      val root = java.nio.file.Files.createTempDirectory("graft_k2e_log_").toString
+      val root = graft.SessionTemp.dir("graft_k2e_log_")
       val recs = logRecords(s, dir)
         .withColumn("tp_n",
           count(lit(1)).over(Window.partitionBy("topic", "partition")))

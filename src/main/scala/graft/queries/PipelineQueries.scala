@@ -947,26 +947,13 @@ object PipelineQueries {
 
   // ---------------------------------------------------- event streams
 
-  // E1 — sessionization: 30-min-gap sessions via lag + cumulative sum.
+  // E1 — sessionization: 30-min-gap sessions via lag + cumulative sum
+  // (operators/Sessionization.sessionize — the library surface; this
+  // entry is the default parameterization the oracle gates).
   private val e1 = QueryDef(
     "e1_sessionize",
-    (s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val ws = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Records.table(s, dir, "events")
-        .withColumn("epoch", unix_timestamp(col("ts")))
-        .withColumn("gap", col("epoch") - lag("epoch", 1).over(w))
-        .withColumn("new_session",
-          when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
-        .withColumn("session_id", sum("new_session").over(ws))
-        .groupBy("user_id", "session_id")
-        .agg(count(lit(1)).as("n_events"),
-          min("epoch").as("session_start"), max("epoch").as("session_end"))
-        .select(col("user_id"), col("session_id"), col("n_events"),
-          col("session_start"), col("session_end"))
-        .orderBy("user_id", "session_id")
-    },
+    (s, dir) => graft.operators.Sessionization.sessionize(
+      Records.table(s, dir, "events"), gapSeconds = 1800L),
     Some(
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch,
@@ -990,54 +977,15 @@ object PipelineQueries {
         |ORDER BY user_id, session_id""".stripMargin))
 
   // E1B — the HOT-KEY-SAFE sessionizer: identical semantics (and
-  // oracle) to e1, but the per-user ordered pass — inherently
-  // sequential, so one bot user serializes into one task — runs per
-  // (user_id, 6-hour bucket) instead, and a tiny per-bucket summary
-  // window restores cross-bucket session chains exactly: a bucket's
-  // FIRST local session merges backward when the boundary gap is
-  // <= 30 min (sessions can chain through consecutive merges; an empty
-  // intervening 6-h bucket makes a merge impossible since 21600 >
-  // 1800), and each event's global id = sessions STARTED before its
-  // bucket + its local id, minus the merge adjustment. The big shuffle
-  // keys on (user_id, bucket) — worst task bounded by the hottest
-  // (user, 6 h), not the hottest user — mirroring j1b's carry design
+  // oracle) to e1 via the (user, 6-h bucket) carry decomposition —
+  // design in Sessionization.sessionizeBucketed's Scaladoc
   // (SessionizeProps pins e1b == e1 on random timelines; the skew
   // bench measures the worst-task claim).
   private val e1b = QueryDef(
     "e1b_sessionize_bucketed",
-    (s, dir) => {
-      val B = 21600L
-      val ev = Records.table(s, dir, "events")
-        .withColumn("epoch", unix_timestamp(col("ts")))
-        .withColumn("bkt", expr(s"epoch div $B"))
-      val wLoc = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
-      val wLocCum = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = ev
-        .withColumn("lgap", col("epoch") - lag("epoch", 1).over(wLoc))
-        .withColumn("lnew",
-          when(col("lgap").isNull || col("lgap") > 1800, 1L).otherwise(0L))
-        .withColumn("lsid", sum("lnew").over(wLocCum))
-      val wU = Window.partitionBy("user_id").orderBy("bkt")
-      val offs = local.groupBy("user_id", "bkt")
-        .agg(min("epoch").as("first_epoch"), max("epoch").as("last_epoch"),
-          max("lsid").as("nloc"))
-        .withColumn("prev_last", lag("last_epoch", 1).over(wU))
-        .withColumn("merge", when(col("prev_last").isNotNull &&
-          col("first_epoch") - col("prev_last") <= 1800, 1L).otherwise(0L))
-        .withColumn("cbefore", coalesce(sum(col("nloc") - col("merge"))
-          .over(wU.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("user_id"), col("bkt"), col("merge"), col("cbefore"))
-      local.join(offs, Seq("user_id", "bkt"))
-        .withColumn("session_id",
-          when(col("merge") === 1L && col("lsid") === 1L, col("cbefore"))
-            .otherwise(col("cbefore") + col("lsid") - col("merge")))
-        .groupBy("user_id", "session_id")
-        .agg(count(lit(1)).as("n_events"),
-          min("epoch").as("session_start"), max("epoch").as("session_end"))
-        .select(col("user_id"), col("session_id"), col("n_events"),
-          col("session_start"), col("session_end"))
-        .orderBy("user_id", "session_id")
-    },
+    (s, dir) => graft.operators.Sessionization.sessionizeBucketed(
+      Records.table(s, dir, "events"), gapSeconds = 1800L,
+      bucketSeconds = 21600L),
     Some(
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch,
@@ -1124,38 +1072,18 @@ object PipelineQueries {
   // no self-join, no per-purchase probe. Ties (click and purchase on
   // the same timestamp) order by (ts, event_id) in both engines, so a
   // same-instant click with a lower id attributes and a higher id does
-  // not — deterministic. The per-user ordered pass has the usual
-  // hot-key ceiling; one bot user ≈ a task width is exactly the regime
-  // e1b's (user, 6-h bucket) carry decomposition handles, and the same
-  // move applies here (per-bucket last click is a 1-row summary merged
-  // across buckets).
+  // not — deterministic. Implementation: Sessionization.lastTouch
+  // (the library surface; this entry fixes source = click, conversion
+  // = purchase, 7-day lookback and the reference-anchored aliases).
   private val e10 = QueryDef(
     "e10_last_touch",
-    (s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val inWin = col("click_epoch").isNotNull &&
-        col("epoch") - col("click_epoch") <= 604800L
-      // only clicks feed the carry and only purchases are emitted, so
-      // the other event types never enter the window — the isin filter
-      // reaches the parquet scan and drops ~60% of rows before the
-      // shuffle.
-      Records.table(s, dir, "events")
-        .filter(col("event_type").isin("click", "purchase"))
-        .withColumn("epoch", unix_timestamp(col("ts")))
-        .withColumn("click_id",
-          last(when(col("event_type") === "click", col("event_id")),
-            ignoreNulls = true).over(w))
-        .withColumn("click_epoch",
-          last(when(col("event_type") === "click", col("epoch")),
-            ignoreNulls = true).over(w))
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"),
-          col("epoch").as("purchase_epoch"),
-          when(inWin, col("click_id")).as("click_id"),
-          when(inWin, col("epoch") - col("click_epoch")).as("secs_since_click"))
-        .orderBy("event_id")
-    },
+    (s, dir) => graft.operators.Sessionization.lastTouch(
+        Records.table(s, dir, "events"), sourceType = "click",
+        conversionType = "purchase", lookbackSeconds = 604800L)
+      .select(col("event_id"), col("user_id"),
+        col("conversion_epoch").as("purchase_epoch"),
+        col("source_id").as("click_id"),
+        col("secs_since_source").as("secs_since_click")),
     Some(
       """WITH e AS (SELECT event_id, user_id, event_type,
         |             CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch, ts FROM events),
@@ -1178,70 +1106,18 @@ object PipelineQueries {
         |FROM marked WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin))
 
   // E10B — HOT-USER twin of e10 (same oracle SQL — the decomposition
-  // must be invisible). e10's carry window partitions on bare user_id:
-  // one bot user bigger than a task width serializes it (the regime the
-  // `hot` fixture makes measurable). Same move as j1b/e1b: the carry is
-  // re-keyed on (user_id, 6-h bucket) so the hot user spreads across
-  // buckets, and a per-(user, bucket) 1-row summary — the bucket's last
-  // click by (epoch, event_id) — is carried across buckets by a second
-  // window whose input is bucket-count-sized, not event-sized. Each
-  // purchase then takes the latest in-bucket click if one precedes it,
-  // else the incoming bucket carry. Tie order (epoch, event_id) is
-  // preserved exactly: in-bucket the window orders by it, and across
-  // buckets max_by compares the same struct.
+  // must be invisible): the (user, 6-h bucket) carry re-keying, design
+  // in Sessionization.lastTouchBucketed's Scaladoc.
   private val e10b = QueryDef(
     "e10b_last_touch_bucketed",
-    (s, dir) => {
-      val bucketS = 21600L // 6 h, matching e1b/j1b
-      val ev = Records.table(s, dir, "events")
-        .filter(col("event_type").isin("click", "purchase"))
-        .withColumn("epoch", unix_timestamp(col("ts")))
-        .withColumn("bkt", (col("epoch") - pmod(col("epoch"), lit(bucketS)))
-          .divide(bucketS).cast("long"))
-      // per-(user, bucket) last click — map-side-combinable, absorbs the
-      // hot user in partial aggregation; ordering struct (epoch, id)
-      // reproduces the (ts, event_id) tie rule
-      // ordering struct (ts, event_id) reproduces e10's full-precision
-      // tie rule (epoch is second-truncated — ordering by it could flip
-      // same-second ties); the carried value keeps (epoch, event_id)
-      // for the output
-      val perBucket = ev
-        .groupBy("user_id", "bkt")
-        .agg(max_by(
-          when(col("event_type") === "click",
-            struct(col("epoch"), col("event_id"))),
-          when(col("event_type") === "click",
-            struct(col("ts"), col("event_id")))).as("last_click"))
-      val carryW = Window.partitionBy("user_id").orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val carry = perBucket
-        .withColumn("incoming",
-          last(col("last_click"), ignoreNulls = true).over(carryW))
-        .select("user_id", "bkt", "incoming")
-      // in-bucket carry partitions on (user_id, bkt) — the hot user
-      // spreads; the incoming summary seeds buckets whose click is
-      // earlier than the purchase's bucket
-      val w = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val inWin = col("click_epoch").isNotNull &&
-        col("purchase_epoch") - col("click_epoch") <= 604800L
-      ev.join(carry, Seq("user_id", "bkt"), "left")
-        .withColumn("click",
-          coalesce(
-            last(when(col("event_type") === "click",
-              struct(col("epoch"), col("event_id"))),
-              ignoreNulls = true).over(w),
-            col("incoming")))
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"),
-          col("epoch").as("purchase_epoch"),
-          col("click.epoch").as("click_epoch"), col("click.event_id").as("cid"))
-        .select(col("event_id"), col("user_id"), col("purchase_epoch"),
-          when(inWin, col("cid")).as("click_id"),
-          when(inWin, col("purchase_epoch") - col("click_epoch"))
-            .as("secs_since_click"))
-        .orderBy("event_id")
-    },
+    (s, dir) => graft.operators.Sessionization.lastTouchBucketed(
+        Records.table(s, dir, "events"), sourceType = "click",
+        conversionType = "purchase", lookbackSeconds = 604800L,
+        bucketSeconds = 21600L)
+      .select(col("event_id"), col("user_id"),
+        col("conversion_epoch").as("purchase_epoch"),
+        col("source_id").as("click_id"),
+        col("secs_since_source").as("secs_since_click")),
     e10.oracle)
 
   // P1 — deterministic stratified sampling: downsample over-represented
@@ -1968,42 +1844,17 @@ object PipelineQueries {
   // E5 — ordered conversion funnel over the event stream: users who
   // progressed click → view → purchase IN TIMESTAMP ORDER (stage k
   // counts only events at-or-after the user's first stage-(k−1)
-  // completion; ties break on event_id like e1). Three cascaded
-  // conditional running-mins share ONE window spec, so Catalyst plans
-  // a single user_id exchange + sort with stacked Window operators —
-  // the whole funnel costs one shuffle of the events table, then a
-  // per-user flag aggregation and a constant-size conditional census.
+  // completion; ties break on event_id like e1). Cascaded conditional
+  // running-mins share ONE window spec — one shuffle of the events
+  // table (Sessionization.funnel; this entry is the 3-stage default
+  // the oracle gates).
   private val e5 = QueryDef(
     "e5_conversion_funnel",
-    (s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val staged = Records.table(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
-        .withColumn("c",
-          min(when(col("event_type") === "click", col("us"))).over(w))
-        .withColumn("v",
-          min(when(col("event_type") === "view" && col("c").isNotNull,
-            col("us"))).over(w))
-        .withColumn("p",
-          min(when(col("event_type") === "purchase" && col("v").isNotNull,
-            col("us"))).over(w))
-      val perUser = staged.groupBy("user_id").agg(
-        max(when(col("c").isNotNull, lit(1L)).otherwise(lit(0L))).as("clicked"),
-        max(when(col("v").isNotNull, lit(1L)).otherwise(lit(0L))).as("viewed"),
-        max(when(col("p").isNotNull, lit(1L)).otherwise(lit(0L))).as("purchased"))
-      perUser.agg(
-          count(lit(1)).as("u0"), sum("clicked").as("u1"),
-          sum("viewed").as("u2"), sum("purchased").as("u3"))
-        .selectExpr(
-          """stack(4,
-            |  '0_active', u0,
-            |  '1_click', u1,
-            |  '2_view_after_click', u2,
-            |  '3_purchase_after_view', u3) AS (stage, n_users)""".stripMargin)
-        .orderBy("stage")
-    },
+    (s, dir) => graft.operators.Sessionization.funnel(
+      Records.table(s, dir, "events"),
+      stages = Seq("click" -> "1_click", "view" -> "2_view_after_click",
+        "purchase" -> "3_purchase_after_view"),
+      activeLabel = "0_active"),
     Some(
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
@@ -2040,144 +1891,21 @@ object PipelineQueries {
         |ORDER BY stage""".stripMargin))
 
   // E5B — the HOT-KEY-SAFE funnel: identical semantics (and oracle) to
-  // e5, via PSEUDO-EVENT REDUCTION. e5's three chained per-user
-  // running-mins are inherently sequential, so one bot user serializes
-  // (measured 14.5 s worst task on the 50%-hot fixture). The reduction:
-  // within each (user, 6-h bucket) — ONE bounded sort — 7 stacked local
-  // windows extract the bucket's funnel WITNESSES as (us, event_id)
-  // pairs: first click; first view after the local first click; first
-  // view unconditionally; first purchase after each view candidate;
-  // first purchase unconditionally; plus the bucket's first event of
-  // any type (so users with no c/v/p still count as active). Every
-  // witness is a real event, and any global funnel completion has all
-  // three of its true witnesses among them (the global first click is
-  // some bucket's local first click; the first view after it is either
-  // "view after local click" in that bucket or a later bucket's
-  // unconditional first view; likewise for the purchase) — so running
-  // e5's EXACT funnel over the ≤7-per-bucket pseudo-stream (hot user:
-  // ~7 rows per bucket, not millions) yields identical flags.
-  // FunnelProps pins e5b == e5 on random boundary-heavy timelines.
+  // e5 via the PSEUDO-EVENT REDUCTION, generalized to any stage chain
+  // in Sessionization.funnelBucketed (witness-set design + correctness
+  // argument in its Scaladoc; e5's three chained per-user running-mins
+  // serialize on one bot user — measured 14.5 s worst task on the
+  // 50%-hot fixture — while the reduction bounds the hot user at
+  // ~n(n+1)/2 rows per 6-h bucket). FunnelProps pins e5b == e5 on
+  // random boundary-heavy timelines.
   private val e5b = QueryDef(
     "e5b_funnel_bucketed",
-    (s, dir) => {
-      val BUs = 21600L * 1000000L
-      val se = struct(col("us"), col("event_id"))
-      def winMin(cond: org.apache.spark.sql.Column,
-          w: org.apache.spark.sql.expressions.WindowSpec) =
-        min(when(cond, se)).over(w)
-      val wb = Window.partitionBy("user_id", "bkt").orderBy("us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // only the AFTER-conditions need running state, and a cheap int
-      // "seen" flag carries it — the three order-free witnesses (first
-      // click / view / purchase) fall out of the aggregate below. The
-      // ordered pass reads ONLY funnel-typed rows (click/view/purchase
-      // — the filter precedes the shuffle, so other event types never
-      // cross it); the active-user census comes from a separate plain
-      // distinct over user_id, far cheaper than dragging every row
-      // through the sort just to mark existence.
-      val ev = Records.table(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
-      val staged = ev
-        .filter(col("event_type").isin("click", "view", "purchase"))
-        .withColumn("bkt", expr(s"us div $BUs"))
-        .withColumn("cseen",
-          max(when(col("event_type") === "click", 1)).over(wb))
-        .withColumn("vse", winMin(col("event_type") === "view" &&
-          col("cseen") === 1, wb))
-        .withColumn("pse", winMin(col("event_type") === "purchase" &&
-          col("vse").isNotNull, wb))
-        .withColumn("vuseen",
-          max(when(col("event_type") === "view", 1)).over(wb))
-        .withColumn("pvu", winMin(col("event_type") === "purchase" &&
-          col("vuseen") === 1, wb))
-      // bucket summary: order-free mins directly; the running mins at
-      // the bucket's LAST row (monotone, so max_by(us, eid) reads them)
-      val lastBy = struct(col("us"), col("event_id"))
-      val summ = staged.groupBy("user_id", "bkt").agg(
-        min(when(col("event_type") === "click", se)).as("cse"),
-        min(when(col("event_type") === "view", se)).as("vu"),
-        min(when(col("event_type") === "purchase", se)).as("pu"),
-        max_by(col("vse"), lastBy).as("vse"),
-        max_by(col("pse"), lastBy).as("pse"),
-        max_by(col("pvu"), lastBy).as("pvu"))
-      def tag(c: String, t: String) =
-        when(col(c).isNotNull, struct(col(s"$c.us").as("us"),
-          col(s"$c.event_id").as("event_id"), lit(t).as("event_type")))
-      val pseudo = summ.select(col("user_id"), explode(array(
-          tag("cse", "click"), tag("vse", "view"), tag("vu", "view"),
-          tag("pse", "purchase"), tag("pvu", "purchase"),
-          tag("pu", "purchase"))).as("pe"))
-        .filter(col("pe").isNotNull)
-        .select(col("user_id"), col("pe.us").as("us"),
-          col("pe.event_id").as("event_id"),
-          col("pe.event_type").as("event_type"))
-      // e5's exact funnel, now over <= 7 pseudo-events per (user, bucket)
-      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val funneled = pseudo
-        .withColumn("c",
-          min(when(col("event_type") === "click", col("us"))).over(w))
-        .withColumn("v",
-          min(when(col("event_type") === "view" && col("c").isNotNull,
-            col("us"))).over(w))
-        .withColumn("p",
-          min(when(col("event_type") === "purchase" && col("v").isNotNull,
-            col("us"))).over(w))
-      val perUser = funneled.groupBy("user_id").agg(
-        max(when(col("c").isNotNull, lit(1L)).otherwise(lit(0L))).as("clicked"),
-        max(when(col("v").isNotNull, lit(1L)).otherwise(lit(0L))).as("viewed"),
-        max(when(col("p").isNotNull, lit(1L)).otherwise(lit(0L))).as("purchased"))
-      // two-level distinct (no countDistinct Expand): the census of ALL
-      // users, funnel-typed or not, off the ordered path entirely
-      val active = ev.groupBy("user_id").agg(lit(1))
-        .agg(count(lit(1)).as("u0"))
-      perUser.agg(
-          sum("clicked").as("u1"), sum("viewed").as("u2"),
-          sum("purchased").as("u3"))
-        .crossJoin(active)
-        .selectExpr(
-          """stack(4,
-            |  '0_active', u0,
-            |  '1_click', u1,
-            |  '2_view_after_click', u2,
-            |  '3_purchase_after_view', u3) AS (stage, n_users)""".stripMargin)
-        .orderBy("stage")
-    },
-    Some(
-      """WITH e AS (
-        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
-        |s1 AS (
-        |  SELECT *, MIN(CASE WHEN event_type = 'click' THEN us END) OVER w AS c
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
-        |                      ROWS UNBOUNDED PRECEDING)),
-        |s2 AS (
-        |  SELECT *, MIN(CASE WHEN event_type = 'view' AND c IS NOT NULL
-        |                     THEN us END) OVER w AS v
-        |  FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
-        |                       ROWS UNBOUNDED PRECEDING)),
-        |s3 AS (
-        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND v IS NOT NULL
-        |                     THEN us END) OVER w AS p
-        |  FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
-        |                       ROWS UNBOUNDED PRECEDING)),
-        |per_user AS (
-        |  SELECT user_id,
-        |    MAX(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS clicked,
-        |    MAX(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS viewed,
-        |    MAX(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS purchased
-        |  FROM s3 GROUP BY user_id)
-        |SELECT stage, n_users FROM (
-        |  SELECT '0_active' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users
-        |  FROM per_user
-        |  UNION ALL
-        |  SELECT '1_click', CAST(SUM(clicked) AS BIGINT) FROM per_user
-        |  UNION ALL
-        |  SELECT '2_view_after_click', CAST(SUM(viewed) AS BIGINT) FROM per_user
-        |  UNION ALL
-        |  SELECT '3_purchase_after_view', CAST(SUM(purchased) AS BIGINT)
-        |  FROM per_user)
-        |ORDER BY stage""".stripMargin))
+    (s, dir) => graft.operators.Sessionization.funnelBucketed(
+      Records.table(s, dir, "events"),
+      stages = Seq("click" -> "1_click", "view" -> "2_view_after_click",
+        "purchase" -> "3_purchase_after_view"),
+      activeLabel = "0_active", bucketSeconds = 21600L),
+    e5.oracle)
 
   // X10 — per-document top keywords, TF-IDF-shaped: frequent in the
   // doc, rare in the corpus. The corpus-frequency side is x7's

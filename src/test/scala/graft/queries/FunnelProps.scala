@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.SparkTestSession
+import graft.sources.Records
 import org.scalacheck.{Gen, Properties}
 import org.scalacheck.Prop.forAll
 
@@ -38,16 +39,64 @@ object FunnelProps extends Properties("Funnel") {
     Catalog.byName(name).fn(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
+  private def writeEvents(rows: Seq[(Long, Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fun_").toString
+    rows.zipWithIndex
+      .map { case ((u, sec, t), i) => (i.toLong, sec * 1000000L, u, t) }
+      .toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), expr("timestamp_micros(us)").as("ts"),
+        col("user_id"), col("event_type"), lit(0.0).as("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
   property("e5b (bucketed pseudo-events) == e5 (plain) on random timelines") =
     forAll(eventsGen) { rows =>
-      val dir = java.nio.file.Files.createTempDirectory("graft_fun_").toString
-      rows.zipWithIndex
-        .map { case ((u, sec, t), i) => (i.toLong, sec * 1000000L, u, t) }
-        .toDF("event_id", "us", "user_id", "event_type")
-        .select(col("event_id"), expr("timestamp_micros(us)").as("ts"),
-          col("user_id"), col("event_type"), lit(0.0).as("value"),
-          lit("{}").as("props"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val dir = writeEvents(rows)
       run("e5b_funnel_bucketed", dir) == run("e5_conversion_funnel", dir)
+    }
+
+  // The catalog entries pin the 3-stage instance; this pins the N-stage
+  // GENERALIZATION in operators/Sessionization: a 4-stage chain, both
+  // physical forms, against a brute-force Scala truth (greedy ordered
+  // chain — existence of an increasing stage chain per user).
+  private val stages4 = Seq("signup" -> "1_signup", "click" -> "2_click",
+    "view" -> "3_view", "purchase" -> "4_purchase")
+
+  private def truth4(rows: Seq[(Long, Long, String)]): Seq[(String, Long)] = {
+    val byUser = rows.zipWithIndex
+      .map { case ((u, sec, t), i) => (u, sec * 1000000L, i.toLong, t) }
+      .groupBy(_._1)
+    val flags = byUser.values.map { evs =>
+      val ordered = evs.sortBy(e => (e._2, e._3))
+      // greedy: walk stages left to right through the ordered timeline
+      val reached = stages4.map(_._1).foldLeft((0, ordered)) {
+        case ((depth, rest), st) =>
+          val idx = rest.indexWhere(_._4 == st)
+          if (idx < 0) (depth, Nil)
+          else (depth + 1, rest.drop(idx)) // at-or-after: same event can't repeat (ids unique), but equal ts can
+      }._1
+      reached
+    }.toSeq
+    ("0_active", flags.size.toLong) +: stages4.zipWithIndex.map {
+      case ((_, label), i) => (label, flags.count(_ > i).toLong) }
+  }
+
+  property("4-stage funnelBucketed == funnel == brute-force truth") =
+    forAll(eventsGen) { rows0 =>
+      // remap some error events to signup so 4-chains occur
+      val rows = rows0.map { case (u, s, t) =>
+        (u, s, if (t == "error") "signup" else t) }
+      val dir = writeEvents(rows)
+      val ev = Records.table(spark, dir, "events")
+      val plain = graft.operators.Sessionization
+        .funnel(ev, stages4, "0_active")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val bucketed = graft.operators.Sessionization
+        .funnelBucketed(ev, stages4, "0_active", bucketSeconds = B)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val expect = truth4(rows).sortBy(_._1)
+      plain == expect && bucketed == expect
     }
 }

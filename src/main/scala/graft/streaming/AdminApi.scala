@@ -33,7 +33,10 @@ import org.apache.spark.sql.functions._
 final class AdminApi(
     manager: PipelineManager,
     admission: Option[AdmissionControl] = None,
-    feeds: Option[AdminApi.MonitorFeeds] = None) {
+    feeds: Option[AdminApi.MonitorFeeds] = None,
+    groupRoot: Option[String] = None,
+    expiry: Option[GroupExpiryService] = None,
+    isLeader: () => Boolean = () => true) {
 
   private def ok(extra: String = ""): String =
     s"""{"status":"ok"$extra}"""
@@ -194,6 +197,44 @@ final class AdminApi(
     val all = rows.map(_.getAs[String]("instance")).distinct.sorted
       .map(jsonEscape).mkString("[", ",", "]")
     s"""{"instances":$perInstance,"blacklisted":[],"allInstances":$all}"""
+  }
+
+  // ---- consumer-group governance over the topic-log (K3 surface) ----
+
+  private def withGroups(f: String => String): String =
+    groupRoot.fold(err("no group root configured"))(f)
+
+  /** GET /groups — registered consumer groups with last-commit epoch,
+    * idle age and pinned-topic count, plus the expiry loop's lifetime
+    * counter — the group-offset admin view of the reference's
+    * `AdminRestletResource` state dumps, over
+    * [[graft.sources.FileTopicLog.groups]]. */
+  def groupsJson: String = withGroups { root =>
+    val now = System.currentTimeMillis()
+    val rows = graft.sources.FileTopicLog.groups(root).map { g =>
+      val last = graft.sources.FileTopicLog.groupLastCommitMillis(root, g)
+      val nTopics = graft.sources.FileTopicLog.groupPositions(root, g).size
+      s"""{"group":${jsonEscape(g)},""" +
+        s""""lastCommitMs":${last.getOrElse(-1L)},""" +
+        s""""ageMs":${last.map(now - _).getOrElse(-1L)},""" +
+        s""""nTopics":$nTopics}"""
+    }
+    s"""{"groups":${rows.mkString("[", ",", "]")},""" +
+      s""""expiredTotal":${expiry.map(_.expiredCount).getOrElse(0L)}}"""
+  }
+
+  /** DELETE /groups/{g} — release a group's retention pin
+    * ([[graft.sources.FileTopicLog.unregisterGroup]]). A data-loss
+    * policy action, so leader-gated like validation/backup/expiry: a
+    * non-leader refuses instead of double-applying policy. */
+  def deleteGroup(group: String): String = withGroups { root =>
+    if (!isLeader()) err("not leader")
+    else if (!graft.sources.FileTopicLog.groups(root).contains(group))
+      err(s"unknown group $group")
+    else {
+      graft.sources.FileTopicLog.unregisterGroup(root, group)
+      ok(s""","group":${jsonEscape(group)}""")
+    }
   }
 
   private[streaming] def currentSpec(pipeline: String): Option[PipelineSpec] =

@@ -25,6 +25,8 @@ import java.nio.charset.StandardCharsets
  *  - `GET  /noprogress`                  → stuck partitions (A2 view)
  *  - `GET  /offset[/{topic}/{partition}]` → per-TP offsets/lag (A1 view)
  *  - `GET  /instances[/{name}]`          → per-instance serving + workload
+ *  - `GET  /groups`                      → consumer groups + idle ages (K3 view)
+ *  - `DELETE /groups/{g}`                → release a group's retention pin (leader-gated)
  *  - `GET  /chaperone3/rawmetrics?startSec&endSec&topicList` → workload
  *    metrics JSON when a `metrics` provider is configured — the C3
  *    surface [[graft.sources.WorkloadRetriever.httpFetch]] queries
@@ -98,6 +100,8 @@ final class AdminHttpServer(
           }
         case ("GET", List("instances")) => Some(api.instances())
         case ("GET", List("instances", name)) => Some(api.instances(Some(name)))
+        case ("GET", List("groups")) => Some(api.groupsJson)
+        case ("DELETE", List("groups", group)) => Some(api.deleteGroup(group))
         case ("GET", List("chaperone3", "rawmetrics")) =>
           metrics.map { m =>
             (pInt("startSec"), pInt("endSec")) match {

@@ -55,7 +55,8 @@ final class GraftController(
   val expiry = groupExpiry.map { case (root, ttl) =>
     new GroupExpiryService(root, ttl, isLeader)
   }
-  val api = new AdminApi(manager, admission, feeds)
+  val api = new AdminApi(manager, admission, feeds,
+    groupRoot = groupExpiry.map(_._1), expiry = expiry, isLeader = isLeader)
   val http = new AdminHttpServer(api, Some(validation), httpPort)
 
   @volatile private var started = false

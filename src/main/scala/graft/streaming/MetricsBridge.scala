@@ -32,7 +32,8 @@ object MetricsBridge {
     "numOfflineTopicPartitions", "numErrorTopicPartitions",
     "numErrorTopics", "numMismatchedAssignments")
 
-  private def buildRegistry(service: ValidationService): MetricRegistry = {
+  private def buildRegistry(service: ValidationService,
+      expiry: Option[GroupExpiryService]): MetricRegistry = {
     val registry = new MetricRegistry()
     CounterNames.foreach { name =>
       registry.register(MetricRegistry.name("validation", name),
@@ -47,6 +48,12 @@ object MetricsBridge {
         override def getValue: Long =
           if (counterFlag(service.countersJson, "isLeader")) 1L else 0L
       })
+    // lifetime count of consumer groups the expiry policy loop released
+    // — a sudden jump flags a TTL misconfiguration before data loss
+    expiry.foreach { e =>
+      registry.register(MetricRegistry.name("groups", "expiredTotal"),
+        new Gauge[Long] { override def getValue: Long = e.expiredCount })
+    }
     registry
   }
 
@@ -67,8 +74,9 @@ object MetricsBridge {
     * Idempotent per source name: an existing source under the same name
     * is replaced, so a pipeline restart cannot double-register. */
   def register(service: ValidationService,
-      sourceName: String = "graft"): GraftSource = {
-    val src = new GraftSource(sourceName, buildRegistry(service))
+      sourceName: String = "graft",
+      expiry: Option[GroupExpiryService] = None): GraftSource = {
+    val src = new GraftSource(sourceName, buildRegistry(service, expiry))
     GraftMetricsAccess.replace(src)
     src
   }

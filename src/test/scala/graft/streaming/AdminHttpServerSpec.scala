@@ -168,4 +168,51 @@ class AdminHttpServerSpec extends AnyFunSuite {
       assert(sc == 400 && body.contains("no monitor feeds"))
     }
   }
+
+  test("GET /groups + DELETE /groups/{g}: group governance over HTTP") {
+    import graft.sources.FileTopicLog
+    val root = graft.SessionTemp.dir("graft_admin_groups_")
+    FileTopicLog.registerGroup(root, "etl")
+    FileTopicLog.registerGroup(root, "audit")
+    val expiry = new GroupExpiryService(root, ttlMillis = 1L)
+    val leader = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val m = new PipelineManager(spark)
+    val srv = new AdminHttpServer(new AdminApi(m, groupRoot = Some(root),
+      expiry = Some(expiry), isLeader = () => leader.get))
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val (sc, body) = call("GET", s"$base/groups")
+      assert(sc == 200)
+      assert(body.contains(""""group":"audit"""") &&
+        body.contains(""""group":"etl""""), body)
+      assert(body.contains(""""expiredTotal":0"""), body)
+      assert("\"lastCommitMs\":(\\d+)".r.findAllMatchIn(body)
+        .forall(_.group(1).toLong > 0L), body)
+      // non-leader refuses the data-loss action
+      leader.set(false)
+      val (nc, nBody) = call("DELETE", s"$base/groups/etl")
+      assert(nc == 400 && nBody.contains("not leader"))
+      assert(FileTopicLog.groups(root) == Seq("audit", "etl"))
+      // leader releases the pin; unknown group is a client error
+      leader.set(true)
+      val (dc, dBody) = call("DELETE", s"$base/groups/etl")
+      assert(dc == 200 && dBody.contains(""""group":"etl""""))
+      assert(FileTopicLog.groups(root) == Seq("audit"))
+      assert(call("DELETE", s"$base/groups/etl")._1 == 400)
+      // the expiry loop's lifetime counter surfaces in the view
+      Thread.sleep(5)
+      assert(expiry.expireOnce() == Seq("audit"))
+      assert(call("GET", s"$base/groups")._2
+        .contains(""""expiredTotal":1"""))
+    } finally srv.stop()
+  }
+
+  test("group routes without a root configured answer an error, not a 500") {
+    withServer { (base, _) =>
+      val (sc, body) = call("GET", s"$base/groups")
+      assert(sc == 400 && body.contains("no group root"))
+      assert(call("DELETE", s"$base/groups/x")._1 == 400)
+    }
+  }
 }

@@ -66,6 +66,23 @@ class MetricsBridgeSpec extends AnyFunSuite {
       "unregister must remove the source")
   }
 
+  test("the expiry loop's expiredTotal exports as a gauge when wired") {
+    val root = graft.SessionTemp.dir("graft_metrics_groups_")
+    graft.sources.FileTopicLog.registerGroup(root, "stale")
+    val expiry = new GroupExpiryService(root, ttlMillis = 1L)
+    val vs = new ValidationService(() => idealView, () => idealView)
+    val src = MetricsBridge.register(vs, "graft", Some(expiry))
+    try {
+      val gauges = MetricsBridge.registries("graft").head.getGauges
+      val g = gauges.get("groups.expiredTotal")
+      assert(g != null, s"have ${gauges.keySet()}")
+      assert(g.asInstanceOf[Gauge[Long]].getValue === 0L)
+      Thread.sleep(5)
+      assert(expiry.expireOnce() == Seq("stale"))
+      assert(g.asInstanceOf[Gauge[Long]].getValue === 1L)
+    } finally MetricsBridge.unregister(src)
+  }
+
   test("a scrape runs zero Spark jobs (driver-local parse only)") {
     val vs = new ValidationService(() => idealView, () => idealView)
     vs.validateOnce() // the pass itself runs jobs — that's fine

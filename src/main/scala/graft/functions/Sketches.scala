@@ -409,6 +409,20 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
+  // a float-element array would otherwise fail DEEP IN A TASK with a
+  // boxing ClassCastException — make the contract an analysis error
+  // (callers cast: `col("embedding").cast("array<double>")`)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_dot requires two ARRAY<DOUBLE> arguments, got " +
+            s"${l.catalogString} and ${r.catalogString}")
+    }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     Sketches.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 

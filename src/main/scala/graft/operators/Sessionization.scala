@@ -186,9 +186,11 @@ object Sessionization {
       unix_micros(col(cols.ts)).as("us"))
     val perUser = stageFlags(
       chainMins(staged, stages.map(_._1), cols), stages.size, cols)
+    // coalesce: a zero-user corpus must census 0 at every stage, not null
     val totals = perUser.agg(
       count(lit(1)).as("u_active"),
-      stages.indices.map(i => sum(s"f_$i").as(s"u_$i")): _*)
+      stages.indices.map(i =>
+        coalesce(sum(s"f_$i"), lit(0L)).as(s"u_$i")): _*)
     stackStages(totals, activeLabel +: stages.map(_._2),
       "u_active" +: stages.indices.map(i => s"u_$i"))
   }
@@ -263,8 +265,9 @@ object Sessionization {
     val active = ev.groupBy(cols.user).agg(lit(1))
       .agg(count(lit(1)).as("u_active"))
     val totals = perUser.agg(
-        sum("f_0").as("u_0"),
-        (1 until n).map(i => sum(s"f_$i").as(s"u_$i")): _*)
+        coalesce(sum("f_0"), lit(0L)).as("u_0"),
+        (1 until n).map(i =>
+          coalesce(sum(s"f_$i"), lit(0L)).as(s"u_$i")): _*)
       .crossJoin(active)
     stackStages(totals, activeLabel +: stages.map(_._2),
       "u_active" +: stages.indices.map(i => s"u_$i"))

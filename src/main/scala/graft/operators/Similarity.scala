@@ -46,13 +46,23 @@ object Similarity {
     dot / (sqrt(na) * sqrt(nb))
   }
 
+  /** Zero-norm vectors have no cosine — under ANSI the division ERRORS
+    * instead of yielding NaN, so one all-zeros row (a corrupt embedding
+    * in a 100 TB corpus) would fail the whole job. Every strategy
+    * excludes them up front, as both query and candidate —
+    * [[quantizedTopK]] always did (its int8 scale is norm-relative);
+    * LibraryFuzzSpec pins the other three. */
+  private def nonZero(emb: DataFrame): DataFrame =
+    emb.filter(expr("vec_dot(v, v)") > 0)
+
   /** Exact brute-force cosine top-k: every query against every vector.
     * Output (q_id, vec_id, cos, rank). The recall baseline the
     * approximate forms are measured against (AnnRecallSpec). */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val q = emb.filter(queryPred)
+    val e = nonZero(emb)
+    val q = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    q.crossJoin(emb).filter(col("vec_id") =!= col("q_id"))
+    q.crossJoin(e).filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", round(cosine("qv", "v"), 4))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id")))
@@ -67,20 +77,21 @@ object Similarity {
     * brute-force only there. Output (q_id, vec_id, cell, cos, rank). */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
       nCells: Int = 8, nprobe: Int = 2): DataFrame = {
+    val e = nonZero(emb)
     val h = conv(substring(md5(concat(lit("c:"),
       col("vec_id").cast("string"))), 1, 15), 16, 10).cast("long")
-    val seeds = emb
+    val seeds = e
       .withColumn("h", h)
       .orderBy("h", "vec_id").limit(nCells)
       .withColumn("crank", row_number().over(Window.orderBy("h", "vec_id")))
       .select(col("crank").cast("long").as("cell"), col("v").as("cv"))
-    val assign = emb.crossJoin(broadcast(seeds))
+    val assign = e.crossJoin(broadcast(seeds))
       .withColumn("sim", round(cosine("v", "cv"), 6))
       .groupBy(col("vec_id"), col("v"))
       .agg(max_by(col("cell"),
         struct(col("sim"), (-col("cell")).as("nc"))).as("cell"))
       .select(col("vec_id"), col("cell"), col("v"))
-    val probes = emb.filter(queryPred)
+    val probes = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
       .crossJoin(broadcast(seeds))
       .withColumn("sim", round(cosine("qv", "cv"), 6))
@@ -114,7 +125,7 @@ object Similarity {
     * Output (q_id, vec_id, cos, rank). */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int,
       tables: Int = 2, bits: Int = 3, dims: Int = 64): DataFrame = {
-    val tagged = lshTagged(emb, tables, bits, dims)
+    val tagged = lshTagged(nonZero(emb), tables, bits, dims)
     val q = tagged.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("tbl"), col("bucket"))

@@ -76,8 +76,11 @@ object TextAnalysis {
     val total = cnt.map { case (n, _) => ref(n) }
       .reduce((a, b) => a + b)
     base
+      // zero-token guard: ANSI mode makes 0/0 an error, not NaN — an
+      // empty doc profiles as null ratio → otherLabel (LibraryFuzzSpec)
       .withColumn("marker_ratio",
-        round(total.cast("double") / col("n_tokens"), 6))
+        when(col("n_tokens") > 0,
+          round(total.cast("double") / col("n_tokens"), 6)))
       .withColumn("predicted",
         when(col("marker_ratio") >= threshold, label).otherwise(otherLabel))
       .select(col("doc_id") +: col("n_tokens") +:
@@ -101,10 +104,14 @@ object TextAnalysis {
       .withColumn("n_distinct", col("tc.n_distinct").cast("long"))
       .withColumn("n_stop", col("tc.n_stop").cast("long"))
     base
+      // zero-token guard as in langProfile; an empty doc still labels
+      // "too_short" via the count branch below
       .withColumn("distinct_ratio",
-        round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+        when(col("n_tokens") > 0,
+          round(col("n_distinct").cast("double") / col("n_tokens"), 6)))
       .withColumn("stopword_ratio",
-        round(col("n_stop").cast("double") / col("n_tokens"), 6))
+        when(col("n_tokens") > 0,
+          round(col("n_stop").cast("double") / col("n_tokens"), 6)))
       .withColumn("quality",
         when(col("n_tokens") < minTokens, "too_short")
           .when(col("distinct_ratio") < minDistinctRatio, "repetitive")
@@ -127,7 +134,8 @@ object TextAnalysis {
         col("tc.token_chars").cast("long").as("token_chars"),
         col("n_chars"))
       .withColumn("chars_per_token",
-        round(col("token_chars").cast("double") / col("n_tokens"), 4))
+        when(col("n_tokens") > 0,
+          round(col("token_chars").cast("double") / col("n_tokens"), 4)))
 
   /** X4 — positional fingerprint in exact integer arithmetic:
     * Σ (pos+1)·(ascii(w) + 7·len(w)) over the token sequence. Sum is
@@ -201,7 +209,9 @@ object TextAnalysis {
           .otherwise(lit(1.0) - col("tri_distinct").cast("double") /
             col("tri_total").cast("double")))
       .withColumn("top_frac",
-        col("top_cnt").cast("double") / col("n_tok").cast("double"))
+        when(col("n_tok") > 0,
+          col("top_cnt").cast("double") / col("n_tok").cast("double"))
+          .otherwise(0.0))
       .withColumn("keep_doc",
         (col("dup3_frac") <= lit(maxDupTrigramFrac) &&
           col("top_frac") <= lit(maxTopTokenFrac)).cast("long"))

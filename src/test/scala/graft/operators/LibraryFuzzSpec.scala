@@ -1,0 +1,244 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hostile-input sweep over EVERY operators/ library surface: the four
+  * corpus shapes that historically break expression-building or
+  * aggregate edge cases — an empty corpus, all-empty documents, a
+  * single row, and quote/backslash-bearing tokens — run through each
+  * surface's main entry points. The contract is mechanical: no
+  * exception, and the boring invariant (empty in → empty or zeroed
+  * out; single row in → the obvious row out). SqlLitProps pins the
+  * counting EXACTNESS of hostile tokens; this suite pins that no
+  * surface crashes or fabricates rows on degenerate geometry. */
+class LibraryFuzzSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val df = rows.toDF("doc_id", "text")
+    df.withColumn("source", lit("s1")).withColumn("quality", lit(0.5))
+  }
+
+  private val hostileText = """don't "quote" back\slash it''s $x"""
+  private val corpora: Seq[(String, DataFrame)] = Seq(
+    "empty" -> docs(),
+    "all-empty-docs" -> docs(1L -> "", 2L -> "", 3L -> ""),
+    "single-row" -> docs(7L -> "one tiny document here"),
+    "hostile-tokens" -> docs(1L -> hostileText, 2L -> hostileText,
+      3L -> "plain text"))
+
+  private def forEachCorpus(f: (String, DataFrame) => Unit): Unit =
+    corpora.foreach { case (name, d) =>
+      withClue(s"corpus '$name': ") { f(name, d) }
+    }
+
+  // ---------------------------------------------------- TextAnalysis
+
+  test("TextAnalysis surfaces survive degenerate corpora") {
+    forEachCorpus { (name, d) =>
+      val n = d.count()
+      assert(TextAnalysis.langProfile(d, markers = Seq("don't", "the"))
+        .count() == n)
+      assert(TextAnalysis.qualityScore(d, stopwords = Seq("\\'", "a"))
+        .count() == n)
+      assert(TextAnalysis.tokenStats(d.withColumn("n_chars", length(col("text"))))
+        .count() == n)
+      // fingerprints aggregate over the token fan-out: one row per doc
+      // WITH tokens (the oracle's explode+group semantics — an empty
+      // doc has no fingerprint row, it doesn't crash)
+      val nTokened = d.filter(expr(s"size(${TextAnalysis.tokensExpr}) > 0")).count()
+      assert(TextAnalysis.positionalFingerprint(d).count() == nTokened)
+      assert(TextAnalysis.rollingFingerprint(d).count() == nTokened)
+      assert(TextAnalysis.repetitionSignals(d).count() == n)
+      assert(TextAnalysis.repetitionFilter(d).count() <= n)
+      val uc = TextAnalysis.unigramCounts(d)
+      assert(TextAnalysis.sourceDivergence(uc).count() <= 1,
+        "one source at most")
+      if (name == "empty") assert(uc.count() == 0)
+    }
+  }
+
+  // ----------------------------------------------------------- Dedup
+
+  test("Dedup surfaces survive degenerate corpora") {
+    forEachCorpus { (name, d) =>
+      val exact = Dedup.exactDuplicates(d).collect()
+      assert(exact.map(_.getAs[Long]("n_copies")).sum == d.count())
+      val sh = Dedup.shingles(d)
+      val pairs = Dedup.nearDupPairs(spark, sh, threshold = 0.0).collect()
+      name match {
+        case "empty" | "all-empty-docs" | "single-row" =>
+          assert(pairs.isEmpty, s"got ${pairs.toSeq}")
+        case "hostile-tokens" =>
+          // docs 1 and 2 are identical hostile text → one exact pair
+          assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+            Seq((1L, 2L)))
+          assert(pairs.head.getAs[Double]("jaccard") == 1.0)
+      }
+      assert(Dedup.dropIds(Dedup.nearDupPairs(spark, sh)).count() <= d.count())
+    }
+  }
+
+  // -------------------------------------------------------- Sampling
+
+  test("Sampling surfaces survive degenerate corpora") {
+    val thr = (t: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =>
+      t * lit(1000000L) / c
+    forEachCorpus { (_, d) =>
+      val kept = Sampling.sampleByStratum(d, "source", "doc_id", "fuzz", thr)
+      assert(kept.count() <= d.count())
+      val labeled = d.withColumn("split",
+        Sampling.splitLabel(col("doc_id"), salt = "don't"))
+      assert(labeled.filter(
+        !col("split").isin("train", "val", "test")).count() == 0)
+    }
+    // empty corpus: thresholds relation itself is empty, not a crash
+    assert(Sampling.stratumThresholds(docs(), "source",
+      (t, c) => t * lit(1000000L) / c).count() == 0)
+  }
+
+  // ------------------------------------------------- Decontamination
+
+  test("Decontamination surfaces survive degenerate corpora") {
+    val evalDocs = docs(100L -> hostileText).select(
+      col("doc_id").as("eval_id"), col("text"))
+    val evalG = Decontamination.ngramHashes(
+      evalDocs.select(col("eval_id").as("doc_id"), col("text")))
+      .select(col("doc_id").as("eval_id"), col("gh")).distinct().cache()
+    val bloom = Decontamination.evalBloom(evalG, math.max(evalG.count(), 1L))
+    forEachCorpus { (name, d) =>
+      val train = Decontamination.ngramHashes(d)
+      val flagged = Decontamination.flagExact(train, evalG, Some(bloom))
+      name match {
+        case "hostile-tokens" =>
+          // docs 1/2 are the eval text verbatim → both flagged
+          assert(flagged.count() == 2, s"flagged=${flagged.collect().toSeq}")
+        case _ => assert(flagged.count() == 0)
+      }
+      // fuzzy path over the same corpora (eval row unioned in)
+      val sh = Dedup.shingles(d.unionByName(
+          evalDocs.select(col("eval_id").as("doc_id"), col("text"))
+            .withColumn("source", lit("eval"))
+            .withColumn("quality", lit(0.0))))
+        .withColumn("is_eval", col("doc_id") >= 100L)
+        .withColumn("bh", expr("minhash_lsh_bands(ws)"))
+      val fuzzy = Decontamination.fuzzyMatches(spark, sh, threshold = 0.5)
+      if (name == "hostile-tokens") assert(fuzzy.count() == 2)
+      else assert(fuzzy.count() == 0)
+    }
+  }
+
+  // ------------------------------------------------------ Similarity
+
+  private def emb(rows: (Long, Seq[Double])*): DataFrame =
+    rows.toDF("vec_id", "v")
+
+  test("Similarity surfaces survive degenerate embedding sets") {
+    val shapes = Seq(
+      "empty" -> emb(),
+      "single" -> emb(1L -> Seq(1d, 0d, 0d, 0d)),
+      // includes an all-zeros vector: excluded, never a crash
+      "few" -> emb(1L -> Seq(1d, 0d, 0d, 0d), 2L -> Seq(0.9, 0.1, 0d, 0d),
+        3L -> Seq(0d, 1d, 0d, 0d), 4L -> Seq(0d, 0d, 0d, 0d)))
+    shapes.foreach { case (name, e) =>
+      withClue(s"embeddings '$name': ") {
+        val pred = col("vec_id") === 1L
+        val bf = Similarity.bruteForceTopK(e, pred, k = 2)
+        val lsh = Similarity.lshTopK(e, pred, k = 2, dims = 4)
+        val ivf = Similarity.ivfTopK(e, pred, k = 2, nCells = 2, nprobe = 2)
+        val qt = Similarity.quantizedTopK(e, pred, k = 2, coarseK = 2, dims = 4)
+        Seq(bf, lsh, ivf, qt).foreach { out =>
+          val rows = out.collect()
+          assert(rows.length <= 2)
+          // a query never returns itself, and the zero-norm vector is
+          // excluded rather than erroring the division
+          assert(rows.forall(r => r.getAs[Long]("vec_id") != 1L &&
+            r.getAs[Long]("vec_id") != 4L))
+          if (name == "empty" || name == "single") assert(rows.isEmpty)
+        }
+        if (name == "few")
+          assert(bf.collect().head.getAs[Long]("vec_id") == 2L,
+            "nearest neighbor of q1 is v2")
+      }
+    }
+    // the array<double> contract is an analysis error, not a deep
+    // in-task ClassCastException
+    val bad = Seq(1L -> Seq(1f, 0f)).toDF("vec_id", "v")
+    val e = intercept[Exception] {
+      Similarity.bruteForceTopK(bad, col("vec_id") === 1L, 1).collect()
+    }
+    assert(String.valueOf(e.getMessage).toLowerCase.contains("vec_dot"), e.getMessage)
+  }
+
+  // ------------------------------------------------------- Retrieval
+
+  test("Retrieval surfaces survive degenerate corpora (scan and index)") {
+    forEachCorpus { (name, d) =>
+      val out = Retrieval.bm25TopK(d,
+        queries = Seq((1L, "don't"), (2L, "document")), k = 3)
+      name match {
+        case "hostile-tokens" =>
+          assert(out.filter(col("query_id") === 1L).count() == 2)
+        case "single-row" =>
+          assert(out.filter(col("query_id") === 2L).count() == 1)
+        case _ => assert(out.count() == 0)
+      }
+      val idx = graft.SessionTemp.dir("graft_fuzz_idx_")
+      Retrieval.buildPostingsIndex(d, idx, fingerprint = "fuzz",
+        nBuckets = None)
+      val probed = Retrieval.probeIndex(spark, idx,
+        Seq((1L, "don't"), (2L, "document")), 3)
+      assert(probed.collect().toSeq == out.collect().toSeq,
+        "probe form must equal scan form on degenerate corpora too")
+    }
+  }
+
+  // --------------------------------------------------- Sessionization
+
+  test("Sessionization surfaces survive degenerate event streams") {
+    def events(rows: (Long, Long, String, Long)*): DataFrame =
+      rows.toDF("user_id", "sec", "event_type", "event_id")
+        .select(col("event_id"), expr("timestamp_seconds(sec)").as("ts"),
+          col("user_id"), col("event_type"))
+    val shapes = Seq(
+      "empty" -> events(),
+      "single" -> events((1L, 10L, "don't", 1L)))
+    val stages = Seq("don't" -> "1_a", "b" -> "2_b")
+    shapes.foreach { case (name, ev) =>
+      withClue(s"events '$name': ") {
+        val n = ev.count()
+        assert(Sessionization.sessionize(ev, 1800L).count() == n)
+        assert(Sessionization.sessionizeBucketed(ev, 1800L, 21600L).count() == n)
+        val f = Sessionization.funnel(ev, stages, "0_all")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val fb = Sessionization.funnelBucketed(ev, stages, "0_all", 21600L)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val expect =
+          if (name == "empty") Map("0_all" -> 0L, "1_a" -> 0L, "2_b" -> 0L)
+          else Map("0_all" -> 1L, "1_a" -> 1L, "2_b" -> 0L)
+        assert(f == expect, s"funnel $f")
+        assert(fb == expect, s"funnelBucketed $fb")
+        assert(Sessionization.lastTouch(ev, "don't", "x", 100L).count() == 0)
+        assert(Sessionization
+          .lastTouchBucketed(ev, "don't", "x", 100L, 3600L).count() == 0)
+      }
+    }
+  }
+
+  // ---------------------------------------------------- TemporalJoins
+
+  test("TemporalJoins.asofJoin survives empty sides") {
+    def side(rows: (Long, Long, Double)*) =
+      rows.toDF("k", "t", "x")
+    val l = side((1L, 10L, 1.0))
+    val r = side()
+    assert(TemporalJoins.asofJoin(l, r, Seq("k"), "t", suffix = "_r")
+      .count() == 0)
+    assert(TemporalJoins.asofJoin(side(), side((1L, 5L, 2.0)), Seq("k"), "t",
+      suffix = "_r").count() == 0)
+  }
+}

@@ -91,6 +91,12 @@ def canon(df):
 fails = []
 names = only if only else sorted(oracle.keys())
 for name in names:
+    if name not in oracle:
+        if name in manifest:
+            continue  # rows-only entry, already checked above
+        print(f"FAIL {name}: not in the catalog (unknown query name)")
+        fails.append(name)
+        continue
     sql = oracle[name]
     pdir = f"{out}/{name}"
     files = glob.glob(f"{pdir}/*.parquet")

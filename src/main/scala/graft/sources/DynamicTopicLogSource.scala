@@ -272,10 +272,33 @@ final class DynamicTopicLogStream(root: String, maxRows: Option[Long],
       t -> tps.map { case ((_, p), pos) => p -> pos }.toMap
     }
     val topics = startPos.keySet ++ advanced.keySet
-    TopicLogOffset(topics.map { t =>
+    val next = TopicLogOffset(topics.map { t =>
       t -> (startPos.getOrElse(t, Map.empty[Int, Long]) ++
         advanced.getOrElse(t, Map.empty[Int, Long]))
     }.toMap)
+    // IDLE-TICK RETENTION HEAL (Kafka's log-cleaner analog). The cut
+    // normally runs at commit time, but commit fires only after a DATA
+    // batch — and this query's final commit can race another group's
+    // position publish by a tick, computing the min against a stale
+    // (lower) position. With no further data there is no further
+    // commit, so the log would stay pinned at the stale min until
+    // traffic resumes (k2d's fast/slow race — surfaced by the r15
+    // manifest gate after hiding as a silent artifact omission in
+    // r14). When a tick plans NO new rows, re-run the cut from the
+    // last durably-committed position (never beyond it) against the
+    // CURRENT group snapshot: self-healing within one trigger, data
+    // batches unaffected (active streams stay commit-driven).
+    if (truncateOnCommit && next.positions == startPos)
+      lastCommitted.foreach { pos =>
+        try publishAndCut(pos, publish = false)
+        catch {
+          case t: Throwable if scala.util.control.NonFatal(t) =>
+            System.err.println(
+              s"[graft-topiclog] idle-tick retention pass failed " +
+                s"(retrying next trigger): $t")
+        }
+      }
+    next
   }
 
   /** One task per TP does not survive reference-scale assignments: a
@@ -290,6 +313,10 @@ final class DynamicTopicLogStream(root: String, maxRows: Option[Long],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TopicLogOffset].positions
     val e = end.asInstanceOf[TopicLogOffset].positions
+    // batch N scheduled ⇒ batch N−1 durably committed ⇒ `start` is a
+    // cut-safe position (see lastCommitted). Values only ever grow, so
+    // a plain overwrite interleaving with commit() stays monotone.
+    if (truncateOnCommit && s.nonEmpty) lastCommitted = Some(s)
     val ranges = e.toSeq.sortBy(_._1).flatMap { case (t, ps) =>
       ps.toSeq.sortBy(_._1).flatMap { case (p, until) =>
         val from = s.getOrElse(t, Map.empty[Int, Long]).getOrElse(p, 0L)
@@ -329,30 +356,43 @@ final class DynamicTopicLogStream(root: String, maxRows: Option[Long],
     * read. With no groups registered the cut is this query's own
     * position (single-consumer retention). A query that sets `groupId`
     * also publishes its own positions here on every commit. */
-  override def commit(end: Offset): Unit = try {
-    val pos = end.asInstanceOf[TopicLogOffset].positions
-    if (truncateOnCommit) {
-      // one group snapshot per commit, not per partition — the
-      // min over a stale-by-milliseconds snapshot is only ever lower
-      // (more conservative), and per-partition re-reads would re-list
-      // _groups + re-parse every group file thousands of times at
-      // reference-scale assignments. The snapshot AND the cuts run
-      // under the group lock, serializing with registerGroup: "from
-      // registration the group blocks retention" holds exactly — no
-      // one-commit window where a just-registered group is invisible
-      // to an in-flight cut. Cheap to hold: the snapshot+cut pass is
-      // ~ms even at 1000-TP assignments (see TopicScaleBench).
-      FileTopicLog.withGroupsLock(root) {
-        groupId.foreach(g => FileTopicLog.commitGroup(root, g, pos))
-        val snap = FileTopicLog.groupSnapshot(root)
-        pos.foreach { case (t, ps) =>
-          ps.foreach { case (p, off) =>
-            FileTopicLog.truncateBelow(root, t, p,
-              FileTopicLog.retentionCut(snap, root, t, p, off))
-          }
+  /** A position known DURABLY PROCESSED by this query — the idle-tick
+    * cleaner's input (never cut beyond it). Fed from two signals, both
+    * safe and monotone: `commit(end)` (Spark's own source-commit, which
+    * fires only when a SUCCESSOR batch runs), and `planInputPartitions`'
+    * `start` — when batch N is scheduled, batch N−1's sink commit is
+    * already durable (the engine is sequential: commits/N−1 precedes
+    * offsets/N), so N's start positions are cut-safe one batch EARLIER
+    * than commit() reports them. */
+  @volatile private var lastCommitted: Option[Map[String, Map[Int, Long]]] = None
+
+  /** One group snapshot per pass, not per partition — the min over a
+    * stale-by-milliseconds snapshot is only ever lower (more
+    * conservative), and per-partition re-reads would re-list `_groups`
+    * + re-parse every group file thousands of times at reference-scale
+    * assignments. Publish AND cuts run under the group lock,
+    * serializing with registerGroup: "from registration the group
+    * blocks retention" holds exactly — no window where a
+    * just-registered group is invisible to an in-flight cut. Cheap to
+    * hold: ~ms even at 1000-TP assignments (see TopicScaleBench). */
+  private def publishAndCut(pos: Map[String, Map[Int, Long]],
+      publish: Boolean): Unit =
+    FileTopicLog.withGroupsLock(root) {
+      if (publish) groupId.foreach(g => FileTopicLog.commitGroup(root, g, pos))
+      val snap = FileTopicLog.groupSnapshot(root)
+      pos.foreach { case (t, ps) =>
+        ps.foreach { case (p, off) =>
+          FileTopicLog.truncateBelow(root, t, p,
+            FileTopicLog.retentionCut(snap, root, t, p, off))
         }
       }
-    } else groupId.foreach(g => FileTopicLog.commitGroup(root, g, pos))
+    }
+
+  override def commit(end: Offset): Unit = try {
+    val pos = end.asInstanceOf[TopicLogOffset].positions
+    lastCommitted = Some(pos)
+    if (truncateOnCommit) publishAndCut(pos, publish = true)
+    else groupId.foreach(g => FileTopicLog.commitGroup(root, g, pos))
   } catch {
     // Source.commit is advisory cleanup in Spark's contract — position
     // publishing and retention are retried verbatim on the next

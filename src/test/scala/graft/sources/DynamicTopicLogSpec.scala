@@ -416,6 +416,49 @@ class DynamicTopicLogSpec extends AnyFunSuite {
     } finally fast.stop()
   }
 
+  test("idle-tick retention heal: a cut that raced a group's position " +
+      "publish lands WITHOUT new data (the k2d flake, deterministic)") {
+    // The cut runs when the source learns a position is durably
+    // processed — and Spark reports a batch's source-commit only when
+    // a SUCCESSOR batch runs. So a slow group publishing its position
+    // AFTER the fast query's last data batch used to leave the log
+    // pinned at the stale min until new traffic arrived (intermittent
+    // k2d failure, hidden in r14's silent artifact omission). Two
+    // fixes compose here: planInputPartitions records batch N's start
+    // (durable once N is scheduled) as a cut-safe position one batch
+    // earlier than commit(), and idle latestOffset ticks re-run the
+    // cut against the CURRENT group snapshot — so the base advances
+    // with NO further append.
+    val root = freshRoot()
+    val base = Files.createTempDirectory("graft_dynidle_").toString
+    FileTopicLog.setWhitelist(root, Seq("t"))
+    FileTopicLog.append(root, "t", 0, (0 until 12).map(rec))
+    FileTopicLog.registerGroup(root, "slow")
+    val fast = startQuery(root, s"$base/ckpt", s"$base/sink",
+      truncateOnCommit = true, groupId = Some("fast"))
+    try {
+      fast.processAllAvailable()
+      // a second batch: its scheduling proves batch 1's [0,12) durable
+      FileTopicLog.append(root, "t", 0, (12 until 18).map(rec))
+      fast.processAllAvailable()
+      assert(FileTopicLog.startOffset(root, "t", 0) === 0L,
+        "the registered-but-uncommitted slow group pins the base")
+      // the slow group's position publish arrives AFTER fast's last
+      // data batch — exactly the race: no further fast batch exists
+      // to recompute the min at commit time
+      FileTopicLog.commitGroup(root, "slow", Map("t" -> Map(0 -> 9L)))
+      val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+      while (FileTopicLog.startOffset(root, "t", 0) < 9L &&
+          System.nanoTime < deadline)
+        Thread.sleep(25)
+      assert(FileTopicLog.startOffset(root, "t", 0) === 9L,
+        "idle ticks re-run the cut: base reaches min(own>=12, slow=9) " +
+          "with zero new records")
+      assert(sinkDf(s"$base/sink").count() === 18,
+        "the fast sink is complete and unaffected")
+    } finally fast.stop()
+  }
+
   test("registration racing a truncating commit: the group is pinned to a base it can read") {
     // The contract "from registration the group blocks retention" must
     // hold with NO one-commit window: a registerGroup concurrent with a

@@ -273,6 +273,41 @@ object Sessionization {
       "u_active" +: stages.indices.map(i => s"u_$i"))
   }
 
+  // -------------------------------------- windows / cohorts (e2, e9)
+
+  /** Tumbling event-time windows per event type: (type, window_start,
+    * n, sum_value) with epoch-floor integer buckets — identical in any
+    * engine, no timezone arithmetic. One partial-aggregated shuffle;
+    * at 100 TB the output is |types| × |windows|, never event-sized. */
+  def tumblingTypeCounts(events: DataFrame, windowSeconds: Long,
+      valueCol: String = "value", cols: EventCols = EventCols()): DataFrame =
+    events.groupBy(col(cols.tpe),
+        (floor(unix_timestamp(col(cols.ts)) / windowSeconds) * windowSeconds)
+          .cast("long").as("window_start"))
+      .agg(count(lit(1)).as("n"), round(sum(valueCol), 2).as("sum_value"))
+      .orderBy(cols.tpe, "window_start")
+
+  /** Retention-cohort matrix: users bucketed by FIRST-seen
+    * `periodSeconds`-wide period, counted at each later period offset —
+    * (cohort_period, period_offset, n_users). Three bounded shuffles,
+    * all partial-aggregated: a (user, period) two-level distinct (never
+    * COUNT(DISTINCT)'s Expand), a per-user min for the cohort, and a
+    * cohort-sized final count; the user-period table is |users|·|periods|,
+    * not |events|. */
+  def retentionCohorts(events: DataFrame, periodSeconds: Long,
+      cols: EventCols = EventCols()): DataFrame = {
+    val uw = events.select(col(cols.user),
+        floor(unix_timestamp(col(cols.ts)) / periodSeconds).cast("long")
+          .as("period"))
+      .distinct()
+    val first = uw.groupBy(cols.user).agg(min("period").as("cohort_period"))
+    uw.join(first, cols.user)
+      .groupBy(col("cohort_period"),
+        (col("period") - col("cohort_period")).as("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_period", "period_offset")
+  }
+
   // ------------------------------------------------------ last touch
 
   /** Last-touch attribution: pair every `conversionType` event with the

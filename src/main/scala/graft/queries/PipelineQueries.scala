@@ -1008,16 +1008,12 @@ object PipelineQueries {
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin))
 
-  // E2 — tumbling 1-hour event-time windows per type.
+  // E2 — tumbling 1-hour event-time windows per type
+  // (Sessionization.tumblingTypeCounts).
   private val e2 = QueryDef(
     "e2_event_windows",
-    (s, dir) => {
-      Records.table(s, dir, "events")
-        .groupBy(col("event_type"),
-          (floor(unix_timestamp(col("ts")) / 3600L) * 3600L).cast("long").as("window_start"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-        .orderBy("event_type", "window_start")
-    },
+    (s, dir) => graft.operators.Sessionization.tumblingTypeCounts(
+      Records.table(s, dir, "events"), windowSeconds = 3600L),
     Some(
       """SELECT event_type,
         |  CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
@@ -1035,19 +1031,10 @@ object PipelineQueries {
   // epoch-floor integers (identical both engines, no tz arithmetic).
   private val e9 = QueryDef(
     "e9_retention_cohorts",
-    (s, dir) => {
-      val wk = 7L * 86400L
-      val uw = Records.table(s, dir, "events")
-        .select(col("user_id"),
-          (floor(unix_timestamp(col("ts")) / wk)).cast("long").as("week"))
-        .distinct()
-      val first = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
-      uw.join(first, "user_id")
-        .groupBy(col("cohort_week"),
-          (col("week") - col("cohort_week")).as("week_offset"))
-        .agg(count(lit(1)).as("n_users"))
-        .orderBy("cohort_week", "week_offset")
-    },
+    (s, dir) => graft.operators.Sessionization.retentionCohorts(
+        Records.table(s, dir, "events"), periodSeconds = 7L * 86400L)
+      .select(col("cohort_period").as("cohort_week"),
+        col("period_offset").as("week_offset"), col("n_users")),
     Some(
       """WITH uw AS (
         |  SELECT DISTINCT user_id,

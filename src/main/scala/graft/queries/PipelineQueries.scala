@@ -1512,19 +1512,10 @@ object PipelineQueries {
   // so no unpartitioned global sort ever exists in the plan.
   private val p6 = QueryDef(
     "p6_sequence_pack",
-    (s, dir) => {
-      val d = docs(s, dir)
-        .select(col("source"), col("doc_id"),
-          size(expr(tokensExpr)).cast("long").as("n_tokens"))
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      d.withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
-        .withColumn("seq_id",
-          floor(col("cum_before").cast("double") / lit(256.0)).cast("long"))
-        .groupBy("source", "seq_id")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"))
-        .orderBy("source", "seq_id")
-    },
+    (s, dir) => graft.operators.Packing.packSequences(
+      docs(s, dir).select(col("source"), col("doc_id"),
+        size(expr(tokensExpr)).cast("long").as("n_tokens")),
+      tokenBudget = 256L),
     Some(
       """WITH t AS (
         |  SELECT source, doc_id,
@@ -2441,18 +2432,8 @@ object PipelineQueries {
   // one chunk.
   private val p11 = QueryDef(
     "p11_chunk_overlap",
-    (s, dir) => {
-      docs(s, dir)
-        .withColumn("chunk_idx", explode(sequence(lit(0L),
-          floor((greatest(length(col("text")), lit(1)) - 1) / 300)
-            .cast("long"))))
-        .select(col("doc_id"), col("chunk_idx"),
-          length(expr("substring(text, CAST(chunk_idx*300+1 AS INT), 400)"))
-            .cast("long").as("chunk_len"),
-          md5(expr("substring(text, CAST(chunk_idx*300+1 AS INT), 400)")
-            .cast("binary")).as("chunk_md5"))
-        .orderBy("doc_id", "chunk_idx")
-    },
+    (s, dir) => graft.operators.Packing.chunkOverlapping(
+      docs(s, dir), width = 400, stride = 300),
     Some(
       """WITH ch AS (
         |  SELECT doc_id, text, unnest(generate_series(0,
@@ -2481,17 +2462,8 @@ object PipelineQueries {
   // write-side ordering; 16 shards stand in for N at fixture scale.
   private val p12 = QueryDef(
     "p12_training_order",
-    (s, dir) => {
-      docs(s, dir)
-        .select(col("doc_id").cast("long").as("doc_id"),
-          md5Long(concat(lit("ord:"), col("doc_id").cast("string"))).as("h"))
-        .withColumn("shard", pmod(col("h"), lit(16L)).cast("long"))
-        .withColumn("pos",
-          row_number().over(Window.partitionBy("shard").orderBy("h", "doc_id"))
-            .cast("long"))
-        .select(col("doc_id"), col("shard"), col("pos"))
-        .orderBy("shard", "pos")
-    },
+    (s, dir) => graft.operators.Packing.trainingOrder(
+      docs(s, dir), nShards = 16),
     Some(
       """WITH h AS (SELECT doc_id,
         |  ('0x' || substr(md5('ord:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT

@@ -229,6 +229,24 @@ class LibraryFuzzSpec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------------------- Packing
+
+  test("Packing surfaces survive degenerate corpora") {
+    forEachCorpus { (_, d) =>
+      val n = d.count()
+      val withTok = d.select(col("source"), col("doc_id"),
+        size(expr(TextAnalysis.tokensExpr)).cast("long").as("n_tokens"))
+      val packed = Packing.packSequences(withTok, tokenBudget = 8L)
+      assert(packed.agg(coalesce(sum("n_docs"), lit(0L))).collect()(0)
+        .getLong(0) == n, "every doc lands in exactly one sequence")
+      // every doc yields >= 1 chunk, even empty text
+      assert(Packing.chunkOverlapping(d, width = 10, stride = 5)
+        .groupBy("doc_id").count().count() == n)
+      val ord = Packing.trainingOrder(d, nShards = 4, salt = "don't")
+      assert(ord.count() == n)
+    }
+  }
+
   // ---------------------------------------------------- TemporalJoins
 
   test("TemporalJoins.asofJoin survives empty sides") {

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Budget-bounded corpus selection as an engine capability — the
+ * library surface behind catalog entry p13 (token-budget selection),
+ * promoted like [[Packing]] / [[Sessionization]]: "rank by quality,
+ * take until the token budget is spent", the standard final step of
+ * training-set construction.
+ *
+ * Scale shape (the p13 design the round-14 verdict graded): the naive
+ * formulation is a running sum over the GLOBALLY SORTED corpus — an
+ * unpartitioned corpus-sized window that serializes through one task
+ * (exactly what PlanShapeSpec forbids). [[selectByTokenBudget]] never
+ * sorts the corpus: token totals aggregate per rank VALUE (bounded by
+ * the rank domain, ≤ 1e6+1 for micro-unit ratios — the unpartitioned
+ * prefix-sum window is AGGREGATE-bounded, the sanctioned q20 shape),
+ * the budget boundary picks ≤ 1 rank value, fully-kept values join
+ * back broadcast, and only the docs AT the boundary value pay a keyed
+ * running-sum window (boundary-group-sized). The 100 TB plan: scan +
+ * one narrow agg exchange + broadcast joins.
+ */
+object Selection {
+
+  /** Per-document vocabulary-richness quality in pure integer
+    * micro-units: 1e6 · distinct / total tokens, integer division — no
+    * FP anywhere, so any engine agrees bit-for-bit including ties.
+    * Input needs (idCol, `text`); output (idCol, n_tok, quality_micro).
+    * Callers materialize the result before reuse (the x16 pattern). */
+  def vocabRichnessMicro(docs: DataFrame, idCol: String = "doc_id",
+      tokensExpr: String = TextAnalysis.tokensExpr): DataFrame =
+    docs
+      .select(col(idCol), expr(tokensExpr).as("ts"))
+      .select(col(idCol),
+        size(col("ts")).cast("long").as("n_tok"),
+        expr("size(array_distinct(ts))").cast("long").as("n_distinct"))
+      .select(col(idCol), col("n_tok"),
+        when(col("n_tok") === 0L, 0L)
+          .otherwise(expr("1000000L * n_distinct div n_tok"))
+          .cast("long").as("quality_micro"))
+
+  /** A 1-row budget relation: `num/den` of the corpus's total tokens
+    * (integer arithmetic), as column `b`. */
+  def tokenBudgetFraction(m: DataFrame, num: Long, den: Long,
+      tokensCol: String = "n_tok"): DataFrame =
+    m.agg(expr(s"sum($tokensCol) * $num div $den").cast("long").as("b"))
+
+  /** Keep documents in exact (`rankCol` DESC, `idCol`) order until the
+    * inclusive running `tokensCol` sum exceeds `budget` (a 1-row
+    * relation with column `b`, e.g. [[tokenBudgetFraction]]). Output
+    * (idCol, rankCol, tokensCol) sorted in selection order — identical
+    * to the global-running-sum formulation, computed without ever
+    * sorting the corpus (see the object Scaladoc). */
+  def selectByTokenBudget(m: DataFrame, budget: DataFrame,
+      rankCol: String = "quality_micro", idCol: String = "doc_id",
+      tokensCol: String = "n_tok"): DataFrame = {
+    val qmeta = m.groupBy(rankCol)
+      .agg(sum(tokensCol).as("q_tok"))
+      .withColumn("cum_excl", coalesce(
+        sum("q_tok").over(Window.orderBy(col(rankCol).desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(budget))
+    val fullQ = qmeta
+      .filter(col("cum_excl") + col("q_tok") <= col("b"))
+      .select(col(rankCol))
+    val boundaryQ = qmeta
+      .filter(col("cum_excl") < col("b") &&
+        col("cum_excl") + col("q_tok") > col("b"))
+      .select(col(rankCol), col("cum_excl"), col("b"))
+    val kept = m.join(broadcast(fullQ), Seq(rankCol))
+      .select(col(idCol), col(rankCol), col(tokensCol))
+      .unionAll(
+        m.join(broadcast(boundaryQ), Seq(rankCol))
+          .withColumn("run", sum(tokensCol).over(
+            Window.partitionBy(rankCol).orderBy(idCol)))
+          .filter(col("cum_excl") + col("run") <= col("b"))
+          .select(col(idCol), col(rankCol), col(tokensCol)))
+    kept.orderBy(col(rankCol).desc, col(idCol))
+  }
+}

@@ -2739,41 +2739,16 @@ object PipelineQueries {
   private val p13 = QueryDef(
     "p13_token_budget",
     (s, dir) => {
-      val m0 = docs(s, dir)
-        .select(col("doc_id"), expr(tokensExpr).as("ts"))
-        .select(col("doc_id"),
-          size(col("ts")).cast("long").as("n_tok"),
-          expr("size(array_distinct(ts))").cast("long").as("n_distinct"))
-        .select(col("doc_id"), col("n_tok"),
-          when(col("n_tok") === 0L, 0L)
-            .otherwise(expr("1000000L * n_distinct div n_tok"))
-            .cast("long").as("quality_micro"))
+      // metric + selection live in operators/Selection; the entry
+      // binds the fixture corpus, the 30% budget, and the
+      // materialize-before-reuse step (x16's pattern).
+      import graft.operators.Selection
       val tmp = graft.SessionTemp.dir("graft_p13_")
-      m0.write.mode("overwrite").parquet(tmp)
+      Selection.vocabRichnessMicro(docs(s, dir))
+        .write.mode("overwrite").parquet(tmp)
       val m = s.read.parquet(tmp)
-      val tot = m.agg(expr("sum(n_tok) * 3 div 10").cast("long").as("b"))
-      val qmeta = m.groupBy("quality_micro")
-        .agg(sum("n_tok").as("q_tok"))
-        .withColumn("cum_excl", coalesce(
-          sum("q_tok").over(Window.orderBy(col("quality_micro").desc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .crossJoin(broadcast(tot))
-      val fullQ = qmeta
-        .filter(col("cum_excl") + col("q_tok") <= col("b"))
-        .select(col("quality_micro"))
-      val boundaryQ = qmeta
-        .filter(col("cum_excl") < col("b") &&
-          col("cum_excl") + col("q_tok") > col("b"))
-        .select(col("quality_micro"), col("cum_excl"), col("b"))
-      val kept = m.join(broadcast(fullQ), Seq("quality_micro"))
-        .select(col("doc_id"), col("quality_micro"), col("n_tok"))
-        .unionAll(
-          m.join(broadcast(boundaryQ), Seq("quality_micro"))
-            .withColumn("run", sum("n_tok").over(
-              Window.partitionBy("quality_micro").orderBy("doc_id")))
-            .filter(col("cum_excl") + col("run") <= col("b"))
-            .select(col("doc_id"), col("quality_micro"), col("n_tok")))
-      kept.orderBy(col("quality_micro").desc, col("doc_id"))
+      Selection.selectByTokenBudget(m,
+        Selection.tokenBudgetFraction(m, num = 3, den = 10))
     },
     Some(
       """WITH m AS (

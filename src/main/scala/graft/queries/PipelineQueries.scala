@@ -1885,6 +1885,62 @@ object PipelineQueries {
       activeLabel = "0_active", bucketSeconds = 21600L),
     e5.oracle)
 
+  // E5C — 4-STAGE funnel (signup → click → view → purchase) through
+  // the BUCKETED form: the N-stage generalization of the pseudo-event
+  // reduction (Sessionization.funnelBucketed — witnesses w(j,k), 10
+  // per (user, bucket) at n=4) under the DuckDB oracle, not just the
+  // FunnelProps brute-force pin. The oracle is the naive 4-chain of
+  // global running-mins; the engine never runs an unpartitioned
+  // corpus-sized window.
+  private val e5c = QueryDef(
+    "e5c_funnel_4stage",
+    (s, dir) => graft.operators.Sessionization.funnelBucketed(
+      Records.table(s, dir, "events"),
+      stages = Seq("signup" -> "1_signup", "click" -> "2_click_after_signup",
+        "view" -> "3_view_after_click", "purchase" -> "4_purchase_after_view"),
+      activeLabel = "0_active", bucketSeconds = 21600L),
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'signup' THEN us END) OVER w AS m0
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                      ROWS UNBOUNDED PRECEDING)),
+        |s2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND m0 IS NOT NULL
+        |                     THEN us END) OVER w AS m1
+        |  FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                       ROWS UNBOUNDED PRECEDING)),
+        |s3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'view' AND m1 IS NOT NULL
+        |                     THEN us END) OVER w AS m2
+        |  FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                       ROWS UNBOUNDED PRECEDING)),
+        |s4 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND m2 IS NOT NULL
+        |                     THEN us END) OVER w AS m3
+        |  FROM s3 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                       ROWS UNBOUNDED PRECEDING)),
+        |per_user AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN m0 IS NOT NULL THEN 1 ELSE 0 END) AS f0,
+        |    MAX(CASE WHEN m1 IS NOT NULL THEN 1 ELSE 0 END) AS f1,
+        |    MAX(CASE WHEN m2 IS NOT NULL THEN 1 ELSE 0 END) AS f2,
+        |    MAX(CASE WHEN m3 IS NOT NULL THEN 1 ELSE 0 END) AS f3
+        |  FROM s4 GROUP BY user_id)
+        |SELECT stage, n_users FROM (
+        |  SELECT '0_active' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM per_user
+        |  UNION ALL
+        |  SELECT '1_signup', CAST(SUM(f0) AS BIGINT) FROM per_user
+        |  UNION ALL
+        |  SELECT '2_click_after_signup', CAST(SUM(f1) AS BIGINT) FROM per_user
+        |  UNION ALL
+        |  SELECT '3_view_after_click', CAST(SUM(f2) AS BIGINT) FROM per_user
+        |  UNION ALL
+        |  SELECT '4_purchase_after_view', CAST(SUM(f3) AS BIGINT) FROM per_user)
+        |ORDER BY stage""".stripMargin))
+
   // X10 — per-document top keywords, TF-IDF-shaped: frequent in the
   // doc, rare in the corpus. The corpus-frequency side is x7's
   // vocabulary — vocabulary-sized, so it BROADCASTS to the token rows
@@ -2845,6 +2901,6 @@ object PipelineQueries {
     d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, sim1, sim2, sim3, sim4,
     x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x11b, x12, x13, x14, x15,
     x15b, x16, x17,
-    m1, m2, m3, e1, e1b, e2, e5, e5b, e9, e10, e10b,
+    m1, m2, m3, e1, e1b, e2, e5, e5b, e5c, e9, e10, e10b,
     p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p11, p12, p13, p14)
 }

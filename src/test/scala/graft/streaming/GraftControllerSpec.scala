@@ -133,6 +133,34 @@ class GraftControllerSpec extends AnyFunSuite {
         System.currentTimeMillis() < deadline) Thread.sleep(50L)
       assert(FileTopicLog.groups(root).isEmpty,
         "leadership gained → the wired loop expires the abandoned group")
+      // the admin surface is wired to the same root + expiry service:
+      // /groups reflects the expiry counter and DELETE is leader-gated.
+      // Run the read + non-leader phases with leadership DROPPED so the
+      // live 1-s expiry loop cannot race the assertions; re-gain the
+      // lease only for the instant of the leader DELETE (freshly
+      // registered group, well inside the TTL).
+      leader = false
+      FileTopicLog.registerGroup(root, "etl")
+      val base2 = s"http://127.0.0.1:${ctrl.boundPort}"
+      val cl = java.net.http.HttpClient.newHttpClient()
+      def call(method: String, url: String) = {
+        val resp = cl.send(java.net.http.HttpRequest
+            .newBuilder(java.net.URI.create(url))
+            .method(method, java.net.http.HttpRequest.BodyPublishers.noBody())
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      val (gc, gBody) = call("GET", s"$base2/groups")
+      assert(gc == 200 && gBody.contains(""""group":"etl"""), gBody)
+      assert(gBody.contains(""""expiredTotal":1"""), gBody)
+      assert(call("DELETE", s"$base2/groups/etl")._1 == 400,
+        "a non-leader controller refuses the data-loss action")
+      assert(FileTopicLog.groups(root) == Seq("etl"))
+      FileTopicLog.registerGroup(root, "etl") // refresh liveness stamp
+      leader = true
+      val (dc, _) = call("DELETE", s"$base2/groups/etl")
+      assert(dc == 200 && FileTopicLog.groups(root).isEmpty)
     } finally ctrl.stop()
   }
 }

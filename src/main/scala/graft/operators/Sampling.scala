@@ -75,4 +75,45 @@ object Sampling {
       .when(bucket < trainPct + valPct, lit("val"))
       .otherwise(lit("test"))
   }
+
+  /** P10 — deterministic weighted sampling without replacement
+    * (priority sampling, Duffield–Lund–Thorup): each row draws a
+    * salted 32-bit uniform `u`, its priority is `u·2²⁰ div weight`
+    * (exact integer arithmetic — no FP, so ranks agree bit-for-bit on
+    * any engine), and the k smallest priorities win — heavier rows
+    * draw smaller priorities proportionally. Physically a
+    * TakeOrderedAndProject: per-partition partial top-k, never a
+    * global sort. Output: the input columns plus `u` and `pri`,
+    * sorted (pri, id). */
+  def prioritySample(d: DataFrame, k: Int, salt: String = "pri",
+      idCol: String = "doc_id", weightCol: String = "w"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = pmod(conv(substring(md5(concat(lit(salt + ":"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(4294967296L))
+    d.withColumn("u", u)
+      .withColumn("pri",
+        expr(s"(u * 1048576) div ${SqlLit.quoteName(weightCol)}"))
+      .orderBy(col("pri"), col(idCol))
+      .limit(k)
+  }
+
+  /** P9 — mixture weights: given per-stratum masses (tokens, bytes,
+    * docs — any additive unit in `massCol`), emit each stratum's
+    * equal-share sampling weight `min(1, share/mass)` (downsample the
+    * over-represented) and its implied epoch count `share/mass`
+    * unclamped (>1 ⇒ the mix upsamples that stratum by repetition).
+    * One 1-row broadcast total; divisions run long/long → IEEE double
+    * left-to-right, identically on any engine. Appends (weight,
+    * epochs) to the input relation, sorted by stratum. */
+  def mixtureWeights(per: DataFrame, stratumCol: String = "source",
+      massCol: String = "tokens"): DataFrame = {
+    val tot = per.agg(sum(massCol).as("tt"), count(lit(1)).as("ns"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        round(least(lit(1.0), col("tt") / col("ns") / col(massCol)), 4))
+      .withColumn("epochs", round(col("tt") / col("ns") / col(massCol), 4))
+      .drop("tt", "ns")
+      .orderBy(stratumCol)
+  }
 }

@@ -2297,19 +2297,11 @@ object PipelineQueries {
   // left-to-right), so the gate hashes the doubles exactly.
   private val p9 = QueryDef(
     "p9_mixture_weights",
-    (s, dir) => {
-      val per = docs(s, dir)
+    (s, dir) => graft.operators.Sampling.mixtureWeights(
+      docs(s, dir)
         .select(col("source"), expr(s"size($tokensExpr)").cast("long").as("ntok"))
         .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tokens"))
-      val tot = per.agg(sum("tokens").as("tt"), count(lit(1)).as("ns"))
-      per.crossJoin(broadcast(tot))
-        .select(col("source"), col("n_docs"), col("tokens"),
-          round(least(lit(1.0), col("tt") / col("ns") / col("tokens")), 4)
-            .as("weight"),
-          round(col("tt") / col("ns") / col("tokens"), 4).as("epochs"))
-        .orderBy("source")
-    },
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tokens"))),
     Some(
       """WITH per AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2456,18 +2448,12 @@ object PipelineQueries {
   // globally sorted.
   private val p10 = QueryDef(
     "p10_priority_sample",
-    (s, dir) => {
-      docs(s, dir)
-        .select(col("doc_id").cast("long").as("doc_id"),
-          col("n_chars").cast("long").as("w"))
-        .withColumn("u",
-          pmod(md5Long(concat(lit("pri:"), col("doc_id").cast("string"))),
-            lit(4294967296L)))
-        .withColumn("pri", expr("(u * 1048576) div w"))
-        .orderBy(col("pri"), col("doc_id"))
-        .limit(200)
-        .select(col("doc_id"), col("w"), col("pri"))
-    },
+    (s, dir) => graft.operators.Sampling.prioritySample(
+        docs(s, dir)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            col("n_chars").cast("long").as("w")),
+        k = 200)
+      .select(col("doc_id"), col("w"), col("pri")),
     Some(
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(n_chars AS BIGINT) AS w,

@@ -60,4 +60,43 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.splitLabel(col("id"), trainPct = 98, valPct = 5)
     }
   }
+
+  test("prioritySample favors heavy rows, is layout-independent, honors k") {
+    import spark.implicits._
+    // two weight classes: heavy rows should dominate the kept set
+    val d = (1L to 400L).map(i => (i, if (i <= 200L) 1000L else 1L))
+      .toDF("doc_id", "w")
+    val kept = Sampling.prioritySample(d, k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept.length == 50)
+    assert(kept.count(_._2 == 1000L) > 40,
+      s"heavy rows dominate, got ${kept.count(_._2 == 1000L)}")
+    // deterministic under repartitioning
+    val again = Sampling.prioritySample(d.repartition(7), k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept.toSeq == again.toSeq)
+    // a different salt draws a different sample
+    val other = Sampling.prioritySample(d, k = 50, salt = "other")
+      .collect().map(_.getLong(0))
+    assert(kept.map(_._1).toSeq != other.toSeq)
+    // k larger than the relation returns everything
+    assert(Sampling.prioritySample(d, k = 1000).count() == 400)
+  }
+
+  test("mixtureWeights clamps downsampling at 1 and exposes epochs > 1") {
+    import spark.implicits._
+    val per = Seq(("big", 10L, 900L), ("small", 2L, 100L))
+      .toDF("source", "n_docs", "tokens")
+    val out = Sampling.mixtureWeights(per)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("weight"), r.getAs[Double]("epochs"))).toMap
+    // equal share = 500 tokens: big downsamples to 500/900, small
+    // upsamples 5 epochs but its weight clamps at 1
+    assert(out("big") == ((0.5556, 0.5556)))
+    assert(out("small") == ((1.0, 5.0)))
+    // mass column is parameterizable
+    val byDocs = Sampling.mixtureWeights(per, massCol = "n_docs")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("epochs")).toMap
+    assert(byDocs("small") == 3.0)
+  }
 }

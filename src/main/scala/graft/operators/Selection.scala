@@ -66,8 +66,12 @@ object Selection {
     val fullQ = qmeta
       .filter(col("cum_excl") + col("q_tok") <= col("b"))
       .select(col(rankCol))
+    // <=, not <: a rank value starting EXACTLY at the budget still
+    // keeps its zero-token prefix under the inclusive running-sum
+    // semantics (cum == b is kept) — SelectionProps found the strict
+    // form dropping a zero-token doc at a boundary-exact budget
     val boundaryQ = qmeta
-      .filter(col("cum_excl") < col("b") &&
+      .filter(col("cum_excl") <= col("b") &&
         col("cum_excl") + col("q_tok") > col("b"))
       .select(col(rankCol), col("cum_excl"), col("b"))
     val kept = m.join(broadcast(fullQ), Seq(rankCol))

@@ -64,14 +64,17 @@ object Packing {
     require(width > 0 && stride > 0, "width and stride must be positive")
     require(stride <= width,
       s"stride ($stride) must not exceed width ($width) or characters fall in no chunk")
-    val sub = s"substring($textCol, CAST(chunk_idx*$stride+1 AS INT), $width)"
+    // Column-API substr (positions are Columns) — no expression text is
+    // assembled, so a hostile column name can't reach the SQL parser
+    val sub = col(textCol).substr(
+      (col("chunk_idx") * stride + 1).cast("int"), lit(width))
     docs
       .withColumn("chunk_idx", explode(sequence(lit(0L),
         floor((greatest(length(col(textCol)), lit(1)) - 1) / stride)
           .cast("long"))))
       .select(col(idCol), col("chunk_idx"),
-        length(expr(sub)).cast("long").as("chunk_len"),
-        md5(expr(sub).cast("binary")).as("chunk_md5"))
+        length(sub).cast("long").as("chunk_len"),
+        md5(sub.cast("binary")).as("chunk_md5"))
       .orderBy(idCol, "chunk_idx")
   }
 

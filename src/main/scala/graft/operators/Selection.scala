@@ -46,7 +46,8 @@ object Selection {
     * (integer arithmetic), as column `b`. */
   def tokenBudgetFraction(m: DataFrame, num: Long, den: Long,
       tokensCol: String = "n_tok"): DataFrame =
-    m.agg(expr(s"sum($tokensCol) * $num div $den").cast("long").as("b"))
+    m.agg(expr(s"sum(${SqlLit.quoteName(tokensCol)}) * $num div $den")
+      .cast("long").as("b"))
 
   /** Keep documents in exact (`rankCol` DESC, `idCol`) order until the
     * inclusive running `tokensCol` sum exceeds `budget` (a 1-row

@@ -40,9 +40,10 @@ object Similarity {
     * `vec_dot` kernel (sequential fold, matches DuckDB's
     * list_dot_product term-for-term). */
   def cosine(a: String, b: String): Column = {
-    val dot = expr(s"vec_dot($a, $b)")
-    val na = expr(s"vec_dot($a, $a)")
-    val nb = expr(s"vec_dot($b, $b)")
+    val (qa, qb) = (SqlLit.quoteName(a), SqlLit.quoteName(b))
+    val dot = expr(s"vec_dot($qa, $qb)")
+    val na = expr(s"vec_dot($qa, $qa)")
+    val nb = expr(s"vec_dot($qb, $qb)")
     dot / (sqrt(na) * sqrt(nb))
   }
 

@@ -247,6 +247,26 @@ class LibraryFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("Packing/Selection/Similarity accept hostile column names") {
+    // names with spaces and quotes reach col()/quoteName, never raw
+    // expression text — a splice would throw a parse error here
+    val hostile = "the text's col"
+    val plain = docs(1L -> "alpha beta gamma delta", 2L -> "alpha alpha")
+    val renamed = plain.withColumnRenamed("text", hostile)
+    val a = Packing.chunkOverlapping(plain, width = 5, stride = 5).collect().toSeq
+    val b = Packing.chunkOverlapping(renamed, width = 5, stride = 5,
+      textCol = hostile).collect().toSeq
+    assert(a == b, "hostile-named column must chunk identically")
+
+    val m = Seq(1L -> 10L, 2L -> 20L).toDF("doc_id", "n tok's")
+    assert(Selection.tokenBudgetFraction(m, 1L, 2L, tokensCol = "n tok's")
+      .collect()(0).getLong(0) == 15L)
+
+    val e = Seq((1L, Seq(1d, 0d), Seq(0d, 1d))).toDF("id", "a v's", "b v's")
+    assert(e.select(round(Similarity.cosine("a v's", "b v's"), 4).as("c"))
+      .collect()(0).getDouble(0) == 0.0)
+  }
+
   // ---------------------------------------------------- TemporalJoins
 
   test("TemporalJoins.asofJoin survives empty sides") {

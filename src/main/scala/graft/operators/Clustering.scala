@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding-space clustering and semantic deduplication as an engine
+ * capability — the SemDeDup recipe (Abbas et al. 2023, public): k-means
+ * over document embeddings, then near-duplicate detection INSIDE each
+ * cluster only, so the pair work that is quadratic in the corpus
+ * becomes quadratic only in the (bounded) cluster size. No reference
+ * analog — this extends the engine the same way [[Dedup]] /
+ * [[Similarity]] do, with the DuckDB oracle as the cross-engine pin.
+ *
+ * Cross-engine exactness (the design constraint every numeric step
+ * obeys): embeddings are quantized to INTEGER-VALUED doubles
+ * (`round((x + shift) * scale)`), so
+ *  - every squared-distance term and every partial sum is an integer
+ *    below 2^53 — IEEE doubles add integers in that range EXACTLY, so
+ *    Spark's unordered partial aggregation and DuckDB's sequential
+ *    fold produce bit-identical sums;
+ *  - the centroid update `floor(sum / count)` is safe across engines:
+ *    when `count` divides `sum` the IEEE quotient is exact, and when
+ *    it does not, the true quotient is at least `1/count` away from an
+ *    integer while the division's rounding error is ~1 ulp (≤ 1e-9 at
+ *    micro-unit magnitudes) — `floor` cannot be flipped;
+ *  - ties in the argmin break on the lowest cluster id, pinned on both
+ *    sides (`least` over `struct(ssd, cl)` here, `ORDER BY ssd, cl`
+ *    in the oracle).
+ * Capacity: with `scale` = 1e6 and |x| ≤ 1, per-dimension cluster sums
+ * stay exact up to ~5.6e9 rows PER CLUSTER (2^53 / 1.6e6); beyond
+ * that, sub-shard the cluster and average the shard means (the k
+ * stays corpus-scaled in practice, so per-cluster counts stay far
+ * below the bound).
+ *
+ * Scale shape: each Lloyd iteration is ONE corpus pass — scan +
+ * per-row argmin against k broadcast centroid literals (k·d flops, no
+ * join, no shuffle) + `posexplode` → groupBy(cluster, dim) whose
+ * map-side partial aggregation reduces the exchange to k·d rows per
+ * task. Centroids (k·d doubles) are the only thing collected to the
+ * driver. `iters + 1` passes total; nothing corpus-sized is cached,
+ * shuffled globally, or sorted. [[semanticDrops]] adds one
+ * cluster-keyed self-join whose cost is Σ cluster_size² — the whole
+ * point of clustering first; k grows with the corpus to keep cluster
+ * sizes bounded (the [[Retrieval.adaptiveBuckets]] pattern).
+ */
+object Clustering {
+
+  /** Corpus-scaled cluster count: ceil(nVecs / targetClusterSize),
+    * floored at 2 — the [[Retrieval.adaptiveBuckets]] pattern. The
+    * pair stage of [[semanticDrops]] costs Σ size², so holding the
+    * EXPECTED cluster size fixed as the corpus grows keeps total pair
+    * work LINEAR in the corpus (n/target clusters × target² pairs =
+    * n·target). The argmin stays one interpreted expression per row
+    * (k·d flops, no shuffle), so k can grow with n without changing
+    * the plan shape; the centroid-update exchange stays k·d rows. */
+  def adaptiveK(nVecs: Long, targetClusterSize: Long = 2000L): Int =
+    math.max(2L, (nVecs + targetClusterSize - 1) / targetClusterSize).toInt
+
+  /** `round((x + shift) * scale)` per dimension — integer-valued
+    * doubles (see object Scaladoc). `shift` should exceed max |x| so
+    * all quantized values share a sign; with the default ±1 envelope
+    * of normalized embeddings, shift = 1. */
+  def quantizeShifted(v: Column, shift: Double = 1.0,
+      scale: Double = 1e6): Column =
+    transform(v, x => round((x + lit(shift)) * lit(scale)))
+
+  /** Exact integer squared distance between a quantized vector column
+    * and a quantized centroid literal. */
+  private def ssd(qv: Column, centroid: Seq[Double]): Column =
+    aggregate(
+      zip_with(qv, typedLit(centroid), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, z) => acc + z)
+
+  /** Argmin cluster id over the centroid set, ties to the lowest id. */
+  private def assignCol(qv: Column,
+      centroids: Seq[(Long, Seq[Double])]): Column = {
+    val scored = centroids.map { case (cl, c) =>
+      struct(ssd(qv, c).as("ssd"), lit(cl).as("cl"))
+    }
+    val best =
+      if (scored.size == 1) scored.head else least(scored: _*)
+    best.getField("cl")
+  }
+
+  /** Run the Lloyd iterations and return the fitted centroid set in
+    * QUANTIZED space (cluster id → integer-valued coordinate vector).
+    * Seeds are the `k` lowest `idCol` vectors (cluster ids 0..k-1 in
+    * that order); `iters` centroid updates are applied. A cluster that
+    * empties during an update simply disappears from the set. Each
+    * iteration is one corpus pass — per-row argmin against broadcast
+    * centroid literals, then a groupBy(cluster, dim) whose map-side
+    * partial aggregation reduces the exchange to k·d rows; only those
+    * k·d doubles reach the driver. Empty input → empty set. */
+  def fitCentroids(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "v",
+      shift: Double = 1.0, scale: Double = 1e6): Seq[(Long, Seq[Double])] = {
+    require(k > 0, "k must be positive")
+    require(iters >= 0, "iters must be non-negative")
+    val q = emb.select(col(idCol),
+      quantizeShifted(col(vecCol), shift, scale).as("qv"))
+
+    var centroids: Seq[(Long, Seq[Double])] =
+      q.orderBy(col(idCol)).limit(k).collect().toSeq.zipWithIndex.map {
+        case (r, i) => (i.toLong, r.getSeq[Double](1))
+      }
+    if (centroids.isEmpty) return Nil
+
+    for (_ <- 1 to iters) {
+      val assigned = q.withColumn("cl", assignCol(col("qv"), centroids))
+      // k·d rows after map-side partial agg; exact integer sums
+      val dims = assigned
+        .select(col("cl"), posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy("cl", "i")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect()
+      centroids = dims.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map {
+        case (cl, rows) =>
+          val byDim = rows.sortBy(_.getInt(1)).map(r =>
+            math.floor(r.getDouble(2) / r.getLong(3)))
+          (cl, byDim.toSeq)
+      }
+    }
+    centroids
+  }
+
+  /** Cluster-id column for a raw (unquantized) vector column against
+    * centroids from [[fitCentroids]] — quantizes then argmins, so
+    * callers can tag rows inline in an existing scan (no join). */
+  def assignExpr(vec: Column, centroids: Seq[(Long, Seq[Double])],
+      shift: Double = 1.0, scale: Double = 1e6): Column =
+    assignCol(quantizeShifted(vec, shift, scale), centroids)
+
+  /** Lloyd k-means over an `array<double>` embedding column with fully
+    * deterministic, engine-independent arithmetic (see object
+    * Scaladoc): [[fitCentroids]] then one final assignment pass.
+    * Output (idCol, cluster), one row per input vector. */
+  def kMeansAssign(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "v",
+      shift: Double = 1.0, scale: Double = 1e6): DataFrame = {
+    val centroids = fitCentroids(emb, k, iters, idCol, vecCol, shift, scale)
+    if (centroids.isEmpty)
+      return emb.select(col(idCol), lit(0L).as("cluster")).limit(0)
+    emb.select(col(idCol),
+      assignExpr(col(vecCol), centroids, shift, scale).as("cluster"))
+  }
+
+  /** SemDeDup: cluster with [[kMeansAssign]], then flag every vector
+    * that has a same-cluster neighbor with a LOWER id at cosine ≥
+    * `tau` (rounded to 4 decimals — the [[Similarity]] cross-engine
+    * envelope). Zero-norm vectors are excluded up front (no cosine;
+    * ANSI would error the division). Output (idCol, cluster, dup_of)
+    * for each dropped vector, `dup_of` = its lowest matching keeper
+    * candidate. */
+  def semanticDrops(emb: DataFrame, k: Int, iters: Int, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val nz = emb.filter(expr(
+      s"vec_dot(${SqlLit.quoteName(vecCol)}, ${SqlLit.quoteName(vecCol)}) > 0"))
+    val centroids = fitCentroids(nz, k, iters, idCol, vecCol)
+    if (centroids.isEmpty)
+      return nz.select(col(idCol), lit(0L).as("cluster"),
+        col(idCol).as("dup_of")).limit(0)
+    // cluster tag computed inline from the broadcast centroid literals —
+    // the corpus is scanned, never joined against its own assignment
+    val withV = nz.select(col(idCol), col(vecCol),
+      assignExpr(col(vecCol), centroids).as("cluster"))
+    val a = withV.select(col(idCol).as("va"), col("cluster"),
+      col(vecCol).as("v_a"))
+    val b = withV.select(col(idCol).as("vb"), col("cluster"),
+      col(vecCol).as("v_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("va") < col("vb"))
+      .withColumn("cos", round(Similarity.cosine("v_a", "v_b"), 4))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vb").as(idCol), col("cluster"))
+      .agg(min("va").as("dup_of"))
+  }
+}

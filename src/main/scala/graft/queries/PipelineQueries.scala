@@ -444,6 +444,76 @@ object PipelineQueries {
          |ORDER BY vec_a, vec_b""".stripMargin
     })
 
+  // ------------------------------------------------- clustering (SemDeDup)
+
+  // Shared oracle chain for the c-family: the same deterministic Lloyd
+  // k-means operators/Clustering runs (k=8, iters=2, shift+quantize to
+  // integer-valued doubles — see Clustering's Scaladoc for why every
+  // sum, floor-division and argmin is bit-identical across engines).
+  private val kmSsd =
+    "list_sum(list_transform(list_zip(v.qv, s.c), p -> (p[1]-p[2])*(p[1]-p[2])))"
+  private def kmAssign(src: String, cent: String): String =
+    s"""(SELECT vec_id, qv, cl FROM (
+       |   SELECT v.vec_id, v.qv, s.cl,
+       |     row_number() OVER (PARTITION BY v.vec_id ORDER BY $kmSsd, s.cl) AS rn
+       |   FROM $src v CROSS JOIN $cent s) WHERE rn = 1)""".stripMargin
+  private def kmUpdate(asg: String): String =
+    s"""(SELECT cl, list(dv ORDER BY i) AS c FROM (
+       |   SELECT cl, i, floor(sum(qv[i]) / count(*)) AS dv
+       |   FROM $asg a, generate_series(1, 64) t(i) GROUP BY cl, i)
+       | GROUP BY cl)""".stripMargin
+  private val kmChain =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id, list_transform(v, x -> round((x + 1.0) * 1000000)) AS qv FROM e),
+       |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, qv AS c
+       |          FROM (SELECT * FROM q ORDER BY vec_id LIMIT 8)),
+       |a0 AS ${kmAssign("q", "seeds")},
+       |c1 AS ${kmUpdate("a0")},
+       |a1 AS ${kmAssign("q", "c1")},
+       |c2 AS ${kmUpdate("a1")},
+       |a2 AS ${kmAssign("q", "c2")}""".stripMargin
+
+  // C1 — deterministic Lloyd k-means assignment (the clustering stage of
+  // SemDeDup). iters+1 corpus passes, argmin against broadcast centroid
+  // literals (no join), k·d-row exchanges; see operators/Clustering.
+  private val c1q = QueryDef(
+    "c1_kmeans_assign",
+    (s, dir) =>
+      graft.operators.Clustering.kMeansAssign(
+        emb(s, dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")),
+        k = 8, iters = 2)
+      .orderBy("vec_id"),
+    Some(
+      s"""WITH $kmChain
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cl AS BIGINT) AS cluster
+         |FROM a2 ORDER BY vec_id""".stripMargin))
+
+  // C2 — SemDeDup semantic dedup: pairwise cosine INSIDE each k-means
+  // cluster only (Σ size² pair work instead of n²; k scales with the
+  // corpus to bound cluster sizes), drop = has a lower-id neighbor at
+  // rounded cosine ≥ 0.35 (d5's threshold convention).
+  private val c2q = QueryDef(
+    "c2_semantic_dedup",
+    (s, dir) =>
+      graft.operators.Clustering.semanticDrops(
+        emb(s, dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")),
+        k = 8, iters = 2, tau = 0.35)
+      .orderBy("vec_id"),
+    Some(
+      s"""WITH $kmChain,
+         |pairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb, a.cl
+         |  FROM a2 a JOIN a2 b ON a.cl = b.cl AND a.vec_id < b.vec_id),
+         |simp AS (
+         |  SELECT p.va, p.vb, p.cl FROM pairs p
+         |  JOIN e ea ON ea.vec_id = p.va JOIN e eb ON eb.vec_id = p.vb
+         |  WHERE ROUND(${cosSql("ea.v", "eb.v")}, 4) >= 0.35)
+         |SELECT CAST(vb AS BIGINT) AS vec_id, CAST(cl AS BIGINT) AS cluster,
+         |       CAST(min(va) AS BIGINT) AS dup_of
+         |FROM simp GROUP BY vb, cl ORDER BY vec_id""".stripMargin))
+
   // SIM1 — brute-force cosine top-k (baseline ANN): 5 query vectors × all.
   private val sim1 = QueryDef(
     "sim_topk_bruteforce",
@@ -2884,7 +2954,8 @@ object PipelineQueries {
          |ORDER BY doc_id, eval_id""".stripMargin))
 
   val defs: Seq[QueryDef] = Seq(
-    d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, sim1, sim2, sim3, sim4,
+    d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, c1q, c2q,
+    sim1, sim2, sim3, sim4,
     x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x11b, x12, x13, x14, x15,
     x15b, x16, x17,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e5c, e9, e10, e10b,

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Clustering
+import graft.sources.Records
+
+/** Scale curve for the clustering wing ([[graft.operators.Clustering]])
+  * under CORPUS-SCALED k — the catalog entries (`c1`/`c2`) pin k=8 for
+  * DuckDB-oracle parity, but the 100-TB claim is `adaptiveK`: hold the
+  * expected cluster size fixed so [[Clustering.semanticDrops]]'s
+  * Σ size² pair stage stays LINEAR in the corpus while the per-row
+  * argmin grows only k·d flops (no plan change, no new shuffle).
+  * This main measures that claim: for one sf dir it runs
+  * `kMeansAssign` (iters=2) and `semanticDrops` with
+  * k = adaptiveK(n), printing one JSON line
+  * `{"docs":n,"k":k,"assign_sec":…,"dedup_sec":…,"drops":…,
+  *   "max_cluster":…}`.
+  *
+  * Usage: ClusterScaleBench <sfDir> [targetClusterSize]
+  */
+object ClusterScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val target = if (args.length > 1) args(1).toLong else 2000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.local("graft-cluster-scale", cpus)
+    spark.sparkContext.setLogLevel("WARN")
+
+    // parallelism floor: a small fixture can be ONE parquet row group
+    // (1-2 input splits would starve the scan-side argmin on 32 cores)
+    val raw = Records.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val par = spark.sparkContext.defaultParallelism
+    val emb =
+      if (raw.rdd.getNumPartitions < par) raw.repartition(par) else raw
+    val n = emb.count()
+    val k = Clustering.adaptiveK(n, target)
+
+    val t0 = System.nanoTime()
+    val asg = Clustering.kMeansAssign(emb, k, iters = 2)
+    asg.write.mode("overwrite")
+      .parquet(SessionTemp.dir("cluster_scale_assign"))
+    val assignSec = (System.nanoTime() - t0) / 1e9
+
+    val maxCluster = asg.groupBy("cluster").count()
+      .agg(max("count")).collect()(0).getLong(0)
+
+    val t1 = System.nanoTime()
+    val drops = Clustering.semanticDrops(emb, k, iters = 2, tau = 0.35)
+      .count()
+    val dedupSec = (System.nanoTime() - t1) / 1e9
+
+    println(f"""{"metric":"cluster_scale","docs":$n,"k":$k,""" +
+      f""""target_cluster":$target,"assign_sec":$assignSec%.2f,""" +
+      f""""dedup_sec":$dedupSec%.2f,"drops":$drops,""" +
+      f""""max_cluster":$maxCluster,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -65,18 +65,32 @@ object Clustering {
       scale: Double = 1e6): Column =
     transform(v, x => round((x + lit(shift)) * lit(scale)))
 
-  /** Exact integer squared distance between a quantized vector column
-    * and a quantized centroid literal. */
-  private def ssd(qv: Column, centroid: Seq[Double]): Column =
-    aggregate(
-      zip_with(qv, typedLit(centroid), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, z) => acc + z)
+  /** SQL array literal for a quantized centroid — coordinates are
+    * integer-valued doubles (|x| < 2^53), written as exact long casts
+    * so the parse round-trips bit-identically; constant-folds to one
+    * ArrayData. */
+  private def centroidLit(c: Seq[Double]): String =
+    c.map(x => s"cast(${x.toLong}L as double)").mkString("array(", ",", ")")
 
-  /** Argmin cluster id over the centroid set, ties to the lowest id. */
-  private def assignCol(qv: Column,
+  /** Per-centroid argmin score `|c|² - 2·(qv·c)` — the squared
+    * distance minus the per-row-constant `|qv|²` term, so the argmin
+    * and its ties are IDENTICAL to the full ssd while the kernel is
+    * one codegen'd `vec_dot` against a folded literal instead of an
+    * interpreted zip_with/aggregate pair. Every term is an exact
+    * integer (≤ d·(scale·(shift+1))² ≈ 2.6e14 at the defaults, far
+    * under 2^53), so the comparison is engine-exact. */
+  private def score(qvName: String, c: Seq[Double]): Column = {
+    val c2 = c.map(x => x * x).sum
+    lit(c2) - lit(2.0) * expr(
+      s"vec_dot(${SqlLit.quoteName(qvName)}, ${centroidLit(c)})")
+  }
+
+  /** Argmin cluster id over the centroid set, ties to the lowest id.
+    * The quantized vector must be available as column `qvName`. */
+  private def assignCol(qvName: String,
       centroids: Seq[(Long, Seq[Double])]): Column = {
     val scored = centroids.map { case (cl, c) =>
-      struct(ssd(qv, c).as("ssd"), lit(cl).as("cl"))
+      struct(score(qvName, c).as("ssd"), lit(cl).as("cl"))
     }
     val best =
       if (scored.size == 1) scored.head else least(scored: _*)
@@ -107,7 +121,7 @@ object Clustering {
     if (centroids.isEmpty) return Nil
 
     for (_ <- 1 to iters) {
-      val assigned = q.withColumn("cl", assignCol(col("qv"), centroids))
+      val assigned = q.withColumn("cl", assignCol("qv", centroids))
       // k·d rows after map-side partial agg; exact integer sums
       val dims = assigned
         .select(col("cl"), posexplode(col("qv")).as(Seq("i", "x")))
@@ -124,12 +138,18 @@ object Clustering {
     centroids
   }
 
-  /** Cluster-id column for a raw (unquantized) vector column against
-    * centroids from [[fitCentroids]] — quantizes then argmins, so
-    * callers can tag rows inline in an existing scan (no join). */
-  def assignExpr(vec: Column, centroids: Seq[(Long, Seq[Double])],
-      shift: Double = 1.0, scale: Double = 1e6): Column =
-    assignCol(quantizeShifted(vec, shift, scale), centroids)
+  /** Tag each row with its argmin cluster id against centroids from
+    * [[fitCentroids]] — quantizes into a staged intermediate column
+    * (referenced k times, so CollapseProject keeps it single-eval)
+    * then argmins, all inline in the existing scan: no join, no
+    * shuffle. */
+  def tagClusters(df: DataFrame, centroids: Seq[(Long, Seq[Double])],
+      vecCol: String = "v", outCol: String = "cluster",
+      shift: Double = 1.0, scale: Double = 1e6): DataFrame =
+    df.withColumn("__graft_qv",
+        quantizeShifted(col(vecCol), shift, scale))
+      .withColumn(outCol, assignCol("__graft_qv", centroids))
+      .drop("__graft_qv")
 
   /** Lloyd k-means over an `array<double>` embedding column with fully
     * deterministic, engine-independent arithmetic (see object
@@ -141,8 +161,8 @@ object Clustering {
     val centroids = fitCentroids(emb, k, iters, idCol, vecCol, shift, scale)
     if (centroids.isEmpty)
       return emb.select(col(idCol), lit(0L).as("cluster")).limit(0)
-    emb.select(col(idCol),
-      assignExpr(col(vecCol), centroids, shift, scale).as("cluster"))
+    tagClusters(emb, centroids, vecCol, "cluster", shift, scale)
+      .select(col(idCol), col("cluster"))
   }
 
   /** SemDeDup: cluster with [[kMeansAssign]], then flag every vector
@@ -154,23 +174,37 @@ object Clustering {
     * candidate. */
   def semanticDrops(emb: DataFrame, k: Int, iters: Int, tau: Double,
       idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
-    val nz = emb.filter(expr(
-      s"vec_dot(${SqlLit.quoteName(vecCol)}, ${SqlLit.quoteName(vecCol)}) > 0"))
+    val qn = SqlLit.quoteName(vecCol)
+    val nz = emb.filter(expr(s"vec_dot($qn, $qn) > 0"))
     val centroids = fitCentroids(nz, k, iters, idCol, vecCol)
     if (centroids.isEmpty)
       return nz.select(col(idCol), lit(0L).as("cluster"),
         col(idCol).as("dup_of")).limit(0)
-    // cluster tag computed inline from the broadcast centroid literals —
-    // the corpus is scanned, never joined against its own assignment
-    val withV = nz.select(col(idCol), col(vecCol),
-      assignExpr(col(vecCol), centroids).as("cluster"))
-    val a = withV.select(col(idCol).as("va"), col("cluster"),
-      col(vecCol).as("v_a"))
-    val b = withV.select(col(idCol).as("vb"), col("cluster"),
-      col(vecCol).as("v_b"))
+    // Tag + norm computed inline from the broadcast centroid literals
+    // (the corpus is scanned, never joined against its own assignment);
+    // the norm rides along so the pair kernel is a single vec_dot + one
+    // divide (dot/(nrm_a·nrm_b) is IEEE-identical to the oracle's
+    // dot/(sqrt(na)·sqrt(nb)) — sqrt is correctly rounded). At large k
+    // the tagged table is materialized ONCE so the self-join's two
+    // sides read the narrow table instead of each re-running the k·d
+    // argmin; at small k the double argmin is cheaper than the
+    // write+read round trip.
+    val tagged = tagClusters(nz.select(col(idCol), col(vecCol)), centroids,
+        vecCol)
+      .withColumn("nrm", sqrt(expr(s"vec_dot($qn, $qn)")))
+    val m = if (centroids.size < 32) tagged else {
+      val tmp = graft.SessionTemp.dir("semantic_dedup_tagged")
+      tagged.write.mode("overwrite").parquet(tmp)
+      emb.sparkSession.read.parquet(tmp)
+    }
+    val a = m.select(col(idCol).as("va"), col("cluster"),
+      col(vecCol).as("v_a"), col("nrm").as("n_a"))
+    val b = m.select(col(idCol).as("vb"), col("cluster"),
+      col(vecCol).as("v_b"), col("nrm").as("n_b"))
     a.join(b, Seq("cluster"))
       .filter(col("va") < col("vb"))
-      .withColumn("cos", round(Similarity.cosine("v_a", "v_b"), 4))
+      .withColumn("cos", round(
+        expr("vec_dot(v_a, v_b)") / (col("n_a") * col("n_b")), 4))
       .filter(col("cos") >= tau)
       .groupBy(col("vb").as(idCol), col("cluster"))
       .agg(min("va").as("dup_of"))

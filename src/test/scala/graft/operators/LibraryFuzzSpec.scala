@@ -174,6 +174,37 @@ class LibraryFuzzSpec extends AnyFunSuite {
     assert(String.valueOf(e.getMessage).toLowerCase.contains("vec_dot"), e.getMessage)
   }
 
+  test("Clustering surfaces survive degenerate embedding sets") {
+    val shapes = Seq(
+      "empty" -> emb(),
+      "single" -> emb(1L -> Seq(1d, 0d, 0d, 0d)),
+      "all-zero" -> emb(1L -> Seq(0d, 0d, 0d, 0d), 2L -> Seq(0d, 0d, 0d, 0d)),
+      "few" -> emb(1L -> Seq(1d, 0d, 0d, 0d), 2L -> Seq(0.9, 0.1, 0d, 0d),
+        3L -> Seq(0d, 1d, 0d, 0d), 4L -> Seq(0d, 0d, 0d, 0d)))
+    shapes.foreach { case (name, e) =>
+      withClue(s"embeddings '$name': ") {
+        val n = e.count()
+        val asg = Clustering.kMeansAssign(e, k = 3, iters = 2)
+        assert(asg.count() == n, "every vector assigned, even zero-norm")
+        // dedup excludes zero-norm rows instead of erroring the division;
+        // k=3 seeds 1/2/3 into their own clusters (no pairs), k=1 puts
+        // the near-dup pair in one cluster
+        assert(Clustering.semanticDrops(e, k = 3, iters = 2, tau = 0.9)
+          .collect().isEmpty)
+        val drops = Clustering.semanticDrops(e, k = 1, iters = 2, tau = 0.9)
+          .collect().map(_.getLong(0)).toSet
+        if (name == "few") assert(drops == Set(2L))
+        else assert(drops.isEmpty)
+      }
+    }
+    // the array<double> contract surfaces as an analysis-time error
+    val bad = Seq(1L -> Seq(1f, 0f)).toDF("vec_id", "v")
+    val e = intercept[Exception] {
+      Clustering.semanticDrops(bad, 2, 1, 0.5).collect()
+    }
+    assert(String.valueOf(e.getMessage).toLowerCase.contains("vec_dot"), e.getMessage)
+  }
+
   // ------------------------------------------------------- Retrieval
 
   test("Retrieval surfaces survive degenerate corpora (scan and index)") {

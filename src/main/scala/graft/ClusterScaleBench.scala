@@ -36,9 +36,15 @@ object ClusterScaleBench {
       if (raw.rdd.getNumPartitions < par) raw.repartition(par) else raw
     val n = emb.count()
     val k = Clustering.adaptiveK(n, target)
+    val twoLevel = args.contains("--two-level")
 
     val t0 = System.nanoTime()
-    val asg = Clustering.kMeansAssign(emb, k, iters = 2)
+    val asg =
+      if (twoLevel) {
+        val (coarse, fine) = Clustering.fitCentroidsTwoLevel(emb, k, iters = 2)
+        Clustering.tagClustersTwoLevel(emb, coarse, fine)
+          .select(col("vec_id"), col("cluster"))
+      } else Clustering.kMeansAssign(emb, k, iters = 2)
     asg.write.mode("overwrite")
       .parquet(SessionTemp.dir("cluster_scale_assign"))
     val assignSec = (System.nanoTime() - t0) / 1e9
@@ -47,12 +53,14 @@ object ClusterScaleBench {
       .agg(max("count")).collect()(0).getLong(0)
 
     val t1 = System.nanoTime()
-    val drops = Clustering.semanticDrops(emb, k, iters = 2, tau = 0.35)
+    val drops = Clustering.semanticDrops(emb, k, iters = 2, tau = 0.35,
+        twoLevel = twoLevel)
       .count()
     val dedupSec = (System.nanoTime() - t1) / 1e9
 
-    println(f"""{"metric":"cluster_scale","docs":$n,"k":$k,""" +
-      f""""target_cluster":$target,"assign_sec":$assignSec%.2f,""" +
+    val mode = if (twoLevel) "two_level" else "flat"
+    println(f"""{"metric":"cluster_scale","mode":"$mode","docs":$n,""" +
+      f""""k":$k,"target_cluster":$target,"assign_sec":$assignSec%.2f,""" +
       f""""dedup_sec":$dedupSec%.2f,"drops":$drops,""" +
       f""""max_cluster":$maxCluster,"sf":"$sfDir"}""")
     spark.stop()

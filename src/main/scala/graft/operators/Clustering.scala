@@ -165,6 +165,100 @@ object Clustering {
       .select(col(idCol), col("cluster"))
   }
 
+  /** Two-level Lloyd fit — the scale path for corpus-scaled k, where
+    * FLAT assignment's O(n·k·d) turns quadratic in the corpus (k =
+    * n/target): fit `k1` coarse cells over the whole corpus, freeze
+    * the cell assignment, then run Lloyd for ALL cells' sub-centroids
+    * simultaneously (one job per iteration, not one per cell): the
+    * within-cell argmin is a CASE over cells whose matched branch
+    * evaluates only that cell's `k2` literals, so per-row cost is
+    * (k1 + iters·k2)·d ≈ 2√k·d while the centroid-update exchange
+    * stays ≤ k1·k2·d rows. Same exact-integer machinery as
+    * [[fitCentroids]] throughout — deterministic and layout-invariant;
+    * with `k1 = 1` the sub-fit IS the flat fit (seeds, updates and
+    * ties identical), which ClusteringSpec pins. Returns
+    * (coarse centroids, per-cell sub-centroids); final cluster id =
+    * `cell · k2 + sub` (stable, not dense). Sub-seeds are each cell's
+    * `k2` lowest-id members. */
+  def fitCentroidsTwoLevel(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "v",
+      shift: Double = 1.0, scale: Double = 1e6, k1Override: Int = 0):
+      (Seq[(Long, Seq[Double])], Map[Long, Seq[(Long, Seq[Double])]]) = {
+    require(k > 0, "k must be positive")
+    val k1 = if (k1Override > 0) k1Override
+      else math.ceil(math.sqrt(k.toDouble)).toInt
+    val k2 = (k + k1 - 1) / k1
+    val coarse = fitCentroids(emb, k1, iters, idCol, vecCol, shift, scale)
+    if (coarse.isEmpty) return (Nil, Map.empty)
+
+    val q = emb.select(col(idCol),
+        quantizeShifted(col(vecCol), shift, scale).as("qv"))
+      .withColumn("cell", assignCol("qv", coarse))
+
+    // per-cell seeds: the k2 lowest-id members (k1·k2·d doubles to the
+    // driver — the same size as the final centroid set)
+    import org.apache.spark.sql.expressions.Window
+    val seeds = q
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cell").orderBy(col(idCol))))
+      .filter(col("rn") <= k2)
+      .select(col("cell"), col("rn"), col("qv"))
+      .collect()
+    var fine: Map[Long, Seq[(Long, Seq[Double])]] =
+      seeds.groupBy(_.getLong(0)).map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).zipWithIndex.map {
+          case (r, i) => (i.toLong, r.getSeq[Double](2))
+        }.toSeq
+      }
+
+    def caseAssign(fc: Map[Long, Seq[(Long, Seq[Double])]]): Column =
+      fc.toSeq.sortBy(_._1).map { case (cell, cents) =>
+        (cell, assignCol("qv", cents))
+      }.foldRight(lit(0L)) { case ((cell, a), acc) =>
+        when(col("cell") === lit(cell), a).otherwise(acc)
+      }
+
+    for (_ <- 1 to iters) {
+      val assigned = q.withColumn("sub", caseAssign(fine))
+      val dims = assigned
+        .select(col("cell"), col("sub"), posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy("cell", "sub", "i")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect()
+      fine = dims.groupBy(_.getLong(0)).map { case (cell, cellRows) =>
+        cell -> cellRows.groupBy(_.getLong(1)).toSeq.sortBy(_._1).map {
+          case (sub, rows) =>
+            val byDim = rows.sortBy(_.getInt(2)).map(r =>
+              math.floor(r.getDouble(3) / r.getLong(4)))
+            (sub, byDim.toSeq)
+        }.toSeq
+      }
+    }
+    (coarse, fine)
+  }
+
+  /** Tag each row with its two-level cluster id (`cell · k2 + sub`,
+    * where k2 = max sub-centroids in any cell) from a
+    * [[fitCentroidsTwoLevel]] fit — inline in the scan, no join. */
+  def tagClustersTwoLevel(df: DataFrame,
+      coarse: Seq[(Long, Seq[Double])],
+      fine: Map[Long, Seq[(Long, Seq[Double])]],
+      vecCol: String = "v", outCol: String = "cluster",
+      shift: Double = 1.0, scale: Double = 1e6): DataFrame = {
+    val k2 = fine.values.map(_.size).max.toLong
+    val sub = fine.toSeq.sortBy(_._1).map { case (cell, cents) =>
+      (cell, assignCol("__graft_qv", cents))
+    }.foldRight(lit(0L)) { case ((cell, a), acc) =>
+      when(col("__graft_cell") === lit(cell), a).otherwise(acc)
+    }
+    df.withColumn("__graft_qv",
+        quantizeShifted(col(vecCol), shift, scale))
+      .withColumn("__graft_cell", assignCol("__graft_qv", coarse))
+      .withColumn(outCol,
+        col("__graft_cell") * lit(k2) + sub)
+      .drop("__graft_qv", "__graft_cell")
+  }
+
   /** SemDeDup: cluster with [[kMeansAssign]], then flag every vector
     * that has a same-cluster neighbor with a LOWER id at cosine ≥
     * `tau` (rounded to 4 decimals — the [[Similarity]] cross-engine
@@ -173,29 +267,46 @@ object Clustering {
     * for each dropped vector, `dup_of` = its lowest matching keeper
     * candidate. */
   def semanticDrops(emb: DataFrame, k: Int, iters: Int, tau: Double,
-      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "v",
+      twoLevel: Boolean = false): DataFrame = {
     val qn = SqlLit.quoteName(vecCol)
     val nz = emb.filter(expr(s"vec_dot($qn, $qn) > 0"))
+    if (twoLevel) {
+      val (coarse, fine) = fitCentroidsTwoLevel(nz, k, iters, idCol, vecCol)
+      if (coarse.isEmpty)
+        return nz.select(col(idCol), lit(0L).as("cluster"),
+          col(idCol).as("dup_of")).limit(0)
+      return semanticDropsFrom(
+        tagClustersTwoLevel(nz.select(col(idCol), col(vecCol)), coarse,
+          fine, vecCol),
+        materialize = true, tau, idCol, vecCol)
+    }
     val centroids = fitCentroids(nz, k, iters, idCol, vecCol)
     if (centroids.isEmpty)
       return nz.select(col(idCol), lit(0L).as("cluster"),
         col(idCol).as("dup_of")).limit(0)
-    // Tag + norm computed inline from the broadcast centroid literals
-    // (the corpus is scanned, never joined against its own assignment);
-    // the norm rides along so the pair kernel is a single vec_dot + one
-    // divide (dot/(nrm_a·nrm_b) is IEEE-identical to the oracle's
-    // dot/(sqrt(na)·sqrt(nb)) — sqrt is correctly rounded). At large k
-    // the tagged table is materialized ONCE so the self-join's two
-    // sides read the narrow table instead of each re-running the k·d
-    // argmin; at small k the double argmin is cheaper than the
-    // write+read round trip.
-    val tagged = tagClusters(nz.select(col(idCol), col(vecCol)), centroids,
-        vecCol)
-      .withColumn("nrm", sqrt(expr(s"vec_dot($qn, $qn)")))
-    val m = if (centroids.size < 32) tagged else {
+    semanticDropsFrom(
+      tagClusters(nz.select(col(idCol), col(vecCol)), centroids, vecCol),
+      materialize = centroids.size >= 32, tau, idCol, vecCol)
+  }
+
+  /** The pair stage shared by both cluster strategies: pairwise cosine
+    * within each cluster of an already-tagged corpus. The norm is
+    * computed alongside the tag so the pair kernel is a single vec_dot
+    * + one divide (dot/(nrm_a·nrm_b) is IEEE-identical to the oracle's
+    * dot/(sqrt(na)·sqrt(nb)) — sqrt is correctly rounded). When
+    * `materialize` (large k), the tagged table is written ONCE so the
+    * self-join's two sides read the narrow table instead of each
+    * re-running the k·d argmin; at small k the double argmin is
+    * cheaper than the write+read round trip. */
+  private def semanticDropsFrom(tagged0: DataFrame, materialize: Boolean,
+      tau: Double, idCol: String, vecCol: String): DataFrame = {
+    val qn = SqlLit.quoteName(vecCol)
+    val tagged = tagged0.withColumn("nrm", sqrt(expr(s"vec_dot($qn, $qn)")))
+    val m = if (!materialize) tagged else {
       val tmp = graft.SessionTemp.dir("semantic_dedup_tagged")
       tagged.write.mode("overwrite").parquet(tmp)
-      emb.sparkSession.read.parquet(tmp)
+      tagged0.sparkSession.read.parquet(tmp)
     }
     val a = m.select(col(idCol).as("va"), col("cluster"),
       col(vecCol).as("v_a"), col("nrm").as("n_a"))

@@ -85,6 +85,61 @@ class ClusteringSpec extends AnyFunSuite {
     assert(!drops.contains(4L) && !drops.contains(5L), s"got $drops")
   }
 
+  test("two-level with k1=1 is exactly the flat fit") {
+    val rnd = new scala.util.Random(99L)
+    val data = (0L until 80L).map(i =>
+      i -> Seq.fill(6)(rnd.nextDouble() * 1.4 - 0.7))
+    val flat = Clustering.kMeansAssign(emb(data: _*), k = 5, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (coarse, fine) = Clustering.fitCentroidsTwoLevel(
+      emb(data: _*), k = 5, iters = 2, k1Override = 1)
+    assert(coarse.size == 1 && fine(0L).size == 5)
+    val two = Clustering.tagClustersTwoLevel(emb(data: _*), coarse, fine)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cluster")).toMap
+    // cell 0 · k2 + sub = sub, so ids line up with the flat fit directly
+    assert(two == flat)
+  }
+
+  test("two-level assignment is argmin within the assigned cell and " +
+      "layout-invariant") {
+    val rnd = new scala.util.Random(1234L)
+    val data = (0L until 200L).map(i =>
+      i -> Seq.fill(5)(rnd.nextDouble() * 1.8 - 0.9))
+    val base = emb(data: _*)
+    val (coarse, fine) = Clustering.fitCentroidsTwoLevel(base, k = 9, iters = 2)
+    val k2 = fine.values.map(_.size).max
+    val tagged = Clustering.tagClustersTwoLevel(base, coarse, fine)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cluster")).toMap
+    // brute-force recheck from the returned model
+    data.foreach { case (id, v) =>
+      val qv = quant(v)
+      val cell = coarse.minBy { case (cl, c) => (ssd(qv, c), cl) }._1
+      val sub = fine(cell).minBy { case (s, c) => (ssd(qv, c), s) }._1
+      assert(tagged(id) == cell * k2 + sub, s"vec $id")
+    }
+    val reparted = Clustering.tagClustersTwoLevel(
+      base.repartition(17), coarse, fine)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cluster")).toMap
+    assert(reparted == tagged)
+    // the two-level fit itself is layout-invariant
+    val (c2, f2) = Clustering.fitCentroidsTwoLevel(
+      base.repartition(17), k = 9, iters = 2)
+    assert(c2 == coarse && f2 == fine)
+  }
+
+  test("semanticDrops twoLevel flags exact duplicates too") {
+    val e = emb(
+      1L -> Seq(1.0, 0.0, 0.0, 0.0),
+      2L -> Seq(1.0, 0.0, 0.0, 0.0),
+      3L -> Seq(0.0, 1.0, 0.0, 0.0),
+      4L -> Seq(0.0, 0.0, 1.0, 0.0),
+      5L -> Seq(0.0, 0.0, 0.0, 1.0))
+    val drops = Clustering.semanticDrops(e, k = 2, iters = 1, tau = 0.9,
+        twoLevel = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(drops.keySet == Set(2L) && drops(2L) == 1L, s"got $drops")
+  }
+
   test("degenerate inputs: empty, single row, k > n, zero-norm vector") {
     assert(Clustering.kMeansAssign(emb(), 3, 2).count() == 0)
     assert(Clustering.kMeansAssign(emb(9L -> Seq(0.1, 0.2)), 3, 2)

@@ -31,12 +31,17 @@ object SessionTemp {
     Files.createTempDirectory(root, prefix).toString
   }
 
-  /** Remove the root and everything under it (idempotent). */
+  /** Remove the root and everything under it (idempotent). The walk
+    * stream is closed explicitly — specs call this repeatedly and an
+    * unclosed stream leaks a directory handle per invocation. */
   def cleanupNow(): Unit = lock.synchronized {
     current.foreach { r =>
-      if (Files.exists(r))
-        Files.walk(r).sorted(Comparator.reverseOrder[Path]())
+      if (Files.exists(r)) {
+        val walk = Files.walk(r)
+        try walk.sorted(Comparator.reverseOrder[Path]())
           .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
     }
     current = None
   }

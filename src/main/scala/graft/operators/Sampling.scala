@@ -84,14 +84,17 @@ object Sampling {
     * draw smaller priorities proportionally. Physically a
     * TakeOrderedAndProject: per-partition partial top-k, never a
     * global sort. Output: the input columns plus `u` and `pri`,
-    * sorted (pri, id). */
+    * sorted (pri, id). Rows with a non-positive (or null) weight are
+    * dropped up front — a zero weight is an ANSI div-by-zero error and
+    * a negative one has no priority-sampling meaning. */
   def prioritySample(d: DataFrame, k: Int, salt: String = "pri",
       idCol: String = "doc_id", weightCol: String = "w"): DataFrame = {
     require(k > 0, "k must be positive")
     val u = pmod(conv(substring(md5(concat(lit(salt + ":"),
       col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"),
       lit(4294967296L))
-    d.withColumn("u", u)
+    d.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("u", u)
       .withColumn("pri",
         expr(s"(u * 1048576) div ${SqlLit.quoteName(weightCol)}"))
       .orderBy(col("pri"), col(idCol))
@@ -105,14 +108,19 @@ object Sampling {
     * unclamped (>1 ⇒ the mix upsamples that stratum by repetition).
     * One 1-row broadcast total; divisions run long/long → IEEE double
     * left-to-right, identically on any engine. Appends (weight,
-    * epochs) to the input relation, sorted by stratum. */
+    * epochs) to the input relation, sorted by stratum. A zero-mass
+    * stratum gets NULL weight/epochs (double x/0 is ±Inf, not an ANSI
+    * error, and a silent weight=1.0 would read as "keep everything"). */
   def mixtureWeights(per: DataFrame, stratumCol: String = "source",
       massCol: String = "tokens"): DataFrame = {
     val tot = per.agg(sum(massCol).as("tt"), count(lit(1)).as("ns"))
+    val share = col("tt") / col("ns") / col(massCol)
+    // the when() must wrap the WHOLE weight: least() skips nulls, so
+    // least(1.0, null-share) would silently resurrect weight = 1.0
     per.crossJoin(broadcast(tot))
       .withColumn("weight",
-        round(least(lit(1.0), col("tt") / col("ns") / col(massCol)), 4))
-      .withColumn("epochs", round(col("tt") / col("ns") / col(massCol), 4))
+        when(col(massCol) > 0, round(least(lit(1.0), share), 4)))
+      .withColumn("epochs", when(col(massCol) > 0, round(share, 4)))
       .drop("tt", "ns")
       .orderBy(stratumCol)
   }

@@ -2381,8 +2381,12 @@ object PipelineQueries {
         |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt,
         |               CAST(COUNT(*) AS BIGINT) AS ns FROM per)
         |SELECT source, n_docs, tokens,
-        |  ROUND(LEAST(1.0, CAST(tt AS DOUBLE) / ns / tokens), 4) AS weight,
-        |  ROUND(CAST(tt AS DOUBLE) / ns / tokens, 4) AS epochs
+        |  CASE WHEN tokens > 0
+        |    THEN ROUND(LEAST(1.0, CAST(tt AS DOUBLE) / ns / tokens), 4)
+        |  END AS weight,
+        |  CASE WHEN tokens > 0
+        |    THEN ROUND(CAST(tt AS DOUBLE) / ns / tokens, 4)
+        |  END AS epochs
         |FROM per, tot ORDER BY source""".stripMargin))
 
   // X13 — the PRODUCTION form of x12's KMV sketch: per-source shingle
@@ -2530,6 +2534,7 @@ object PipelineQueries {
         |  ((('0x' || substr(md5('pri:' || CAST(doc_id AS VARCHAR)), 1, 15))
         |      ::BIGINT % 4294967296) * 1048576) // n_chars AS pri
         |FROM documents
+        |WHERE n_chars > 0
         |ORDER BY pri, doc_id LIMIT 200""".stripMargin))
 
   // P11 — overlapping-window chunking: every long-context training

@@ -375,16 +375,31 @@ final class DynamicTopicLogStream(root: String, maxRows: Option[Long],
     * blocks retention" holds exactly — no window where a
     * just-registered group is invisible to an in-flight cut. Cheap to
     * hold: ~ms even at 1000-TP assignments (see TopicScaleBench). */
+  /** (positions, group snapshot) of the last completed idle-tick heal.
+    * The heal exists to close ONE stale-min race after traffic stops;
+    * once it has run against a given (position, snapshot) pair the cut
+    * is a fixed point, so a fast continuous trigger on an idle stream
+    * must not re-run the per-TP truncation scans every tick — only
+    * when a group (re)commits or the committed position moves. */
+  @volatile private var lastIdleHeal:
+    Option[(Map[String, Map[Int, Long]], Seq[Map[String, Map[Int, Long]]])] =
+    None
+
   private def publishAndCut(pos: Map[String, Map[Int, Long]],
       publish: Boolean): Unit =
     FileTopicLog.withGroupsLock(root) {
       if (publish) groupId.foreach(g => FileTopicLog.commitGroup(root, g, pos))
       val snap = FileTopicLog.groupSnapshot(root)
-      pos.foreach { case (t, ps) =>
-        ps.foreach { case (p, off) =>
-          FileTopicLog.truncateBelow(root, t, p,
-            FileTopicLog.retentionCut(snap, root, t, p, off))
+      if (publish || !lastIdleHeal.contains((pos, snap))) {
+        pos.foreach { case (t, ps) =>
+          ps.foreach { case (p, off) =>
+            FileTopicLog.truncateBelow(root, t, p,
+              FileTopicLog.retentionCut(snap, root, t, p, off))
+          }
         }
+        // a data commit moves positions; force the next idle tick to
+        // heal once against the fresh state, then settle.
+        lastIdleHeal = if (publish) None else Some((pos, snap))
       }
     }
 

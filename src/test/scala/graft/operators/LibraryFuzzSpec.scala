@@ -99,6 +99,25 @@ class LibraryFuzzSpec extends AnyFunSuite {
     // empty corpus: thresholds relation itself is empty, not a crash
     assert(Sampling.stratumThresholds(docs(), "source",
       (t, c) => t * lit(1000000L) / c).count() == 0)
+    // prioritySample: zero / negative / null weights are dropped, not
+    // an ANSI div-by-zero job failure
+    val weighted = Seq((1L, 4L), (2L, 0L), (3L, -3L), (4L, 2L))
+      .toDF("doc_id", "w")
+      .unionByName(Seq(5L).toDF("doc_id")
+        .withColumn("w", lit(null).cast("long")))
+    val pri = Sampling.prioritySample(weighted, k = 10).collect()
+    assert(pri.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 4L),
+      "only positive-weight rows compete")
+    assert(Sampling.prioritySample(weighted.limit(0), k = 3).count() == 0)
+    // mixtureWeights: a zero-mass stratum yields NULL weight/epochs
+    // (not weight=1.0 / epochs=Infinity)
+    val masses = Seq(("a", 100L), ("b", 0L)).toDF("source", "tokens")
+    val mw = Sampling.mixtureWeights(masses).collect()
+    val byS = mw.map(r => r.getString(0) ->
+      (r.get(2), r.get(3))).toMap
+    assert(byS("b") == ((null, null)), s"zero-mass stratum: ${byS("b")}")
+    assert(byS("a")._1 != null && byS("a")._2 != null)
+    assert(Sampling.mixtureWeights(masses.limit(0)).count() == 0)
   }
 
   // ------------------------------------------------- Decontamination

@@ -16,7 +16,8 @@ only = [a for a in rest if not a.startswith("--")]
 if not skip_verify:
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {sf} {out}'],
-        cwd="/root/repo", capture_output=True, text=True, timeout=3600)
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True, text=True, timeout=3600)
     if r.returncode != 0:
         print(r.stdout[-4000:]); print(r.stderr[-4000:]); sys.exit(1)
     for line in r.stdout.splitlines():

@@ -39,22 +39,22 @@ object ClusterScaleBench {
     val twoLevel = args.contains("--two-level")
 
     val t0 = System.nanoTime()
-    val asg =
-      if (twoLevel) {
-        val (coarse, fine) = Clustering.fitCentroidsTwoLevel(emb, k, iters = 2)
-        Clustering.tagClustersTwoLevel(emb, coarse, fine)
-          .select(col("vec_id"), col("cluster"))
-      } else Clustering.kMeansAssign(emb, k, iters = 2)
+    // mode pinned explicitly (not auto) so each curve measures ONE path
+    val asg = Clustering.kMeansAssign(emb, k, iters = 2,
+      twoLevel = Some(twoLevel))
     asg.write.mode("overwrite")
       .parquet(SessionTemp.dir("cluster_scale_assign"))
     val assignSec = (System.nanoTime() - t0) / 1e9
 
-    val maxCluster = asg.groupBy("cluster").count()
-      .agg(max("count")).collect()(0).getLong(0)
+    // max + Σ size² (the dedup pair stage's actual work) in one pass
+    val stats = asg.groupBy("cluster").count()
+      .agg(max("count"), sum(col("count") * col("count"))).collect()(0)
+    val maxCluster = stats.getLong(0)
+    val pairWork = stats.getLong(1)
 
     val t1 = System.nanoTime()
     val drops = Clustering.semanticDrops(emb, k, iters = 2, tau = 0.35,
-        twoLevel = twoLevel)
+        twoLevel = Some(twoLevel))
       .count()
     val dedupSec = (System.nanoTime() - t1) / 1e9
 
@@ -62,7 +62,7 @@ object ClusterScaleBench {
     println(f"""{"metric":"cluster_scale","mode":"$mode","docs":$n,""" +
       f""""k":$k,"target_cluster":$target,"assign_sec":$assignSec%.2f,""" +
       f""""dedup_sec":$dedupSec%.2f,"drops":$drops,""" +
-      f""""max_cluster":$maxCluster,"sf":"$sfDir"}""")
+      f""""max_cluster":$maxCluster,"pair_work":$pairWork,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Iterated BPE merge training as an engine capability — the tokenizer-
+ * training shape at 100 TB: the CORPUS is scanned exactly once (to
+ * build the token→tf vocabulary aggregate); every merge round after
+ * that is a VOCABULARY-sized job (pair counting + a 1-row best-pair
+ * reduce + a per-row merge rewrite), so n rounds cost n·|vocab|, never
+ * n·corpus. x9's single pair-count round is the degenerate n=1 form;
+ * this operator runs the loop and returns the merge TABLE — the actual
+ * artifact a tokenizer trainer produces (Sennrich et al. 2016, public).
+ *
+ * Cross-engine exactness: each token's current segmentation is encoded
+ * as a separator-wrapped string — every symbol `s` contributes the
+ * unit `␟s␟` (U+001F) and the segmentation is the units' concatenation
+ * — so APPLYING a merge (a, b) is one standard `replace(seg,
+ * "␟a␟␟b␟", "␟ab␟")`: string replace is non-overlapping
+ * left-to-right in Spark and DuckDB alike, which IS greedy BPE pairing
+ * ("aaa" + merge (a,a) → [aa, a], not [aaa]). Pair counts are exact
+ * integer tf sums; the best pair breaks ties on (count DESC, left ASC,
+ * right ASC) — deterministic on both engines. Tokens containing the
+ * separator itself are excluded up front (they would corrupt the
+ * encoding; U+001F appears in no real tokenizer corpus).
+ *
+ * Scale shape per round: pair fan-out is symbols-per-token ≤ token
+ * length, all inside the vocab scan; the groupBy(left, right) exchange
+ * is pair-vocabulary-sized after map-side partial aggregation; the
+ * best-pair pick is a TakeOrderedAndProject (partial top-1, no global
+ * sort); the merge rewrite is one codegen'd `replace` per vocab row.
+ * The segmentation table is materialized once up front (the corpus
+ * scan) and re-materialized every [[rematerializeEvery]] rounds so the
+ * chained-replace lineage never grows unbounded.
+ */
+object Bpe {
+
+  /** U+001F unit separator — the symbol-boundary marker. */
+  val Sep = "\u001f"
+
+  /** Re-checkpoint the segmentation table after this many chained
+    * merge rewrites (bounds expression depth / plan size). */
+  val rematerializeEvery = 8
+
+  private def unit(sym: String): String = Sep + sym + Sep
+
+  /** The initial segmentation of a token: every character wrapped as
+    * its own `␟c␟` unit. */
+  private def charSeg(tokenCol: Column): Column =
+    concat_ws("", transform(
+      filter(split(tokenCol, ""), c => c =!= ""),
+      c => concat(lit(Sep), c, lit(Sep))))
+
+  /** Current symbol array of a segmentation string. */
+  private def symbols(segCol: Column): Column =
+    split(segCol.substr(lit(2), length(segCol) - 2), Sep + Sep)
+
+  /** Train `nMerges` BPE merge rounds over a (token, tf) vocabulary
+    * aggregate. Returns the merge table: one row per round —
+    * (round, left, right, merged, n_occurrences), ordered by round —
+    * where (left, right) was that round's most frequent adjacent
+    * symbol pair (ties to the lexicographically first pair) and
+    * n_occurrences its exact tf-weighted adjacency count at selection
+    * time. Stops early (fewer rows) if no pair remains. */
+  def trainMerges(vocab: DataFrame, nMerges: Int,
+      tokenCol: String = "token", tfCol: String = "tf"): DataFrame = {
+    require(nMerges > 0, "nMerges must be positive")
+    val spark = vocab.sparkSession
+    import spark.implicits._
+
+    // one corpus-side pass: encode + materialize the segmentation table
+    val seg0 = vocab
+      .filter(col(tokenCol).isNotNull && length(col(tokenCol)) >= 1 &&
+        !col(tokenCol).contains(Sep))
+      .select(col(tfCol).cast("long").as("tf"),
+        charSeg(col(tokenCol)).as("seg"))
+    var seg = {
+      val tmp = graft.SessionTemp.dir("bpe_seg_")
+      seg0.write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp)
+    }
+
+    val merges = scala.collection.mutable.ListBuffer
+      .empty[(Long, String, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to nMerges if !exhausted) {
+      val best = seg
+        .select(col("tf"), symbols(col("seg")).as("sym"))
+        .filter(size(col("sym")) >= 2) // sequence(1, 0) runs backwards
+        .select(col("tf"), explode(transform(
+          sequence(lit(1), size(col("sym")) - 1),
+          i => struct(element_at(col("sym"), i).as("left"),
+            element_at(col("sym"), i + 1).as("right")))).as("pr"))
+        .groupBy(col("pr.left").as("left"), col("pr.right").as("right"))
+        .agg(sum("tf").as("cnt"))
+        .orderBy(desc("cnt"), asc("left"), asc("right"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, ri, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, l, ri, l + ri, c))
+        // Column-API replace: merged symbols come from DATA — no SQL
+        // text is assembled, hostile tokens can't reach the parser
+        seg = seg.withColumn("seg", replace(col("seg"),
+          lit(unit(l) + unit(ri)), lit(unit(l + ri))))
+        if (r % rematerializeEvery == 0 && r < nMerges) {
+          val tmp = graft.SessionTemp.dir("bpe_seg_")
+          seg.write.mode("overwrite").parquet(tmp)
+          seg = spark.read.parquet(tmp)
+        }
+      }
+    }
+    merges.toSeq.toDF("round", "left", "right", "merged", "n_occurrences")
+  }
+
+  /** Apply an already-trained merge list to a (token, tf) vocabulary
+    * and return each token's final segmentation —
+    * (token, tf, symbols: array<string>). The merge ORDER is the
+    * trained order (BPE applies merges by rank, not greedily by
+    * frequency at apply time). */
+  def applyMerges(vocab: DataFrame, merges: Seq[(String, String)],
+      tokenCol: String = "token", tfCol: String = "tf"): DataFrame = {
+    val segCol = merges.foldLeft(charSeg(col(tokenCol))) {
+      case (acc, (l, r)) => replace(acc, lit(unit(l) + unit(r)), lit(unit(l + r)))
+    }
+    vocab
+      .filter(col(tokenCol).isNotNull && length(col(tokenCol)) >= 1 &&
+        !col(tokenCol).contains(Sep))
+      .select(col(tokenCol), col(tfCol), symbols(segCol).as("symbols"))
+  }
+}

@@ -57,6 +57,20 @@ object Clustering {
   def adaptiveK(nVecs: Long, targetClusterSize: Long = 2000L): Int =
     math.max(2L, (nVecs + targetClusterSize - 1) / targetClusterSize).toInt
 
+  /** k at or above which [[kMeansAssign]]/[[semanticDrops]] auto-select
+    * the two-level fit (the [[graft.functions.VectorLsh.adaptiveBits]] /
+    * [[Retrieval.adaptiveBuckets]] precedent: the scale path engages
+    * itself, callers don't have to know). At the crossover the flat
+    * argmin costs k·d = 64·d flops/row vs two-level's
+    * (k1 + iters·k2)·d ≈ 3√k·d ≈ 24·d — past here the flat path only
+    * falls further behind (it is O(n·k·d), quadratic in the corpus
+    * under corpus-scaled k = n/target). */
+  val autoTwoLevelK: Int = 64
+
+  /** Resolve an explicit mode override (None = auto by k). */
+  private def useTwoLevel(k: Int, mode: Option[Boolean]): Boolean =
+    mode.getOrElse(k >= autoTwoLevelK)
+
   /** `round((x + shift) * scale)` per dimension — integer-valued
     * doubles (see object Scaladoc). `shift` should exceed max |x| so
     * all quantized values share a sign; with the default ±1 envelope
@@ -154,10 +168,30 @@ object Clustering {
   /** Lloyd k-means over an `array<double>` embedding column with fully
     * deterministic, engine-independent arithmetic (see object
     * Scaladoc): [[fitCentroids]] then one final assignment pass.
-    * Output (idCol, cluster), one row per input vector. */
+    * Output (idCol, cluster), one row per input vector.
+    *
+    * `twoLevel = None` (the default) AUTO-selects the
+    * [[fitCentroidsTwoLevel]] scale path once k ≥ [[autoTwoLevelK]] —
+    * under corpus-scaled k the flat argmin is O(n·k·d) = quadratic in
+    * the corpus, measured 5.6→30.3 s at 30× rows in BENCH_sf1 before
+    * this switch existed. Pass `Some(false)`/`Some(true)` to pin a
+    * mode (the oracle entries pin: c1 flat for the k=8 SQL replay, c1b
+    * two-level with `k1Override` so DuckDB can replay the coarse→fine
+    * chain). Cluster ids are dense 0..k-1 in flat mode and the sparse
+    * `cell·k2+sub` scheme in two-level mode. */
   def kMeansAssign(emb: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "v",
-      shift: Double = 1.0, scale: Double = 1e6): DataFrame = {
+      shift: Double = 1.0, scale: Double = 1e6,
+      twoLevel: Option[Boolean] = None, k1Override: Int = 0): DataFrame = {
+    if (useTwoLevel(k, twoLevel)) {
+      val (coarse, fine) = fitCentroidsTwoLevel(
+        emb, k, iters, idCol, vecCol, shift, scale, k1Override)
+      if (coarse.isEmpty)
+        return emb.select(col(idCol), lit(0L).as("cluster")).limit(0)
+      return tagClustersTwoLevel(emb, coarse, fine, vecCol, "cluster",
+          shift, scale)
+        .select(col(idCol), col("cluster"))
+    }
     val centroids = fitCentroids(emb, k, iters, idCol, vecCol, shift, scale)
     if (centroids.isEmpty)
       return emb.select(col(idCol), lit(0L).as("cluster")).limit(0)
@@ -177,9 +211,13 @@ object Clustering {
     * [[fitCentroids]] throughout — deterministic and layout-invariant;
     * with `k1 = 1` the sub-fit IS the flat fit (seeds, updates and
     * ties identical), which ClusteringSpec pins. Returns
-    * (coarse centroids, per-cell sub-centroids); final cluster id =
-    * `cell · k2 + sub` (stable, not dense). Sub-seeds are each cell's
-    * `k2` lowest-id members. */
+    * (coarse centroids, per-cell sub-centroids); final cluster ids are
+    * assigned by [[tagClustersTwoLevel]] as `cell · k2ᵢ + sub` where
+    * k2ᵢ = 1 + the MAX sub-centroid ID present in any cell (≤ the
+    * nominal ceil(k/k1); sub ids come from seeding and never grow, so
+    * this stride is collision-free even when a middle sub-centroid
+    * empties out during an update). Stable, not dense. Sub-seeds are
+    * each cell's ceil(k/k1) lowest-id members. */
   def fitCentroidsTwoLevel(emb: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "v",
       shift: Double = 1.0, scale: Double = 1e6, k1Override: Int = 0):
@@ -238,14 +276,19 @@ object Clustering {
   }
 
   /** Tag each row with its two-level cluster id (`cell · k2 + sub`,
-    * where k2 = max sub-centroids in any cell) from a
+    * where k2 = 1 + the max sub-centroid ID present in any cell — NOT
+    * the max cell SIZE: a cell that loses a middle sub-centroid during
+    * an update keeps its surviving high sub ids, and a size-derived
+    * stride would collide them into the next cell's id range) from a
     * [[fitCentroidsTwoLevel]] fit — inline in the scan, no join. */
   def tagClustersTwoLevel(df: DataFrame,
       coarse: Seq[(Long, Seq[Double])],
       fine: Map[Long, Seq[(Long, Seq[Double])]],
       vecCol: String = "v", outCol: String = "cluster",
       shift: Double = 1.0, scale: Double = 1e6): DataFrame = {
-    val k2 = fine.values.map(_.size).max.toLong
+    require(fine.nonEmpty,
+      "tagClustersTwoLevel needs a non-empty fine map (empty fit => no clusters to tag)")
+    val k2 = fine.values.flatMap(_.map(_._1)).max + 1L
     val sub = fine.toSeq.sortBy(_._1).map { case (cell, cents) =>
       (cell, assignCol("__graft_qv", cents))
     }.foldRight(lit(0L)) { case ((cell, a), acc) =>
@@ -265,14 +308,19 @@ object Clustering {
     * envelope). Zero-norm vectors are excluded up front (no cosine;
     * ANSI would error the division). Output (idCol, cluster, dup_of)
     * for each dropped vector, `dup_of` = its lowest matching keeper
-    * candidate. */
+    * candidate.
+    *
+    * `twoLevel = None` auto-selects the two-level fit at k ≥
+    * [[autoTwoLevelK]] (see [[kMeansAssign]]); the pair stage is
+    * identical either way — only the cluster-id scheme differs. */
   def semanticDrops(emb: DataFrame, k: Int, iters: Int, tau: Double,
       idCol: String = "vec_id", vecCol: String = "v",
-      twoLevel: Boolean = false): DataFrame = {
+      twoLevel: Option[Boolean] = None, k1Override: Int = 0): DataFrame = {
     val qn = SqlLit.quoteName(vecCol)
     val nz = emb.filter(expr(s"vec_dot($qn, $qn) > 0"))
-    if (twoLevel) {
-      val (coarse, fine) = fitCentroidsTwoLevel(nz, k, iters, idCol, vecCol)
+    if (useTwoLevel(k, twoLevel)) {
+      val (coarse, fine) = fitCentroidsTwoLevel(nz, k, iters, idCol, vecCol,
+        k1Override = k1Override)
       if (coarse.isEmpty)
         return nz.select(col(idCol), lit(0L).as("cluster"),
           col(idCol).as("dup_of")).limit(0)

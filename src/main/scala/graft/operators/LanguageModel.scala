@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Bigram language-model training and scoring as an engine capability —
+ * the CCNet/KenLM-style quality filter: train an add-one-smoothed
+ * bigram model on the corpus itself, score every document by its
+ * self-perplexity exp(−avg ln p(wᵢ | wᵢ₋₁)), threshold. Promoted from
+ * the x14 catalog entry (now a thin call), the [[Sessionization]] /
+ * [[Packing]] pattern.
+ *
+ * Scale shape — two corpus scans BY DESIGN (the model must see the
+ * whole corpus before the first document can be scored):
+ *  - build: ONE scan into bigram counts (persisted while the tiny
+ *    probs table derives from them); prev-totals and the vocabulary
+ *    come from the MODEL, not another scan — every token position
+ *    appears as some bigram's prev or cur, so distinct(prev ∪ cur) IS
+ *    the corpus vocabulary. The probs table lands in session-temp
+ *    parquet (nothing stays pinned, survives executor loss).
+ *  - score: one scan + a BROADCAST model join + a per-doc partial-agged
+ *    average. At 100 TB the model is vocab²-sized metadata, never
+ *    corpus-sized.
+ * Float envelope: per-doc avg of bounded ln terms then exp — engine
+ * ulp differences land ~1e-14 relative, inside the gate's 9
+ * significant digits.
+ */
+object LanguageModel {
+
+  private val bigramsExpr =
+    "transform(sequence(0, size(ts) - 2), " +
+      "i -> named_struct('prev', ts[i], 'cur', ts[i + 1]))"
+
+  /** X14 — per-document self-perplexity under an add-one-smoothed
+    * bigram model trained on the input corpus. Input needs (idCol,
+    * text); output (idCol, n_bigrams, ppl) for every doc with ≥ 2
+    * tokens, sorted by id. */
+  def bigramPerplexity(d: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = d.sparkSession
+    def bigrams = d
+      .select(col(idCol), expr(TextAnalysis.tokensExpr).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col(idCol), explode(expr(bigramsExpr)).as("b"))
+      .select(col(idCol), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val model = bigrams.groupBy("prev", "cur").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ptot = model.groupBy("prev").agg(sum("cnt").as("tot"))
+    val vocab = model.select(col("prev").as("t"))
+      .union(model.select(col("cur").as("t")))
+      .distinct().agg(count(lit(1)).as("v"))
+    val probs = model.join(ptot, "prev").crossJoin(vocab)
+      .select(col("prev"), col("cur"),
+        log((col("cnt") + lit(1.0)) / (col("tot") + col("v"))).as("lp"))
+    val tmp = graft.SessionTemp.dir("graft_bigram_model_")
+    probs.write.mode("overwrite").parquet(tmp) // the one build scan runs here
+    model.unpersist()
+    bigrams.join(broadcast(spark.read.parquet(tmp)), Seq("prev", "cur"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        exp(-avg(col("lp"))).as("ppl"))
+      .orderBy(idCol)
+  }
+}

@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
  * Scale shapes (unchanged from the gated entries):
  *  - [[packSequences]]: the running token sum is a window PARTITIONED
  *    BY the pack group — packing is sequential by definition, but only
- *    within a group; groups pack in parallel, and at 100 TB a single
- *    giant group is sub-sharded by a coarse id range first (two-level
- *    packing: pack ranges, then stitch the per-range tails), so no
- *    unpartitioned global sort ever exists in the plan.
+ *    within a group; groups pack in parallel. When a single giant
+ *    group would exceed a task width, [[packSequencesSharded]] is the
+ *    scale form: sub-shard each group by a coarse id range, pack the
+ *    shards in parallel, then stitch the per-shard tails with a
+ *    shard-count-sized summary window — identical output (the p6b
+ *    oracle runs p6's exact SQL), no unpartitioned global sort, no
+ *    serialized hot group.
  *  - [[chunkOverlapping]]: one generator expression per row —
  *    `sequence` builds the stride index list and `explode` fans out,
  *    all inside whole-stage codegen, zero shuffle. Chunk identity is
@@ -47,6 +50,60 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .withColumn("cum_before", coalesce(sum(tokensCol).over(w), lit(0L)))
+      .withColumn("seq_id",
+        floor(col("cum_before").cast("double") / lit(tokenBudget.toDouble))
+          .cast("long"))
+      .groupBy(groupCol, "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(tokensCol).as("seq_tokens"))
+      .orderBy(groupCol, "seq_id")
+  }
+
+  /** P6B — [[packSequences]] for the giant-group regime (one bot/mega
+    * source bigger than a task width): two-level pack-then-stitch with
+    * IDENTICAL output.
+    *
+    * The decomposition: within a group, docs pack in `idCol` order, so
+    * bucketing the group by a coarse id range (`shard = floor(id /
+    * shardSpan)` — monotone in id) splits the running sum into
+    * per-shard partial sums plus a per-shard OFFSET (the total tokens
+    * of all earlier shards). Each shard's window runs in its own task
+    * (partitioned by (group, shard)); the offsets come from one
+    * shard-count-sized prefix-sum window per group (the e1b
+    * "bucket-then-stitch" pattern); global cum-before = offset +
+    * local cum-before, exactly the flat window's value. The offset
+    * table is groups×shards rows — broadcast to the corpus, never a
+    * corpus shuffle beyond the one the flat form already pays.
+    *
+    * `idCol` must be numeric (the coarse range needs arithmetic);
+    * `shardSpan` is the id-range width per shard — size it so a shard
+    * is around one task's worth of rows (ids are usually near-dense,
+    * so span ≈ rows/shard). The input relation is scanned TWICE (local
+    * pack windows + shard offsets) — pass the narrow (group, id,
+    * n_tokens) projection, materialized if its derivation is heavy
+    * (token counting at 100 TB belongs in an earlier materialized
+    * stage, not re-run per scan). */
+  def packSequencesSharded(docs: DataFrame, tokenBudget: Long,
+      shardSpan: Long, groupCol: String = "source",
+      idCol: String = "doc_id", tokensCol: String = "n_tokens"): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    require(shardSpan > 0, "shardSpan must be positive")
+    val wLocal = Window.partitionBy(groupCol, "__shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOffset = Window.partitionBy(groupCol).orderBy("__shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = docs
+      .withColumn("__shard",
+        floor(col(idCol).cast("double") / lit(shardSpan.toDouble))
+          .cast("long"))
+      .withColumn("__cum_local",
+        coalesce(sum(tokensCol).over(wLocal), lit(0L)))
+    val offsets = local.groupBy(groupCol, "__shard")
+      .agg(sum(tokensCol).as("__shard_tokens"))
+      .withColumn("__offset",
+        coalesce(sum("__shard_tokens").over(wOffset), lit(0L)))
+      .select(col(groupCol), col("__shard"), col("__offset"))
+    local.join(broadcast(offsets), Seq(groupCol, "__shard"))
+      .withColumn("cum_before", col("__offset") + col("__cum_local"))
       .withColumn("seq_id",
         floor(col("cum_before").cast("double") / lit(tokenBudget.toDouble))
           .cast("long"))

@@ -251,4 +251,41 @@ object TextAnalysis {
       .groupBy(groupCol)
       .agg(max("t_s").as("n_tokens"), sum("term_micro").as("kl_micro"))
   }
+
+  /** X7 — corpus vocabulary: term frequency + exact document frequency
+    * per token — the input to stopword lists, boilerplate detection,
+    * and tokenizer/vocab construction ([[Bpe.trainMerges]] consumes
+    * the (token, tf) projection). One explode feeds a single hash
+    * aggregation keyed on the token; map-side partials absorb the
+    * token fan-out inside the scan stage, and the exact distinct-doc
+    * count is Spark's standard two-phase count-distinct expansion.
+    * Output is vocabulary-sized (≪ corpus) at any scale. */
+  def vocabulary(d: DataFrame, idCol: String = "doc_id"): DataFrame =
+    d.select(col(idCol), explode(expr(tokensExpr)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
+      .orderBy("token")
+
+  /** X8 — hashed linear quality classifier: each token's weight is a
+    * salted md5 hash mapped to [-1000, 1000] (a stand-in for trained
+    * fastText-style weights — the SHAPE is the real thing: per-token
+    * weight lookup + per-doc linear score, all in one scan), the doc
+    * score is the tf-weighted mean in exact integer micro-units, and
+    * `keep` gates on score > 0. Explode keeps a doc's tokens
+    * co-partitioned, so partial aggregation collapses the fan-out to
+    * one row per doc inside the scan stage — the shuffle moves
+    * doc-count rows, not token-count rows. */
+  def hashedClassifierScore(d: DataFrame, idCol: String = "doc_id",
+      salt: String = "qw"): DataFrame =
+    d.select(col(idCol), explode(expr(tokensExpr)).as("token"))
+      .withColumn("w",
+        pmod(md5Long(concat(lit(salt + ":"), col("token"))), lit(2001L))
+          - lit(1000L))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("w").as("raw_score"))
+      .select(col(idCol), col("n_tokens"), col("raw_score"),
+        round(col("raw_score").cast("double") /
+          (col("n_tokens") * lit(1000L)).cast("double"), 6).as("score"),
+        when(col("raw_score") > 0, lit(1L)).otherwise(lit(0L)).as("keep"))
+      .orderBy(idCol)
 }

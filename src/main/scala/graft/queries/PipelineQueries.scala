@@ -489,6 +489,60 @@ object PipelineQueries {
          |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cl AS BIGINT) AS cluster
          |FROM a2 ORDER BY vec_id""".stripMargin))
 
+  // C1B — the TWO-LEVEL fit under the oracle: coarse k1-cell Lloyd over
+  // the corpus, cell assignment frozen, then Lloyd for every cell's
+  // sub-centroids simultaneously; cluster id = cell·k2+sub with
+  // k2 = 1 + max surviving sub id (collision-free stride — see
+  // Clustering.tagClustersTwoLevel). k=12 / k1Override=3 pins the chain
+  // small enough for DuckDB to replay it exactly: the same quantized
+  // integer arithmetic as c1, twice (coarse chain, then per-cell fine
+  // chain keyed by cell). This is the path kMeansAssign auto-selects at
+  // k >= autoTwoLevelK (the corpus-scaled-k scale path).
+  private def km2Assign(src: String, cent: String): String =
+    s"""(SELECT vec_id, cell, qv, sub FROM (
+       |   SELECT v.vec_id, v.cell, v.qv, s.sub,
+       |     row_number() OVER (PARTITION BY v.vec_id ORDER BY $kmSsd, s.sub) AS rn
+       |   FROM $src v JOIN $cent s ON s.cell = v.cell) WHERE rn = 1)""".stripMargin
+  private def km2Update(asg: String): String =
+    s"""(SELECT cell, sub, list(dv ORDER BY i) AS c FROM (
+       |   SELECT cell, sub, i, floor(sum(qv[i]) / count(*)) AS dv
+       |   FROM $asg a, generate_series(1, 64) t(i) GROUP BY cell, sub, i)
+       | GROUP BY cell, sub)""".stripMargin
+  private val km2Chain =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id, list_transform(v, x -> round((x + 1.0) * 1000000)) AS qv FROM e),
+       |cseeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, qv AS c
+       |           FROM (SELECT * FROM q ORDER BY vec_id LIMIT 3)),
+       |ca0 AS ${kmAssign("q", "cseeds")},
+       |cc1 AS ${kmUpdate("ca0")},
+       |ca1 AS ${kmAssign("q", "cc1")},
+       |cc2 AS ${kmUpdate("ca1")},
+       |cells0 AS ${kmAssign("q", "cc2")},
+       |cells AS (SELECT vec_id, qv, cl AS cell FROM cells0),
+       |fseeds AS (
+       |  SELECT cell, CAST(rn - 1 AS BIGINT) AS sub, qv AS c FROM (
+       |    SELECT cell, qv, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+       |    FROM cells) WHERE rn <= 4),
+       |fa0 AS ${km2Assign("cells", "fseeds")},
+       |fc1 AS ${km2Update("fa0")},
+       |fa1 AS ${km2Assign("cells", "fc1")},
+       |fc2 AS ${km2Update("fa1")},
+       |ftag AS ${km2Assign("cells", "fc2")},
+       |k2m AS (SELECT max(sub) + 1 AS m FROM fc2)""".stripMargin
+  private val c1bq = QueryDef(
+    "c1b_kmeans_two_level",
+    (s, dir) =>
+      graft.operators.Clustering.kMeansAssign(
+        emb(s, dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")),
+        k = 12, iters = 2, twoLevel = Some(true), k1Override = 3)
+      .orderBy("vec_id"),
+    Some(
+      s"""WITH $km2Chain
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |  CAST(cell * (SELECT m FROM k2m) + sub AS BIGINT) AS cluster
+         |FROM ftag ORDER BY vec_id""".stripMargin))
+
   // C2 — SemDeDup semantic dedup: pairwise cosine INSIDE each k-means
   // cluster only (Σ size² pair work instead of n²; k scales with the
   // corpus to bound cluster sizes), drop = has a lower-id neighbor at
@@ -1576,16 +1630,46 @@ object PipelineQueries {
   // lands in; output is one row per (source, seq_id) with its doc and
   // token counts. The running sum is a window PARTITIONED BY source and
   // ordered by doc_id: packing is sequential by definition, but only
-  // WITHIN a source — sources pack in parallel, and at 100 TB a single
-  // giant source is sub-sharded by a coarse doc_id range first
-  // (two-level packing: pack ranges, then stitch the per-range tails),
-  // so no unpartitioned global sort ever exists in the plan.
+  // WITHIN a source — sources pack in parallel. At 100 TB a single
+  // giant source is the p6b regime (Packing.packSequencesSharded:
+  // sub-shard by coarse doc_id range, pack, stitch the tails —
+  // identical output under this same oracle SQL).
   private val p6 = QueryDef(
     "p6_sequence_pack",
     (s, dir) => graft.operators.Packing.packSequences(
       docs(s, dir).select(col("source"), col("doc_id"),
         size(expr(tokensExpr)).cast("long").as("n_tokens")),
       tokenBudget = 256L),
+    Some(
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT source,
+        |  CAST(FLOOR(CAST(cum_before AS DOUBLE) / 256) AS BIGINT) AS seq_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+        |FROM c GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin))
+
+  // P6B — the giant-group form of p6: identical semantics (the oracle
+  // IS p6's SQL), but each source is sub-sharded by a coarse doc_id
+  // range, shards pack in parallel, and a shard-count-sized summary
+  // window stitches the per-shard tails (offset = tokens in earlier
+  // shards). One mega-source no longer serializes into one task — the
+  // e1b/j1b bucketed-twin pattern applied to sequence packing; wall /
+  // worst-task evidence on the 50%-hot documents shape in BENCH_sf1.
+  private val p6b = QueryDef(
+    "p6b_sequence_pack_sharded",
+    (s, dir) => graft.operators.Packing.packSequencesSharded(
+      docs(s, dir).select(col("source"), col("doc_id"),
+        size(expr(tokensExpr)).cast("long").as("n_tokens")),
+      tokenBudget = 256L, shardSpan = 250L),
     Some(
       """WITH t AS (
         |  SELECT source, doc_id,
@@ -1613,13 +1697,7 @@ object PipelineQueries {
   // vocabulary-sized (≪ corpus) at any scale.
   private val x7 = QueryDef(
     "x7_vocab",
-    (s, dir) => {
-      docs(s, dir)
-        .select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
-        .groupBy("token")
-        .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
-        .orderBy("token")
-    },
+    (s, dir) => graft.operators.TextAnalysis.vocabulary(docs(s, dir)),
     Some(
       """WITH tok AS (
         |  SELECT doc_id,
@@ -1680,19 +1758,7 @@ object PipelineQueries {
   // corpus size.
   private val x8 = QueryDef(
     "x8_quality_classifier",
-    (s, dir) => {
-      docs(s, dir)
-        .select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
-        .withColumn("w",
-          pmod(md5Long(concat(lit("qw:"), col("token"))), lit(2001L)) - lit(1000L))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum("w").as("raw_score"))
-        .select(col("doc_id"), col("n_tokens"), col("raw_score"),
-          round(col("raw_score").cast("double") /
-            (col("n_tokens") * lit(1000L)).cast("double"), 6).as("score"),
-          when(col("raw_score") > 0, lit(1L)).otherwise(lit(0L)).as("keep"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => graft.operators.TextAnalysis.hashedClassifierScore(docs(s, dir)),
     Some(
       """WITH tok AS (
         |  SELECT doc_id,
@@ -1888,6 +1954,62 @@ object PipelineQueries {
         |SELECT pair, CAST(SUM(tf) AS BIGINT) AS n_occurrences
         |FROM pairs GROUP BY pair
         |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin))
+
+  // X9B — ITERATED BPE training (operators/Bpe.trainMerges): x9 is one
+  // pair-count round; this runs the real tokenizer-training loop — the
+  // corpus is scanned ONCE (vocab aggregate), then each of 8 merge
+  // rounds is a vocabulary-sized job: pair counts (exact tf sums), a
+  // 1-row best-pair reduce (ties on count DESC, pair ASC), and one
+  // replace() per vocab row applying the merge. The oracle replays all
+  // 8 rounds with chained CTEs over the same separator-encoded
+  // segmentation strings — replace() is non-overlapping left-to-right
+  // in both engines, which IS greedy BPE pairing.
+  private def bpeOracleSql(n: Int): String = {
+    val sep = "chr(31)"
+    def u(x: String) = s"$sep || $x || $sep"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH vocab AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+         |          AS token FROM documents)
+         |  GROUP BY token),
+         |s0 AS (
+         |  SELECT tf, substr(x, 1, length(x) - 1) AS seg FROM (
+         |    SELECT tf, $sep || regexp_replace(token, '(.)', '\\1' || $sep || $sep, 'g') AS x
+         |    FROM vocab WHERE token NOT LIKE '%' || $sep || '%')),
+         |""".stripMargin)
+    for (r <- 1 to n) {
+      sb.append(
+        s"""p$r AS (
+           |  SELECT p[1] AS l, p[2] AS r, CAST(SUM(tf) AS BIGINT) AS cnt FROM (
+           |    SELECT tf, unnest(list_zip(sm, sm[2:])) AS p FROM (
+           |      SELECT tf, string_split(substr(seg, 2, length(seg) - 2), $sep || $sep) AS sm
+           |      FROM s${r - 1}))
+           |  WHERE p[2] IS NOT NULL GROUP BY 1, 2),
+           |b$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+           |s$r AS (
+           |  SELECT tf, replace(seg, ${u("l")} || ${u("r")}, ${u("l || r")}) AS seg
+           |  FROM s${r - 1}, b$r),
+           |""".stripMargin)
+    }
+    // drop the trailing ",\n" of the last CTE, then union the rounds
+    sb.setLength(sb.length - 2)
+    sb.append("\n")
+    sb.append((1 to n).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, l AS "left", r AS "right",
+         |  l || r AS merged, cnt AS n_occurrences FROM b$r""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY round"))
+    sb.toString
+  }
+  private val x9b = QueryDef(
+    "x9b_bpe_train",
+    (s, dir) => graft.operators.Bpe.trainMerges(
+      docs(s, dir)
+        .select(explode(expr(tokensExpr)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("tf")),
+      nMerges = 8).orderBy("round"),
+    Some(bpeOracleSql(8)))
 
   // E5 — ordered conversion funnel over the event stream: users who
   // progressed click → view → purchase IN TIMESTAMP ORDER (stage k
@@ -2456,35 +2578,10 @@ object PipelineQueries {
   // Float gate: per-doc avg of ≤99 ln terms then exp — engine ulp
   // differences land ~1e-14 relative, far inside the driver's 9
   // significant digits (same envelope x8's logistic already passes).
-  private val bigramsExpr =
-    "transform(sequence(0, size(ts) - 2), " +
-      "i -> named_struct('prev', ts[i], 'cur', ts[i + 1]))"
   private val x14 = QueryDef(
     "x14_perplexity",
-    (s, dir) => {
-      def bigrams = docs(s, dir)
-        .select(col("doc_id"), expr(tokensExpr).as("ts"))
-        .filter(size(col("ts")) >= 2)
-        .select(col("doc_id"), explode(expr(bigramsExpr)).as("b"))
-        .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
-      val model = bigrams.groupBy("prev", "cur").agg(count(lit(1)).as("cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ptot = model.groupBy("prev").agg(sum("cnt").as("tot"))
-      val vocab = model.select(col("prev").as("t"))
-        .union(model.select(col("cur").as("t")))
-        .distinct().agg(count(lit(1)).as("v"))
-      val probs = model.join(ptot, "prev").crossJoin(vocab)
-        .select(col("prev"), col("cur"),
-          log((col("cnt") + lit(1.0)) / (col("tot") + col("v"))).as("lp"))
-      val tmp = graft.SessionTemp.dir("graft_x14_model_")
-      probs.write.mode("overwrite").parquet(tmp) // the one build scan runs here
-      model.unpersist()
-      bigrams.join(broadcast(s.read.parquet(tmp)), Seq("prev", "cur"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          exp(-avg(col("lp"))).as("ppl"))
-        .orderBy("doc_id")
-    },
+    (s, dir) =>
+      graft.operators.LanguageModel.bigramPerplexity(docs(s, dir)),
     Some(
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
@@ -2959,10 +3056,10 @@ object PipelineQueries {
          |ORDER BY doc_id, eval_id""".stripMargin))
 
   val defs: Seq[QueryDef] = Seq(
-    d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, c1q, c2q,
+    d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, c1q, c1bq, c2q,
     sim1, sim2, sim3, sim4,
-    x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x11b, x12, x13, x14, x15,
+    x1, x2, x3, x4, x5, x6, x7, x8, x9, x9b, x10, x11, x11b, x12, x13, x14, x15,
     x15b, x16, x17,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e5c, e9, e10, e10b,
-    p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p11, p12, p13, p14)
+    p1, p2, p3, p4, p5, p6, p6b, p7, p8, p9, p10, p11, p12, p13, p14)
 }

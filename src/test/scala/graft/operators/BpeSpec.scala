@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** operators/Bpe vs a direct driver-side reference implementation of
+  * greedy BPE (Sennrich-style: count adjacent symbol pairs weighted by
+  * token frequency, merge the most frequent left-to-right, repeat),
+  * plus the encoding edge cases the separator scheme must survive. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  // ---- reference implementation (plain Scala, no Spark) ----
+  private def refTrain(vocab: Map[String, Long], n: Int):
+      Seq[(String, String, Long)] = {
+    var seg: Map[Vector[String], Long] =
+      vocab.map { case (t, tf) => t.map(_.toString).toVector -> tf }
+    val out = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to n) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      seg.foreach { case (syms, tf) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + tf
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((l, r, c))
+        seg = seg.groupMapReduce(_._1 match {
+          case syms =>
+            // greedy left-to-right merge of (l, r)
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                b += (l + r); i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            b.result()
+        })(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  private def vocabDf(v: Map[String, Long]) = {
+    import spark.implicits._
+    v.toSeq.toDF("token", "tf")
+  }
+
+  test("trainMerges matches the reference on a random vocabulary") {
+    val rnd = new scala.util.Random(7L)
+    val alphabet = "abcde"
+    val vocab = (1 to 120).map { _ =>
+      val len = 1 + rnd.nextInt(8)
+      (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.groupBy(identity).view.mapValues(_.size.toLong * (1 + rnd.nextInt(5))).toMap
+    val expect = refTrain(vocab, 10)
+    val got = Bpe.trainMerges(vocabDf(vocab), 10)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got == expect)
+  }
+
+  test("greedy overlap semantics: aaa merges to [aa, a], not [aaa]") {
+    val vocab = Map("aaa" -> 10L)
+    val merges = Bpe.trainMerges(vocabDf(vocab), 2).collect()
+    // round 1: (a, a) appears twice per token (overlapping adjacencies)
+    assert(merges(0).getString(1) == "a" && merges(0).getString(2) == "a")
+    assert(merges(0).getLong(4) == 20L)
+    // after the greedy merge the segmentation is [aa, a] -> ONE (aa, a)
+    // adjacency per token
+    assert(merges(1).getString(1) == "aa" && merges(1).getString(2) == "a")
+    assert(merges(1).getLong(4) == 10L)
+    assert(refTrain(vocab, 2).map(t => (t._1, t._2, t._3)) ==
+      merges.map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq)
+  }
+
+  test("applyMerges reproduces the trained segmentation; hostile tokens") {
+    val vocab = Map("don't" -> 5L, "\"ab\"" -> 3L, "ab" -> 7L,
+      ("a" + Bpe.Sep + "b") -> 2L) // separator-bearing token is excluded, not corrupting
+    val merges = Bpe.trainMerges(vocabDf(vocab), 3)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val seg = Bpe.applyMerges(vocabDf(vocab), merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(!seg.contains(("a" + Bpe.Sep + "b")))
+    // every token's symbols concatenate back to the token
+    seg.foreach { case (t, syms) => assert(syms.mkString == t, t) }
+    // 'ab' is the top pair (tf 7 + 3 inside quotes + ...), so 'ab'
+    // must be a single symbol after apply
+    assert(seg("ab") == Seq("ab"))
+    // layout invariance
+    val seg13 = Bpe.applyMerges(vocabDf(vocab).repartition(13), merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(seg13 == seg)
+  }
+
+  test("degenerate vocabularies: empty, single-char-only, early exhaustion") {
+    import spark.implicits._
+    assert(Bpe.trainMerges(vocabDf(Map.empty[String, Long]), 3).count() == 0)
+    // single-char tokens have no pairs at all
+    assert(Bpe.trainMerges(vocabDf(Map("a" -> 5L, "b" -> 3L)), 3).count() == 0)
+    // 'ab' exhausts after 1 merge; asking for 5 yields 1 row
+    val m = Bpe.trainMerges(vocabDf(Map("ab" -> 5L)), 5).collect()
+    assert(m.length == 1 && m(0).getString(3) == "ab")
+    intercept[IllegalArgumentException] {
+      Bpe.trainMerges(vocabDf(Map("ab" -> 1L)), 0)
+    }
+  }
+
+  test("rematerialization boundary keeps results identical (n > every)") {
+    val vocab = Map("ababab" -> 4L, "bcbcbc" -> 3L, "cacaca" -> 2L,
+      "abcabc" -> 5L, "aabbcc" -> 1L)
+    val n = Bpe.rematerializeEvery + 3
+    val expect = refTrain(vocab, n)
+    val got = Bpe.trainMerges(vocabDf(vocab), n)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got == expect)
+  }
+}

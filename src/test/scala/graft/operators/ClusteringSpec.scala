@@ -107,7 +107,7 @@ class ClusteringSpec extends AnyFunSuite {
       i -> Seq.fill(5)(rnd.nextDouble() * 1.8 - 0.9))
     val base = emb(data: _*)
     val (coarse, fine) = Clustering.fitCentroidsTwoLevel(base, k = 9, iters = 2)
-    val k2 = fine.values.map(_.size).max
+    val k2 = fine.values.flatMap(_.map(_._1)).max + 1
     val tagged = Clustering.tagClustersTwoLevel(base, coarse, fine)
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("cluster")).toMap
     // brute-force recheck from the returned model
@@ -135,9 +135,35 @@ class ClusteringSpec extends AnyFunSuite {
       4L -> Seq(0.0, 0.0, 1.0, 0.0),
       5L -> Seq(0.0, 0.0, 0.0, 1.0))
     val drops = Clustering.semanticDrops(e, k = 2, iters = 1, tau = 0.9,
-        twoLevel = true)
+        twoLevel = Some(true))
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(drops.keySet == Set(2L) && drops(2L) == 1L, s"got $drops")
+  }
+
+  test("auto mode selects two-level at k >= autoTwoLevelK, flat below") {
+    val rnd = new scala.util.Random(7L)
+    val data = (0L until 160L).map(i =>
+      i -> Seq.fill(5)(rnd.nextDouble() * 1.8 - 0.9))
+    val e = emb(data: _*)
+    val k = Clustering.autoTwoLevelK // = 64
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getAs[Long]("cluster")).toMap
+    // at the threshold: default == pinned two-level
+    assert(asMap(Clustering.kMeansAssign(e, k, iters = 1)) ==
+      asMap(Clustering.kMeansAssign(e, k, iters = 1, twoLevel = Some(true))))
+    // below it: default == pinned flat
+    assert(asMap(Clustering.kMeansAssign(e, k - 1, iters = 1)) ==
+      asMap(Clustering.kMeansAssign(e, k - 1, iters = 1,
+        twoLevel = Some(false))))
+    // semanticDrops follows the same auto rule (dup pair planted so the
+    // two-level path has something to flag)
+    val dup = emb((data :+ (500L -> data.head._2)): _*)
+    val auto = Clustering.semanticDrops(dup, k, iters = 1, tau = 0.99)
+      .collect().map(_.getLong(0)).toSet
+    val pinned = Clustering.semanticDrops(dup, k, iters = 1, tau = 0.99,
+        twoLevel = Some(true))
+      .collect().map(_.getLong(0)).toSet
+    assert(auto == pinned && auto.contains(500L), s"auto=$auto")
   }
 
   test("degenerate inputs: empty, single row, k > n, zero-norm vector") {

@@ -35,6 +35,36 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequencesSharded equals packSequences for any shard span") {
+    val rnd = new scala.util.Random(42L)
+    // one giant group (g0: 300 docs), two small ones; sparse ids with
+    // gaps so the coarse ranges are uneven on purpose
+    val rows = (0 until 360).map { i =>
+      val id = i.toLong * 7 + (if (i % 3 == 0) 2 else 0)
+      val src = if (i < 300) "g0" else if (i < 330) "g1" else "g2"
+      (id, src, "x " * (1 + rnd.nextInt(40)))
+    }
+    val d = docsOf(rows: _*)
+      .select(col("source"), col("doc_id"),
+        size(expr(TextAnalysis.tokensExpr)).cast("long").as("n_tokens"))
+    for (budget <- Seq(17L, 256L); span <- Seq(1L, 100L, 1000000L)) {
+      val flat = Packing.packSequences(d, budget).collect().toSeq
+      val sharded = Packing.packSequencesSharded(d, budget, span)
+        .collect().toSeq
+      assert(sharded == flat, s"budget=$budget span=$span")
+      // layout invariance of the sharded form too
+      val reparted = Packing.packSequencesSharded(
+        d.repartition(13), budget, span).collect().toSeq
+      assert(reparted == flat, s"repartitioned, budget=$budget span=$span")
+    }
+    intercept[IllegalArgumentException] {
+      Packing.packSequencesSharded(d, 0L, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.packSequencesSharded(d, 10L, 0L)
+    }
+  }
+
   test("chunkOverlapping covers every char and respects width/stride") {
     val text = (1 to 950).map(_ => "a").mkString
     val d = docsOf((1L, "s", text), (2L, "s", ""), (3L, "s", "tiny"))

@@ -58,6 +58,22 @@ object ClusterScaleBench {
       .count()
     val dedupSec = (System.nanoTime() - t1) / 1e9
 
+    // --mat-ab: same-session A/B of the flat path's materialize knob at
+    // this k (the materializeK threshold evidence)
+    if (args.contains("--mat-ab")) {
+      val tOff = System.nanoTime()
+      Clustering.semanticDrops(emb, k, iters = 2, tau = 0.35,
+        twoLevel = Some(false), materialize = Some(false)).count()
+      val offSec = (System.nanoTime() - tOff) / 1e9
+      val tOn = System.nanoTime()
+      Clustering.semanticDrops(emb, k, iters = 2, tau = 0.35,
+        twoLevel = Some(false), materialize = Some(true)).count()
+      val onSec = (System.nanoTime() - tOn) / 1e9
+      println(f"""{"metric":"cluster_mat_ab","docs":$n,"k":$k,""" +
+        f""""dedup_no_mat_sec":$offSec%.2f,"dedup_mat_sec":$onSec%.2f,""" +
+        f""""sf":"$sfDir"}""")
+    }
+
     val mode = if (twoLevel) "two_level" else "flat"
     println(f"""{"metric":"cluster_scale","mode":"$mode","docs":$n,""" +
       f""""k":$k,"target_cluster":$target,"assign_sec":$assignSec%.2f,""" +

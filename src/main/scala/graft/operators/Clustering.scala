@@ -312,10 +312,15 @@ object Clustering {
     *
     * `twoLevel = None` auto-selects the two-level fit at k ≥
     * [[autoTwoLevelK]] (see [[kMeansAssign]]); the pair stage is
-    * identical either way — only the cluster-id scheme differs. */
+    * identical either way — only the cluster-id scheme differs.
+    * `materialize = None` auto-selects writing the tagged table to
+    * session-temp once k ≥ [[materializeK]] (below it the double
+    * argmin on the self-join's two sides is cheaper than the
+    * write+read round trip — measured, see BENCH_sf1 cluster_scale). */
   def semanticDrops(emb: DataFrame, k: Int, iters: Int, tau: Double,
       idCol: String = "vec_id", vecCol: String = "v",
-      twoLevel: Option[Boolean] = None, k1Override: Int = 0): DataFrame = {
+      twoLevel: Option[Boolean] = None, k1Override: Int = 0,
+      materialize: Option[Boolean] = None): DataFrame = {
     val qn = SqlLit.quoteName(vecCol)
     val nz = emb.filter(expr(s"vec_dot($qn, $qn) > 0"))
     if (useTwoLevel(k, twoLevel)) {
@@ -327,7 +332,7 @@ object Clustering {
       return semanticDropsFrom(
         tagClustersTwoLevel(nz.select(col(idCol), col(vecCol)), coarse,
           fine, vecCol),
-        materialize = true, tau, idCol, vecCol)
+        materialize.getOrElse(true), tau, idCol, vecCol)
     }
     val centroids = fitCentroids(nz, k, iters, idCol, vecCol)
     if (centroids.isEmpty)
@@ -335,8 +340,14 @@ object Clustering {
         col(idCol).as("dup_of")).limit(0)
     semanticDropsFrom(
       tagClusters(nz.select(col(idCol), col(vecCol)), centroids, vecCol),
-      materialize = centroids.size >= 32, tau, idCol, vecCol)
+      materialize.getOrElse(centroids.size >= materializeK), tau, idCol,
+      vecCol)
   }
+
+  /** Flat-path k at or above which [[semanticDrops]] materializes the
+    * tagged table instead of re-running the k·d argmin on both
+    * self-join sides. */
+  val materializeK: Int = 32
 
   /** The pair stage shared by both cluster strategies: pairwise cosine
     * within each cluster of an already-tagged corpus. The norm is

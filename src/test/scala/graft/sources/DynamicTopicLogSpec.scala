@@ -454,6 +454,19 @@ class DynamicTopicLogSpec extends AnyFunSuite {
       assert(FileTopicLog.startOffset(root, "t", 0) === 9L,
         "idle ticks re-run the cut: base reaches min(own>=12, slow=9) " +
           "with zero new records")
+      // r16 memoizes the idle heal on (position, group snapshot) so a
+      // fast trigger doesn't re-scan segments every idle tick — the
+      // memo must NOT block snapshot-driven transitions: unregistering
+      // the slow group while idle must advance retention to the
+      // query's own position, still with zero new data
+      FileTopicLog.unregisterGroup(root, "slow")
+      val deadline2 = System.nanoTime + 10L * 1000 * 1000 * 1000
+      while (FileTopicLog.startOffset(root, "t", 0) < 12L &&
+          System.nanoTime < deadline2)
+        Thread.sleep(25)
+      assert(FileTopicLog.startOffset(root, "t", 0) >= 12L,
+        "idle unregister releases the pin: the memoized heal re-runs " +
+          "on the changed snapshot")
       assert(sinkDf(s"$base/sink").count() === 18,
         "the fast sink is complete and unaffected")
     } finally fast.stop()

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayExceptSorted, BloomContains, BottomKDistinct, KafkaMurmur2Partition, MinHashLshBands, RepetitionStats, SimHash16, VecDot, WordNGrams}
+import graft.functions.{ArrayExceptSorted, BloomContains, BottomKDistinct, KafkaMurmur2Partition, MinHashLshBands, RepetitionStats, SimHash16, SpanHashes, VecDot, WordNGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -43,6 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(ext, "simhash16", 1, classOf[SimHash16], c => SimHash16(c.head))
     inject(ext, "word_ngrams", 2, classOf[WordNGrams],
       c => WordNGrams(c.head, c(1)))
+    inject(ext, "span_hashes", 3, classOf[SpanHashes],
+      c => SpanHashes(c.head, c(1), c(2)))
     inject(ext, "vec_dot", 2, classOf[VecDot], c => VecDot(c.head, c(1)))
     inject(ext, "repetition_stats", 1, classOf[RepetitionStats],
       c => RepetitionStats(c.head))

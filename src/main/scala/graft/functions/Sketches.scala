@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
@@ -113,6 +113,76 @@ object Sketches {
       b += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Every `n`-token window's md5 hex hash in ONE pass, with the
+    * 60-bit sample gate applied from the digest we already hold —
+    * the kernel behind `Dedup.spanDuplicates`. Bit-identical to
+    * `transform(sequence(0, size(ts)-n), i -> md5(concat_ws(' ',
+    * slice(ts, i+1, n))))` filtered by
+    * `conv(substring(h,1,15),16,10) % mod = 0`: consecutive tokens
+    * joined by single spaces are a contiguous byte range of the
+    * single-space join of ALL tokens, so the window bytes are
+    * `md.update(buf, start, len)` slices — no per-window string
+    * building, and the hex encode runs only for windows that survive
+    * the gate. Fewer than n tokens → empty array. */
+  def spanHashes(text: UTF8String, n: Int, mod: Long): ArrayData = {
+    val it = text.toString.split(" ", -1)
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < it.length) {
+      if (!it(i).isEmpty) toks.add(it(i))
+      i += 1
+    }
+    val nTok = toks.size
+    val m = nTok - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    // one UTF-8 buffer of all tokens joined by ' ', with byte offsets
+    val tokBytes = new Array[Array[Byte]](nTok)
+    var total = 0
+    i = 0
+    while (i < nTok) {
+      tokBytes(i) = toks.get(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      total += tokBytes(i).length
+      i += 1
+    }
+    val buf = new Array[Byte](total + nTok - 1)
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var off = 0
+    i = 0
+    while (i < nTok) {
+      starts(i) = off
+      System.arraycopy(tokBytes(i), 0, buf, off, tokBytes(i).length)
+      off += tokBytes(i).length
+      ends(i) = off
+      if (i < nTok - 1) { buf(off) = ' '; off += 1 }
+      i += 1
+    }
+    val md = Md5.get()
+    val out = new java.util.ArrayList[Any](m)
+    i = 0
+    while (i < m) {
+      md.reset()
+      md.update(buf, starts(i), ends(i + n - 1) - starts(i))
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((d(7) & 0xffL) >> 4)
+      if (mod <= 1L || v % mod == 0L) {
+        val hex = new Array[Char](32)
+        var q = 0
+        while (q < 16) {
+          hex(2 * q) = HexDigits((d(q) >> 4) & 0xf)
+          hex(2 * q + 1) = HexDigits(d(q) & 0xf)
+          q += 1
+        }
+        out.add(UTF8String.fromString(new String(hex)))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
   /** 16-bit SimHash over (distinct) tokens: per-bit majority vote of the
@@ -317,6 +387,27 @@ case class WordNGrams(left: Expression, right: Expression) extends BinaryExpress
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WordNGrams =
     copy(left = newLeft, right = newRight)
+}
+
+/** `span_hashes(text STRING, n INT, mod BIGINT) -> ARRAY<STRING>` —
+  * md5 of every n-token window, gated to hashes ≡ 0 (mod `mod`), one
+  * kernel call per row (see [[Sketches.spanHashes]]). */
+case class SpanHashes(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "span_hashes"
+
+  override protected def nullSafeEval(text: Any, n: Any, mod: Any): Any =
+    Sketches.spanHashes(text.asInstanceOf[UTF8String],
+      n.asInstanceOf[Number].intValue, mod.asInstanceOf[Number].longValue)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, n, m) => s"graft.functions.Sketches.spanHashes($t, $n, $m)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): SpanHashes =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** `simhash16(tokens ARRAY<STRING>) -> BIGINT` — 16-bit majority-vote

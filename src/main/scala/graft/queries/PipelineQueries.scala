@@ -1964,7 +1964,7 @@ object PipelineQueries {
   // 8 rounds with chained CTEs over the same separator-encoded
   // segmentation strings — replace() is non-overlapping left-to-right
   // in both engines, which IS greedy BPE pairing.
-  private def bpeOracleSql(n: Int): String = {
+  private def bpeChainSql(n: Int): String = {
     val sep = "chr(31)"
     def u(x: String) = s"$sep || $x || $sep"
     val sb = new StringBuilder
@@ -1993,23 +1993,52 @@ object PipelineQueries {
            |  FROM s${r - 1}, b$r),
            |""".stripMargin)
     }
-    // drop the trailing ",\n" of the last CTE, then union the rounds
+    // drop the trailing ",\n" of the last CTE
     sb.setLength(sb.length - 2)
-    sb.append("\n")
-    sb.append((1 to n).map(r =>
-      s"""SELECT CAST($r AS BIGINT) AS round, l AS "left", r AS "right",
-         |  l || r AS merged, cnt AS n_occurrences FROM b$r""".stripMargin)
-      .mkString("", "\nUNION ALL\n", "\nORDER BY round"))
     sb.toString
   }
+  private def bpeVocabDf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    docs(s, dir)
+      .select(explode(expr(tokensExpr)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
   private val x9b = QueryDef(
     "x9b_bpe_train",
-    (s, dir) => graft.operators.Bpe.trainMerges(
-      docs(s, dir)
-        .select(explode(expr(tokensExpr)).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("tf")),
-      nMerges = 8).orderBy("round"),
-    Some(bpeOracleSql(8)))
+    (s, dir) =>
+      graft.operators.Bpe.trainMerges(bpeVocabDf(s, dir), nMerges = 8)
+        .orderBy("round"),
+    Some(bpeChainSql(8) + "\n" +
+      (1 to 8).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS round, l AS "left", r AS "right",
+           |  l || r AS merged, cnt AS n_occurrences FROM b$r""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY round")))
+
+  // X9C — the APPLY side of the trainer under the oracle: segment the
+  // vocabulary with the 8 trained merges (in trained order — BPE
+  // applies merges by rank) and report each surviving symbol's exact
+  // tf-weighted occurrence count — the pre-tokenization census a
+  // tokenizer build ends with. The oracle reuses the training chain's
+  // final segmentation state s8 directly; Spark re-derives it through
+  // Bpe.applyMerges, so train → apply round-trips end-to-end.
+  private val x9c = QueryDef(
+    "x9c_bpe_segment",
+    (s, dir) => {
+      val vocab = bpeVocabDf(s, dir)
+      val merges = graft.operators.Bpe.trainMerges(vocab, nMerges = 8)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Bpe.applyMerges(vocab, merges)
+        .select(explode(col("symbols")).as("symbol"), col("tf"))
+        .groupBy("symbol").agg(sum("tf").as("n_occurrences"))
+        .orderBy("symbol")
+    },
+    Some(bpeChainSql(8) +
+      s""",
+         |sym8 AS (
+         |  SELECT tf, unnest(string_split(substr(seg, 2, length(seg) - 2),
+         |    chr(31) || chr(31))) AS symbol
+         |  FROM s8)
+         |SELECT symbol, CAST(SUM(tf) AS BIGINT) AS n_occurrences
+         |FROM sym8 GROUP BY symbol ORDER BY symbol""".stripMargin))
 
   // E5 — ordered conversion funnel over the event stream: users who
   // progressed click → view → purchase IN TIMESTAMP ORDER (stage k
@@ -2257,6 +2286,45 @@ object PipelineQueries {
   // |chunks|·log|boiler| byte-wise comparisons in one static call per
   // row — vs the interpreted per-element `filter` lambda whose
   // `array_contains` makes a dense boilerplate set quadratic.
+  // D16 — cross-document repeated-SPAN census (Dedup.spanDuplicates:
+  // the exact-substring dedup primitive of Lee et al. 2022): every
+  // 8-token window hashed in-row, deterministic 1/4 hash sample
+  // (sampleMod=4 — the 100-TB knob exercised under the oracle: span
+  // COVERAGE is sampled, per-span counts stay exact), census of spans
+  // occurring ≥ 2×, top-100 by (n_occurrences DESC, span_h). The only
+  // shuffle keys are span hashes, sample filter inside the scan stage.
+  private val d16 = QueryDef(
+    "d16_span_dups",
+    (s, dir) => {
+      // d15's CPU-parallelism floor: ~100 md5-of-slice kernels per doc
+      // dwarf the scan, and a compact few-row-group fixture hands that
+      // stage to 1-2 cores (measured: 24.6 s single task of a 27.4 s
+      // wall at 30x). No-op when the corpus already scans wide.
+      val raw = docs(s, dir)
+      val width = s.sparkContext.defaultParallelism
+      val balanced =
+        if (raw.rdd.getNumPartitions < width) raw.repartition(width) else raw
+      graft.operators.Dedup.spanDuplicates(
+          balanced, spanTokens = 8, sampleMod = 4)
+        .orderBy(desc("n_occurrences"), asc("span_h"))
+        .limit(100)
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 8 + 2),
+        |    i -> md5(array_to_string(ts[i:i+7], ' ')))) AS span_h
+        |  FROM t WHERE len(ts) >= 8),
+        |samp AS (
+        |  SELECT * FROM sp
+        |  WHERE ('0x' || substr(span_h, 1, 15))::BIGINT % 4 = 0)
+        |SELECT span_h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM samp GROUP BY span_h HAVING COUNT(*) >= 2
+        |ORDER BY n_occurrences DESC, span_h LIMIT 100""".stripMargin))
+
   private val d15 = QueryDef(
     "d15_boilerplate_removal",
     (s, dir) => {
@@ -3056,9 +3124,9 @@ object PipelineQueries {
          |ORDER BY doc_id, eval_id""".stripMargin))
 
   val defs: Seq[QueryDef] = Seq(
-    d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, c1q, c1bq, c2q,
+    d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, d16, c1q, c1bq, c2q,
     sim1, sim2, sim3, sim4,
-    x1, x2, x3, x4, x5, x6, x7, x8, x9, x9b, x10, x11, x11b, x12, x13, x14, x15,
+    x1, x2, x3, x4, x5, x6, x7, x8, x9, x9b, x9c, x10, x11, x11b, x12, x13, x14, x15,
     x15b, x16, x17,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e5c, e9, e10, e10b,
     p1, p2, p3, p4, p5, p6, p6b, p7, p8, p9, p10, p11, p12, p13, p14)

@@ -276,4 +276,35 @@ class SketchParitySpec extends AnyFunSuite {
     assert(r.isNullAt(1))
     assert(r.isNullAt(2))
   }
+
+  test("span_hashes matches the legacy transform/slice/md5 expression") {
+    // the legacy form IS the semantic contract (and the d16 DuckDB
+    // oracle's arithmetic): md5 of each n-token window joined by ' ',
+    // gated to 60-bit hash % mod == 0
+    def legacy(n: Int, mod: Long) =
+      s"""filter(transform(array($tokensExpr), ts ->
+         |  CASE WHEN size(ts) >= $n THEN
+         |    transform(sequence(0, size(ts) - $n),
+         |      i -> md5(concat_ws(' ', slice(ts, i + 1, $n))))
+         |  ELSE cast(array() as array<string>) END)[0],
+         |  h -> pmod(cast(conv(substring(h, 1, 15), 16, 10) as bigint),
+         |            ${mod}L) = 0)""".stripMargin
+    for ((n, mod) <- Seq((8, 4L), (3, 1L), (2, 7L))) {
+      val mismatches = graft.sources.Records.table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(s"span_hashes(text, $n, ${mod}L)").as("kernel"),
+          expr(legacy(n, mod)).as("hof"))
+        .filter(col("kernel") =!= col("hof"))
+        .count()
+      assert(mismatches === 0, s"n=$n mod=$mod")
+    }
+    // unicode tokens: multi-byte UTF-8 goes through the shared buffer
+    import s.implicits._
+    val uni = Seq((1L, "\u00e9t\u00e9 caf\u00e9 \u4e16\u754c t \u00e9t\u00e9 caf\u00e9"))
+      .toDF("doc_id", "text")
+    val row = uni.select(
+      expr("span_hashes(text, 2, 1L)").as("kernel"),
+      expr(legacy(2, 1L)).as("hof")).collect()(0)
+    assert(row.getSeq[String](0) == row.getSeq[String](1))
+  }
 }

@@ -80,6 +80,18 @@ class LibraryFuzzSpec extends AnyFunSuite {
           assert(pairs.head.getAs[Double]("jaccard") == 1.0)
       }
       assert(Dedup.dropIds(Dedup.nearDupPairs(spark, sh)).count() <= d.count())
+      // span census: docs shorter than the span width contribute
+      // nothing; identical hostile docs 1/2 share every span
+      val spans = Dedup.spanDuplicates(d, spanTokens = 3, sampleMod = 1)
+        .collect()
+      name match {
+        case "hostile-tokens" =>
+          assert(spans.nonEmpty &&
+            spans.forall(_.getAs[Long]("n_docs") == 2L), s"got ${spans.toSeq}")
+        case _ => assert(spans.isEmpty)
+      }
+      assert(Dedup.spanDuplicates(d, spanTokens = 3, sampleMod = 1,
+        minCount = 1).count() >= spans.length)
     }
   }
 

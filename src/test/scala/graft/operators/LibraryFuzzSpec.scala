@@ -38,6 +38,31 @@ class LibraryFuzzSpec extends AnyFunSuite {
 
   // ---------------------------------------------------- TextAnalysis
 
+  test("Bpe and LanguageModel surfaces survive degenerate corpora") {
+    forEachCorpus { (name, d) =>
+      val vocab = TextAnalysis.vocabulary(d).select(col("token"), col("tf"))
+      val merges = Bpe.trainMerges(vocab, nMerges = 3)
+      val rows = merges.collect()
+      assert(rows.length <= 3)
+      // hostile corpus has multi-char tokens -> at least one merge, and
+      // every merged symbol concatenates left+right
+      if (name == "hostile-tokens") assert(rows.nonEmpty)
+      rows.foreach(r =>
+        assert(r.getString(3) == r.getString(1) + r.getString(2)))
+      val seg = Bpe.applyMerges(vocab,
+        rows.map(r => (r.getString(1), r.getString(2))).toSeq)
+      // symbols always concatenate back to the token
+      seg.collect().foreach(r =>
+        assert(r.getSeq[String](2).mkString == r.getString(0)))
+      // bigram perplexity: docs with < 2 tokens contribute no row
+      val ppl = LanguageModel.bigramPerplexity(d)
+      assert(ppl.count() <=
+        d.filter(expr(s"size(${TextAnalysis.tokensExpr}) >= 2")).count())
+      ppl.collect().foreach(r =>
+        assert(r.getDouble(2) > 0.0, "perplexity is positive"))
+    }
+  }
+
   test("TextAnalysis surfaces survive degenerate corpora") {
     forEachCorpus { (name, d) =>
       val n = d.count()
@@ -59,6 +84,14 @@ class LibraryFuzzSpec extends AnyFunSuite {
       assert(TextAnalysis.sourceDivergence(uc).count() <= 1,
         "one source at most")
       if (name == "empty") assert(uc.count() == 0)
+      // vocabulary: tf >= df >= 1 for every token; empty corpora empty
+      TextAnalysis.vocabulary(d).collect().foreach { r =>
+        assert(r.getLong(1) >= r.getLong(2) && r.getLong(2) >= 1L)
+      }
+      // classifier: one row per doc WITH tokens, keep in {0, 1}
+      val cls = TextAnalysis.hashedClassifierScore(d)
+      assert(cls.count() == nTokened)
+      assert(cls.filter(!col("keep").isin(0L, 1L)).count() == 0)
     }
   }
 
@@ -301,6 +334,9 @@ class LibraryFuzzSpec extends AnyFunSuite {
       val packed = Packing.packSequences(withTok, tokenBudget = 8L)
       assert(packed.agg(coalesce(sum("n_docs"), lit(0L))).collect()(0)
         .getLong(0) == n, "every doc lands in exactly one sequence")
+      // the sharded form is output-identical on degenerate shapes too
+      assert(Packing.packSequencesSharded(withTok, 8L, shardSpan = 2L)
+        .collect().toSeq == packed.collect().toSeq)
       // every doc yields >= 1 chunk, even empty text
       assert(Packing.chunkOverlapping(d, width = 10, stride = 5)
         .groupBy("doc_id").count().count() == n)

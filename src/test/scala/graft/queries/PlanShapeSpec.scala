@@ -612,4 +612,26 @@ class PlanShapeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("p6b: sharded packing broadcasts the offsets; local windows are " +
+      "keyed (group, shard)") {
+    val plan = finalPlan("p6b_sequence_pack_sharded")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"shard-offset table not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in p6b:\n$plan")
+    assert(plan.contains("__shard"),
+      s"pack window not sub-sharded (no __shard key in plan):\n$plan")
+  }
+
+  test("d16: span census is kernel + one aggregation exchange, sample " +
+      "gate inside the scan stage") {
+    val plan = finalPlan("d16_span_dups")
+    assert(plan.contains("span_hashes"),
+      s"codegen'd span kernel missing (interpreted HOF fallback?):\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"span census must be join-free:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 must be a partial top-k, not a global sort:\n$plan")
+  }
 }

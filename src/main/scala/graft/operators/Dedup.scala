@@ -119,6 +119,17 @@ object Dedup {
     * explode_outer + isNotNull instead of explode keeps
     * InferFiltersFromGenerate from re-evaluating the kernel for its
     * inferred size()>0 filter. */
+  /** Corpus-scaled sample modulus for [[spanDuplicates]] — the
+    * [[Retrieval.adaptiveBuckets]] / VectorLsh.adaptiveBits precedent:
+    * hold the post-sample census exchange ~constant as the corpus
+    * grows by sampling 1/m of span space with m = ceil(spans /
+    * target). `nSpans` ≈ corpus token count (one window per token
+    * position); the default target keeps the exchange at ~50M span
+    * rows regardless of corpus size. */
+  def adaptiveSampleMod(nSpans: Long,
+      targetCensusSpans: Long = 50000000L): Long =
+    math.max(1L, (nSpans + targetCensusSpans - 1) / targetCensusSpans)
+
   def spanDuplicates(corpus: DataFrame, spanTokens: Int,
       sampleMod: Long = 1L, minCount: Long = 2L,
       idCol: String = "doc_id"): DataFrame = {

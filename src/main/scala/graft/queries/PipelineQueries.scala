@@ -1919,12 +1919,12 @@ object PipelineQueries {
 
   // X9 — one BPE merge round: adjacent character-pair counts weighted
   // by token frequency — the inner step of byte-pair-encoding tokenizer
-  // training (x7's vocab is the input; real training iterates this with
-  // a merge applied between rounds). The pair explosion runs over the
-  // VOCABULARY aggregate, not the corpus — tf collapses first, so the
-  // expensive per-character fan-out touches |vocab| rows at any corpus
-  // size — and the top-k is a TakeOrderedAndProject partial top-k, never
-  // a full sort.
+  // training (x7's vocab is the input; the REAL iterated trainer is
+  // operators/Bpe.trainMerges, gated as x9b/x9c). The pair explosion
+  // runs over the VOCABULARY aggregate, not the corpus — tf collapses
+  // first, so the expensive per-character fan-out touches |vocab| rows
+  // at any corpus size — and the top-k is a TakeOrderedAndProject
+  // partial top-k, never a full sort.
   private val x9 = QueryDef(
     "x9_bpe_pairs",
     (s, dir) => {

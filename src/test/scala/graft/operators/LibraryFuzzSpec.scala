@@ -126,6 +126,11 @@ class LibraryFuzzSpec extends AnyFunSuite {
       assert(Dedup.spanDuplicates(d, spanTokens = 3, sampleMod = 1,
         minCount = 1).count() >= spans.length)
     }
+    // adaptive sample modulus: identity below target, ceil above
+    assert(Dedup.adaptiveSampleMod(0L) == 1L)
+    assert(Dedup.adaptiveSampleMod(50000000L) == 1L)
+    assert(Dedup.adaptiveSampleMod(50000001L) == 2L)
+    assert(Dedup.adaptiveSampleMod(1000L, targetCensusSpans = 300L) == 4L)
   }
 
   // -------------------------------------------------------- Sampling

@@ -125,9 +125,19 @@ object Clustering {
       shift: Double = 1.0, scale: Double = 1e6): Seq[(Long, Seq[Double])] = {
     require(k > 0, "k must be positive")
     require(iters >= 0, "iters must be non-negative")
-    val q = emb.select(col(idCol),
-      quantizeShifted(col(vecCol), shift, scale).as("qv"))
+    fitCentroidsQ(emb.select(col(idCol),
+      quantizeShifted(col(vecCol), shift, scale).as("qv")), k, iters, idCol)
+  }
 
+  /** The Lloyd loop over an already-quantized (idCol, qv) relation —
+    * the shared core of [[fitCentroids]] (which quantizes inline) and
+    * [[fitCentroidsTwoLevel]] (which MATERIALIZES the quantized table
+    * once: `quantizeShifted` is a higher-order `transform`, evaluated
+    * per element by the interpreted expression walker, and the
+    * two-level fit would otherwise re-run it over the corpus on every
+    * one of its ~6 passes — coarse updates, seeds, fine updates). */
+  private def fitCentroidsQ(q: DataFrame, k: Int, iters: Int,
+      idCol: String): Seq[(Long, Seq[Double])] = {
     var centroids: Seq[(Long, Seq[Double])] =
       q.orderBy(col(idCol)).limit(k).collect().toSeq.zipWithIndex.map {
         case (r, i) => (i.toLong, r.getSeq[Double](1))
@@ -226,12 +236,17 @@ object Clustering {
     val k1 = if (k1Override > 0) k1Override
       else math.ceil(math.sqrt(k.toDouble)).toInt
     val k2 = (k + k1 - 1) / k1
-    val coarse = fitCentroids(emb, k1, iters, idCol, vecCol, shift, scale)
+    // quantize ONCE: every pass below (coarse fit, seeds, fine
+    // iterations) reads the narrow materialized table instead of
+    // re-running the per-element transform over the corpus
+    val qTmp = graft.SessionTemp.dir("kmeans_q_")
+    emb.select(col(idCol), quantizeShifted(col(vecCol), shift, scale).as("qv"))
+      .write.mode("overwrite").parquet(qTmp)
+    val qBase = emb.sparkSession.read.parquet(qTmp)
+    val coarse = fitCentroidsQ(qBase, k1, iters, idCol)
     if (coarse.isEmpty) return (Nil, Map.empty)
 
-    val q = emb.select(col(idCol),
-        quantizeShifted(col(vecCol), shift, scale).as("qv"))
-      .withColumn("cell", assignCol("qv", coarse))
+    val q = qBase.withColumn("cell", assignCol("qv", coarse))
 
     // per-cell seeds: the k2 lowest-id members (k1·k2·d doubles to the
     // driver — the same size as the final centroid set)

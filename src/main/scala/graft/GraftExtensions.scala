@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayExceptSorted, BloomContains, BottomKDistinct, KafkaMurmur2Partition, MinHashLshBands, RepetitionStats, SimHash16, SpanHashes, VecDot, WordNGrams}
+import graft.functions.{ArrayExceptSorted, BloomContains, BottomKDistinct, KafkaMurmur2Partition, MinHashLshBands, RepetitionStats, SimHash16, SpanHashes, VecDot, VecSumAgg, WordNGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -52,6 +52,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => BloomContains(c.head, c(1)))
     inject(ext, "bottom_k_distinct", 2, classOf[BottomKDistinct],
       c => BottomKDistinct(c.head, c(1)))
+    inject(ext, "vec_sum", 1, classOf[VecSumAgg], c => VecSumAgg(c.head))
     inject(ext, "array_except_sorted", 2, classOf[ArrayExceptSorted],
       c => ArrayExceptSorted(c.head, c(1)))
     // band joins without an equi key (naive |ts_a - ts_b| <= C predicates,

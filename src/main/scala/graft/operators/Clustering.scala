@@ -146,18 +146,17 @@ object Clustering {
 
     for (_ <- 1 to iters) {
       val assigned = q.withColumn("cl", assignCol("qv", centroids))
-      // k·d rows after map-side partial agg; exact integer sums
-      val dims = assigned
-        .select(col("cl"), posexplode(col("qv")).as(Seq("i", "x")))
-        .groupBy("cl", "i")
-        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+      // vec_sum folds each ROW once into a d-length accumulator (the
+      // posexplode form pushed n·d (row, dim) tuples through partial
+      // aggregation — 128M per pass at 2M 64-dim vectors); k rows of
+      // d exact-integer sums reach the driver
+      val rows = assigned.groupBy("cl")
+        .agg(expr("vec_sum(qv)").as("s"), count(lit(1)).as("n"))
         .collect()
-      centroids = dims.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map {
-        case (cl, rows) =>
-          val byDim = rows.sortBy(_.getInt(1)).map(r =>
-            math.floor(r.getDouble(2) / r.getLong(3)))
-          (cl, byDim.toSeq)
-      }
+      centroids = rows.map { r =>
+        val n = r.getLong(2)
+        (r.getLong(0), r.getSeq[Double](1).map(x => math.floor(x / n)))
+      }.toSeq.sortBy(_._1)
     }
     centroids
   }
@@ -273,17 +272,13 @@ object Clustering {
 
     for (_ <- 1 to iters) {
       val assigned = q.withColumn("sub", caseAssign(fine))
-      val dims = assigned
-        .select(col("cell"), col("sub"), posexplode(col("qv")).as(Seq("i", "x")))
-        .groupBy("cell", "sub", "i")
-        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+      val rows = assigned.groupBy("cell", "sub")
+        .agg(expr("vec_sum(qv)").as("s"), count(lit(1)).as("n"))
         .collect()
-      fine = dims.groupBy(_.getLong(0)).map { case (cell, cellRows) =>
-        cell -> cellRows.groupBy(_.getLong(1)).toSeq.sortBy(_._1).map {
-          case (sub, rows) =>
-            val byDim = rows.sortBy(_.getInt(2)).map(r =>
-              math.floor(r.getDouble(3) / r.getLong(4)))
-            (sub, byDim.toSeq)
+      fine = rows.groupBy(_.getLong(0)).map { case (cell, cellRows) =>
+        cell -> cellRows.sortBy(_.getLong(1)).map { r =>
+          val n = r.getLong(3)
+          (r.getLong(1), r.getSeq[Double](2).map(x => math.floor(x / n)))
         }.toSeq
       }
     }

@@ -35,10 +35,12 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape: each Lloyd iteration is ONE corpus pass — scan +
  * per-row argmin against k broadcast centroid literals (k·d flops, no
- * join, no shuffle) + `posexplode` → groupBy(cluster, dim) whose
- * map-side partial aggregation reduces the exchange to k·d rows per
- * task. Centroids (k·d doubles) are the only thing collected to the
- * driver. `iters + 1` passes total; nothing corpus-sized is cached,
+ * join, no shuffle) + a groupBy(cluster) `vec_sum` aggregate
+ * ([[graft.functions.VecSumAgg]]: each row folds ONCE into a d-length
+ * accumulator — the posexplode form it replaced pushed n·d (row, dim)
+ * tuples through partial aggregation) whose map-side partials reduce
+ * the exchange to k rows of d exact-integer sums. Centroids (k·d
+ * doubles) are the only thing collected to the driver. `iters + 1` passes total; nothing corpus-sized is cached,
  * shuffled globally, or sorted. [[semanticDrops]] adds one
  * cluster-keyed self-join whose cost is Σ cluster_size² — the whole
  * point of clustering first; k grows with the corpus to keep cluster
@@ -117,9 +119,9 @@ object Clustering {
     * that order); `iters` centroid updates are applied. A cluster that
     * empties during an update simply disappears from the set. Each
     * iteration is one corpus pass — per-row argmin against broadcast
-    * centroid literals, then a groupBy(cluster, dim) whose map-side
-    * partial aggregation reduces the exchange to k·d rows; only those
-    * k·d doubles reach the driver. Empty input → empty set. */
+    * centroid literals, then a groupBy(cluster) `vec_sum` whose
+    * map-side partials reduce the exchange to k rows of d sums; only
+    * those k·d doubles reach the driver. Empty input → empty set. */
   def fitCentroids(emb: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "v",
       shift: Double = 1.0, scale: Double = 1e6): Seq[(Long, Seq[Double])] = {

@@ -127,6 +127,11 @@ object Sketches {
     * building, and the hex encode runs only for windows that survive
     * the gate. Fewer than n tokens → empty array. */
   def spanHashes(text: UTF8String, n: Int, mod: Long): ArrayData = {
+    // n < 1 would make m = nTok - n + 1 positive while ends(i + n - 1)
+    // indexes out of bounds — a direct SQL call span_hashes(text, 0, 1)
+    // must degrade to the same empty result as a too-short document,
+    // not an executor ArrayIndexOutOfBoundsException
+    if (n < 1) return new GenericArrayData(Array.empty[Any])
     val it = text.toString.split(" ", -1)
     val toks = new java.util.ArrayList[String]()
     var i = 0

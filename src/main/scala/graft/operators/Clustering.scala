@@ -69,9 +69,25 @@ object Clustering {
     * under corpus-scaled k = n/target). */
   val autoTwoLevelK: Int = 64
 
-  /** Resolve an explicit mode override (None = auto by k). */
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Resolve an explicit mode override (None = auto by k). The auto
+    * switch is LOGGED because it changes the cluster-id SCHEME, not
+    * just the plan: flat ids are dense 0..k-1, two-level ids are the
+    * sparse `cell·k2+sub` stride — downstream code keyed on dense ids
+    * should pin `twoLevel = Some(false)` rather than rely on k staying
+    * under the threshold. */
   private def useTwoLevel(k: Int, mode: Option[Boolean]): Boolean =
-    mode.getOrElse(k >= autoTwoLevelK)
+    mode match {
+      case Some(m) => m
+      case None =>
+        val auto = k >= autoTwoLevelK
+        if (auto) log.info(
+          s"kMeans auto-selected the two-level fit (k=$k >= $autoTwoLevelK); " +
+            "cluster ids use the sparse cell*k2+sub scheme, not dense 0..k-1 " +
+            "- pass twoLevel=Some(false) to pin the flat path")
+        auto
+    }
 
   /** `round((x + shift) * scale)` per dimension — integer-valued
     * doubles (see object Scaladoc). `shift` should exceed max |x| so

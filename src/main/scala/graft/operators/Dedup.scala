@@ -118,7 +118,12 @@ object Dedup {
     * interpreted transform/slice/concat_ws form, 21.7 → 4.9 s at 30×);
     * explode_outer + isNotNull instead of explode keeps
     * InferFiltersFromGenerate from re-evaluating the kernel for its
-    * inferred size()>0 filter. */
+    * inferred size()>0 filter. `sampleMod = 0` auto-sizes m via
+    * [[adaptiveSampleMod]] from the corpus's exact window count (one
+    * narrow pre-aggregate — the corpus-scaled default for production
+    * callers; the lever was measured at sf100: mod 4→13 halved the
+    * census, 11.4 → 6.0 s). `textCol` names the text column, quoted
+    * through [[SqlLit.quoteName]]. */
   /** Corpus-scaled sample modulus for [[spanDuplicates]] — the
     * [[Retrieval.adaptiveBuckets]] / VectorLsh.adaptiveBits precedent:
     * hold the post-sample census exchange ~constant as the corpus
@@ -130,14 +135,37 @@ object Dedup {
       targetCensusSpans: Long = 50000000L): Long =
     math.max(1L, (nSpans + targetCensusSpans - 1) / targetCensusSpans)
 
+  /** Resolve the census sample modulus: an explicit `sampleMod ≥ 1` is
+    * used as-is; `0` auto-sizes via [[adaptiveSampleMod]] from one
+    * narrow aggregate over the same input the census scans (each doc
+    * contributes max(nTok − n + 1, 0) windows — exact, not an
+    * estimate; the aggregate is a scan-stage partial reduce, no
+    * shuffle beyond a 1-row merge). */
+  private def resolveSampleMod(corpus: DataFrame, spanTokens: Int,
+      sampleMod: Long, textCol: String, autoTargetSpans: Long): Long =
+    if (sampleMod > 0L) sampleMod
+    else {
+      val qt = SqlLit.quoteName(textCol)
+      val nSpans = corpus.agg(
+        coalesce(sum(greatest(
+          size(expr(s"filter(split($qt, ' '), t -> t != '')"))
+            - lit(spanTokens - 1), lit(0)).cast("long")), lit(0L)))
+        .head.getLong(0)
+      adaptiveSampleMod(nSpans, autoTargetSpans)
+    }
+
   def spanDuplicates(corpus: DataFrame, spanTokens: Int,
       sampleMod: Long = 1L, minCount: Long = 2L,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      autoTargetSpans: Long = 50000000L): DataFrame = {
     require(spanTokens >= 2, "spanTokens must be at least 2")
-    require(sampleMod >= 1, "sampleMod must be at least 1")
+    require(sampleMod >= 0, "sampleMod must be >= 1, or 0 for auto")
+    val qt = SqlLit.quoteName(textCol)
+    val mod = resolveSampleMod(corpus, spanTokens, sampleMod, textCol,
+      autoTargetSpans)
     corpus
       .select(col(idCol), explode_outer(
-        expr(s"span_hashes(text, $spanTokens, ${sampleMod}L)")).as("span_h"))
+        expr(s"span_hashes($qt, $spanTokens, ${mod}L)")).as("span_h"))
       .filter(col("span_h").isNotNull)
       .groupBy("span_h")
       .agg(countDistinct(col(idCol)).as("n_docs"),

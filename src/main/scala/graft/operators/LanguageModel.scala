@@ -19,14 +19,33 @@ import org.apache.spark.sql.functions._
  *    appears as some bigram's prev or cur, so distinct(prev ∪ cur) IS
  *    the corpus vocabulary. The probs table lands in session-temp
  *    parquet (nothing stays pinned, survives executor loss).
- *  - score: one scan + a BROADCAST model join + a per-doc partial-agged
- *    average. At 100 TB the model is vocab²-sized metadata, never
- *    corpus-sized.
+ *  - score: one scan + a SIZE-GATED model join. The model is
+ *    OBSERVED-bigram-sized, which is NOT bounded by vocab² in
+ *    practice: Heaps-law vocabularies reach millions of types on a
+ *    real corpus and observed bigrams grow into the billions — far
+ *    past Spark's 8 GB broadcast ceiling (and any driver's memory).
+ *    So the broadcast hint is applied only while the materialized
+ *    model is at most [[defaultBroadcastMaxRows]] rows (counted from
+ *    the parquet we just wrote — a metadata-cheap job); above it the
+ *    join runs as a plain shuffle join on (prev, cur) — a perfectly
+ *    partitionable key, so the 100-TB plan is one corpus shuffle of
+ *    narrow (id, prev, cur) rows against a model partitioned the same
+ *    way. Both modes are the same relation (spec-pinned equal); only
+ *    the physical join strategy gates.
  * Float envelope: per-doc avg of bounded ln terms then exp — engine
  * ulp differences land ~1e-14 relative, inside the gate's 9
  * significant digits.
  */
 object LanguageModel {
+
+  /** Broadcast the scored model only at or below this many rows.
+    * A probs row is two short token strings + a double — ~100 B in
+    * Spark's broadcast hash relation — so 2M rows is a few hundred MB:
+    * comfortably under the 8 GB broadcast hard cap and typical
+    * executor headroom, while covering every corpus whose observed
+    * bigram set is small enough that shipping it beats shuffling the
+    * corpus-sized bigram stream. */
+  val defaultBroadcastMaxRows: Long = 2000000L
 
   private val bigramsExpr =
     "transform(sequence(0, size(ts) - 2), " +
@@ -35,8 +54,11 @@ object LanguageModel {
   /** X14 — per-document self-perplexity under an add-one-smoothed
     * bigram model trained on the input corpus. Input needs (idCol,
     * text); output (idCol, n_bigrams, ppl) for every doc with ≥ 2
-    * tokens, sorted by id. */
-  def bigramPerplexity(d: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    * tokens, sorted by id. `broadcastMaxRows` gates the score join's
+    * broadcast hint (see object Scaladoc; 0 forces the shuffle-join
+    * path — the mode-equality spec uses it). */
+  def bigramPerplexity(d: DataFrame, idCol: String = "doc_id",
+      broadcastMaxRows: Long = defaultBroadcastMaxRows): DataFrame = {
     val spark = d.sparkSession
     def bigrams = d
       .select(col(idCol), expr(TextAnalysis.tokensExpr).as("ts"))
@@ -55,7 +77,11 @@ object LanguageModel {
     val tmp = graft.SessionTemp.dir("graft_bigram_model_")
     probs.write.mode("overwrite").parquet(tmp) // the one build scan runs here
     model.unpersist()
-    bigrams.join(broadcast(spark.read.parquet(tmp)), Seq("prev", "cur"))
+    val scored = spark.read.parquet(tmp)
+    // parquet row-count is answered from footer metadata — no data scan
+    val modelDf =
+      if (scored.count() <= broadcastMaxRows) broadcast(scored) else scored
+    bigrams.join(modelDf, Seq("prev", "cur"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"),
         exp(-avg(col("lp"))).as("ppl"))

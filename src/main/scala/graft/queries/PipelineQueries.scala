@@ -1976,7 +1976,7 @@ object PipelineQueries {
          |  GROUP BY token),
          |s0 AS (
          |  SELECT tf, substr(x, 1, length(x) - 1) AS seg FROM (
-         |    SELECT tf, $sep || regexp_replace(token, '(.)', '\\1' || $sep || $sep, 'g') AS x
+         |    SELECT tf, $sep || regexp_replace(token, '(?s)(.)', '\\1' || $sep || $sep, 'g') AS x
          |    FROM vocab WHERE token NOT LIKE '%' || $sep || '%')),
          |""".stripMargin)
     for (r <- 1 to n) {

@@ -306,5 +306,13 @@ class SketchParitySpec extends AnyFunSuite {
       expr("span_hashes(text, 2, 1L)").as("kernel"),
       expr(legacy(2, 1L)).as("hof")).collect()(0)
     assert(row.getSeq[String](0) == row.getSeq[String](1))
+    // n < 1 from direct SQL degrades to an empty array — never an
+    // executor ArrayIndexOutOfBoundsException (m = nTok - n + 1 would
+    // be positive while the window end indexes out of bounds)
+    for (n <- Seq(0, -1)) {
+      val bad = s.sql(s"SELECT span_hashes('a b c', $n, 1L) AS h")
+        .collect()(0)
+      assert(bad.getSeq[String](0).isEmpty, s"n=$n")
+    }
   }
 }

@@ -133,6 +133,28 @@ class LibraryFuzzSpec extends AnyFunSuite {
     assert(Dedup.adaptiveSampleMod(1000L, targetCensusSpans = 300L) == 4L)
   }
 
+  test("spanDuplicates auto sampleMod ≡ the pinned modulus it resolves") {
+    // 3 docs x 10 tokens, span 3 → 8 windows each, 24 spans total;
+    // autoTargetSpans = 4 → adaptiveSampleMod(24, 4) = 6
+    val reps = docs((1L to 3L).map(i =>
+      i -> (1 to 10).map(j => s"w${j % 5}").mkString(" ")): _*)
+    def census(mod: Long, target: Long = 50000000L) =
+      Dedup.spanDuplicates(reps, spanTokens = 3, sampleMod = mod,
+          autoTargetSpans = target)
+        .orderBy("span_h").collect().map(_.toSeq).toSeq
+    assert(Dedup.adaptiveSampleMod(24L, 4L) == 6L)
+    assert(census(0L, target = 4L) == census(6L), "auto resolves to mod 6")
+    // default target on a tiny corpus resolves to the exact census
+    assert(census(0L) == census(1L))
+    assert(census(1L).nonEmpty)
+    // textCol is quoted, not spliced: a hostile column name works
+    val renamed = reps.withColumnRenamed("text", "my `text` col")
+    val viaRenamed = Dedup.spanDuplicates(renamed, spanTokens = 3,
+        sampleMod = 1, textCol = "my `text` col")
+      .orderBy("span_h").collect().map(_.toSeq).toSeq
+    assert(viaRenamed == census(1L))
+  }
+
   // -------------------------------------------------------- Sampling
 
   test("Sampling surfaces survive degenerate corpora") {

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
@@ -185,6 +185,104 @@ object Sketches {
         }
         out.add(UTF8String.fromString(new String(hex)))
       }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** The REWRITE kernel of the exact-substring dedup action pass
+    * (d17, [[graft.operators.Dedup.spanDedupCorpus]]): tokenize like
+    * [[spanHashes]], md5 every `n`-token window, and CUT (mark every
+    * covered token removed) each window whose hash is in the
+    * ASCENDING-sorted `flagged` array — unless this document holds
+    * that span's recorded FIRST occurrence at this position (`keepers`:
+    * (pos, hash) struct entries for THIS document). Returns the
+    * surviving tokens in original order.
+    *
+    * Keeper occurrences are preserved unless overlapped by a cut
+    * occurrence — the overlap-merge behavior of a span cut: a token is
+    * removed iff ANY flagged non-keeper window covers it, keeper
+    * membership saves only the windows it names. Per row: one md5 +
+    * one log|flagged| binary probe per window, keeper lookups O(1) via
+    * a per-row position map. n < 1, no windows, or an empty flagged
+    * set → tokens unchanged. */
+  def spanCutTokens(text: UTF8String, n: Int, flagged: ArrayData,
+      keepers: ArrayData): ArrayData = {
+    val it = text.toString.split(" ", -1)
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < it.length) {
+      if (!it(i).isEmpty) toks.add(it(i))
+      i += 1
+    }
+    val nTok = toks.size
+    def allToks(): ArrayData = {
+      val out = new Array[Any](nTok)
+      var j = 0
+      while (j < nTok) { out(j) = UTF8String.fromString(toks.get(j)); j += 1 }
+      new GenericArrayData(out)
+    }
+    if (n < 1) return allToks()
+    val m = nTok - n + 1
+    if (m <= 0 || flagged.numElements() == 0) return allToks()
+    val km = new java.util.HashMap[Integer, UTF8String]()
+    var k = 0
+    val nKeep = keepers.numElements()
+    while (k < nKeep) {
+      val r = keepers.getStruct(k, 2)
+      km.put(r.getInt(0), r.getUTF8String(1))
+      k += 1
+    }
+    // one UTF-8 buffer of all tokens joined by ' ' (the spanHashes layout)
+    val tokBytes = new Array[Array[Byte]](nTok)
+    var total = 0
+    i = 0
+    while (i < nTok) {
+      tokBytes(i) = toks.get(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      total += tokBytes(i).length
+      i += 1
+    }
+    val buf = new Array[Byte](total + nTok - 1)
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var off = 0
+    i = 0
+    while (i < nTok) {
+      starts(i) = off
+      System.arraycopy(tokBytes(i), 0, buf, off, tokBytes(i).length)
+      off += tokBytes(i).length
+      ends(i) = off
+      if (i < nTok - 1) { buf(off) = ' '; off += 1 }
+      i += 1
+    }
+    val removed = new Array[Boolean](nTok)
+    val md = Md5.get()
+    i = 0
+    while (i < m) {
+      md.reset()
+      md.update(buf, starts(i), ends(i + n - 1) - starts(i))
+      val d = md.digest()
+      val hexB = new Array[Byte](32)
+      var q = 0
+      while (q < 16) {
+        hexB(2 * q) = HexDigits((d(q) >> 4) & 0xf).toByte
+        hexB(2 * q + 1) = HexDigits(d(q) & 0xf).toByte
+        q += 1
+      }
+      val hex = UTF8String.fromBytes(hexB)
+      if (containsSorted(flagged, hex)) {
+        val kh = km.get(i)
+        if (kh == null || !kh.equals(hex)) {
+          var j = i
+          while (j < i + n) { removed(j) = true; j += 1 }
+        }
+      }
+      i += 1
+    }
+    val out = new java.util.ArrayList[Any](nTok)
+    i = 0
+    while (i < nTok) {
+      if (!removed(i)) out.add(UTF8String.fromString(toks.get(i)))
       i += 1
     }
     new GenericArrayData(out.toArray)
@@ -413,6 +511,56 @@ case class SpanHashes(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): SpanHashes =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `span_cut(text STRING, n INT, flagged ARRAY<STRING>,
+  * keepers ARRAY<STRUCT<pos INT, h STRING>>) -> ARRAY<STRING>` — the
+  * exact-substring dedup rewrite: surviving tokens after cutting every
+  * flagged non-keeper n-token window occurrence
+  * ([[Sketches.spanCutTokens]]). `flagged` must be ascending-sorted
+  * (the `sort_array` of the flagged census hashes — the broadcast-set
+  * probe of d15 applied to spans). */
+case class SpanCut(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "span_cut"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{IntegerType, StructType}
+    val keeperOk = fourth.dataType match {
+      case ArrayType(s: StructType, _) if s.fields.length == 2 =>
+        s.fields(0).dataType == IntegerType &&
+          s.fields(1).dataType == StringType
+      case _ => false
+    }
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, ArrayType(StringType, _)) if keeperOk =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "span_cut requires (STRING, INT, ARRAY<STRING>, " +
+          s"ARRAY<STRUCT<INT, STRING>>), got ${first.dataType.catalogString}, " +
+          s"${second.dataType.catalogString}, ${third.dataType.catalogString}, " +
+          s"${fourth.dataType.catalogString}")
+    }
+  }
+
+  override protected def nullSafeEval(text: Any, n: Any, flagged: Any,
+      keepers: Any): Any =
+    Sketches.spanCutTokens(text.asInstanceOf[UTF8String],
+      n.asInstanceOf[Number].intValue, flagged.asInstanceOf[ArrayData],
+      keepers.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n, f, k) =>
+      s"graft.functions.Sketches.spanCutTokens($t, $n, $f, $k)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): SpanCut =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
 }
 
 /** `simhash16(tokens ARRAY<STRING>) -> BIGINT` — 16-bit majority-vote

@@ -172,4 +172,95 @@ object Dedup {
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") >= minCount)
   }
+
+  /** D17 (build side) — the [[spanDuplicates]] census EXTENDED with
+    * each span's FIRST occurrence: (span_h, n_docs, n_occurrences,
+    * first_doc, first_pos), where first = min over (doc, window
+    * position) — the keeper the action pass preserves. EXACT census
+    * only (no sample modulus): `span_hashes` drops unsampled windows
+    * from its output array, so a sampled posexplode index would no
+    * longer be the window's token position; a sampled action pass
+    * would need a position-carrying kernel variant. Same scale shape
+    * as the exact census — one scan, span-hash-keyed exchange with
+    * map-side partials (min(struct) folds like any other partial). */
+  def spanCensusWithFirst(corpus: DataFrame, spanTokens: Int,
+      minCount: Long = 2L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(spanTokens >= 2, "spanTokens must be at least 2")
+    val qt = SqlLit.quoteName(textCol)
+    corpus
+      .select(col(idCol), posexplode_outer(
+        expr(s"span_hashes($qt, $spanTokens, 1L)")).as(Seq("pos", "span_h")))
+      .filter(col("span_h").isNotNull)
+      .groupBy("span_h")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(struct(col(idCol), col("pos"))).as("first"))
+      .filter(col("n_occurrences") >= minCount)
+      .select(col("span_h"), col("n_docs"), col("n_occurrences"),
+        col("first").getField(idCol).as("first_doc"),
+        col("first").getField("pos").as("first_pos"))
+  }
+
+  /** D17 — the ACTION pass of exact-substring dedup (Lee et al. 2022):
+    * consume a [[spanCensusWithFirst]] census and emit the
+    * DEDUPLICATED corpus — every occurrence of a flagged span after
+    * its first is cut from the text (the covered tokens removed
+    * in-row), the Lee-et-al "drop all but the first occurrence"
+    * policy rather than the blunter drop-whole-documents form: it
+    * preserves the unique remainder of documents that merely CONTAIN
+    * boilerplate spans, which doc-level dropping destroys (the same
+    * reason d15 cuts passages instead of documents). Overlap
+    * semantics: a token is removed iff ANY flagged non-keeper window
+    * covers it — keeper windows save only themselves (see
+    * [[graft.functions.Sketches.spanCutTokens]]).
+    *
+    * Plan shape (the d15 broadcast-set pattern applied to spans): the
+    * flagged hashes collapse to ONE sorted broadcast array (bounded by
+    * census size — spans occurring ≥ minCount are ≤ total_spans /
+    * minCount and in practice orders of magnitude fewer); the keeper
+    * (first-occurrence) entries broadcast-join on the doc id (≤ one
+    * row per flagged span, grouped per doc); the output pass is ONE
+    * corpus scan with a codegen'd in-row rewrite — zero corpus
+    * shuffle. Output (idCol, n_tokens, n_kept, kept_text), one row
+    * per input document (short/empty docs pass through unchanged). If
+    * the flagged set ever outgrew a broadcast, the fallback is d15's
+    * documented move: a Bloom pre-filter at the scan plus an exact
+    * join for probable hits only. */
+  def spanDedupCorpus(corpus: DataFrame, census: DataFrame,
+      spanTokens: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(spanTokens >= 2, "spanTokens must be at least 2")
+    val qt = SqlLit.quoteName(textCol)
+    // the census feeds TWO plan branches (the flagged-set collapse and
+    // the keeper grouping) — materialize it once so an unmaterialized
+    // census argument isn't recomputed corpus-wide per branch (the
+    // x14/p14 materialize-before-reuse pattern; the census is small by
+    // construction — minCount-filtered span rows)
+    val s = corpus.sparkSession
+    val tmp = graft.SessionTemp.dir("graft_span_census_")
+    census.select(col("span_h"), col("first_doc"),
+        col("first_pos").cast("int").as("first_pos"))
+      .write.mode("overwrite").parquet(tmp)
+    val flagged = s.read.parquet(tmp)
+    // one sorted array of flagged hashes (1 row — agg without groupBy)
+    val flaggedSet = flagged
+      .agg(sort_array(collect_list("span_h")).as("__flagged"))
+    val keepers = flagged
+      .groupBy(col("first_doc").as(idCol))
+      .agg(collect_list(struct(col("first_pos").as("pos"),
+        col("span_h").as("h"))).as("__kp"))
+    corpus
+      .join(broadcast(keepers), Seq(idCol), "left")
+      .crossJoin(broadcast(flaggedSet))
+      .withColumn("__kept", expr(
+        s"""span_cut($qt, $spanTokens, __flagged,
+           |  coalesce(__kp, cast(array() as array<struct<pos:int,h:string>>)))"""
+          .stripMargin))
+      .select(col(idCol),
+        size(expr(s"filter(split($qt, ' '), t -> t != '')"))
+          .cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), " ").as("kept_text"))
+  }
 }

@@ -2325,6 +2325,64 @@ object PipelineQueries {
         |FROM samp GROUP BY span_h HAVING COUNT(*) >= 2
         |ORDER BY n_occurrences DESC, span_h LIMIT 100""".stripMargin))
 
+  // D17 — the ACTION pass of exact-substring dedup (the consumer d16's
+  // census was missing — census → rewrite, the same pairs → clusters →
+  // keeper completion d6/d9/d11 gave the MinHash family): every
+  // 8-token span occurring ≥ 2 times is cut from the corpus EXCEPT its
+  // first occurrence (min (doc_id, pos)), per Lee et al. 2022 —
+  // keep-first preserves one copy of duplicated material and the
+  // unique remainder of every document, where doc-level dropping would
+  // destroy it. The flagged set broadcasts as ONE sorted array (the
+  // d15 broadcast-set pattern), keeper positions broadcast-join per
+  // doc, and the output pass is one corpus scan with the codegen'd
+  // `span_cut` kernel — zero corpus shuffle. The oracle replays the
+  // census, the keep-first rule and the token-coverage cut
+  // relationally.
+  private val d17 = QueryDef(
+    "d17_span_dedup",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val census = graft.operators.Dedup.spanCensusWithFirst(
+        d, spanTokens = 8)
+      graft.operators.Dedup.spanDedupCorpus(d, census, spanTokens = 8)
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(ts[i:i+7], ' ')) AS span_h
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 8 + 2)) AS i
+        |        FROM t WHERE len(ts) >= 8)),
+        |cen AS (
+        |  SELECT span_h FROM sp GROUP BY span_h HAVING COUNT(*) >= 2),
+        |firsts AS (
+        |  SELECT span_h, doc_id AS f_doc, pos AS f_pos FROM (
+        |    SELECT sp.span_h, sp.doc_id, sp.pos,
+        |      ROW_NUMBER() OVER (PARTITION BY sp.span_h
+        |                         ORDER BY sp.doc_id, sp.pos) AS rn
+        |    FROM sp JOIN cen USING (span_h)) WHERE rn = 1),
+        |cut AS (
+        |  SELECT sp.doc_id, sp.pos
+        |  FROM sp JOIN cen USING (span_h)
+        |  LEFT JOIN firsts f ON f.span_h = sp.span_h AND f.f_doc = sp.doc_id
+        |    AND f.f_pos = sp.pos
+        |  WHERE f.span_h IS NULL),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + d AS j
+        |  FROM cut, (SELECT unnest(range(0, 8)) AS d) ds),
+        |covl AS (SELECT doc_id, list(j) AS js FROM cov GROUP BY doc_id),
+        |outp AS (
+        |  SELECT t.doc_id, len(t.ts) AS n_tokens,
+        |    list_filter(t.ts,
+        |      (x, i) -> c.js IS NULL OR NOT list_contains(c.js, i - 1)) AS kept
+        |  FROM t LEFT JOIN covl c USING (doc_id))
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  COALESCE(array_to_string(kept, ' '), '') AS kept_text
+        |FROM outp ORDER BY doc_id""".stripMargin))
+
   private val d15 = QueryDef(
     "d15_boilerplate_removal",
     (s, dir) => {
@@ -3124,7 +3182,7 @@ object PipelineQueries {
          |ORDER BY doc_id, eval_id""".stripMargin))
 
   val defs: Seq[QueryDef] = Seq(
-    d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, d16, c1q, c1bq, c2q,
+    d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, d16, d17, c1q, c1bq, c2q,
     sim1, sim2, sim3, sim4,
     x1, x2, x3, x4, x5, x6, x7, x8, x9, x9b, x9c, x10, x11, x11b, x12, x13, x14, x15,
     x15b, x16, x17,

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the d17 exact-substring dedup ACTION pass against a
+  * plain-Scala reference implementation (the BpeSpec pattern): the
+  * census-with-first build, the keep-first cut rule, and the overlap
+  * semantics (a token is removed iff ANY flagged non-keeper window
+  * covers it; keeper windows save only themselves) on hand examples
+  * and on seeded random corpora dense with duplicated material. */
+class SpanDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def df(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Reference: spans identified by their TEXT (md5 is injective here);
+    * first occurrence = min (doc_id, pos); cut = all other occurrences
+    * of spans with ≥ minCount total occurrences; token removed iff
+    * covered by a cut window. */
+  private def reference(rows: Seq[(Long, String)], n: Int,
+      minCount: Int): Seq[(Long, Long, Long, String)] = {
+    def toks(t: String) = t.split(" ", -1).filter(_.nonEmpty).toSeq
+    val occ = for {
+      (id, t) <- rows
+      ts = toks(t)
+      i <- 0 to ts.length - n
+      if ts.length >= n
+    } yield (id, i, ts.slice(i, i + n).mkString(" "))
+    val bySpan = occ.groupBy(_._3)
+    val flagged = bySpan.filter(_._2.size >= minCount)
+    val firsts = flagged.map { case (s, os) =>
+      s -> os.map(o => (o._1, o._2)).min
+    }
+    val cut = flagged.toSeq.flatMap { case (s, os) =>
+      os.filterNot(o => (o._1, o._2) == firsts(s))
+    }
+    val covered: Map[Long, Set[Int]] = cut.groupBy(_._1).map {
+      case (id, os) => id -> os.flatMap(o => o._2 until o._2 + n).toSet
+    }
+    rows.map { case (id, t) =>
+      val ts = toks(t)
+      val cov = covered.getOrElse(id, Set.empty[Int])
+      val kept = ts.zipWithIndex.collect { case (tok, i) if !cov(i) => tok }
+      (id, ts.length.toLong, kept.length.toLong, kept.mkString(" "))
+    }.sortBy(_._1)
+  }
+
+  private def run(rows: Seq[(Long, String)], n: Int,
+      minCount: Int = 2): Seq[(Long, Long, Long, String)] = {
+    val d = df(rows)
+    val census = Dedup.spanCensusWithFirst(d, n, minCount = minCount.toLong)
+    Dedup.spanDedupCorpus(d, census, n).orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+  }
+
+  test("keep-first: an exact duplicate doc is fully cut, the first kept") {
+    val out = run(Seq(1L -> "a b c d", 2L -> "a b c d"), n = 3)
+    assert(out == Seq((1L, 4L, 4L, "a b c d"), (2L, 4L, 0L, "")))
+  }
+
+  test("within-doc repeats cut all but the first occurrence") {
+    val out = run(Seq(3L -> "x y z q x y z"), n = 3)
+    assert(out == Seq((3L, 7L, 4L, "x y z q")))
+  }
+
+  test("a keeper window loses tokens overlapped by a different cut span") {
+    // Flagged spans: "b c d" (first at doc 1 pos 1) and "c d e"
+    // (first at doc 2 pos 1). In doc 2 the keeper "c d e" covers
+    // tokens 1..3, but the CUT occurrence of "b c d" at pos 0 covers
+    // tokens 0..2 — so keeper tokens 1 and 2 are removed anyway and
+    // only token 3 ("e") survives. Doc 3's occurrences are all cut.
+    val rows = Seq(1L -> "a b c d", 2L -> "b c d e", 3L -> "b c d e")
+    val out = run(rows, n = 3)
+    assert(out == Seq((1L, 4L, 4L, "a b c d"), (2L, 4L, 1L, "e"),
+      (3L, 4L, 0L, "")))
+    assert(out == reference(rows, 3, 2))
+  }
+
+  test("census-with-first reports min (doc_id, pos) and exact counts") {
+    val census = Dedup.spanCensusWithFirst(
+      df(Seq(1L -> "p q r s", 2L -> "p q r", 5L -> "z p q r")), 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSeq
+    // "p q r" occurs in docs 1 (pos 0), 2 (pos 0), 5 (pos 1)
+    assert(census.length == 1)
+    assert(census.head._2 == 3L && census.head._3 == 3L)
+    assert(census.head._4 == 1L && census.head._5 == 0)
+  }
+
+  test("random duplicate-dense corpora match the reference exactly") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 12) {
+      val alphabet = Seq("a", "b", "c", "d")
+      val nDocs = 2 + rnd.nextInt(8)
+      val base = (1L to nDocs.toLong).map { id =>
+        val len = rnd.nextInt(14)
+        id -> (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+          .mkString(" ")
+      }
+      // duplicate a random doc wholesale to force cross-doc spans
+      val rows = if (base.nonEmpty && rnd.nextBoolean())
+        base :+ ((nDocs + 1L) -> base(rnd.nextInt(base.size))._2)
+      else base
+      val n = 2 + rnd.nextInt(2) // span width 2 or 3
+      withClue(s"trial $trial (n=$n, rows=$rows): ") {
+        assert(run(rows, n) == reference(rows, n, 2))
+      }
+    }
+  }
+
+  test("degenerate shapes: empty corpus, empty docs, no duplicates") {
+    assert(run(Seq.empty, n = 3) == Seq.empty)
+    assert(run(Seq(1L -> "", 2L -> ""), n = 2) ==
+      Seq((1L, 0L, 0L, ""), (2L, 0L, 0L, "")))
+    val uniq = Seq(1L -> "a b c", 2L -> "d e f")
+    assert(run(uniq, n = 3) == reference(uniq, 3, 2))
+    assert(run(uniq, n = 3).forall(r => r._2 == r._3), "nothing cut")
+  }
+}

@@ -39,6 +39,16 @@ object Bpe {
   /** U+001F unit separator — the symbol-boundary marker. */
   val Sep = "\u001f"
 
+  /** U+001E record separator — the TOKEN-boundary marker of the
+    * corpus-side doc encoding ([[tokenizeCorpus]]). A merge target is
+    * always two back-to-back units `<S>a<S><S>b<S>` (S = U+001F); the
+    * boundary region between two tokens' segmentations is
+    * `…a<S>` + `<R>` + `<S>b…`, whose single-S-then-R shape can never
+    * match a target — so merges provably never cross token boundaries,
+    * even for tokens that contain U+001E themselves (their U+001E is
+    * wrapped as a unit like any symbol, double-S-adjacent). */
+  val RecordSep = "\u001e"
+
   /** Re-checkpoint the segmentation table after this many chained
     * merge rewrites (bounds expression depth / plan size). */
   val rematerializeEvery = 8
@@ -130,5 +140,93 @@ object Bpe {
       .filter(col(tokenCol).isNotNull && length(col(tokenCol)) >= 1 &&
         !col(tokenCol).contains(Sep))
       .select(col(tokenCol), col(tfCol), symbols(segCol).as("symbols"))
+  }
+
+  /** X9D — apply a trained merge list to CORPUS TEXT and report each
+    * document's BPE token count: (idCol, keepCols…, n_tokens,
+    * n_bpe_tokens), where n_tokens is the whitespace token count and
+    * n_bpe_tokens the number of BPE symbols after applying `merges`
+    * in rank order — the number packing (p6) and token-budget
+    * selection (p13) should consume instead of whitespace counts.
+    *
+    * The whole document is encoded at once: each whitespace token's
+    * char segmentation, joined by [[RecordSep]] (merges provably never
+    * cross the boundary — see its Scaladoc), then ONE codegen'd
+    * `replace` per merge over the doc string, rematerialized every
+    * [[rematerializeEvery]] merges like the trainer. Zero shuffle —
+    * one corpus scan with in-row rewrites. Tokens containing [[Sep]]
+    * are excluded from the BPE count (the trainer excludes them from
+    * the vocabulary too). Per-doc cost is O(chars · merges): the right
+    * shape for the catalog's gated merge lists; for real 30k-merge
+    * tokenizer budgets use [[tokenCountsViaVocab]], which pays the
+    * merge chain once per vocabulary TYPE instead of once per
+    * occurrence (spec-pinned equal). */
+  def tokenizeCorpus(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text",
+      keepCols: Seq[String] = Nil): DataFrame = {
+    val spark = docs.sparkSession
+    val ts = filter(split(col(textCol), " "), t => t =!= "")
+    val enc = filter(ts, t => !t.contains(Sep))
+    val seg0 = concat_ws(RecordSep, transform(enc, t => charSeg(t)))
+    val keep = keepCols.map(col)
+    var cur = docs.select(
+      (col(idCol) +: keep) ++ Seq(size(ts).cast("long").as("n_tokens"),
+        seg0.as("__seg")): _*)
+    val chunks = merges.grouped(rematerializeEvery).toSeq
+    for ((chunk, ci) <- chunks.zipWithIndex) {
+      cur = cur.withColumn("__seg", chunk.foldLeft(col("__seg")) {
+        case (acc, (l, r)) =>
+          replace(acc, lit(unit(l) + unit(r)), lit(unit(l + r)))
+      })
+      if (ci < chunks.length - 1) {
+        val tmp = graft.SessionTemp.dir("bpe_docseg_")
+        cur.write.mode("overwrite").parquet(tmp)
+        cur = spark.read.parquet(tmp)
+      }
+    }
+    // every symbol unit contributes exactly two separators
+    cur.select((col(idCol) +: keep) ++ Seq(col("n_tokens"),
+      ((length(col("__seg")) -
+        length(replace(col("__seg"), lit(Sep), lit("")))) / 2)
+        .cast("long").as("n_bpe_tokens")): _*)
+  }
+
+  /** The SCALE form of [[tokenizeCorpus]] for per-document counts: the
+    * merge chain runs once per vocabulary TYPE ([[applyMerges]] —
+    * vocabulary-sized, not corpus-sized), and the corpus pass is one
+    * token explode joined against the (token → n symbols) table and
+    * re-summed per document. The join side is vocabulary-sized — hinted
+    * broadcast below `broadcastMaxRows` rows, a plain shuffle join on
+    * the token key above it (the [[LanguageModel]] gate pattern: a
+    * 100-TB Heaps-law vocabulary outgrows any broadcast) — and the
+    * per-doc sum partial-aggregates map-side, so the exchange is
+    * document-count-sized. Identical output columns and values to
+    * [[tokenizeCorpus]] (BpeSpec pins it). */
+  def tokenCountsViaVocab(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text",
+      keepCols: Seq[String] = Nil,
+      broadcastMaxRows: Long = 2000000L): DataFrame = {
+    val spark = docs.sparkSession
+    val ts = filter(split(col(textCol), " "), t => t =!= "")
+    val keep = keepCols.map(col)
+    val exploded = docs.select(
+      (col(idCol) +: keep) ++ Seq(size(ts).cast("long").as("n_tokens"),
+        explode_outer(ts).as("token")): _*)
+    // vocabulary of THIS corpus -> symbol counts, materialized (the
+    // trainer's pattern: the chain is evaluated once, never per branch)
+    val vocab = exploded.filter(col("token").isNotNull)
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    val counts = applyMerges(vocab, merges)
+      .select(col("token"), size(col("symbols")).cast("long").as("n_sym"))
+    val tmp = graft.SessionTemp.dir("bpe_vocab_counts_")
+    counts.write.mode("overwrite").parquet(tmp)
+    val cdf = spark.read.parquet(tmp)
+    val joined = if (cdf.count() <= broadcastMaxRows) broadcast(cdf) else cdf
+    exploded
+      .join(joined, Seq("token"), "left")
+      .groupBy((col(idCol) +: keep) :+ col("n_tokens"): _*)
+      .agg(coalesce(sum("n_sym"), lit(0L)).as("n_bpe_tokens"))
+      .select((col(idCol) +: keep) ++
+        Seq(col("n_tokens"), col("n_bpe_tokens")): _*)
   }
 }

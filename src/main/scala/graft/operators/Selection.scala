@@ -51,7 +51,12 @@ object Selection {
 
   /** Keep documents in exact (`rankCol` DESC, `idCol`) order until the
     * inclusive running `tokensCol` sum exceeds `budget` (a 1-row
-    * relation with column `b`, e.g. [[tokenBudgetFraction]]). Output
+    * relation with column `b`, e.g. [[tokenBudgetFraction]]).
+    * `tokensCol` is whatever the caller measures — to budget on REAL
+    * tokenizer counts instead of whitespace counts, feed the metric
+    * relation through [[Bpe.tokenCountsViaVocab]] and select
+    * `n_bpe_tokens` as the tokens column (the p6c pattern; one
+    * doc-keyed join against this relation's idCol). Output
     * (idCol, rankCol, tokensCol) sorted in selection order — identical
     * to the global-running-sum formulation, computed without ever
     * sorting the corpus (see the object Scaladoc). */

@@ -2001,6 +2001,54 @@ object PipelineQueries {
     docs(s, dir)
       .select(explode(expr(tokensExpr)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("tf"))
+
+  /** The 8 trained merges of the x9b chain, collected in rank order —
+    * shared by the apply-side entries (x9c vocabulary segmentation,
+    * x9d corpus tokenization, p6c BPE-count packing). */
+  private def trainedMerges(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String)] =
+    graft.operators.Bpe.trainMerges(bpeVocabDf(s, dir), nMerges = 8)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** [[bpeChainSql]] extended with the CORPUS-side segmentation chain:
+    * ds0 encodes every document (each whitespace token's char
+    * segmentation, tokens joined by chr(30) so merges cannot cross
+    * token boundaries), ds1..dsN apply the trained merges b1..bN in
+    * rank order. `extraCols` are carried through (e.g. "source" for
+    * the packing consumer). Ends without a trailing comma — callers
+    * append their final SELECT. */
+  private def bpeDocChainSql(n: Int, extraCols: String = ""): String = {
+    val sep = "chr(31)"
+    def u(x: String) = s"$sep || $x || $sep"
+    val ec = if (extraCols.isEmpty) "" else s"$extraCols, "
+    val sb = new StringBuilder
+    sb.append(bpeChainSql(n))
+    sb.append(
+      s""",
+         |ds0 AS (
+         |  SELECT ${ec}doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+         |      AS BIGINT) AS n_tokens,
+         |    COALESCE(array_to_string(list_transform(
+         |      list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
+         |        t -> NOT contains(t, $sep)),
+         |      t -> substr($sep || regexp_replace(t, '(?s)(.)',
+         |        '\\1' || $sep || $sep, 'g'), 1, 3 * length(t))),
+         |      chr(30)), '') AS seg
+         |  FROM documents),
+         |""".stripMargin)
+    for (r <- 1 to n) {
+      sb.append(
+        s"""ds$r AS (
+           |  SELECT ${ec}doc_id, n_tokens,
+           |    replace(seg, ${u("l")} || ${u("r")}, ${u("l || r")}) AS seg
+           |  FROM ds${r - 1}, b$r),
+           |""".stripMargin)
+    }
+    sb.setLength(sb.length - 2)
+    sb.toString
+  }
   private val x9b = QueryDef(
     "x9b_bpe_train",
     (s, dir) =>
@@ -2022,11 +2070,8 @@ object PipelineQueries {
   private val x9c = QueryDef(
     "x9c_bpe_segment",
     (s, dir) => {
-      val vocab = bpeVocabDf(s, dir)
-      val merges = graft.operators.Bpe.trainMerges(vocab, nMerges = 8)
-        .orderBy("round").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      graft.operators.Bpe.applyMerges(vocab, merges)
+      graft.operators.Bpe.applyMerges(bpeVocabDf(s, dir),
+          trainedMerges(s, dir))
         .select(explode(col("symbols")).as("symbol"), col("tf"))
         .groupBy("symbol").agg(sum("tf").as("n_occurrences"))
         .orderBy("symbol")
@@ -2039,6 +2084,65 @@ object PipelineQueries {
          |  FROM s8)
          |SELECT symbol, CAST(SUM(tf) AS BIGINT) AS n_occurrences
          |FROM sym8 GROUP BY symbol ORDER BY symbol""".stripMargin))
+
+  // X9D — CORPUS tokenization with the trained merges (the consumer
+  // x9b/x9c were missing: nothing applied the tokenizer to documents):
+  // every document's whitespace tokens are segmented with the 8 trained
+  // merges in rank order, emitting the per-doc BPE token count — the
+  // number packing (p6c) and token-budget selection should consume
+  // instead of whitespace counts. One corpus scan, one codegen'd
+  // replace per merge over a record-separator-joined doc encoding
+  // (merges provably cannot cross token boundaries — Bpe.RecordSep
+  // Scaladoc), zero shuffle. The oracle replays the same chain: ds0
+  // encodes documents, ds1..ds8 apply b1..b8, and the symbol count is
+  // pure separator arithmetic (every unit carries exactly two chr(31)).
+  private val x9d = QueryDef(
+    "x9d_bpe_tokenize",
+    (s, dir) =>
+      graft.operators.Bpe.tokenizeCorpus(docs(s, dir), trainedMerges(s, dir))
+        .orderBy("doc_id"),
+    Some(bpeDocChainSql(8) +
+      """
+        |SELECT doc_id, n_tokens,
+        |  CAST((length(seg) - length(replace(seg, chr(31), ''))) // 2
+        |    AS BIGINT) AS n_bpe_tokens
+        |FROM ds8 ORDER BY doc_id""".stripMargin))
+
+  // P6C — sequence packing on REAL tokenizer counts: p6's fixed-budget
+  // pack keyed on each doc's BPE token count instead of its whitespace
+  // count. The count side is Bpe.tokenCountsViaVocab — the SCALE form:
+  // the merge chain runs once per vocabulary TYPE (applyMerges,
+  // vocabulary-sized) and the corpus pass is an explode + size-gated
+  // vocab join + doc-keyed re-sum — so this entry gates the via-vocab
+  // path under DuckDB while x9d gates the direct rewrite (BpeSpec pins
+  // the two equal). The oracle replays the doc chain and p6's exact
+  // packing SQL over the resulting counts.
+  private val p6c = QueryDef(
+    "p6c_sequence_pack_bpe",
+    (s, dir) =>
+      graft.operators.Packing.packSequences(
+        graft.operators.Bpe.tokenCountsViaVocab(docs(s, dir),
+            trainedMerges(s, dir), keepCols = Seq("source"))
+          .select(col("source"), col("doc_id"),
+            col("n_bpe_tokens").as("n_tokens")),
+        tokenBudget = 256L),
+    Some(bpeDocChainSql(8, "source") +
+      """,
+        |cnt AS (
+        |  SELECT source, doc_id,
+        |    CAST((length(seg) - length(replace(seg, chr(31), ''))) // 2
+        |      AS BIGINT) AS n_tokens
+        |  FROM ds8),
+        |pc AS (
+        |  SELECT source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM cnt)
+        |SELECT source,
+        |  CAST(FLOOR(CAST(cum_before AS DOUBLE) / 256) AS BIGINT) AS seq_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+        |FROM pc GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin))
 
   // E5 — ordered conversion funnel over the event stream: users who
   // progressed click → view → purchase IN TIMESTAMP ORDER (stage k
@@ -3184,8 +3288,8 @@ object PipelineQueries {
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, d16, d17, c1q, c1bq, c2q,
     sim1, sim2, sim3, sim4,
-    x1, x2, x3, x4, x5, x6, x7, x8, x9, x9b, x9c, x10, x11, x11b, x12, x13, x14, x15,
-    x15b, x16, x17,
+    x1, x2, x3, x4, x5, x6, x7, x8, x9, x9b, x9c, x9d, x10, x11, x11b, x12,
+    x13, x14, x15, x15b, x16, x17,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e5c, e9, e10, e10b,
-    p1, p2, p3, p4, p5, p6, p6b, p7, p8, p9, p10, p11, p12, p13, p14)
+    p1, p2, p3, p4, p5, p6, p6b, p6c, p7, p8, p9, p10, p11, p12, p13, p14)
 }

@@ -109,6 +109,71 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  // ---- corpus tokenization (x9d) ----
+
+  /** Reference doc count: segment each whitespace token with the merges
+    * in rank order (greedy left-to-right per merge), sum symbol counts;
+    * Sep-bearing tokens excluded. */
+  private def refDocCounts(rows: Seq[(Long, String)],
+      merges: Seq[(String, String)]): Seq[(Long, Long, Long)] = {
+    def applyOne(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      b.result()
+    }
+    rows.map { case (id, text) =>
+      val toks = text.split(" ", -1).filter(_.nonEmpty).toSeq
+      val nBpe = toks.filterNot(_.contains(Bpe.Sep)).map { t =>
+        merges.foldLeft(t.map(_.toString).toVector) {
+          case (syms, (l, r)) => applyOne(syms, l, r)
+        }.length.toLong
+      }.sum
+      (id, toks.length.toLong, nBpe)
+    }.sortBy(_._1)
+  }
+
+  test("tokenizeCorpus and tokenCountsViaVocab match the reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19L)
+    val alphabet = "abc"
+    val rows = (1L to 20L).map { id =>
+      val nTok = rnd.nextInt(8)
+      id -> (1 to nTok).map(_ => (1 to (1 + rnd.nextInt(6)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+        .mkString(" ")
+    } :+ (21L -> s"plain a${Bpe.Sep}b edge") :+ (22L -> "")
+    val d = rows.toDF("doc_id", "text")
+    val vocab = d.select(explode(expr(
+        "filter(split(text, ' '), t -> t != '')")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    val merges = Bpe.trainMerges(vocab, nMerges = Bpe.rematerializeEvery + 2)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val expect = refDocCounts(rows, merges)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // direct in-row rewrite (crosses the rematerialization boundary)
+    assert(collect(Bpe.tokenizeCorpus(d, merges)) == expect)
+    // via-vocab twin: identical in both broadcast and shuffle modes
+    assert(collect(Bpe.tokenCountsViaVocab(d, merges)) == expect)
+    assert(collect(Bpe.tokenCountsViaVocab(d, merges,
+      broadcastMaxRows = 0L)) == expect)
+    // no merges: BPE count = char count of Sep-free tokens
+    assert(collect(Bpe.tokenizeCorpus(d, Seq.empty)) ==
+      refDocCounts(rows, Seq.empty))
+    // keepCols pass-through
+    val withSrc = Bpe.tokenCountsViaVocab(
+      d.withColumn("source", lit("s1")), merges, keepCols = Seq("source"))
+    assert(withSrc.columns.toSeq ==
+      Seq("doc_id", "source", "n_tokens", "n_bpe_tokens"))
+  }
+
   test("rematerialization boundary keeps results identical (n > every)") {
     val vocab = Map("ababab" -> 4L, "bcbcbc" -> 3L, "cacaca" -> 2L,
       "abcabc" -> 5L, "aabbcc" -> 1L)

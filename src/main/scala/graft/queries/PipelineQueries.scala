@@ -2266,38 +2266,13 @@ object PipelineQueries {
         |  SELECT '4_purchase_after_view', CAST(SUM(f3) AS BIGINT) FROM per_user)
         |ORDER BY stage""".stripMargin))
 
-  // X10 — per-document top keywords, TF-IDF-shaped: frequent in the
-  // doc, rare in the corpus. The corpus-frequency side is x7's
-  // vocabulary — vocabulary-sized, so it BROADCASTS to the token rows
-  // at any corpus scale — and the per-doc top-3 is a row_number window
-  // partitioned by doc_id (tokens stay co-partitioned with their doc
-  // from the explode, one shuffle total). Scoring is exact-integer
-  // (tf·1e6 ÷ df, ties broken by token) rather than tf·ln(N/df):
-  // floating-point ln is not guaranteed identically rounded across
-  // engines, and a rank flip in the last ulp would fail the hash gate —
-  // the integer ratio preserves the frequent-here/rare-there ordering.
+  // X10 — per-document top keywords, TF-IDF-shaped (thin call:
+  // operators/Indexing.topKeywords — one shared (doc, token) shuffle
+  // subtree, broadcast vocabulary, exact-integer scoring; design notes
+  // in the operator Scaladoc).
   private val x10 = QueryDef(
     "x10_top_keywords",
-    (s, dir) => {
-      // one (doc, token) aggregation feeds BOTH tf and df — df is just
-      // its per-token row count, no countDistinct Expand — and the two
-      // consumers share the identical shuffle subtree (ReusedExchange),
-      // so the corpus is scanned and shuffled once
-      val perDocTok = docs(s, dir)
-        .select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val vocab = perDocTok.groupBy("token").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(desc("score"), asc("token"))
-      perDocTok
-        .join(broadcast(vocab), "token")
-        .withColumn("score", expr("tf * 1000000L div df"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("doc_id"), col("rank").cast("long").as("rank"),
-          col("token"), col("tf"), col("df"), col("score"))
-        .orderBy("doc_id", "rank")
-    },
+    (s, dir) => graft.operators.Indexing.topKeywords(docs(s, dir)),
     Some(
       """WITH tok AS (
         |  SELECT doc_id,
@@ -2555,37 +2530,14 @@ object PipelineQueries {
         |    ' ') AS kept_text
         |FROM seg, bl ORDER BY doc_id""".stripMargin))
 
-  // X11 — INVERTED INDEX build: token → (df, first-20 posting list) —
-  // the retrieval-side artifact (BM25 index, contamination lookup)
-  // pipelines build next to the vocabulary (x7). The scale hazard is
-  // stopword tokens whose posting set is corpus-sized: an unbounded
-  // `collect_set` per token pins data-sized state in one aggregation
-  // buffer, so instead the distinct (token, doc) pairs flow through a
-  // token-partitioned row_number window that keeps only the first 20
-  // postings BEFORE any list materializes — bounded state per token —
-  // while exact df comes from a count on the SAME token partitioning
-  // (AQE reuses the exchange). x11b below is the hot-token-sharded
+  // X11 — INVERTED INDEX build: token → (df, first-20 posting list)
+  // (thin call: operators/Indexing.invertedIndex — WindowGroupLimit
+  // bounds per-token state BEFORE any list materializes; design notes
+  // in the operator Scaladoc). x11b is the hot-token-sharded
   // production form: same oracle, per-token work spread over 8 shards.
   private val x11 = QueryDef(
     "x11_inverted_index",
-    (s, dir) => {
-      val pairs = docs(s, dir)
-        .select(col("doc_id").cast("long").as("doc_id"),
-          explode(expr(tokensExpr)).as("token"))
-        .distinct()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("token").orderBy("doc_id")
-      val dfs = pairs.groupBy("token").agg(count(lit(1)).as("df"))
-      val postings = pairs
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 20)
-        .groupBy("token")
-        .agg(expr("array_join(transform(array_sort(collect_list(doc_id))," +
-          " x -> cast(x as string)), ',')").as("postings"))
-      dfs.join(postings, "token")
-        .select(col("token"), col("df"), col("postings"))
-        .orderBy("token")
-    },
+    (s, dir) => graft.operators.Indexing.invertedIndex(docs(s, dir)),
     Some(
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, token FROM (
@@ -2597,46 +2549,14 @@ object PipelineQueries {
         |    ',') AS postings
         |FROM tok GROUP BY token ORDER BY token""".stripMargin))
 
-  // X11B — the HOT-TOKEN-SHARDED inverted index x11's comment names:
-  // same output, but the per-token work first spreads over 8 hash
-  // shards of the doc space — (token, pmod(doc_id, 8)) — so a stopword
-  // whose postings are corpus-sized is processed by 8 tasks, not one.
-  // Each shard keeps its own first-20 via WindowGroupLimit (bounded
-  // per-shard state), exact df comes from summing per-shard counts, and
-  // a second-level limit over the ≤ 20×8 shard survivors per token
-  // yields the global first-20 — the classic two-level top-k, the same
-  // move as x9's partial top-k but keyed. Both levels are
-  // WindowGroupLimit (pinned), so NO token ever pins more than
-  // 20 rows per task at level 1 or 160 rows at level 2. Oracle is
-  // byte-identical to x11's — the sharding must be invisible.
+  // X11B — the HOT-TOKEN-SHARDED inverted index (thin call:
+  // operators/Indexing.invertedIndexSharded — two-level top-k over 8
+  // doc-space hash shards, both levels WindowGroupLimit-bounded; design
+  // notes in the operator Scaladoc). Oracle is byte-identical to
+  // x11's — the sharding must be invisible.
   private val x11b = QueryDef(
     "x11b_inverted_sharded",
-    (s, dir) => {
-      val nShards = 8
-      val pairs = docs(s, dir)
-        .select(col("doc_id").cast("long").as("doc_id"),
-          explode(expr(tokensExpr)).as("token"))
-        .distinct()
-        .withColumn("shard", pmod(col("doc_id"), lit(nShards)))
-      val w1 = org.apache.spark.sql.expressions.Window
-        .partitionBy("token", "shard").orderBy("doc_id")
-      val w2 = org.apache.spark.sql.expressions.Window
-        .partitionBy("token").orderBy("doc_id")
-      val sharded = pairs.groupBy("token", "shard")
-        .agg(count(lit(1)).as("n"))
-        .groupBy("token").agg(sum("n").as("df"))
-      val survivors = pairs
-        .withColumn("rn", row_number().over(w1))
-        .filter(col("rn") <= 20)
-        .withColumn("rn2", row_number().over(w2))
-        .filter(col("rn2") <= 20)
-        .groupBy("token")
-        .agg(expr("array_join(transform(array_sort(collect_list(doc_id))," +
-          " x -> cast(x as string)), ',')").as("postings"))
-      sharded.join(survivors, "token")
-        .select(col("token"), col("df"), col("postings"))
-        .orderBy("token")
-    },
+    (s, dir) => graft.operators.Indexing.invertedIndexSharded(docs(s, dir)),
     Some(
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, token FROM (
@@ -2648,42 +2568,16 @@ object PipelineQueries {
         |    ',') AS postings
         |FROM tok GROUP BY token ORDER BY token""".stripMargin))
 
-  // X12 — KMV DISTINCT-COUNT SKETCH: per-language shingle cardinality
-  // estimated from the k = 64 smallest distinct 60-bit hashes
-  // (est = (k−1)·2^60 / h_k, the classic bottom-k estimator; exact
-  // count when a group has < k hashes). Unlike HLL/approx_count_distinct
-  // — whose register layouts differ per engine and can never hash-gate —
-  // KMV over a SHARED deterministic hash is exactly reproducible, so
-  // the sketch itself sits under the DuckDB oracle: both engines pick
-  // the same k-th smallest hash and the same IEEE-double estimate
-  // (63·2^60 is exactly representable; one rounding in the divide).
-  // The k-smallest selection rides the same WindowGroupLimit shape as
-  // x11 (bounded per-group state); at 100 TB the upgrade path is a
-  // partial-aggregate bottom-k (per-partition k-minima, exact merge —
-  // same result, no full distinct), which the layout admits without
-  // changing the estimator.
+  // X12 — KMV DISTINCT-COUNT SKETCH vs exact, per language (thin call:
+  // operators/Sketching.kmvDistinctWithExact — exactly-reproducible
+  // bottom-k over a shared md5 hash, unlike HLL whose registers can
+  // never hash-gate; design notes in the operator Scaladoc). x13 is
+  // the sketch-only production form via the bottom_k_distinct
+  // partial aggregate.
   private val x12 = QueryDef(
     "x12_kmv_distinct",
-    (s, dir) => {
-      val hs = docs(s, dir)
-        .select(col("lang"), explode(expr("word_ngrams(text, 3)")).as("w"))
-        .select(col("lang"), md5Long(col("w")).as("h"))
-        .distinct()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy("h")
-      val kth = hs.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 64)
-        .select(col("lang"), col("h").as("h_k"))
-      hs.groupBy("lang").agg(count(lit(1)).as("exact"))
-        .join(kth, Seq("lang"), "left")
-        .select(col("lang"), col("exact"),
-          when(col("h_k").isNull, col("exact"))
-            .otherwise(floor(lit(63.0) * lit(1152921504606846976.0) / col("h_k")))
-            .cast("long").as("kmv_est"))
-        .withColumn("err",
-          round(abs(col("kmv_est") - col("exact")).cast("double") / col("exact"), 4))
-        .orderBy("lang")
-    },
+    (s, dir) => graft.operators.Sketching.kmvDistinctWithExact(
+      docs(s, dir), groupCol = "lang"),
     Some(
       s"""WITH $shingledSql,
          |hs AS (
@@ -2741,34 +2635,16 @@ object PipelineQueries {
         |  END AS epochs
         |FROM per, tot ORDER BY source""".stripMargin))
 
-  // X13 — the PRODUCTION form of x12's KMV sketch: per-source shingle
-  // cardinality through the custom `bottom_k_distinct` Catalyst
-  // aggregate ([[graft.functions.BottomKDistinct]]) instead of
-  // distinct + window. The window form materializes every distinct hash
-  // per group before WindowGroupLimit trims; the TypedImperativeAggregate
-  // keeps a k-capped set on the MAP side, ships exactly k longs per
-  // group across the shuffle, and merges partials exactly (bottom-k is
-  // a semilattice) — O(k) state per group end-to-end, no distinct pass,
-  // no window. The DuckDB oracle recomputes the same k minima
-  // relationally, so the gate proves the custom aggregate's
-  // update/serialize/merge path against an independent engine. Sketch
-  // estimate only (no exact column — the whole point is never touching
-  // the full distinct set); x12 keeps the exact-vs-estimate comparison.
+  // X13 — the PRODUCTION form of x12's KMV sketch (thin call:
+  // operators/Sketching.kmvBottomK — the bottom_k_distinct
+  // TypedImperativeAggregate ships exactly k longs per group, O(k)
+  // state end-to-end, no distinct pass, no window; the DuckDB oracle
+  // proves the aggregate's update/serialize/merge path against an
+  // independent engine. Design notes in the operator Scaladoc).
   private val x13 = QueryDef(
     "x13_kmv_bottomk",
-    (s, dir) => {
-      docs(s, dir)
-        .select(col("source"), explode(expr("word_ngrams(text, 3)")).as("w"))
-        .select(col("source"), md5Long(col("w")).as("h"))
-        .groupBy("source")
-        .agg(expr("bottom_k_distinct(h, 64)").as("ks"))
-        .select(col("source"), size(col("ks")).cast("long").as("sketch_size"),
-          when(size(col("ks")) < 64, size(col("ks")).cast("long"))
-            .otherwise(floor(lit(63.0) * lit(1152921504606846976.0) /
-              element_at(col("ks"), 64)))
-            .cast("long").as("kmv_est"))
-        .orderBy("source")
-    },
+    (s, dir) => graft.operators.Sketching.kmvBottomK(
+      docs(s, dir), groupCol = "source"),
     Some(
       s"""WITH $shingledSql,
          |hs AS (

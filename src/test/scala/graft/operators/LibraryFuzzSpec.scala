@@ -155,6 +155,40 @@ class LibraryFuzzSpec extends AnyFunSuite {
     assert(viaRenamed == census(1L))
   }
 
+  // ----------------------------------------------- Indexing/Sketching
+
+  test("Indexing and Sketching surfaces survive degenerate corpora") {
+    forEachCorpus { (name, d) =>
+      val dl = d.withColumn("lang", lit("xx"))
+      val kw = Indexing.topKeywords(d, k = 2).collect()
+      // at most k rows per doc, ranks within 1..k, integer score law
+      assert(kw.groupBy(_.getAs[Any]("doc_id")).forall(_._2.length <= 2))
+      kw.foreach { r =>
+        assert(r.getAs[Long]("rank") >= 1L && r.getAs[Long]("rank") <= 2L)
+        assert(r.getAs[Long]("score") ==
+          r.getAs[Long]("tf") * 1000000L / r.getAs[Long]("df"))
+      }
+      val inv = Indexing.invertedIndex(d).collect()
+      val invSh = Indexing.invertedIndexSharded(d).collect()
+      // sharding is invisible (the x11b contract), df >= postings count
+      assert(inv.map(_.toSeq).toSeq == invSh.map(_.toSeq).toSeq, name)
+      inv.foreach { r =>
+        val nPost = r.getString(2).split(",").count(_.nonEmpty)
+        assert(r.getLong(1) >= nPost && nPost <= 20)
+      }
+      val kmv = Sketching.kmvDistinctWithExact(dl, groupCol = "lang").collect()
+      // below k hashes the estimate IS the exact count
+      kmv.foreach { r =>
+        if (r.getLong(1) < 64L) assert(r.getLong(2) == r.getLong(1))
+      }
+      val bk = Sketching.kmvBottomK(dl, groupCol = "lang").collect()
+      assert(bk.length == kmv.length)
+      kmv.zip(bk).foreach { case (a, b) =>
+        assert(a.getLong(2) == b.getLong(2), "same estimate both forms")
+      }
+    }
+  }
+
   // -------------------------------------------------------- Sampling
 
   test("Sampling surfaces survive degenerate corpora") {

@@ -13,12 +13,22 @@ import graft.sources.Records
   * `{"metric":"bpe_scale","docs":n,"vocab":v,"build_sec":…,
   *   "rounds":k,"rounds_sec":…,"sec_per_round":…}`.
   *
-  * Usage: BpeScaleBench <sfDir> [nMerges]
+  * With `batchSize > 1` the trainer is [[Bpe.trainMergesBatched]] —
+  * the bounded-job-count path for real tokenizer merge budgets — and
+  * the line carries `batch_size`; the merge tables are
+  * order-equivalent (BpeSpec), so sequential-vs-batched `rounds_sec`
+  * at the same nMerges is a pure job-overhead comparison. The line
+  * also reports the corpus-tokenization APPLY phase (x9d) both ways:
+  * `tokenize_sec` (direct in-row rewrite) and `tokenize_vocab_sec`
+  * (via-vocab join form).
+  *
+  * Usage: BpeScaleBench <sfDir> [nMerges] [batchSize]
   */
 object BpeScaleBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val nMerges = if (args.length > 1) args(1).toInt else 16
+    val batchSize = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local("graft-bpe-scale", cpus)
     spark.sparkContext.setLogLevel("WARN")
@@ -40,13 +50,31 @@ object BpeScaleBench {
 
     // phase 2 — n merge rounds, each vocabulary-sized
     val t1 = System.nanoTime()
-    val merges = Bpe.trainMerges(vocab, nMerges).count()
+    val mergeRows = (if (batchSize > 1)
+        Bpe.trainMergesBatched(vocab, nMerges, batchSize)
+      else Bpe.trainMerges(vocab, nMerges)).collect()
+    val merges = mergeRows.length.toLong
     val roundsSec = (System.nanoTime() - t1) / 1e9
+
+    // phase 3 — corpus tokenization with the trained merges (x9d),
+    // both forms (direct rewrite / via-vocab join)
+    val ms = mergeRows.sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val t2 = System.nanoTime()
+    Bpe.tokenizeCorpus(base, ms)
+      .agg(sum("n_bpe_tokens")).collect()
+    val tokSec = (System.nanoTime() - t2) / 1e9
+    val t3 = System.nanoTime()
+    Bpe.tokenCountsViaVocab(base, ms)
+      .agg(sum("n_bpe_tokens")).collect()
+    val tokVocabSec = (System.nanoTime() - t3) / 1e9
 
     println(f"""{"metric":"bpe_scale","docs":$n,"vocab":$v,""" +
       f""""build_sec":$buildSec%.2f,"rounds":$merges,""" +
+      f""""batch_size":$batchSize,""" +
       f""""rounds_sec":$roundsSec%.2f,""" +
       f""""sec_per_round":${roundsSec / math.max(merges, 1)}%.3f,""" +
+      f""""tokenize_sec":$tokSec%.2f,"tokenize_vocab_sec":$tokVocabSec%.2f,""" +
       f""""sf":"$sfDir"}""")
     spark.stop()
   }

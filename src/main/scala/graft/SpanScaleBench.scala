@@ -13,7 +13,13 @@ import graft.sources.Records
   * `{"metric":"span_scale","docs":n,"mod":m,"census_sec":…,
   *   "repeated_spans":…}`.
   *
-  * Usage: SpanScaleBench <sfDir> [mod ...]  (default mods: 4 16)
+  * Usage: SpanScaleBench <sfDir> [mod ...]  (default mods: 4 16).
+  * `mod = 0` exercises the AUTO modulus ([[Dedup.adaptiveSampleMod]]
+  * from the corpus's exact window count — the production default).
+  * With env `GRAFT_SPAN_DEDUP=1` the main also times the d17 ACTION
+  * pass (exact census-with-first + keep-first `span_cut` rewrite) and
+  * prints a second `span_dedup` line with the census/rewrite split and
+  * the fraction of corpus tokens cut.
   */
 object SpanScaleBench {
   def main(args: Array[String]): Unit = {
@@ -36,6 +42,26 @@ object SpanScaleBench {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"metric":"span_scale","docs":$n,"mod":$m,""" +
         f""""census_sec":$sec%.2f,"repeated_spans":$repeated,"sf":"$sfDir"}""")
+    }
+
+    if (sys.env.get("GRAFT_SPAN_DEDUP").contains("1")) {
+      val t0 = System.nanoTime()
+      val census = Dedup.spanCensusWithFirst(docs, spanTokens = 8)
+      val censusTmp = SessionTemp.dir("span_dedup_census_")
+      census.write.mode("overwrite").parquet(censusTmp)
+      val flagged = spark.read.parquet(censusTmp).count()
+      val censusSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val agg = Dedup.spanDedupCorpus(docs,
+          spark.read.parquet(censusTmp), spanTokens = 8)
+        .agg(sum("n_tokens"), sum("n_kept")).collect()(0)
+      val (tot, kept) = (agg.getLong(0), agg.getLong(1))
+      val rewriteSec = (System.nanoTime() - t1) / 1e9
+      println(f"""{"metric":"span_dedup","docs":$n,""" +
+        f""""flagged_spans":$flagged,"census_sec":$censusSec%.2f,""" +
+        f""""rewrite_sec":$rewriteSec%.2f,""" +
+        f""""cut_frac":${(tot - kept).toDouble / math.max(tot, 1)}%.4f,""" +
+        f""""sf":"$sfDir"}""")
     }
     spark.stop()
   }

@@ -66,47 +66,57 @@ object Bpe {
   private def symbols(segCol: Column): Column =
     split(segCol.substr(lit(2), length(segCol) - 2), Sep + Sep)
 
+  /** Encode + materialize the segmentation table of a vocabulary —
+    * the one corpus-side pass both trainers share. */
+  private def initSeg(vocab: DataFrame, tokenCol: String,
+      tfCol: String): DataFrame = {
+    val spark = vocab.sparkSession
+    val seg0 = vocab
+      .filter(col(tokenCol).isNotNull && length(col(tokenCol)) >= 1 &&
+        !col(tokenCol).contains(Sep))
+      .select(col(tfCol).cast("long").as("tf"),
+        charSeg(col(tokenCol)).as("seg"))
+    val tmp = graft.SessionTemp.dir("bpe_seg_")
+    seg0.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp)
+  }
+
+  /** Exact tf-weighted adjacent-pair counts of a segmentation table,
+    * ranked (cnt DESC, left ASC, right ASC). */
+  private def rankedPairs(seg: DataFrame): DataFrame =
+    seg
+      .select(col("tf"), symbols(col("seg")).as("sym"))
+      .filter(size(col("sym")) >= 2) // sequence(1, 0) runs backwards
+      .select(col("tf"), explode(transform(
+        sequence(lit(1), size(col("sym")) - 1),
+        i => struct(element_at(col("sym"), i).as("left"),
+          element_at(col("sym"), i + 1).as("right")))).as("pr"))
+      .groupBy(col("pr.left").as("left"), col("pr.right").as("right"))
+      .agg(sum("tf").as("cnt"))
+      .orderBy(desc("cnt"), asc("left"), asc("right"))
+
   /** Train `nMerges` BPE merge rounds over a (token, tf) vocabulary
     * aggregate. Returns the merge table: one row per round —
     * (round, left, right, merged, n_occurrences), ordered by round —
     * where (left, right) was that round's most frequent adjacent
     * symbol pair (ties to the lexicographically first pair) and
     * n_occurrences its exact tf-weighted adjacency count at selection
-    * time. Stops early (fewer rows) if no pair remains. */
+    * time. Stops early (fewer rows) if no pair remains. One Spark job
+    * per merge — the right shape for gated merge lists; for real
+    * tokenizer budgets (30k+ merges) use [[trainMergesBatched]],
+    * which selects provably order-equivalent BATCHES per job. */
   def trainMerges(vocab: DataFrame, nMerges: Int,
       tokenCol: String = "token", tfCol: String = "tf"): DataFrame = {
     require(nMerges > 0, "nMerges must be positive")
     val spark = vocab.sparkSession
     import spark.implicits._
-
-    // one corpus-side pass: encode + materialize the segmentation table
-    val seg0 = vocab
-      .filter(col(tokenCol).isNotNull && length(col(tokenCol)) >= 1 &&
-        !col(tokenCol).contains(Sep))
-      .select(col(tfCol).cast("long").as("tf"),
-        charSeg(col(tokenCol)).as("seg"))
-    var seg = {
-      val tmp = graft.SessionTemp.dir("bpe_seg_")
-      seg0.write.mode("overwrite").parquet(tmp)
-      spark.read.parquet(tmp)
-    }
+    var seg = initSeg(vocab, tokenCol, tfCol)
 
     val merges = scala.collection.mutable.ListBuffer
       .empty[(Long, String, String, String, Long)]
     var exhausted = false
     for (r <- 1 to nMerges if !exhausted) {
-      val best = seg
-        .select(col("tf"), symbols(col("seg")).as("sym"))
-        .filter(size(col("sym")) >= 2) // sequence(1, 0) runs backwards
-        .select(col("tf"), explode(transform(
-          sequence(lit(1), size(col("sym")) - 1),
-          i => struct(element_at(col("sym"), i).as("left"),
-            element_at(col("sym"), i + 1).as("right")))).as("pr"))
-        .groupBy(col("pr.left").as("left"), col("pr.right").as("right"))
-        .agg(sum("tf").as("cnt"))
-        .orderBy(desc("cnt"), asc("left"), asc("right"))
-        .limit(1)
-        .collect()
+      val best = rankedPairs(seg).limit(1).collect()
       if (best.isEmpty) exhausted = true
       else {
         val (l, ri, c) =
@@ -120,6 +130,93 @@ object Bpe {
           val tmp = graft.SessionTemp.dir("bpe_seg_")
           seg.write.mode("overwrite").parquet(tmp)
           seg = spark.read.parquet(tmp)
+        }
+      }
+    }
+    merges.toSeq.toDF("round", "left", "right", "merged", "n_occurrences")
+  }
+
+  /** [[trainMerges]] with BOUNDED job count: each Spark round collects
+    * the top-C pair counts once and accepts a BATCH of up to
+    * `batchSize` merges from it, chosen so the batch is provably
+    * ORDER-EQUIVALENT to running [[trainMerges]] merge by merge
+    * (BpeSpec pins equality on random vocabularies) — the lever that
+    * makes a 30k-merge tokenizer build cost ~30k/batchSize driver
+    * round-trips instead of 30k.
+    *
+    * Batch rule (each clause is load-bearing for equivalence):
+    *  1. Scan the ranked list (cnt DESC, left, right) and accept
+    *     candidates until one INTERACTS with an accepted merge —
+    *     shares a symbol with {leftⱼ, rightⱼ, leftⱼ+rightⱼ}. Applying
+    *     a merge only changes counts of interacting pairs (decreases
+    *     pairs overlapping its instances; creates pairs involving its
+    *     merged symbol, each bounded by an interacting pre-image's
+    *     count: (x, m) ≤ old (x, left), (m, y) ≤ old (right, y),
+    *     (m, m) ≤ old (right, left)) — so every non-interacting
+    *     accepted candidate's count is still exact at its sequential
+    *     turn.
+    *  2. STOP at the first interacting candidate (never skip past it):
+    *     sequentially it may still outrank later candidates after its
+    *     count decreases, so nothing below it may enter this batch.
+    *  3. Trim trailing accepted candidates whose count does not
+    *     STRICTLY exceed the stop candidate's count and the
+    *     uncollected-tail bound (the C-th collected count): a
+    *     created/decreased pair tying an accepted count could win the
+    *     sequential lexicographic tie-break. The first candidate is
+    *     always kept — it is literally the sequential argmax.
+    * Worst case (every top pair chained) the batch degrades to 1 and
+    * the trainer IS [[trainMerges]]; measured rounds at nMerges = 256
+    * in BENCH_sf1 `bpe_scale`. */
+  def trainMergesBatched(vocab: DataFrame, nMerges: Int,
+      batchSize: Int = 16, tokenCol: String = "token",
+      tfCol: String = "tf"): DataFrame = {
+    require(nMerges > 0, "nMerges must be positive")
+    require(batchSize > 0, "batchSize must be positive")
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    var seg = initSeg(vocab, tokenCol, tfCol)
+
+    val merges = scala.collection.mutable.ListBuffer
+      .empty[(Long, String, String, String, Long)]
+    var exhausted = false
+    var sinceMaterialize = 0
+    while (merges.size < nMerges && !exhausted) {
+      val c = math.max(4 * batchSize, 64)
+      val top = rankedPairs(seg).limit(c).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val tailBound = if (top.length == c) top.last.getLong(2) else 0L
+        val maxAccept = math.min(batchSize, nMerges - merges.size)
+        val accepted = scala.collection.mutable.ListBuffer
+          .empty[(String, String, Long)]
+        var stopBound = tailBound
+        var stopped = false
+        var i = 0
+        while (!stopped && accepted.size < maxAccept && i < top.length) {
+          val (l, r, cnt) =
+            (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          val interacts = accepted.exists { case (la, ra, _) =>
+            l == la || l == ra || l == la + ra ||
+              r == la || r == ra || r == la + ra
+          }
+          if (interacts) { stopBound = math.max(stopBound, cnt); stopped = true }
+          else accepted += ((l, r, cnt))
+          i += 1
+        }
+        // strict-dominance trim (rule 3); the head is always kept
+        val batch = accepted.headOption.toList :::
+          accepted.toList.drop(1).takeWhile(_._3 > stopBound)
+        for ((l, r, cnt) <- batch) {
+          merges += ((merges.size + 1L, l, r, l + r, cnt))
+          seg = seg.withColumn("seg", replace(col("seg"),
+            lit(unit(l) + unit(r)), lit(unit(l + r))))
+          sinceMaterialize += 1
+        }
+        if (sinceMaterialize >= rematerializeEvery && merges.size < nMerges) {
+          val tmp = graft.SessionTemp.dir("bpe_seg_")
+          seg.write.mode("overwrite").parquet(tmp)
+          seg = spark.read.parquet(tmp)
+          sinceMaterialize = 0
         }
       }
     }

@@ -109,6 +109,35 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("trainMergesBatched is order-equivalent to trainMerges") {
+    val rnd = new scala.util.Random(23L)
+    for (trial <- 1 to 5) {
+      val alphabet = "abcd"
+      val vocab = (1 to 80).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.groupBy(identity).view
+        .mapValues(_.size.toLong * (1 + rnd.nextInt(4))).toMap
+      val n = 12
+      val seqRows = Bpe.trainMerges(vocabDf(vocab), n)
+        .orderBy("round").collect().map(_.toSeq).toSeq
+      for (b <- Seq(1, 4, 16)) {
+        val batRows = Bpe.trainMergesBatched(vocabDf(vocab), n, batchSize = b)
+          .orderBy("round").collect().map(_.toSeq).toSeq
+        assert(batRows == seqRows, s"trial $trial batchSize $b")
+      }
+    }
+    // chained-top regime: every leading pair interacts -> batch
+    // degrades toward 1 but stays equivalent (aaaa...: (a,a) then
+    // (aa,a)/(aa,aa) chains share symbols)
+    val chain = Map("aaaaaaaa" -> 9L, "aaab" -> 4L)
+    val seqRows = Bpe.trainMerges(vocabDf(chain), 5)
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    val batRows = Bpe.trainMergesBatched(vocabDf(chain), 5, batchSize = 8)
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    assert(batRows == seqRows)
+  }
+
   // ---- corpus tokenization (x9d) ----
 
   /** Reference doc count: segment each whitespace token with the merges

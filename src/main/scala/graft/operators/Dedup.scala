@@ -215,25 +215,32 @@ object Dedup {
     * covers it — keeper windows save only themselves (see
     * [[graft.functions.Sketches.spanCutTokens]]).
     *
-    * Plan shape (the d15 broadcast-set pattern applied to spans): the
-    * flagged hashes collapse to ONE sorted broadcast array (bounded by
-    * census size — spans occurring ≥ minCount are ≤ total_spans /
-    * minCount and in practice orders of magnitude fewer); the keeper
-    * (first-occurrence) entries broadcast-join on the doc id (≤ one
-    * row per flagged span, grouped per doc); the output pass is ONE
-    * corpus scan with a codegen'd in-row rewrite — zero corpus
-    * shuffle. Output (idCol, n_tokens, n_kept, kept_text), one row
-    * per input document (short/empty docs pass through unchanged). If
-    * the flagged set ever outgrew a broadcast, the fallback is d15's
-    * documented move: a Bloom pre-filter at the scan plus an exact
-    * join for probable hits only. */
+    * Plan shape: the flagged hashes ship as ONE sorted ARRAY LITERAL
+    * (bounded by census size — spans occurring ≥ minCount are ≤
+    * total_spans / minCount and in practice orders of magnitude
+    * fewer). A literal rides the task binary — broadcast once per
+    * stage, referenced once per task from generated code — where the
+    * earlier cross-join form attached the array as a COLUMN and the
+    * join's UnsafeRow materialization then memcpy'd the whole set per
+    * corpus row (measured: a 155k-hash set turned the sf10 rewrite
+    * into 69 s of Platform.copyMemory — corpus × |flagged| bytes; the
+    * literal form is 6 s). The keeper (first-occurrence) entries
+    * broadcast-JOIN on the doc id — per-doc arrays are small, so that
+    * join's rows stay narrow. The output pass is ONE corpus scan with
+    * a codegen'd in-row rewrite — zero corpus shuffle. Output (idCol,
+    * n_tokens, n_kept, kept_text), one row per input document
+    * (short/empty docs pass through unchanged). The flagged set is
+    * driver-collected (the same fits-in-one-node ceiling as d15's
+    * broadcast boiler set); if it ever outgrew that, the fallback is
+    * d15's documented move: a Bloom pre-filter at the scan plus an
+    * exact join for probable hits only. */
   def spanDedupCorpus(corpus: DataFrame, census: DataFrame,
       spanTokens: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(spanTokens >= 2, "spanTokens must be at least 2")
     val qt = SqlLit.quoteName(textCol)
-    // the census feeds TWO plan branches (the flagged-set collapse and
-    // the keeper grouping) — materialize it once so an unmaterialized
+    // the census feeds TWO consumers (the flagged-set collapse and the
+    // keeper grouping) — materialize it once so an unmaterialized
     // census argument isn't recomputed corpus-wide per branch (the
     // x14/p14 materialize-before-reuse pattern; the census is small by
     // construction — minCount-filtered span rows)
@@ -243,20 +250,21 @@ object Dedup {
         col("first_pos").cast("int").as("first_pos"))
       .write.mode("overwrite").parquet(tmp)
     val flagged = s.read.parquet(tmp)
-    // one sorted array of flagged hashes (1 row — agg without groupBy)
-    val flaggedSet = flagged
-      .agg(sort_array(collect_list("span_h")).as("__flagged"))
+    // sort_array on the engine side so the order IS UTF8String byte
+    // order (the kernel's binary-search contract), then one literal
+    val flaggedArr: Seq[String] = flagged
+      .agg(sort_array(collect_list("span_h")).as("f"))
+      .head.getSeq[String](0)
     val keepers = flagged
       .groupBy(col("first_doc").as(idCol))
       .agg(collect_list(struct(col("first_pos").as("pos"),
         col("span_h").as("h"))).as("__kp"))
     corpus
       .join(broadcast(keepers), Seq(idCol), "left")
-      .crossJoin(broadcast(flaggedSet))
-      .withColumn("__kept", expr(
-        s"""span_cut($qt, $spanTokens, __flagged,
-           |  coalesce(__kp, cast(array() as array<struct<pos:int,h:string>>)))"""
-          .stripMargin))
+      .withColumn("__kept", call_function("span_cut",
+        col(textCol), lit(spanTokens), lit(flaggedArr.toArray),
+        coalesce(col("__kp"),
+          expr("cast(array() as array<struct<pos:int,h:string>>)"))))
       .select(col(idCol),
         size(expr(s"filter(split($qt, ' '), t -> t != '')"))
           .cast("long").as("n_tokens"),

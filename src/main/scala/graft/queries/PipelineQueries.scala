@@ -2411,12 +2411,14 @@ object PipelineQueries {
   // first occurrence (min (doc_id, pos)), per Lee et al. 2022 —
   // keep-first preserves one copy of duplicated material and the
   // unique remainder of every document, where doc-level dropping would
-  // destroy it. The flagged set broadcasts as ONE sorted array (the
-  // d15 broadcast-set pattern), keeper positions broadcast-join per
-  // doc, and the output pass is one corpus scan with the codegen'd
-  // `span_cut` kernel — zero corpus shuffle. The oracle replays the
-  // census, the keep-first rule and the token-coverage cut
-  // relationally.
+  // destroy it. The flagged set ships as ONE sorted array LITERAL
+  // riding the task binary (a joined constant-array column is
+  // memcpy'd per corpus row by the join's UnsafeRow materialization —
+  // measured 10×; see Dedup.spanDedupCorpus), keeper positions
+  // broadcast-join per doc, and the output pass is one corpus scan
+  // with the codegen'd `span_cut` kernel — zero corpus shuffle. The
+  // oracle replays the census, the keep-first rule and the
+  // token-coverage cut relationally.
   private val d17 = QueryDef(
     "d17_span_dedup",
     (s, dir) => {
@@ -2493,15 +2495,25 @@ object PipelineQueries {
       // (measured: the entire 8 s straggler). The outer variant infers
       // nothing; the explicit isNotNull above the exchange is free
       // (chunks of a non-empty token list is never empty).
-      val boiler = seg
+      // The boiler set ships as a sorted array LITERAL (task-binary
+      // broadcast, referenced once per task) — the earlier
+      // crossJoin(broadcast(1-row-array)) form attached it as a COLUMN
+      // and the join's UnsafeRow materialization memcpy'd the whole
+      // set per corpus row (the d17 lesson: corpus × |set| bytes;
+      // measured 10× on a 155k-entry set). Costs one extra narrow
+      // shuffle (the boiler aggregation is its own query now) — the
+      // right trade the moment the set is non-trivial.
+      val boilerArr: Seq[String] = seg
         .select(col("doc_id"), explode_outer(col("chunks")).as("chunk"))
         .filter(col("chunk").isNotNull)
         .distinct()
         .groupBy("chunk").agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= 5)
         .agg(sort_array(collect_list("chunk")).as("boiler"))
-      seg.crossJoin(broadcast(boiler))
-        .withColumn("kept", expr("array_except_sorted(chunks, boiler)"))
+        .head.getSeq[String](0)
+      seg
+        .withColumn("kept", call_function("array_except_sorted",
+          col("chunks"), lit(boilerArr.toArray)))
         .select(col("doc_id"),
           size(col("chunks")).cast("long").as("n_chunks"),
           size(col("kept")).cast("long").as("n_kept"),

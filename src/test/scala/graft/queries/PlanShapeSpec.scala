@@ -130,6 +130,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"packing window is not partitioned by source:\n${windowLines.mkString("\n")}")
   }
 
+  test("d17: rewrite pass is broadcast-only — kernel probe, no corpus shuffle join") {
+    val plan = finalPlan("d17_span_dedup")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in d17:\n$plan")
+    assert(plan.contains("span_cut"), s"span_cut kernel not in plan:\n$plan")
+    // keepers join the corpus by broadcast on the doc id; the flagged
+    // set must arrive as a LITERAL riding the task binary, NOT as a
+    // joined column — a joined constant array is memcpy'd per corpus
+    // row by the join's UnsafeRow materialization (measured 10x+)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"keeper join is not broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"flagged set attached as a join column instead of a literal:\n$plan")
+  }
+
+  test("p6c: BPE-count packing window keyed by source; vocab join not cartesian") {
+    val plan = finalPlan("p6c_sequence_pack_bpe")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in p6c:\n$plan")
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty, s"no window in p6c:\n$plan")
+    assert(windowLines.forall(_.contains("windowspecdefinition(source")),
+      s"packing window is not partitioned by source:\n${windowLines.mkString("\n")}")
+  }
+
   test("p7: split census has zero joins") {
     val plan = executedPlan("p7_hash_split")
     assert(!plan.contains("Join"), s"join in p7:\n$plan")

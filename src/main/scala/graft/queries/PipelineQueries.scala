@@ -2004,12 +2004,23 @@ object PipelineQueries {
 
   /** The 8 trained merges of the x9b chain, collected in rank order —
     * shared by the apply-side entries (x9c vocabulary segmentation,
-    * x9d corpus tokenization, p6c BPE-count packing). */
+    * x9d corpus tokenization, p6c BPE-count packing). Cached per
+    * (session, dir) — the minhashPairsShared contract: fixture dirs
+    * are immutable during a run, the value is a tiny driver-side list
+    * (8 pairs, nothing pinned on executors), and the cap merely
+    * bounds a long-lived driver sweeping many dirs. */
+  private val mergesCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(String, String)]]()
   private def trainedMerges(s: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(String, String)] =
-    graft.operators.Bpe.trainMerges(bpeVocabDf(s, dir), nMerges = 8)
-      .orderBy("round").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    mergesCache.synchronized {
+      if (mergesCache.size > 8) mergesCache.clear()
+      mergesCache.computeIfAbsent((s, dir), { _ =>
+        graft.operators.Bpe.trainMerges(bpeVocabDf(s, dir), nMerges = 8)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+      })
+    }
 
   /** [[bpeChainSql]] extended with the CORPUS-side segmentation chain:
     * ds0 encodes every document (each whitespace token's char

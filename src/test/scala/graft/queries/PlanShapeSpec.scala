@@ -542,16 +542,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"e10b planned a product:\n$plan")
   }
 
-  test("d15: the only corpus-side join is the 1-row boilerplate broadcast") {
+  test("d15: the output pass is JOIN-FREE — boiler set inlined as a literal") {
     val plan = finalPlan("d15_boilerplate_removal")
-    // output pass = scan + broadcast filter; the corpus never shuffles
-    // for the join (the DF count's aggregate exchanges are chunk-sized)
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
-      !plan.contains("BroadcastHashJoin"),
-      s"boilerplate set joined by shuffle instead of broadcast:\n$plan")
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastExchange"),
-      s"boilerplate set not broadcast:\n$plan")
+    // r17: the boiler set ships as an array LITERAL riding the task
+    // binary (referenced once per task) — the earlier 1-row broadcast
+    // cross join attached it as a COLUMN and the join's UnsafeRow
+    // materialization memcpy'd the whole set per corpus row
+    assert(!plan.contains("Join"), s"join in the d15 output pass:\n$plan")
+    assert(plan.contains("array_except_sorted"),
+      s"literal probe kernel missing:\n$plan")
   }
 
   test("p12: shard order is a per-shard window, no corpus-wide self-join") {

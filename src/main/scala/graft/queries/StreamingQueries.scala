@@ -857,6 +857,42 @@ object StreamingQueries {
          |FROM vec_min ORDER BY vec_id""".stripMargin
     })
 
+  // D18 — STREAMING INCREMENTAL SPAN CENSUS: the span wing's durable
+  // streaming member (d16 batch census → d17 action → d18 incremental
+  // build), via [[graft.streaming.IncrementalSpanCensus]]. Per-batch
+  // (span_h, n_docs, n_occurrences) partials are ADDITIVE (a doc
+  // arrives in exactly one batch), so the merged census is a sum over
+  // batch-addressed partitions — and compaction therefore CANNOT use
+  // the dedup index's duplicate-tolerant superset semantics: the
+  // reader ignores every partition at or below the highest published
+  // compacted id, making the publish rename the commit point
+  // (IncrementalSpanCensusSpec drives the mid-stream crash, every
+  // compaction failpoint, and sliced == unsliced equivalence). The
+  // oracle is d16's census SQL, exact (no sampling), whole corpus at
+  // once — batch slicing must be invisible.
+  private val d18Runs = new java.util.concurrent.atomic.AtomicLong(0)
+  private val d18 = QueryDef(
+    "d18_stream_span_census",
+    (s, dir) => {
+      val runId = d18Runs.incrementAndGet()
+      val workDir = s"$e3TmpRoot/d18_$runId"
+      graft.streaming.IncrementalSpanCensus.run(s, dir, workDir)
+      graft.streaming.IncrementalSpanCensus.census(s, workDir)
+        .orderBy("span_h")
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 8 + 2),
+        |    i -> md5(array_to_string(ts[i:i+7], ' ')))) AS span_h
+        |  FROM t WHERE len(ts) >= 8)
+        |SELECT span_h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM sp GROUP BY span_h HAVING COUNT(*) >= 2
+        |ORDER BY span_h""".stripMargin))
+
   // ---- shared topic-log fixture plumbing (s2b / k2b) ----
 
   private val topicsCache =
@@ -1230,5 +1266,6 @@ object StreamingQueries {
     k2.oracle)
 
   val defs: Seq[QueryDef] =
-    Seq(k2, s2, s2b, k2b, k2c, k2d, k2e, e3, d7, d8, d12, d13, d14, e4, e6, e7)
+    Seq(k2, s2, s2b, k2b, k2c, k2d, k2e, e3, d7, d8, d12, d13, d14, d18, e4,
+      e6, e7)
 }

@@ -1,0 +1,186 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming twin of the d16/d17 span wing's BUILD side: a
+  * continuously-arriving document stream maintains a PERSISTENT
+  * cross-document repeated-span census (the Lee et al. 2022
+  * exact-substring-dedup primitive) across micro-batches AND
+  * crash/restart — on plain parquet, no transactional table format,
+  * the [[IncrementalDedup]] layout discipline applied to ADDITIVE
+  * state.
+  *
+  * Census partials are per-batch (span_h, n_docs, n_occurrences)
+  * aggregates; because every document arrives in exactly one batch,
+  * both counts are ADDITIVE across batches — the merged census is a
+  * sum, never a distinct-merge. That additivity changes the
+  * crash-safety contract vs the dedup index:
+  *  - per-batch partitions (`census/batch=<id>`, overwrite) stay
+  *    idempotent under checkpoint replay exactly like
+  *    [[IncrementalDedup]] (same batch id ⇒ same file set ⇒ same
+  *    partial, overwritten in place);
+  *  - but compaction CANNOT use [[BatchedParquetIndex]]'s
+  *    duplicate-tolerant publish-then-delete (a crash between publish
+  *    and delete would leave rows counted TWICE). Instead the READER
+  *    enforces a preference rule: partitions with id ≤ the highest
+  *    published `compacted=<n>` are invisible — so publishing the
+  *    merged partition IS the commit point, and every crash point
+  *    (before publish, after publish, mid-delete) leaves the visible
+  *    census exactly correct, never a superset.
+  *
+  * At 100 TB the per-batch partial is batch-span-vocabulary-sized
+  * (map-side partials absorb within-batch repeats); the merged census
+  * read is one sum over the visible partitions; [[run]] compacts on a
+  * cadence so the partition count stays bounded over a long-lived
+  * stream. The batch census consumer is [[graft.operators.Dedup
+  * .spanDedupCorpus]] — n_occurrences from this census is the same
+  * number (first-occurrence keepers need the batch census's positions,
+  * so the streaming census carries counts only: the DIAGNOSTIC the d16
+  * entry gates, maintained incrementally). */
+object IncrementalSpanCensus {
+
+  /** batches that already threw once, keyed (workDir, batchId) — the
+    * injected crash fires on the first attempt only. */
+  private val thrown = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def run(s: SparkSession, docsDir: String, workDir: String,
+      spanTokens: Int = 8, failAtBatch: Option[Long] = None,
+      compactEvery: Int = 16): Unit = {
+    val schema = s.read.option("pathGlobFilter", "documents*.parquet")
+      .parquet(docsDir).schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
+        runBatch(batch, id.toLong, workDir, spanTokens)
+        if (failAtBatch.contains(id.toLong) &&
+            thrown.add(s"$workDir#$id"))
+          throw new RuntimeException(
+            s"injected crash after batch $id writes, before commit")
+        // strictly prior batches only (id - 1): if we crash here and
+        // batch `id` replays, its own partition must stay un-compacted
+        // so the overwrite replay addresses exactly its old partition
+        if (compactEvery > 0 && id.toLong > 0 &&
+            id.toLong % compactEvery == 0)
+          compact(batch.sparkSession, workDir, id.toLong - 1)
+        ()
+      }
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private[streaming] def runBatch(batch: DataFrame, id: Long,
+      workDir: String, spanTokens: Int): Unit =
+    batch
+      .select(col("doc_id"), explode_outer(
+        expr(s"span_hashes(text, $spanTokens, 1L)")).as("span_h"))
+      .filter(col("span_h").isNotNull)
+      .groupBy("span_h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .write.mode("overwrite").parquet(s"$workDir/census/batch=$id")
+
+  private def partId(name: String): Option[(Boolean, Long)] = {
+    val eq = name.indexOf('=')
+    if (eq < 0) None
+    else name.take(eq) match {
+      case "batch" =>
+        try Some((false, name.drop(eq + 1).toLong))
+        catch { case _: NumberFormatException => None }
+      case "compacted" =>
+        try Some((true, name.drop(eq + 1).toLong))
+        catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+  }
+
+  private def allParts(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[(Path, Boolean, Long)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .flatMap(p => partId(p.getName).map { case (c, n) => (p, c, n) })
+
+  /** The VISIBLE partitions under the preference rule: the highest
+    * published `compacted=<n>` plus every `batch=<k>` with k > n.
+    * Anything with id ≤ n is already summed into the compacted
+    * partition — reading it too would double-count. */
+  private def visibleParts(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[Path] = {
+    val all = allParts(fs, root)
+    val maxC = all.collect { case (_, true, n) => n }
+      .foldLeft(-1L)(math.max)
+    all.collect {
+      case (p, true, n) if n == maxC => p
+      case (p, false, n) if n > maxC => p
+    }
+  }
+
+  /** The merged census: (span_h, n_docs, n_occurrences) over every
+    * document streamed so far, spans occurring ≥ `minCount` times. */
+  def census(s: SparkSession, workDir: String,
+      minCount: Long = 2L): DataFrame = {
+    val root = new Path(s"$workDir/census")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ps = visibleParts(fs, root)
+    require(ps.nonEmpty, s"no census partitions under $root")
+    s.read.parquet(ps.map(_.toString): _*)
+      .groupBy("span_h")
+      .agg(sum("n_docs").as("n_docs"),
+        sum("n_occurrences").as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+  }
+
+  /** Sum-merge every visible partition with id ≤ `upToBatch` into ONE
+    * `compacted=<upToBatch>` partition, then delete the sources.
+    * Crash-safe by publish-then-delete + the reader's preference rule
+    * (see object Scaladoc): the rename IS the commit — before it the
+    * tmp is `_`-invisible, after it every source with id ≤ upToBatch
+    * is reader-invisible whether or not its delete completed. A re-run
+    * that finds the target published skips the merge and finishes the
+    * deletions. `failpoint` injects test crashes. */
+  def compact(s: SparkSession, workDir: String, upToBatch: Long,
+      failpoint: String = ""): Unit = {
+    val root = new Path(s"$workDir/census")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("_compact_"))
+      .foreach(p => fs.delete(p, true))
+    val target = new Path(s"$workDir/census/compacted=$upToBatch")
+    val mergeable = visibleParts(fs, root).filter { p =>
+      partId(p.getName).exists(_._2 <= upToBatch) &&
+        p.getName != target.getName
+    }
+    if (!fs.exists(target)) {
+      if (mergeable.size <= 1) return
+      val tmp = new Path(s"$workDir/census/_compact_$upToBatch")
+      s.read.parquet(mergeable.map(_.toString): _*)
+        .groupBy("span_h")
+        .agg(sum("n_docs").as("n_docs"),
+          sum("n_occurrences").as("n_occurrences"))
+        .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      if (failpoint == "before-publish")
+        throw new RuntimeException("injected compaction crash before publish")
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"rename $tmp -> $target failed")
+    }
+    if (failpoint == "after-publish")
+      throw new RuntimeException("injected compaction crash after publish")
+    // delete EVERYTHING with id <= upToBatch (visible or stale —
+    // all of it is represented in the target)
+    allParts(fs, root).collect {
+      case (p, _, n) if n <= upToBatch && p.getName != target.getName => p
+    }.foreach { p =>
+      fs.delete(p, true)
+      if (failpoint == "mid-delete")
+        throw new RuntimeException("injected compaction crash mid-delete")
+    }
+  }
+}

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exactly-once of the durable streaming span census under mid-stream
+  * crashes. The bar is HIGHER than the dedup index's: census partials
+  * are additive sums, so a crash may never leave even a harmless
+  * superset — a double-counted partition is a WRONG census, not a
+  * conservative one. The reader's compacted-id preference rule is what
+  * makes the publish rename the commit point; this spec crashes a
+  * batch after its writes, crashes compaction at every failpoint, and
+  * pins sliced == unsliced against a batch oracle after each. */
+class IncrementalSpanCensusSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val SpanTokens = 3
+
+  private def writeSlice(dir: String, idx: Int,
+      rows: Seq[(Long, String)]): Unit = {
+    rows.map { case (id, t) => (id, t, "en", s"src$idx", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(f"$dir/_tmp_$idx")
+    val p = java.nio.file.Paths.get(f"$dir/_tmp_$idx")
+    val part = java.nio.file.Files.list(p)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.move(part,
+      java.nio.file.Paths.get(f"$dir/documents-$idx%02d.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+  }
+
+  /** 4 slices x 6 docs over a tiny alphabet — repeated 3-token spans
+    * within docs, within slices, and across slices. */
+  private def writeSlices(dir: String): Unit =
+    for (slice <- 0 until 4)
+      writeSlice(dir, slice, (0 until 6).map { i =>
+        val id = slice * 6L + i
+        val toks = (0 until 6).map(j => s"w${(id + j) % 5}")
+        id -> toks.mkString(" ")
+      })
+
+  private def censusSet(workDir: String): Set[(String, Long, Long)] =
+    IncrementalSpanCensus.census(spark, workDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def oracleSet(docsDir: String): Set[(String, Long, Long)] =
+    spark.read.option("pathGlobFilter", "documents*.parquet")
+      .parquet(docsDir)
+      .select(col("doc_id"), explode_outer(
+        expr(s"span_hashes(text, $SpanTokens, 1L)")).as("span_h"))
+      .filter(col("span_h").isNotNull)
+      .groupBy("span_h")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def partNames(workDir: String): Seq[String] =
+    new java.io.File(s"$workDir/census").listFiles()
+      .map(_.getName).filter(n =>
+        n.startsWith("batch=") || n.startsWith("compacted="))
+      .toSeq.sorted
+
+  test("crash after batch-1 writes, restart: census is exact (sliced == unsliced)") {
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_d18_docs_").toString
+    val workDir = java.nio.file.Files.createTempDirectory("graft_d18_work_").toString
+    writeSlices(docsDir)
+    val crashed = intercept[Exception] {
+      IncrementalSpanCensus.run(spark, docsDir, workDir,
+        spanTokens = SpanTokens, failAtBatch = Some(1L))
+    }
+    assert(crashed.getMessage != null &&
+      (crashed.getMessage.contains("injected crash") ||
+        String.valueOf(crashed.getCause).contains("injected crash")),
+      s"unexpected failure: $crashed")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$workDir/census/batch=1")),
+      "failed attempt's partition must exist — the replay hazard is real")
+    IncrementalSpanCensus.run(spark, docsDir, workDir, spanTokens = SpanTokens)
+    assert(censusSet(workDir) === oracleSet(docsDir),
+      "replayed batch double-counted or lost spans")
+  }
+
+  test("compaction crash at every failpoint: the census stays EXACT, never a superset") {
+    for (failpoint <- Seq("before-publish", "after-publish", "mid-delete")) {
+      val docsDir = java.nio.file.Files
+        .createTempDirectory("graft_d18x_docs_").toString
+      val workDir = java.nio.file.Files
+        .createTempDirectory("graft_d18x_work_").toString
+      writeSlices(docsDir)
+      IncrementalSpanCensus.run(spark, docsDir, workDir,
+        spanTokens = SpanTokens)
+      val before = censusSet(workDir)
+      assert(before === oracleSet(docsDir), s"[$failpoint] pre-compaction")
+      val crashed = intercept[RuntimeException] {
+        IncrementalSpanCensus.compact(spark, workDir, upToBatch = 3L,
+          failpoint = failpoint)
+      }
+      assert(crashed.getMessage.contains("injected compaction crash"),
+        s"[$failpoint] unexpected failure: $crashed")
+      // the additive bar: after ANY crash point the visible census is
+      // exactly the oracle — double-counting is as wrong as loss
+      assert(censusSet(workDir) === before, s"[$failpoint] census drifted")
+      // more data through the same checkpoint still merges correctly
+      writeSlice(docsDir, 4, Seq(
+        24L -> "w0 w1 w2 w3 w4 w0", // repeats earlier spans
+        25L -> "zz yy xx"))         // brand-new spans (single occurrence)
+      IncrementalSpanCensus.run(spark, docsDir, workDir,
+        spanTokens = SpanTokens)
+      assert(censusSet(workDir) === oracleSet(docsDir), s"[$failpoint]")
+      // a re-run of the same compaction recovers to the clean layout
+      IncrementalSpanCensus.compact(spark, workDir, upToBatch = 3L)
+      val names = partNames(workDir)
+      assert(names === Seq("batch=4", "compacted=3"),
+        s"[$failpoint] recovery left: $names")
+      assert(censusSet(workDir) === oracleSet(docsDir),
+        s"[$failpoint] post-recovery")
+    }
+  }
+
+  test("in-pipeline cadence bounds partitions over 30 batches; census exact") {
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_d18l_docs_").toString
+    val workDir = java.nio.file.Files.createTempDirectory("graft_d18l_work_").toString
+    for (slice <- 0 until 30)
+      writeSlice(docsDir, slice, (0 until 2).map { i =>
+        val id = slice * 2L + i
+        id -> (0 until 5).map(j => s"t${(id + j) % 7}").mkString(" ")
+      })
+    IncrementalSpanCensus.run(spark, docsDir, workDir,
+      spanTokens = SpanTokens, compactEvery = 8)
+    val names = partNames(workDir)
+    assert(names.count(_.startsWith("compacted=")) === 1, s"census: $names")
+    assert(names.size <= 8, s"unbounded partition growth: $names")
+    assert(censusSet(workDir) === oracleSet(docsDir))
+  }
+}

@@ -3184,11 +3184,89 @@ object PipelineQueries {
          |WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.4
          |ORDER BY doc_id, eval_id""".stripMargin))
 
+  // P15 — the END-TO-END CURATION PIPELINE as one gated entry: the
+  // stages a user of this engine actually chains — exact dedup
+  // (min-id keeper, Dedup.exactDuplicates' rule) → benchmark
+  // decontamination (p3's exact 4-gram rule, eval docs leave the
+  // corpus too) → quality-ranked token-budget selection (half the
+  // surviving tokens, Selection.selectByTokenBudget). Every stage is a
+  // LIBRARY call; the entry only wires them — the point is proving the
+  // operators COMPOSE under the oracle, not any new primitive. The
+  // oracle replays the full chain relationally (keeper join →
+  // gram-hash semi-join → richness metric → aggregate-bounded running
+  // sum), so stage boundaries can't hide a semantics drift. Scale
+  // shape inherits from the stages: one hash-groupBy, one broadcast
+  // eval probe, the p13 never-sort-the-corpus selection; the metric
+  // relation is materialized once (the x16 pattern).
+  private val p15 = QueryDef(
+    "p15_curation_pipeline",
+    (s, dir) => {
+      import graft.operators.{Decontamination, Dedup, Selection}
+      val d = docs(s, dir)
+      val keepIds = Dedup.exactDuplicates(d)
+        .select(col("keeper_doc_id").as("doc_id"))
+      val deduped = d.join(keepIds, Seq("doc_id"), "left_semi")
+      val grams = Decontamination.ngramHashes(deduped, 4)
+      val evalG = grams.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("eval_id"), col("gh")).distinct()
+      val flagged = Decontamination
+        .flagExact(grams.filter(pmod(col("doc_id"), lit(97)) =!= 0), evalG)
+        .select(col("doc_id"))
+      val clean = deduped
+        .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .join(flagged, Seq("doc_id"), "left_anti")
+      val tmp = graft.SessionTemp.dir("graft_p15_")
+      Selection.vocabRichnessMicro(clean)
+        .write.mode("overwrite").parquet(tmp)
+      val m = s.read.parquet(tmp)
+      Selection.selectByTokenBudget(m,
+        Selection.tokenBudgetFraction(m, num = 1, den = 2))
+    },
+    Some(
+      """WITH keep AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |dd AS (SELECT d.doc_id, d.text FROM documents d
+        |       JOIN keep USING (doc_id)),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM dd),
+        |g4 AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 4 THEN
+        |    list_transform(generate_series(1, len(ts) - 3), i ->
+        |      ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
+        |    ELSE [] END)) AS g
+        |  FROM toks),
+        |gh AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh FROM g4),
+        |ev AS (SELECT DISTINCT gh FROM gh WHERE doc_id % 97 = 0),
+        |flagged AS (
+        |  SELECT DISTINCT doc_id FROM gh
+        |  WHERE doc_id % 97 <> 0 AND gh IN (SELECT gh FROM ev)),
+        |clean AS (
+        |  SELECT * FROM toks
+        |  WHERE doc_id % 97 <> 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+        |m AS (
+        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+        |    CASE WHEN len(ts) = 0 THEN 0
+        |         ELSE CAST(CAST(1000000 AS BIGINT) * len(list_distinct(ts))
+        |              // len(ts) AS BIGINT) END AS quality_micro
+        |  FROM clean),
+        |tot AS (SELECT CAST(SUM(n_tok) * 1 // 2 AS BIGINT) AS b FROM m),
+        |sel AS (
+        |  SELECT doc_id, quality_micro, n_tok,
+        |    SUM(n_tok) OVER (ORDER BY quality_micro DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM m)
+        |SELECT doc_id, quality_micro, n_tok
+        |FROM sel, tot WHERE cum <= b
+        |ORDER BY quality_micro DESC, doc_id""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, d16, d17, c1q, c1bq, c2q,
     sim1, sim2, sim3, sim4,
     x1, x2, x3, x4, x5, x6, x7, x8, x9, x9b, x9c, x9d, x10, x11, x11b, x12,
     x13, x14, x15, x15b, x16, x17,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e5c, e9, e10, e10b,
-    p1, p2, p3, p4, p5, p6, p6b, p6c, p7, p8, p9, p10, p11, p12, p13, p14)
+    p1, p2, p3, p4, p5, p6, p6b, p6c, p7, p8, p9, p10, p11, p12, p13, p14,
+    p15)
 }

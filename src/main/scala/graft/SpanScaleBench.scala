@@ -44,6 +44,45 @@ object SpanScaleBench {
         f""""census_sec":$sec%.2f,"repeated_spans":$repeated,"sf":"$sfDir"}""")
     }
 
+    if (sys.env.get("GRAFT_SPAN_STREAM").contains("1")) {
+      // d18 sliced-arrival point: split the fixture into 8 doc_id-range
+      // slices (cached per sfDir) and run the durable incremental
+      // census one slice per micro-batch, compacting every 4 batches
+      val sliceDir = new java.io.File(
+        s"/tmp/graft_span_slices_${new java.io.File(sfDir).getName}")
+      if (!sliceDir.exists()) {
+        sliceDir.mkdirs()
+        val all = Records.table(spark, sfDir, "documents")
+        val mm = all.agg(min("doc_id"), max("doc_id")).collect()(0)
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val width = (hi - lo) / 8 + 1
+        for (i <- 0 until 8) {
+          val tmp = s"$sliceDir/_tmp_$i"
+          all.filter(col("doc_id") >= lo + i * width &&
+              col("doc_id") < lo + (i + 1) * width)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(part, java.nio.file.Paths.get(
+            f"$sliceDir/documents-$i%02d.parquet"))
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(tmp))
+        }
+      }
+      val workDir = SessionTemp.dir("span_stream_")
+      val t0 = System.nanoTime()
+      graft.streaming.IncrementalSpanCensus.run(spark,
+        sliceDir.toString, workDir, compactEvery = 4)
+      val runSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val censusRows = graft.streaming.IncrementalSpanCensus
+        .census(spark, workDir).count()
+      val readSec = (System.nanoTime() - t1) / 1e9
+      println(f"""{"metric":"span_stream","docs":$n,"batches":8,""" +
+        f""""run_sec":$runSec%.2f,"census_read_sec":$readSec%.2f,""" +
+        f""""repeated_spans":$censusRows,"sf":"$sfDir"}""")
+    }
+
     if (sys.env.get("GRAFT_SPAN_DEDUP").contains("1")) {
       val t0 = System.nanoTime()
       val census = Dedup.spanCensusWithFirst(docs, spanTokens = 8)

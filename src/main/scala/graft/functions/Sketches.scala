@@ -190,23 +190,76 @@ object Sketches {
     new GenericArrayData(out.toArray)
   }
 
+  /** 16-byte-record comparison inside a packed digest array. */
+  private def compareRec(packed: Array[Byte], off: Int,
+      d: Array[Byte]): Int = {
+    var i = 0
+    while (i < 16) {
+      val a = packed(off + i) & 0xff
+      val b = d(i) & 0xff
+      if (a != b) return a - b
+      i += 1
+    }
+    0
+  }
+
+  /** Binary search for a raw md5 digest in an ascending packed array
+    * of 16-byte records. Raw-byte order equals hex-string order (hex
+    * digits ascend in ASCII), so an engine-side `sort_array` of hex
+    * hashes packs directly into this layout. */
+  private def containsDigest(packed: Array[Byte], nRec: Int,
+      d: Array[Byte]): Boolean = {
+    var lo = 0
+    var hi = nRec - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = compareRec(packed, mid * 16, d)
+      if (c == 0) return true
+      if (c < 0) lo = mid + 1 else hi = mid - 1
+    }
+    false
+  }
+
+  /** Does the 32-hex-char string `kh` encode digest `d`? */
+  private def matchesHex(kh: UTF8String, d: Array[Byte]): Boolean = {
+    if (kh.numBytes() != 32) return false
+    var q = 0
+    while (q < 16) {
+      if (kh.getByte(2 * q) != HexDigits((d(q) >> 4) & 0xf).toByte ||
+          kh.getByte(2 * q + 1) != HexDigits(d(q) & 0xf).toByte)
+        return false
+      q += 1
+    }
+    true
+  }
+
   /** The REWRITE kernel of the exact-substring dedup action pass
     * (d17, [[graft.operators.Dedup.spanDedupCorpus]]): tokenize like
     * [[spanHashes]], md5 every `n`-token window, and CUT (mark every
-    * covered token removed) each window whose hash is in the
-    * ASCENDING-sorted `flagged` array — unless this document holds
-    * that span's recorded FIRST occurrence at this position (`keepers`:
-    * (pos, hash) struct entries for THIS document). Returns the
-    * surviving tokens in original order.
+    * covered token removed) each window whose digest is in `flagged` —
+    * a single BINARY blob of ascending 16-byte raw md5 digests (packed
+    * from the engine-sorted hex census: raw-byte order == hex order) —
+    * unless this document holds that span's recorded FIRST occurrence
+    * at this position (`keepers`: (pos, hex hash) struct entries for
+    * THIS document). Returns the surviving tokens in original order.
+    *
+    * The packed-binary flagged set is deliberate: a binary literal
+    * renders as an opaque reference in plan strings (an array-of-
+    * strings literal prints every element into every explain/UI/event
+    * log — MBs per render at census scale), halves the shipped bytes
+    * vs hex, and the probe compares raw digest bytes with NO per-window
+    * hex encoding or string allocation — the hex encode runs only on
+    * the rare flagged hit, to match the keeper entry.
     *
     * Keeper occurrences are preserved unless overlapped by a cut
     * occurrence — the overlap-merge behavior of a span cut: a token is
     * removed iff ANY flagged non-keeper window covers it, keeper
     * membership saves only the windows it names. Per row: one md5 +
-    * one log|flagged| binary probe per window, keeper lookups O(1) via
-    * a per-row position map. n < 1, no windows, or an empty flagged
-    * set → tokens unchanged. */
-  def spanCutTokens(text: UTF8String, n: Int, flagged: ArrayData,
+    * one log|flagged| byte-compare probe per window, keeper lookups
+    * O(1) via a per-row position map. n < 1, no windows, or an empty
+    * flagged set → tokens unchanged; a flagged blob whose length is
+    * not a multiple of 16 is rejected. */
+  def spanCutTokens(text: UTF8String, n: Int, flagged: Array[Byte],
       keepers: ArrayData): ArrayData = {
     val it = text.toString.split(" ", -1)
     val toks = new java.util.ArrayList[String]()
@@ -215,6 +268,9 @@ object Sketches {
       if (!it(i).isEmpty) toks.add(it(i))
       i += 1
     }
+    require(flagged.length % 16 == 0,
+      s"flagged blob must pack 16-byte digests, got ${flagged.length} bytes")
+    val nFlagged = flagged.length / 16
     val nTok = toks.size
     def allToks(): ArrayData = {
       val out = new Array[Any](nTok)
@@ -224,7 +280,7 @@ object Sketches {
     }
     if (n < 1) return allToks()
     val m = nTok - n + 1
-    if (m <= 0 || flagged.numElements() == 0) return allToks()
+    if (m <= 0 || nFlagged == 0) return allToks()
     val km = new java.util.HashMap[Integer, UTF8String]()
     var k = 0
     val nKeep = keepers.numElements()
@@ -262,17 +318,9 @@ object Sketches {
       md.reset()
       md.update(buf, starts(i), ends(i + n - 1) - starts(i))
       val d = md.digest()
-      val hexB = new Array[Byte](32)
-      var q = 0
-      while (q < 16) {
-        hexB(2 * q) = HexDigits((d(q) >> 4) & 0xf).toByte
-        hexB(2 * q + 1) = HexDigits(d(q) & 0xf).toByte
-        q += 1
-      }
-      val hex = UTF8String.fromBytes(hexB)
-      if (containsSorted(flagged, hex)) {
+      if (containsDigest(flagged, nFlagged, d)) {
         val kh = km.get(i)
-        if (kh == null || !kh.equals(hex)) {
+        if (kh == null || !matchesHex(kh, d)) {
           var j = i
           while (j < i + n) { removed(j) = true; j += 1 }
         }
@@ -513,13 +561,13 @@ case class SpanHashes(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
-/** `span_cut(text STRING, n INT, flagged ARRAY<STRING>,
+/** `span_cut(text STRING, n INT, flagged BINARY,
   * keepers ARRAY<STRUCT<pos INT, h STRING>>) -> ARRAY<STRING>` — the
   * exact-substring dedup rewrite: surviving tokens after cutting every
   * flagged non-keeper n-token window occurrence
-  * ([[Sketches.spanCutTokens]]). `flagged` must be ascending-sorted
-  * (the `sort_array` of the flagged census hashes — the broadcast-set
-  * probe of d15 applied to spans). */
+  * ([[Sketches.spanCutTokens]]). `flagged` packs ascending raw
+  * 16-byte md5 digests into one binary blob (raw-byte order equals
+  * hex order — pack straight from the engine-sorted hex census). */
 case class SpanCut(first: Expression, second: Expression,
     third: Expression, fourth: Expression) extends QuaternaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -528,7 +576,7 @@ case class SpanCut(first: Expression, second: Expression,
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-    import org.apache.spark.sql.types.{IntegerType, StructType}
+    import org.apache.spark.sql.types.{BinaryType, IntegerType, StructType}
     val keeperOk = fourth.dataType match {
       case ArrayType(s: StructType, _) if s.fields.length == 2 =>
         s.fields(0).dataType == IntegerType &&
@@ -536,10 +584,10 @@ case class SpanCut(first: Expression, second: Expression,
       case _ => false
     }
     (first.dataType, second.dataType, third.dataType) match {
-      case (StringType, IntegerType, ArrayType(StringType, _)) if keeperOk =>
+      case (StringType, IntegerType, BinaryType) if keeperOk =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        "span_cut requires (STRING, INT, ARRAY<STRING>, " +
+        "span_cut requires (STRING, INT, BINARY, " +
           s"ARRAY<STRUCT<INT, STRING>>), got ${first.dataType.catalogString}, " +
           s"${second.dataType.catalogString}, ${third.dataType.catalogString}, " +
           s"${fourth.dataType.catalogString}")
@@ -549,7 +597,7 @@ case class SpanCut(first: Expression, second: Expression,
   override protected def nullSafeEval(text: Any, n: Any, flagged: Any,
       keepers: Any): Any =
     Sketches.spanCutTokens(text.asInstanceOf[UTF8String],
-      n.asInstanceOf[Number].intValue, flagged.asInstanceOf[ArrayData],
+      n.asInstanceOf[Number].intValue, flagged.asInstanceOf[Array[Byte]],
       keepers.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -251,10 +251,24 @@ object Dedup {
       .write.mode("overwrite").parquet(tmp)
     val flagged = s.read.parquet(tmp)
     // sort_array on the engine side so the order IS UTF8String byte
-    // order (the kernel's binary-search contract), then one literal
-    val flaggedArr: Seq[String] = flagged
+    // order, then pack the hex hashes as raw 16-byte digests into ONE
+    // binary literal (raw-byte order == hex order): a binary literal
+    // renders opaquely in plan strings where an array-of-strings
+    // literal would print the whole census into every explain, and the
+    // kernel probes raw digest bytes with no per-window hex encode
+    val flaggedHex: Seq[String] = flagged
       .agg(sort_array(collect_list("span_h")).as("f"))
       .head.getSeq[String](0)
+    val packed = new Array[Byte](flaggedHex.length * 16)
+    flaggedHex.zipWithIndex.foreach { case (h, i) =>
+      require(h.length == 32, s"span hash is not 32 hex chars: $h")
+      var q = 0
+      while (q < 16) {
+        packed(i * 16 + q) = ((Character.digit(h.charAt(2 * q), 16) << 4) |
+          Character.digit(h.charAt(2 * q + 1), 16)).toByte
+        q += 1
+      }
+    }
     val keepers = flagged
       .groupBy(col("first_doc").as(idCol))
       .agg(collect_list(struct(col("first_pos").as("pos"),
@@ -262,7 +276,7 @@ object Dedup {
     corpus
       .join(broadcast(keepers), Seq(idCol), "left")
       .withColumn("__kept", call_function("span_cut",
-        col(textCol), lit(spanTokens), lit(flaggedArr.toArray),
+        col(textCol), lit(spanTokens), lit(packed),
         coalesce(col("__kp"),
           expr("cast(array() as array<struct<pos:int,h:string>>)"))))
       .select(col(idCol),

@@ -159,11 +159,14 @@ object Bpe {
     *     sequentially it may still outrank later candidates after its
     *     count decreases, so nothing below it may enter this batch.
     *  3. Trim trailing accepted candidates whose count does not
-    *     STRICTLY exceed the stop candidate's count and the
-    *     uncollected-tail bound (the C-th collected count): a
-    *     created/decreased pair tying an accepted count could win the
-    *     sequential lexicographic tie-break. The first candidate is
-    *     always kept — it is literally the sequential argmax.
+    *     STRICTLY exceed the first UNACCEPTED collected candidate's
+    *     count (which, by sort order, bounds every unaccepted
+    *     collected pair — interacting or not, scanned or cut off at
+    *     `batchSize`) and the uncollected-tail bound (the C-th
+    *     collected count): a created/decreased pair tying an accepted
+    *     count could win the sequential lexicographic tie-break. The
+    *     first candidate is always kept — it is literally the
+    *     sequential argmax.
     * Worst case (every top pair chained) the batch degrades to 1 and
     * the trainer IS [[trainMerges]]; measured rounds at nMerges = 256
     * in BENCH_sf1 `bpe_scale`. */
@@ -189,7 +192,6 @@ object Bpe {
         val maxAccept = math.min(batchSize, nMerges - merges.size)
         val accepted = scala.collection.mutable.ListBuffer
           .empty[(String, String, Long)]
-        var stopBound = tailBound
         var stopped = false
         var i = 0
         while (!stopped && accepted.size < maxAccept && i < top.length) {
@@ -199,10 +201,20 @@ object Bpe {
             l == la || l == ra || l == la + ra ||
               r == la || r == ra || r == la + ra
           }
-          if (interacts) { stopBound = math.max(stopBound, cnt); stopped = true }
-          else accepted += ((l, r, cnt))
-          i += 1
+          if (interacts) stopped = true
+          else { accepted += ((l, r, cnt)); i += 1 }
         }
+        // the dominance bound folds the FIRST unaccepted collected
+        // candidate (the ranked list is sorted, so that count bounds
+        // every unaccepted collected pair — interacting ones included,
+        // whether the scan saw them or stopped at maxAccept first)
+        // plus the uncollected tail: an interacting pair tying an
+        // accepted count could steal the sequential lexicographic
+        // tie-break through a pair it creates, so the trim must be
+        // strict against ALL of them, not just the stop candidate
+        val stopBound =
+          if (i < top.length) math.max(tailBound, top(i).getLong(2))
+          else tailBound
         // strict-dominance trim (rule 3); the head is always kept
         val batch = accepted.headOption.toList :::
           accepted.toList.drop(1).takeWhile(_._3 > stopBound)

@@ -127,6 +127,21 @@ class BpeSpec extends AnyFunSuite {
         assert(batRows == seqRows, s"trial $trial batchSize $b")
       }
     }
+    // tie-dense regime: two-letter alphabet, uniform tf -> exact count
+    // collisions everywhere, the case where a created pair could steal
+    // a lexicographic tie-break from a trimmed-too-little batch
+    val rnd2 = new scala.util.Random(101L)
+    for (trial <- 1 to 8) {
+      val vocab = (1 to 40).map { _ =>
+        (1 to (2 + rnd2.nextInt(5)))
+          .map(_ => "ab".charAt(rnd2.nextInt(2))).mkString
+      }.groupBy(identity).view.mapValues(_ => 1L).toMap
+      val seqR = Bpe.trainMerges(vocabDf(vocab), 8)
+        .orderBy("round").collect().map(_.toSeq).toSeq
+      val batR = Bpe.trainMergesBatched(vocabDf(vocab), 8, batchSize = 4)
+        .orderBy("round").collect().map(_.toSeq).toSeq
+      assert(batR == seqR, s"tie trial $trial on $vocab")
+    }
     // chained-top regime: every leading pair interacts -> batch
     // degrades toward 1 but stays equivalent (aaaa...: (a,a) then
     // (aa,a)/(aa,aa) chains share symbols)

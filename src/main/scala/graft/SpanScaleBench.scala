@@ -61,8 +61,10 @@ object SpanScaleBench {
           all.filter(col("doc_id") >= lo + i * width &&
               col("doc_id") < lo + (i + 1) * width)
             .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          val ls = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          val part =
+            try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+            finally ls.close()
           java.nio.file.Files.move(part, java.nio.file.Paths.get(
             f"$sliceDir/documents-$i%02d.parquet"))
           org.apache.commons.io.FileUtils.deleteDirectory(

@@ -258,9 +258,14 @@ object Sketches {
     * one log|flagged| byte-compare probe per window, keeper lookups
     * O(1) via a per-row position map. n < 1, no windows, or an empty
     * flagged set → tokens unchanged; a flagged blob whose length is
-    * not a multiple of 16 is rejected. */
+    * not a multiple of 16 is rejected.
+    *
+    * Returns (kept tokens, original token count) as one struct row:
+    * the kernel tokenizes anyway, so handing the count back saves the
+    * caller a second full tokenization of every document in the one
+    * hot output scan. */
   def spanCutTokens(text: UTF8String, n: Int, flagged: Array[Byte],
-      keepers: ArrayData): ArrayData = {
+      keepers: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val it = text.toString.split(" ", -1)
     val toks = new java.util.ArrayList[String]()
     var i = 0
@@ -272,15 +277,18 @@ object Sketches {
       s"flagged blob must pack 16-byte digests, got ${flagged.length} bytes")
     val nFlagged = flagged.length / 16
     val nTok = toks.size
+    def result(kept: ArrayData) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](kept, nTok))
     def allToks(): ArrayData = {
       val out = new Array[Any](nTok)
       var j = 0
       while (j < nTok) { out(j) = UTF8String.fromString(toks.get(j)); j += 1 }
       new GenericArrayData(out)
     }
-    if (n < 1) return allToks()
+    if (n < 1) return result(allToks())
     val m = nTok - n + 1
-    if (m <= 0 || nFlagged == 0) return allToks()
+    if (m <= 0 || nFlagged == 0) return result(allToks())
     val km = new java.util.HashMap[Integer, UTF8String]()
     var k = 0
     val nKeep = keepers.numElements()
@@ -333,7 +341,7 @@ object Sketches {
       if (!removed(i)) out.add(UTF8String.fromString(toks.get(i)))
       i += 1
     }
-    new GenericArrayData(out.toArray)
+    result(new GenericArrayData(out.toArray))
   }
 
   /** 16-bit SimHash over (distinct) tokens: per-bit majority vote of the
@@ -562,15 +570,23 @@ case class SpanHashes(first: Expression, second: Expression,
 }
 
 /** `span_cut(text STRING, n INT, flagged BINARY,
-  * keepers ARRAY<STRUCT<pos INT, h STRING>>) -> ARRAY<STRING>` — the
-  * exact-substring dedup rewrite: surviving tokens after cutting every
-  * flagged non-keeper n-token window occurrence
-  * ([[Sketches.spanCutTokens]]). `flagged` packs ascending raw
-  * 16-byte md5 digests into one binary blob (raw-byte order equals
-  * hex order — pack straight from the engine-sorted hex census). */
+  * keepers ARRAY<STRUCT<pos INT, h STRING>>) ->
+  * STRUCT<kept ARRAY<STRING>, n_tokens INT>` — the exact-substring
+  * dedup rewrite: surviving tokens after cutting every flagged
+  * non-keeper n-token window occurrence, plus the document's original
+  * token count ([[Sketches.spanCutTokens]] — the kernel tokenizes
+  * anyway, so returning the count saves a second tokenization pass).
+  * `flagged` packs ascending raw 16-byte md5 digests into one binary
+  * blob (raw-byte order equals hex order — pack straight from the
+  * engine-sorted hex census). */
 case class SpanCut(first: Expression, second: Expression,
     third: Expression, fourth: Expression) extends QuaternaryExpression {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("kept",
+        ArrayType(StringType, containsNull = false), nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
   override def prettyName: String = "span_cut"
 
   override def checkInputDataTypes():

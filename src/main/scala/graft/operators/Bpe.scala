@@ -158,6 +158,12 @@ object Bpe {
     *  2. STOP at the first interacting candidate (never skip past it):
     *     sequentially it may still outrank later candidates after its
     *     count decreases, so nothing below it may enter this batch.
+    *     A SELF-merge (left == right) also ends the batch after being
+    *     accepted: the pairs it creates — (mm, m) from odd runs,
+    *     (mm, mm) — are bounded by the self-merge's OWN count (their
+    *     pre-image adjacency is the accepted pair itself, which no
+    *     later-candidate bound folds), and every later candidate's
+    *     count is ≤ it by sort order, so none can be proven safe.
     *  3. Trim trailing accepted candidates whose count does not
     *     STRICTLY exceed the first UNACCEPTED collected candidate's
     *     count (which, by sort order, bounds every unaccepted
@@ -202,7 +208,17 @@ object Bpe {
               r == la || r == ra || r == la + ra
           }
           if (interacts) stopped = true
-          else { accepted += ((l, r, cnt)); i += 1 }
+          else {
+            accepted += ((l, r, cnt))
+            i += 1
+            // a SELF-merge (l == r) ends the batch: its created pairs
+            // ((aa,a) from odd runs, (aa,aa)) are bounded by the
+            // self-merge's OWN count — the pre-image adjacency is the
+            // accepted pair itself, which no stopBound folds — and
+            // every later candidate has count ≤ it (sorted), so none
+            // can be proven safe against them
+            if (l == r) stopped = true
+          }
         }
         // the dominance bound folds the FIRST unaccepted collected
         // candidate (the ranked list is sorted, so that count bounds
@@ -314,7 +330,7 @@ object Bpe {
   def tokenCountsViaVocab(docs: DataFrame, merges: Seq[(String, String)],
       idCol: String = "doc_id", textCol: String = "text",
       keepCols: Seq[String] = Nil,
-      broadcastMaxRows: Long = 2000000L): DataFrame = {
+      broadcastMaxRows: Long = Broadcasts.defaultMaxRows): DataFrame = {
     val spark = docs.sparkSession
     val ts = filter(split(col(textCol), " "), t => t =!= "")
     val keep = keepCols.map(col)
@@ -329,8 +345,8 @@ object Bpe {
       .select(col("token"), size(col("symbols")).cast("long").as("n_sym"))
     val tmp = graft.SessionTemp.dir("bpe_vocab_counts_")
     counts.write.mode("overwrite").parquet(tmp)
-    val cdf = spark.read.parquet(tmp)
-    val joined = if (cdf.count() <= broadcastMaxRows) broadcast(cdf) else cdf
+    val joined = Broadcasts.sizeGated(spark.read.parquet(tmp),
+      broadcastMaxRows)
     exploded
       .join(joined, Seq("token"), "left")
       .groupBy((col(idCol) +: keep) :+ col("n_tokens"): _*)

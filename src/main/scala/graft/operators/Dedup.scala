@@ -238,7 +238,6 @@ object Dedup {
       spanTokens: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(spanTokens >= 2, "spanTokens must be at least 2")
-    val qt = SqlLit.quoteName(textCol)
     // the census feeds TWO consumers (the flagged-set collapse and the
     // keeper grouping) — materialize it once so an unmaterialized
     // census argument isn't recomputed corpus-wide per branch (the
@@ -275,14 +274,17 @@ object Dedup {
         col("span_h").as("h"))).as("__kp"))
     corpus
       .join(broadcast(keepers), Seq(idCol), "left")
-      .withColumn("__kept", call_function("span_cut",
+      .withColumn("__cut", call_function("span_cut",
         col(textCol), lit(spanTokens), lit(packed),
         coalesce(col("__kp"),
           expr("cast(array() as array<struct<pos:int,h:string>>)"))))
+      // the kernel returns (kept, n_tokens) in one struct — it
+      // tokenizes anyway, so the projection never re-tokenizes the
+      // text; CollapseProject leaves the non-cheap kernel in its own
+      // Project, evaluated once per row for all three consumers
       .select(col(idCol),
-        size(expr(s"filter(split($qt, ' '), t -> t != '')"))
-          .cast("long").as("n_tokens"),
-        size(col("__kept")).cast("long").as("n_kept"),
-        array_join(col("__kept"), " ").as("kept_text"))
+        col("__cut").getField("n_tokens").cast("long").as("n_tokens"),
+        size(col("__cut").getField("kept")).cast("long").as("n_kept"),
+        array_join(col("__cut").getField("kept"), " ").as("kept_text"))
   }
 }

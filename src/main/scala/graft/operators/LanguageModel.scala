@@ -38,14 +38,10 @@ import org.apache.spark.sql.functions._
  */
 object LanguageModel {
 
-  /** Broadcast the scored model only at or below this many rows.
-    * A probs row is two short token strings + a double — ~100 B in
-    * Spark's broadcast hash relation — so 2M rows is a few hundred MB:
-    * comfortably under the 8 GB broadcast hard cap and typical
-    * executor headroom, while covering every corpus whose observed
-    * bigram set is small enough that shipping it beats shuffling the
-    * corpus-sized bigram stream. */
-  val defaultBroadcastMaxRows: Long = 2000000L
+  /** Broadcast the scored model only at or below this many rows —
+    * the engine-wide gate ceiling ([[Broadcasts.defaultMaxRows]];
+    * rationale there). */
+  val defaultBroadcastMaxRows: Long = Broadcasts.defaultMaxRows
 
   private val bigramsExpr =
     "transform(sequence(0, size(ts) - 2), " +
@@ -77,10 +73,8 @@ object LanguageModel {
     val tmp = graft.SessionTemp.dir("graft_bigram_model_")
     probs.write.mode("overwrite").parquet(tmp) // the one build scan runs here
     model.unpersist()
-    val scored = spark.read.parquet(tmp)
-    // parquet row-count is answered from footer metadata — no data scan
-    val modelDf =
-      if (scored.count() <= broadcastMaxRows) broadcast(scored) else scored
+    val modelDf = Broadcasts.sizeGated(spark.read.parquet(tmp),
+      broadcastMaxRows)
     bigrams.join(modelDf, Seq("prev", "cur"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"),

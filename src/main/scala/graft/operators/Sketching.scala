@@ -38,11 +38,14 @@ object Sketching {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Per-group distinct word-`ngram` hashes — the shared input relation
-    * of both sketch forms: (groupCol, h), exact-integer 60-bit. */
+    * of both sketch forms: (groupCol, h), exact-integer 60-bit.
+    * `textCol` is quoted through [[SqlLit.quoteName]] (the
+    * spanDuplicates discipline — any column name is safe). */
   private def groupHashes(corpus: DataFrame, groupCol: String,
-      ngram: Int): DataFrame =
+      ngram: Int, textCol: String): DataFrame =
     corpus
-      .select(col(groupCol), explode(expr(s"word_ngrams(text, $ngram)")).as("w"))
+      .select(col(groupCol), explode(expr(
+        s"word_ngrams(${SqlLit.quoteName(textCol)}, $ngram)")).as("w"))
       .select(col(groupCol), md5Long(col("w")).as("h"))
 
   /** X12 — KMV distinct-count sketch NEXT TO the exact count (the
@@ -50,9 +53,9 @@ object Sketching {
     * (k−1)·2^60 / h_k from the k-th smallest distinct hash; exact when
     * a group has fewer than k hashes. */
   def kmvDistinctWithExact(corpus: DataFrame, groupCol: String = "lang",
-      k: Int = 64, ngram: Int = 3): DataFrame = {
+      k: Int = 64, ngram: Int = 3, textCol: String = "text"): DataFrame = {
     require(k >= 2, "k must be at least 2")
-    val hs = groupHashes(corpus, groupCol, ngram).distinct()
+    val hs = groupHashes(corpus, groupCol, ngram, textCol).distinct()
     val w = Window.partitionBy(groupCol).orderBy("h")
     val kth = hs.withColumn("rn", row_number().over(w))
       .filter(col("rn") === k)
@@ -72,9 +75,9 @@ object Sketching {
     * (groupCol, sketch_size, kmv_est). No exact column — the whole
     * point is never materializing the distinct set. */
   def kmvBottomK(corpus: DataFrame, groupCol: String = "source",
-      k: Int = 64, ngram: Int = 3): DataFrame = {
+      k: Int = 64, ngram: Int = 3, textCol: String = "text"): DataFrame = {
     require(k >= 2, "k must be at least 2")
-    groupHashes(corpus, groupCol, ngram)
+    groupHashes(corpus, groupCol, ngram, textCol)
       .groupBy(groupCol)
       .agg(expr(s"bottom_k_distinct(h, $k)").as("ks"))
       .select(col(groupCol), size(col("ks")).cast("long").as("sketch_size"),

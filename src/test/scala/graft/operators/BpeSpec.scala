@@ -127,6 +127,18 @@ class BpeSpec extends AnyFunSuite {
         assert(batRows == seqRows, s"trial $trial batchSize $b")
       }
     }
+    // self-merge regime: (a,a) creates (aa,a) with count 10 — bounded
+    // by the self-merge's OWN count, which no later-candidate bound
+    // folds — out-ranking (x,y,8); the batch must therefore end at the
+    // self-merge or the merge order diverges from sequential
+    val selfm = Map("aaa" -> 10L, "xy" -> 8L)
+    val seqSelf = Bpe.trainMerges(vocabDf(selfm), 3)
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    val batSelf = Bpe.trainMergesBatched(vocabDf(selfm), 3, batchSize = 4)
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    assert(batSelf == seqSelf, "self-merge must end the batch")
+    assert(seqSelf.map(r => (r(1), r(2))) ==
+      Seq(("a", "a"), ("aa", "a"), ("x", "y")))
     // tie-dense regime: two-letter alphabet, uniform tf -> exact count
     // collisions everywhere, the case where a created pair could steal
     // a lexicographic tie-break from a trimmed-too-little batch

@@ -28,8 +28,10 @@ class IncrementalDedupSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(f"$dir/_tmp_$idx")
     val p = java.nio.file.Paths.get(f"$dir/_tmp_$idx")
-    val part = java.nio.file.Files.list(p)
-      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val ls = java.nio.file.Files.list(p)
+    val part =
+      try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally ls.close()
     java.nio.file.Files.move(part,
       java.nio.file.Paths.get(f"$dir/documents-$idx%02d.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -344,6 +344,53 @@ object Sketches {
     result(new GenericArrayData(out.toArray))
   }
 
+  /** The rewrite kernel of the BLOOM-mode span-dedup action pass
+    * ([[graft.operators.Dedup.spanDedupCorpus]] above its literal
+    * ceiling): cut every `n`-token window whose START position is in
+    * `cuts` — the positions having already been resolved EXACTLY by a
+    * bloom-prefilter + census join, so this kernel does no hashing at
+    * all: tokenize (the [[spanHashes]] discipline — split on single
+    * spaces, empties dropped), mark the covered tokens of each cut
+    * window, return the survivors. Same overlap semantics as
+    * [[spanCutTokens]]: a token is removed iff ANY cut window covers
+    * it. Out-of-range positions are ignored (cut lists come from the
+    * same tokenization, so they are in range by construction; a
+    * clamped guard beats an executor ArrayIndexOutOfBoundsException on
+    * a hand-built list). Returns (kept tokens, original token count)
+    * as one struct row, the [[spanCutTokens]] contract. */
+  def cutByPositions(text: UTF8String, n: Int,
+      cuts: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val it = text.toString.split(" ", -1)
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < it.length) {
+      if (!it(i).isEmpty) toks.add(it(i))
+      i += 1
+    }
+    val nTok = toks.size
+    val nCuts = cuts.numElements()
+    val removed = new Array[Boolean](nTok)
+    if (n >= 1) {
+      var c = 0
+      while (c < nCuts) {
+        val p = cuts.getInt(c)
+        if (p >= 0 && p + n <= nTok) {
+          var j = p
+          while (j < p + n) { removed(j) = true; j += 1 }
+        }
+        c += 1
+      }
+    }
+    val out = new java.util.ArrayList[Any](nTok)
+    i = 0
+    while (i < nTok) {
+      if (!removed(i)) out.add(UTF8String.fromString(toks.get(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(out.toArray), nTok))
+  }
+
   /** 16-bit SimHash over (distinct) tokens: per-bit majority vote of the
     * tokens' 60-bit md5 hashes. Empty input → 0 (matches the legacy
     * aggregate over an empty sequence). */
@@ -625,6 +672,49 @@ case class SpanCut(first: Expression, second: Expression,
       newFourth: Expression): SpanCut =
     copy(first = newFirst, second = newSecond, third = newThird,
       fourth = newFourth)
+}
+
+/** `span_cut_positions(text STRING, n INT, cuts ARRAY<INT>) ->
+  * STRUCT<kept ARRAY<STRING>, n_tokens INT>` — the bloom-mode span-dedup
+  * rewrite: cut every n-token window starting at a position in `cuts`
+  * (already exactly resolved upstream — no hashing in the kernel; see
+  * [[Sketches.cutByPositions]]). Output contract identical to
+  * [[SpanCut]]. */
+case class SpanCutPositions(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("kept",
+        ArrayType(StringType, containsNull = false), nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def prettyName: String = "span_cut_positions"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.IntegerType
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "span_cut_positions requires (STRING, INT, ARRAY<INT>), got " +
+          s"${first.dataType.catalogString}, " +
+          s"${second.dataType.catalogString}, ${third.dataType.catalogString}")
+    }
+  }
+
+  override protected def nullSafeEval(text: Any, n: Any, cuts: Any): Any =
+    Sketches.cutByPositions(text.asInstanceOf[UTF8String],
+      n.asInstanceOf[Number].intValue, cuts.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n, c) =>
+      s"graft.functions.Sketches.cutByPositions($t, $n, $c)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): SpanCutPositions =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** `simhash16(tokens ARRAY<STRING>) -> BIGINT` — 16-bit majority-vote

@@ -215,51 +215,123 @@ object Dedup {
     * covers it — keeper windows save only themselves (see
     * [[graft.functions.Sketches.spanCutTokens]]).
     *
-    * Plan shape: the flagged hashes ship as ONE sorted ARRAY LITERAL
-    * (bounded by census size — spans occurring ≥ minCount are ≤
-    * total_spans / minCount and in practice orders of magnitude
+    * TWO physical modes, identical output (SpanDedupSpec fuzz-pins
+    * them equal), gated on the flagged-census row count (metadata-cheap
+    * — the census is materialized to parquet first):
+    *
+    * LITERAL mode (census ≤ `maxLiteralFlagged` rows): the flagged
+    * hashes ship as ONE sorted BINARY LITERAL of packed 16-byte raw
+    * digests (bounded by census size — spans occurring ≥ minCount are
+    * ≤ total_spans / minCount and in practice orders of magnitude
     * fewer). A literal rides the task binary — broadcast once per
     * stage, referenced once per task from generated code — where the
     * earlier cross-join form attached the array as a COLUMN and the
     * join's UnsafeRow materialization then memcpy'd the whole set per
     * corpus row (measured: a 155k-hash set turned the sf10 rewrite
     * into 69 s of Platform.copyMemory — corpus × |flagged| bytes; the
-    * literal form is 6 s). The keeper (first-occurrence) entries
-    * broadcast-JOIN on the doc id — per-doc arrays are small, so that
-    * join's rows stay narrow. The output pass is ONE corpus scan with
-    * a codegen'd in-row rewrite — zero corpus shuffle. Output (idCol,
-    * n_tokens, n_kept, kept_text), one row per input document
-    * (short/empty docs pass through unchanged). The flagged set is
-    * driver-collected (the same fits-in-one-node ceiling as d15's
-    * broadcast boiler set); if it ever outgrew that, the fallback is
-    * d15's documented move: a Bloom pre-filter at the scan plus an
-    * exact join for probable hits only. */
+    * literal form is 6 s). The keeper (first-occurrence) entries join
+    * on the doc id through [[Broadcasts.sizeGated]] (`knownRows` = the
+    * flagged count — an upper bound on keeper docs, already known, so
+    * the gate costs zero extra jobs). The output pass is ONE corpus
+    * scan with a codegen'd in-row rewrite — zero corpus shuffle. The
+    * flagged set is collected as MANY driver rows (one per hash,
+    * packed driver-side) — a single collect_list row would funnel the
+    * whole set through one executor buffer and trip
+    * spark.driver.maxResultSize (default 1 GB ≈ 33M hashes) well
+    * before the literal ceiling does.
+    *
+    * BLOOM mode (census > `maxLiteralFlagged` rows — the 100-TB
+    * regime: Lee et al. report ~1% of tokens inside duplicated spans,
+    * so a real corpus's flagged census reaches billions of rows, past
+    * any driver heap or broadcast): the census never leaves the
+    * cluster. A Bloom filter over the flagged hashes' 60-bit keys
+    * (built distributed, ~10 bits/key — billions of keys fit a literal
+    * where their full hashes could not) pre-filters candidate windows
+    * INSIDE the corpus scan (the p4/[[Decontamination.evalBloom]]
+    * pattern); the survivors — true flagged occurrences plus an
+    * fpp-sized trickle — resolve EXACTLY against the census by a
+    * shuffle join on span_h (false positives drop out and keeper
+    * occurrences are excluded by (first_doc, first_pos), so
+    * correctness is INDEPENDENT of fpp); the confirmed cut positions
+    * regroup per doc and join back to the corpus (size-gated
+    * broadcast; a doc-id shuffle join above the gate — the honest
+    * cost once per-doc cut lists outgrow one node) for a positional
+    * rewrite kernel that does no hashing at all
+    * ([[graft.functions.Sketches.cutByPositions]]). Costs one extra
+    * corpus scan (the candidate pass) vs literal mode.
+    *
+    * Output (idCol, n_tokens, n_kept, kept_text), one row per input
+    * document (short/empty docs pass through unchanged). */
   def spanDedupCorpus(corpus: DataFrame, census: DataFrame,
       spanTokens: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxLiteralFlagged: Long = defaultMaxLiteralFlagged,
+      bloomFpp: Double = 0.001): DataFrame = {
     require(spanTokens >= 2, "spanTokens must be at least 2")
-    // the census feeds TWO consumers (the flagged-set collapse and the
-    // keeper grouping) — materialize it once so an unmaterialized
-    // census argument isn't recomputed corpus-wide per branch (the
-    // x14/p14 materialize-before-reuse pattern; the census is small by
-    // construction — minCount-filtered span rows)
+    // the census feeds multiple consumers — materialize it once so an
+    // unmaterialized census argument isn't recomputed corpus-wide per
+    // branch (the x14/p14 materialize-before-reuse pattern), and so
+    // the mode gate's count() reads footer metadata
     val s = corpus.sparkSession
     val tmp = graft.SessionTemp.dir("graft_span_census_")
     census.select(col("span_h"), col("first_doc"),
         col("first_pos").cast("int").as("first_pos"))
       .write.mode("overwrite").parquet(tmp)
     val flagged = s.read.parquet(tmp)
-    // sort_array on the engine side so the order IS UTF8String byte
-    // order, then pack the hex hashes as raw 16-byte digests into ONE
-    // binary literal (raw-byte order == hex order): a binary literal
-    // renders opaquely in plan strings where an array-of-strings
-    // literal would print the whole census into every explain, and the
-    // kernel probes raw digest bytes with no per-window hex encode
-    val flaggedHex: Seq[String] = flagged
-      .agg(sort_array(collect_list("span_h")).as("f"))
-      .head.getSeq[String](0)
+    val flaggedCount = flagged.count()
+    if (flaggedCount <= maxLiteralFlagged)
+      spanDedupLiteral(corpus, flagged, flaggedCount, spanTokens, idCol,
+        textCol)
+    else
+      spanDedupBloom(corpus, flagged, flaggedCount, spanTokens, idCol,
+        textCol, bloomFpp)
+  }
+
+  /** Literal-mode ceiling for [[spanDedupCorpus]]: 4M hashes is a
+    * 64 MB packed binary literal (task-binary broadcast) and a few
+    * hundred MB of transient driver heap during the collect — past it,
+    * funneling the census through one node stops being the cheap move
+    * and BLOOM mode takes over. */
+  val defaultMaxLiteralFlagged: Long = 4000000L
+
+  /** DuckDB-parity 60-bit key of a hex md5 column —
+    * `('0x'||substr(h,1,15))::BIGINT`; the Bloom key of
+    * [[spanDedupBloom]] (key collisions only ever ADD Bloom false
+    * positives, which the exact span_h join removes). */
+  private def spanKey(h: org.apache.spark.sql.Column) =
+    conv(substring(h, 1, 15), 16, 10).cast("long")
+
+  /** Shared output projection over the rewrite kernels' (kept,
+    * n_tokens) struct. The kernel tokenizes anyway, so the projection
+    * never re-tokenizes the text; CollapseProject leaves the non-cheap
+    * kernel in its own Project, evaluated once per row for all three
+    * consumers. */
+  private def emitCut(withCut: DataFrame, idCol: String): DataFrame =
+    withCut.select(col(idCol),
+      col("__cut").getField("n_tokens").cast("long").as("n_tokens"),
+      size(col("__cut").getField("kept")).cast("long").as("n_kept"),
+      array_join(col("__cut").getField("kept"), " ").as("kept_text"))
+
+  private def spanDedupLiteral(corpus: DataFrame, flagged: DataFrame,
+      flaggedCount: Long, spanTokens: Int, idCol: String,
+      textCol: String): DataFrame = {
+    // collect as MANY rows (never one collect_list row — see the mode
+    // Scaladoc), sort driver-side: hex digits are ASCII, so String
+    // order == UTF8String byte order == raw-digest order, and the
+    // packed blob probes by binary search with no per-window hex
+    // encode; a binary literal also renders opaquely in plan strings
+    // where an array-of-strings literal would print the whole census
+    // into every explain
+    val rows = flagged.select("span_h").collect()
+    val flaggedHex = new Array[String](rows.length)
+    var i = 0
+    while (i < rows.length) { flaggedHex(i) = rows(i).getString(0); i += 1 }
+    java.util.Arrays.sort(flaggedHex,
+      java.util.Comparator.naturalOrder[String]())
     val packed = new Array[Byte](flaggedHex.length * 16)
-    flaggedHex.zipWithIndex.foreach { case (h, i) =>
+    i = 0
+    while (i < flaggedHex.length) {
+      val h = flaggedHex(i)
       require(h.length == 32, s"span hash is not 32 hex chars: $h")
       var q = 0
       while (q < 16) {
@@ -267,24 +339,65 @@ object Dedup {
           Character.digit(h.charAt(2 * q + 1), 16)).toByte
         q += 1
       }
+      i += 1
     }
     val keepers = flagged
       .groupBy(col("first_doc").as(idCol))
       .agg(collect_list(struct(col("first_pos").as("pos"),
         col("span_h").as("h"))).as("__kp"))
-    corpus
-      .join(broadcast(keepers), Seq(idCol), "left")
+    // keeper docs ≤ flagged rows — the already-known count is a valid
+    // upper bound for the gate, so no counting job runs on the derived
+    // grouping; above the ceiling this is a shuffle join on the doc id
+    val gatedKeepers = Broadcasts.sizeGated(keepers,
+      knownRows = flaggedCount)
+    emitCut(corpus
+      .join(gatedKeepers, Seq(idCol), "left")
       .withColumn("__cut", call_function("span_cut",
         col(textCol), lit(spanTokens), lit(packed),
         coalesce(col("__kp"),
-          expr("cast(array() as array<struct<pos:int,h:string>>)"))))
-      // the kernel returns (kept, n_tokens) in one struct — it
-      // tokenizes anyway, so the projection never re-tokenizes the
-      // text; CollapseProject leaves the non-cheap kernel in its own
-      // Project, evaluated once per row for all three consumers
-      .select(col(idCol),
-        col("__cut").getField("n_tokens").cast("long").as("n_tokens"),
-        size(col("__cut").getField("kept")).cast("long").as("n_kept"),
-        array_join(col("__cut").getField("kept"), " ").as("kept_text"))
+          expr("cast(array() as array<struct<pos:int,h:string>>)")))),
+      idCol)
+  }
+
+  private def spanDedupBloom(corpus: DataFrame, flagged: DataFrame,
+      flaggedCount: Long, spanTokens: Int, idCol: String,
+      textCol: String, bloomFpp: Double): DataFrame = {
+    val s = corpus.sparkSession
+    val qt = SqlLit.quoteName(textCol)
+    val bf = flagged.stat.bloomFilter(spanKey(col("span_h")),
+      math.max(flaggedCount, 1L), bloomFpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bloomBytes = bos.toByteArray
+    // candidate pass: every window's (pos, hash), gated by the Bloom
+    // probe inside the scan stage — survivors are flagged occurrences
+    // plus an fpp-sized trickle, so the only corpus-sized exchange is
+    // the candidate shuffle of narrow (id, pos, span_h) rows.
+    // posexplode_outer + isNotNull (not posexplode): the inferred
+    // size()>0 filter would re-evaluate the kernel below the exchange
+    val cand = corpus
+      .select(col(idCol), posexplode_outer(
+        expr(s"span_hashes($qt, $spanTokens, 1L)")).as(Seq("pos", "span_h")))
+      .filter(col("span_h").isNotNull)
+      .filter(call_function("bloom_contains", lit(bloomBytes),
+        spanKey(col("span_h"))))
+    // exact resolution: false positives drop out of the inner join;
+    // the recorded first occurrence (the keeper) is excluded from cuts
+    val cuts = cand.join(flagged, "span_h")
+      .filter(!(col(idCol) === col("first_doc") &&
+        col("pos") === col("first_pos")))
+      .groupBy(idCol)
+      .agg(collect_list(col("pos")).as("__cuts"))
+    // materialize the per-doc cut lists (bounded by cut occurrences,
+    // not the corpus) so the gate's count is metadata-cheap
+    val cutsTmp = graft.SessionTemp.dir("graft_span_cuts_")
+    cuts.write.mode("overwrite").parquet(cutsTmp)
+    val cutLists = Broadcasts.sizeGated(s.read.parquet(cutsTmp))
+    emitCut(corpus
+      .join(cutLists, Seq(idCol), "left")
+      .withColumn("__cut", call_function("span_cut_positions",
+        col(textCol), lit(spanTokens),
+        coalesce(col("__cuts"), expr("cast(array() as array<int>)")))),
+      idCol)
   }
 }

@@ -2439,7 +2439,27 @@ object PipelineQueries {
       graft.operators.Dedup.spanDedupCorpus(d, census, spanTokens = 8)
         .orderBy("doc_id")
     },
-    Some(
+    Some(d17OracleSql))
+
+  // D17B — the BLOOM mode of the same action pass, forced below its
+  // ceiling (maxLiteralFlagged = 0) so the 100-TB path — Bloom
+  // pre-filter at the scan, exact census join resolving false
+  // positives and keepers, positional rewrite — runs under the SAME
+  // oracle as the literal mode (output equality is the contract;
+  // SpanDedupSpec fuzz-pins it, this entry gates it cross-engine).
+  private val d17b = QueryDef(
+    "d17b_span_dedup_bloom",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val census = graft.operators.Dedup.spanCensusWithFirst(
+        d, spanTokens = 8)
+      graft.operators.Dedup.spanDedupCorpus(d, census, spanTokens = 8,
+          maxLiteralFlagged = 0L)
+        .orderBy("doc_id")
+    },
+    Some(d17OracleSql))
+
+  private lazy val d17OracleSql: String =
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
         |  FROM documents),
@@ -2473,7 +2493,7 @@ object PipelineQueries {
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST(len(kept) AS BIGINT) AS n_kept,
         |  COALESCE(array_to_string(kept, ' '), '') AS kept_text
-        |FROM outp ORDER BY doc_id""".stripMargin))
+        |FROM outp ORDER BY doc_id""".stripMargin
 
   private val d15 = QueryDef(
     "d15_boilerplate_removal",
@@ -3262,7 +3282,7 @@ object PipelineQueries {
         |ORDER BY quality_micro DESC, doc_id""".stripMargin))
 
   val defs: Seq[QueryDef] = Seq(
-    d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, d16, d17, c1q, c1bq, c2q,
+    d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, d16, d17, d17b, c1q, c1bq, c2q,
     sim1, sim2, sim3, sim4,
     x1, x2, x3, x4, x5, x6, x7, x8, x9, x9b, x9c, x9d, x10, x11, x11b, x12,
     x13, x14, x15, x15b, x16, x17,

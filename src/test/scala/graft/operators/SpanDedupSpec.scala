@@ -50,11 +50,16 @@ class SpanDedupSpec extends AnyFunSuite {
     }.sortBy(_._1)
   }
 
+  /** `maxLiteralFlagged = Long.MaxValue` forces LITERAL mode (the
+    * default at spec scale anyway); `0` forces BLOOM mode. */
   private def run(rows: Seq[(Long, String)], n: Int,
-      minCount: Int = 2): Seq[(Long, Long, Long, String)] = {
+      minCount: Int = 2,
+      maxLiteralFlagged: Long = Long.MaxValue): Seq[(Long, Long, Long, String)] = {
     val d = df(rows)
     val census = Dedup.spanCensusWithFirst(d, n, minCount = minCount.toLong)
-    Dedup.spanDedupCorpus(d, census, n).orderBy("doc_id")
+    Dedup.spanDedupCorpus(d, census, n,
+        maxLiteralFlagged = maxLiteralFlagged)
+      .orderBy("doc_id")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .toSeq
@@ -115,6 +120,52 @@ class SpanDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom mode equals literal mode and the reference on fuzzed corpora") {
+    // a different seed from the literal sweep so the two fuzz passes
+    // cover different corpora; every trial checks bloom ≡ reference
+    // (and thereby bloom ≡ literal, both pinned to the same reference)
+    val rnd = new scala.util.Random(97)
+    for (trial <- 1 to 10) {
+      val alphabet = Seq("a", "b", "c", "d")
+      val nDocs = 2 + rnd.nextInt(8)
+      val base = (1L to nDocs.toLong).map { id =>
+        val len = rnd.nextInt(14)
+        id -> (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+          .mkString(" ")
+      }
+      val rows = if (base.nonEmpty && rnd.nextBoolean())
+        base :+ ((nDocs + 1L) -> base(rnd.nextInt(base.size))._2)
+      else base
+      val n = 2 + rnd.nextInt(2)
+      withClue(s"trial $trial (n=$n, rows=$rows): ") {
+        val ref = reference(rows, n, 2)
+        assert(run(rows, n, maxLiteralFlagged = 0L) == ref, "bloom mode")
+        assert(run(rows, n) == ref, "literal mode")
+      }
+    }
+  }
+
+  test("bloom mode handles the keeper-overlap hand case") {
+    val rows = Seq(1L -> "a b c d", 2L -> "b c d e", 3L -> "b c d e")
+    val out = run(rows, n = 3, maxLiteralFlagged = 0L)
+    assert(out == Seq((1L, 4L, 4L, "a b c d"), (2L, 4L, 1L, "e"),
+      (3L, 4L, 0L, "")))
+  }
+
+  test("span_cut_positions kernel guards degenerate inputs") {
+    // out-of-range (5) and negative (-1) positions are ignored; pos 1
+    // with n=2 cuts tokens 1..2
+    val r = spark.sql(
+      "SELECT span_cut_positions('a b c', 2, array(5, -1, 1)) AS r").head()
+      .getStruct(0)
+    assert(r.getSeq[String](0) == Seq("a") && r.getInt(1) == 3)
+    // n < 1 → tokens unchanged
+    val r0 = spark.sql(
+      "SELECT span_cut_positions('a b', 0, array(0)) AS r").head()
+      .getStruct(0)
+    assert(r0.getSeq[String](0) == Seq("a", "b") && r0.getInt(1) == 2)
+  }
+
   test("degenerate shapes: empty corpus, empty docs, no duplicates") {
     assert(run(Seq.empty, n = 3) == Seq.empty)
     assert(run(Seq(1L -> "", 2L -> ""), n = 2) ==
@@ -122,5 +173,10 @@ class SpanDedupSpec extends AnyFunSuite {
     val uniq = Seq(1L -> "a b c", 2L -> "d e f")
     assert(run(uniq, n = 3) == reference(uniq, 3, 2))
     assert(run(uniq, n = 3).forall(r => r._2 == r._3), "nothing cut")
+    // bloom mode on the same degenerate shapes (an EMPTY flagged
+    // census must not crash the Bloom build — expectedItems floors
+    // at 1)
+    assert(run(Seq.empty, n = 3, maxLiteralFlagged = 0L) == Seq.empty)
+    assert(run(uniq, n = 3, maxLiteralFlagged = 0L) == reference(uniq, 3, 2))
   }
 }

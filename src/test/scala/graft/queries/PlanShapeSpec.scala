@@ -144,6 +144,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"flagged set attached as a join column instead of a literal:\n$plan")
   }
 
+  test("d17b: bloom mode probes at the scan, no nested-loop, positional kernel") {
+    val plan = finalPlan("d17b_span_dedup_bloom")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in d17b:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"constant set attached as a join column in d17b:\n$plan")
+    // the candidate pass (Bloom probe + exact census join) runs
+    // EAGERLY into the cut-list parquet before this plan is built, so
+    // the returned rewrite plan must show only the hashing-free
+    // positional kernel — no span hashing, no bloom probe left
+    assert(plan.contains("span_cut_positions"),
+      s"positional rewrite kernel not in plan:\n$plan")
+    assert(!plan.contains("span_hashes"),
+      s"rewrite pass re-hashes the corpus:\n$plan")
+    // cut lists are census-bounded — at fixture scale they broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cut-list join is not broadcast:\n$plan")
+  }
+
   test("p6c: BPE-count packing window keyed by source; vocab join not cartesian") {
     val plan = finalPlan("p6c_sequence_pack_bpe")
     assert(!plan.contains("CartesianProduct"), s"cartesian in p6c:\n$plan")

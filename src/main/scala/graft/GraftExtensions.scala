@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayExceptSorted, BloomContains, BottomKDistinct, KafkaMurmur2Partition, MinHashLshBands, RepetitionStats, SimHash16, SpanCut, SpanCutPositions, SpanHashes, VecDot, VecSumAgg, WordNGrams}
+import graft.functions.{ArrayExceptSorted, BloomContains, BottomKDistinct, KafkaMurmur2Partition, MinHashLshBands, RepetitionStats, SimHash16, SpanCut, SpanCutPositions, SpanHashes, SpanHashesPos, VecDot, VecSumAgg, WordNGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -47,6 +47,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => SpanHashes(c.head, c(1), c(2)))
     inject(ext, "span_cut", 4, classOf[SpanCut],
       c => SpanCut(c.head, c(1), c(2), c(3)))
+    inject(ext, "span_hashes_pos", 3, classOf[SpanHashesPos],
+      c => SpanHashesPos(c.head, c(1), c(2)))
     inject(ext, "span_cut_positions", 3, classOf[SpanCutPositions],
       c => SpanCutPositions(c.head, c(1), c(2)))
     inject(ext, "vec_dot", 2, classOf[VecDot], c => VecDot(c.head, c(1)))

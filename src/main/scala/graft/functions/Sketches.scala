@@ -190,6 +190,79 @@ object Sketches {
     new GenericArrayData(out.toArray)
   }
 
+  /** The POSITION-CARRYING variant of [[spanHashes]]: every `n`-token
+    * window that survives the 1/`mod` digest gate is emitted as a
+    * (pos, hash) struct, where pos is the window's REAL token position
+    * in the document — the kernel behind the SAMPLED
+    * `Dedup.spanCensusWithFirst`. Plain `span_hashes` drops unsampled
+    * windows from its output array, so a posexplode index over it is
+    * NOT a token position once mod > 1; carrying the position through
+    * the gate is what lets the action pass (d17) ride the same
+    * coverage-sampling lever as the diagnostic census (d16).
+    * Bit-identical window set and hashes to [[spanHashes]] at every
+    * mod (SketchParitySpec pins it). Fewer than n tokens → empty
+    * array. */
+  def spanHashesPos(text: UTF8String, n: Int, mod: Long): ArrayData = {
+    if (n < 1) return new GenericArrayData(Array.empty[Any])
+    val it = text.toString.split(" ", -1)
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < it.length) {
+      if (!it(i).isEmpty) toks.add(it(i))
+      i += 1
+    }
+    val nTok = toks.size
+    val m = nTok - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val tokBytes = new Array[Array[Byte]](nTok)
+    var total = 0
+    i = 0
+    while (i < nTok) {
+      tokBytes(i) = toks.get(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      total += tokBytes(i).length
+      i += 1
+    }
+    val buf = new Array[Byte](total + nTok - 1)
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var off = 0
+    i = 0
+    while (i < nTok) {
+      starts(i) = off
+      System.arraycopy(tokBytes(i), 0, buf, off, tokBytes(i).length)
+      off += tokBytes(i).length
+      ends(i) = off
+      if (i < nTok - 1) { buf(off) = ' '; off += 1 }
+      i += 1
+    }
+    val md = Md5.get()
+    val out = new java.util.ArrayList[Any](m)
+    i = 0
+    while (i < m) {
+      md.reset()
+      md.update(buf, starts(i), ends(i + n - 1) - starts(i))
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((d(7) & 0xffL) >> 4)
+      if (mod <= 1L || v % mod == 0L) {
+        val hex = new Array[Char](32)
+        var q = 0
+        while (q < 16) {
+          hex(2 * q) = HexDigits((d(q) >> 4) & 0xf)
+          hex(2 * q + 1) = HexDigits(d(q) & 0xf)
+          q += 1
+        }
+        out.add(new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](i,
+            UTF8String.fromString(new String(hex)))))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** 16-byte-record comparison inside a packed digest array. */
   private def compareRec(packed: Array[Byte], off: Int,
       d: Array[Byte]): Int = {
@@ -613,6 +686,35 @@ case class SpanHashes(first: Expression, second: Expression,
 
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): SpanHashes =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `span_hashes_pos(text STRING, n INT, mod BIGINT) ->
+  * ARRAY<STRUCT<pos INT, h STRING>>` — every n-token window surviving
+  * the 1/mod digest gate, WITH its real token position (see
+  * [[Sketches.spanHashesPos]] — the sampled census-with-first kernel:
+  * a posexplode index over gated `span_hashes` output stops being a
+  * token position once mod > 1). */
+case class SpanHashesPos(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("h", StringType,
+        nullable = false))), containsNull = false)
+  override def prettyName: String = "span_hashes_pos"
+
+  override protected def nullSafeEval(text: Any, n: Any, mod: Any): Any =
+    Sketches.spanHashesPos(text.asInstanceOf[UTF8String],
+      n.asInstanceOf[Number].intValue, mod.asInstanceOf[Number].longValue)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, n, m) => s"graft.functions.Sketches.spanHashesPos($t, $n, $m)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): SpanHashesPos =
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 

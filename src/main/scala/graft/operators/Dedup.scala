@@ -176,22 +176,40 @@ object Dedup {
   /** D17 (build side) — the [[spanDuplicates]] census EXTENDED with
     * each span's FIRST occurrence: (span_h, n_docs, n_occurrences,
     * first_doc, first_pos), where first = min over (doc, window
-    * position) — the keeper the action pass preserves. EXACT census
-    * only (no sample modulus): `span_hashes` drops unsampled windows
-    * from its output array, so a sampled posexplode index would no
-    * longer be the window's token position; a sampled action pass
-    * would need a position-carrying kernel variant. Same scale shape
-    * as the exact census — one scan, span-hash-keyed exchange with
-    * map-side partials (min(struct) folds like any other partial). */
+    * position) — the keeper the action pass preserves. Same scale
+    * shape as the exact census — one scan, span-hash-keyed exchange
+    * with map-side partials (min(struct) folds like any other
+    * partial).
+    *
+    * `sampleMod` is the same deterministic 1/m coverage-sampling lever
+    * as [[spanDuplicates]] (m > 1: only spans with digest ≡ 0 mod m
+    * enter the census — per-span counts AND first positions stay
+    * EXACT, span coverage is sampled; 0 auto-sizes via
+    * [[adaptiveSampleMod]]). The gate runs inside the
+    * POSITION-CARRYING kernel ([[graft.functions.Sketches
+    * .spanHashesPos]]): plain `span_hashes` drops unsampled windows
+    * from its output array, so a posexplode index over it stops being
+    * a token position once m > 1 — each surviving window is emitted as
+    * a (pos, hash) struct instead, which is what lets the ACTION pass
+    * ([[spanDedupCorpus]]) ride the sampling trade the diagnostic
+    * census already had: the rewrite probes every corpus window, but
+    * only sampled flagged spans exist to match, so a sampled action
+    * pass cuts exactly the sampled duplicates (the d17c contract). */
   def spanCensusWithFirst(corpus: DataFrame, spanTokens: Int,
       minCount: Long = 2L, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", sampleMod: Long = 1L,
+      autoTargetSpans: Long = 50000000L): DataFrame = {
     require(spanTokens >= 2, "spanTokens must be at least 2")
+    require(sampleMod >= 0, "sampleMod must be >= 1, or 0 for auto")
     val qt = SqlLit.quoteName(textCol)
+    val mod = resolveSampleMod(corpus, spanTokens, sampleMod, textCol,
+      autoTargetSpans)
     corpus
-      .select(col(idCol), posexplode_outer(
-        expr(s"span_hashes($qt, $spanTokens, 1L)")).as(Seq("pos", "span_h")))
-      .filter(col("span_h").isNotNull)
+      .select(col(idCol), explode_outer(
+        expr(s"span_hashes_pos($qt, $spanTokens, ${mod}L)")).as("w"))
+      .filter(col("w").isNotNull)
+      .select(col(idCol), col("w").getField("pos").as("pos"),
+        col("w").getField("h").as("span_h"))
       .groupBy("span_h")
       .agg(countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occurrences"),

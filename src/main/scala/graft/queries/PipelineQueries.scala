@@ -2459,6 +2459,63 @@ object PipelineQueries {
     },
     Some(d17OracleSql))
 
+  // D17C — the SAMPLED action pass: census-with-first under the same
+  // deterministic 1/4 digest gate d16 exercises (span COVERAGE is
+  // sampled, counts and first positions stay exact — the
+  // position-carrying span_hashes_pos kernel keeps real token
+  // positions through the gate), then the standard rewrite: only
+  // sampled flagged spans exist to match, so the pass cuts exactly
+  // the sampled duplicates. This is the 100-TB form of d17 — the
+  // sampling lever that holds the census exchange flat now reaches
+  // the ACTION pass too. The oracle folds the gate into d17's SQL.
+  private val d17c = QueryDef(
+    "d17c_span_dedup_sampled",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val census = graft.operators.Dedup.spanCensusWithFirst(
+        d, spanTokens = 8, sampleMod = 4L)
+      graft.operators.Dedup.spanDedupCorpus(d, census, spanTokens = 8)
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(ts[i:i+7], ' ')) AS span_h
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 8 + 2)) AS i
+        |        FROM t WHERE len(ts) >= 8)),
+        |samp AS (
+        |  SELECT * FROM sp
+        |  WHERE ('0x' || substr(span_h, 1, 15))::BIGINT % 4 = 0),
+        |cen AS (
+        |  SELECT span_h FROM samp GROUP BY span_h HAVING COUNT(*) >= 2),
+        |firsts AS (
+        |  SELECT span_h, doc_id AS f_doc, pos AS f_pos FROM (
+        |    SELECT samp.span_h, samp.doc_id, samp.pos,
+        |      ROW_NUMBER() OVER (PARTITION BY samp.span_h
+        |                         ORDER BY samp.doc_id, samp.pos) AS rn
+        |    FROM samp JOIN cen USING (span_h)) WHERE rn = 1),
+        |cut AS (
+        |  SELECT samp.doc_id, samp.pos
+        |  FROM samp JOIN cen USING (span_h)
+        |  LEFT JOIN firsts f ON f.span_h = samp.span_h AND f.f_doc = samp.doc_id
+        |    AND f.f_pos = samp.pos
+        |  WHERE f.span_h IS NULL),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + d AS j
+        |  FROM cut, (SELECT unnest(range(0, 8)) AS d) ds),
+        |covl AS (SELECT doc_id, list(j) AS js FROM cov GROUP BY doc_id),
+        |outp AS (
+        |  SELECT t.doc_id, len(t.ts) AS n_tokens,
+        |    list_filter(t.ts,
+        |      (x, i) -> c.js IS NULL OR NOT list_contains(c.js, i - 1)) AS kept
+        |  FROM t LEFT JOIN covl c USING (doc_id))
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  COALESCE(array_to_string(kept, ' '), '') AS kept_text
+        |FROM outp ORDER BY doc_id""".stripMargin))
+
   private lazy val d17OracleSql: String =
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
@@ -3282,7 +3339,8 @@ object PipelineQueries {
         |ORDER BY quality_micro DESC, doc_id""".stripMargin))
 
   val defs: Seq[QueryDef] = Seq(
-    d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, d16, d17, d17b, c1q, c1bq, c2q,
+    d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, d16, d17, d17b, d17c,
+    c1q, c1bq, c2q,
     sim1, sim2, sim3, sim4,
     x1, x2, x3, x4, x5, x6, x7, x8, x9, x9b, x9c, x9d, x10, x11, x11b, x12,
     x13, x14, x15, x15b, x16, x17,

@@ -315,4 +315,32 @@ class SketchParitySpec extends AnyFunSuite {
       assert(bad.getSeq[String](0).isEmpty, s"n=$n")
     }
   }
+
+  test("span_hashes_pos carries REAL token positions through the gate") {
+    // at mod = 1 the struct positions must equal the posexplode index
+    // over span_hashes (every window survives); at mod > 1 the pairs
+    // must be exactly the mod-1 pairs whose hash passes the digest
+    // gate — i.e. positions are preserved where a gated span_hashes
+    // posexplode index would have collapsed them
+    val docs = graft.sources.Records.table(s, dir, "documents")
+    for (n <- Seq(8, 3)) {
+      val viaPos = docs.select(col("doc_id"),
+          explode(expr(s"span_hashes_pos(text, $n, 1L)")).as("w"))
+        .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+      val viaPlain = docs.select(col("doc_id"),
+          posexplode(expr(s"span_hashes(text, $n, 1L)")).as(Seq("pos", "h")))
+      assert(viaPos.exceptAll(viaPlain).count() === 0, s"n=$n extra")
+      assert(viaPlain.exceptAll(viaPos).count() === 0, s"n=$n missing")
+      val gated = docs.select(col("doc_id"),
+          explode(expr(s"span_hashes_pos(text, $n, 4L)")).as("w"))
+        .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+      val reference = viaPos.filter(
+        expr("pmod(cast(conv(substring(h, 1, 15), 16, 10) as bigint), 4L) = 0"))
+      assert(gated.exceptAll(reference).count() === 0, s"n=$n gated extra")
+      assert(reference.exceptAll(gated).count() === 0, s"n=$n gated missing")
+    }
+    // n < 1 degrades to empty like span_hashes
+    val bad = s.sql("SELECT span_hashes_pos('a b c', 0, 1L) AS h").collect()(0)
+    assert(bad.getSeq[AnyRef](0).isEmpty)
+  }
 }

@@ -18,19 +18,33 @@ class SpanDedupSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text")
   }
 
+  /** The engine's deterministic sampling gate, replicated: 60-bit
+    * md5 prefix of the span text, kept iff ≡ 0 (mod `mod`). */
+  private def md5Gate(span: String, mod: Long): Boolean = {
+    if (mod <= 1L) return true
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(span.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % mod == 0
+  }
+
   /** Reference: spans identified by their TEXT (md5 is injective here);
     * first occurrence = min (doc_id, pos); cut = all other occurrences
     * of spans with ≥ minCount total occurrences; token removed iff
-    * covered by a cut window. */
+    * covered by a cut window. `mod > 1` applies the engine's digest
+    * sampling gate to span coverage (counts/firsts over sampled spans
+    * only — the d17c semantics). */
   private def reference(rows: Seq[(Long, String)], n: Int,
-      minCount: Int): Seq[(Long, Long, Long, String)] = {
+      minCount: Int, mod: Long = 1L): Seq[(Long, Long, Long, String)] = {
     def toks(t: String) = t.split(" ", -1).filter(_.nonEmpty).toSeq
     val occ = for {
       (id, t) <- rows
       ts = toks(t)
       i <- 0 to ts.length - n
       if ts.length >= n
-    } yield (id, i, ts.slice(i, i + n).mkString(" "))
+      span = ts.slice(i, i + n).mkString(" ")
+      if md5Gate(span, mod)
+    } yield (id, i, span)
     val bySpan = occ.groupBy(_._3)
     val flagged = bySpan.filter(_._2.size >= minCount)
     val firsts = flagged.map { case (s, os) =>
@@ -54,9 +68,11 @@ class SpanDedupSpec extends AnyFunSuite {
     * default at spec scale anyway); `0` forces BLOOM mode. */
   private def run(rows: Seq[(Long, String)], n: Int,
       minCount: Int = 2,
-      maxLiteralFlagged: Long = Long.MaxValue): Seq[(Long, Long, Long, String)] = {
+      maxLiteralFlagged: Long = Long.MaxValue,
+      sampleMod: Long = 1L): Seq[(Long, Long, Long, String)] = {
     val d = df(rows)
-    val census = Dedup.spanCensusWithFirst(d, n, minCount = minCount.toLong)
+    val census = Dedup.spanCensusWithFirst(d, n, minCount = minCount.toLong,
+      sampleMod = sampleMod)
     Dedup.spanDedupCorpus(d, census, n,
         maxLiteralFlagged = maxLiteralFlagged)
       .orderBy("doc_id")
@@ -141,6 +157,30 @@ class SpanDedupSpec extends AnyFunSuite {
         val ref = reference(rows, n, 2)
         assert(run(rows, n, maxLiteralFlagged = 0L) == ref, "bloom mode")
         assert(run(rows, n) == ref, "literal mode")
+      }
+    }
+  }
+
+  test("sampled census-with-first matches the gated reference on fuzzed corpora") {
+    // mod = 2 keeps ~half of span space on these tiny alphabets (mod 4
+    // can leave nothing flagged on short corpora); position fidelity
+    // through the gate is the point — a collapsed posexplode index
+    // would shift keeper positions and cut the wrong tokens
+    val rnd = new scala.util.Random(131)
+    for (trial <- 1 to 10) {
+      val alphabet = Seq("a", "b", "c", "d")
+      val nDocs = 2 + rnd.nextInt(8)
+      val base = (1L to nDocs.toLong).map { id =>
+        val len = rnd.nextInt(14)
+        id -> (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+          .mkString(" ")
+      }
+      val rows = if (base.nonEmpty && rnd.nextBoolean())
+        base :+ ((nDocs + 1L) -> base(rnd.nextInt(base.size))._2)
+      else base
+      val n = 2 + rnd.nextInt(2)
+      withClue(s"trial $trial (n=$n, rows=$rows): ") {
+        assert(run(rows, n, sampleMod = 2L) == reference(rows, n, 2, mod = 2L))
       }
     }
   }

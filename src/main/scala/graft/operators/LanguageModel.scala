@@ -11,15 +11,23 @@ import org.apache.spark.sql.functions._
  * the x14 catalog entry (now a thin call), the [[Sessionization]] /
  * [[Packing]] pattern.
  *
- * Scale shape — two corpus scans BY DESIGN (the model must see the
- * whole corpus before the first document can be scored):
- *  - build: ONE scan into bigram counts (persisted while the tiny
- *    probs table derives from them); prev-totals and the vocabulary
- *    come from the MODEL, not another scan — every token position
- *    appears as some bigram's prev or cur, so distinct(prev ∪ cur) IS
- *    the corpus vocabulary. The probs table lands in session-temp
- *    parquet (nothing stays pinned, survives executor loss).
- *  - score: one scan + a SIZE-GATED model join. The model is
+ * Scale shape — the corpus pays its heavy work (tokenize + explode
+ * into bigrams) exactly ONCE: the build scan writes the narrow
+ * (id, prev, cur) bigram stream to session-temp parquet, the model
+ * aggregates from it, and scoring re-reads the SAME narrow relation —
+ * the second pass over the corpus is a 3-column parquet scan, not a
+ * second tokenize+explode of every document (the round-17 advice: at
+ * 100 TB the re-derivation was the whole cost of the second scan).
+ * Two passes remain BY DESIGN — the model must see the whole corpus
+ * before the first document can be scored:
+ *  - build: ONE corpus scan into the materialized bigram stream;
+ *    bigram counts aggregate from it (persisted while the tiny probs
+ *    table derives from them); prev-totals and the vocabulary come
+ *    from the MODEL, not another scan — every token position appears
+ *    as some bigram's prev or cur, so distinct(prev ∪ cur) IS the
+ *    corpus vocabulary. The probs table lands in session-temp parquet
+ *    (nothing stays pinned, survives executor loss).
+ *  - score: one bigram-stream scan + a SIZE-GATED model join. The model is
  *    OBSERVED-bigram-sized, which is NOT bounded by vocab² in
  *    practice: Heaps-law vocabularies reach millions of types on a
  *    real corpus and observed bigrams grow into the billions — far
@@ -52,16 +60,32 @@ object LanguageModel {
     * text); output (idCol, n_bigrams, ppl) for every doc with ≥ 2
     * tokens, sorted by id. `broadcastMaxRows` gates the score join's
     * broadcast hint (see object Scaladoc; 0 forces the shuffle-join
-    * path — the mode-equality spec uses it). */
+    * path — the mode-equality spec uses it). `materializeBigrams =
+    * false` keeps the legacy shape whose score pass re-derives the
+    * bigram stream from the raw corpus (re-tokenize + re-explode) —
+    * retained ONLY as the A/B baseline the spec pins equal; production
+    * callers want the default. */
   def bigramPerplexity(d: DataFrame, idCol: String = "doc_id",
-      broadcastMaxRows: Long = defaultBroadcastMaxRows): DataFrame = {
+      broadcastMaxRows: Long = defaultBroadcastMaxRows,
+      materializeBigrams: Boolean = true): DataFrame = {
     val spark = d.sparkSession
-    def bigrams = d
+    def derived = d
       .select(col(idCol), expr(TextAnalysis.tokensExpr).as("ts"))
       .filter(size(col("ts")) >= 2)
       .select(col(idCol), explode(expr(bigramsExpr)).as("b"))
       .select(col(idCol), col("b.prev").as("prev"), col("b.cur").as("cur"))
-    val model = bigrams.groupBy("prev", "cur").agg(count(lit(1)).as("cnt"))
+    // the ONE pass that pays tokenize + explode: the narrow
+    // (id, prev, cur) stream lands in session-temp parquet and both
+    // the model aggregation and the score join read it from there
+    // (a () => DataFrame so the legacy mode still re-derives per use)
+    val bg: () => DataFrame =
+      if (materializeBigrams) {
+        val tmpB = graft.SessionTemp.dir("graft_bigram_stream_")
+        derived.write.mode("overwrite").parquet(tmpB)
+        val stream = spark.read.parquet(tmpB)
+        () => stream
+      } else { () => derived }
+    val model = bg().groupBy("prev", "cur").agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ptot = model.groupBy("prev").agg(sum("cnt").as("tot"))
     val vocab = model.select(col("prev").as("t"))
@@ -71,11 +95,11 @@ object LanguageModel {
       .select(col("prev"), col("cur"),
         log((col("cnt") + lit(1.0)) / (col("tot") + col("v"))).as("lp"))
     val tmp = graft.SessionTemp.dir("graft_bigram_model_")
-    probs.write.mode("overwrite").parquet(tmp) // the one build scan runs here
+    probs.write.mode("overwrite").parquet(tmp) // the model build runs here
     model.unpersist()
     val modelDf = Broadcasts.sizeGated(spark.read.parquet(tmp),
       broadcastMaxRows)
-    bigrams.join(modelDf, Seq("prev", "cur"))
+    bg().join(modelDf, Seq("prev", "cur"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"),
         exp(-avg(col("lp"))).as("ppl"))

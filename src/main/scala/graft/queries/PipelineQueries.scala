@@ -3190,6 +3190,59 @@ object PipelineQueries {
         |FROM sel, tot WHERE cum <= b
         |ORDER BY quality_micro DESC, doc_id""".stripMargin))
 
+  // P13B — token-budget selection on REAL tokenizer counts: p13's
+  // rank-by-quality-take-until-budget, with both the budget and the
+  // per-doc spend measured in n_bpe_tokens (Bpe.tokenCountsViaVocab —
+  // the via-vocab scale path, one merge chain per vocabulary TYPE)
+  // instead of whitespace counts — the join the Selection Scaladoc
+  // documents (the p6c move applied to selection). Same scale shape as
+  // p13: the metric relation is materialized once, selection never
+  // sorts the corpus (rank-value aggregation + boundary-group window).
+  // The oracle replays the BPE doc chain for the counts and p13's
+  // exact selection SQL over them.
+  private val p13b = QueryDef(
+    "p13b_bpe_token_budget",
+    (s, dir) => {
+      import graft.operators.{Bpe, Selection}
+      val tmp = graft.SessionTemp.dir("graft_p13b_")
+      Selection.vocabRichnessMicro(docs(s, dir))
+        .select(col("doc_id"), col("quality_micro"))
+        .join(Bpe.tokenCountsViaVocab(docs(s, dir), trainedMerges(s, dir))
+          .select(col("doc_id"), col("n_bpe_tokens")), "doc_id")
+        .write.mode("overwrite").parquet(tmp)
+      val m = s.read.parquet(tmp)
+      Selection.selectByTokenBudget(m,
+        Selection.tokenBudgetFraction(m, num = 3, den = 10,
+          tokensCol = "n_bpe_tokens"),
+        tokensCol = "n_bpe_tokens")
+    },
+    Some(bpeDocChainSql(8) +
+      """,
+        |bpecnt AS (
+        |  SELECT doc_id,
+        |    CAST((length(seg) - length(replace(seg, chr(31), ''))) // 2
+        |      AS BIGINT) AS n_bpe_tokens
+        |  FROM ds8),
+        |m AS (
+        |  SELECT q.doc_id, q.quality_micro, bpecnt.n_bpe_tokens
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN len(ts) = 0 THEN 0
+        |               ELSE CAST(CAST(1000000 AS BIGINT) * len(list_distinct(ts))
+        |                    // len(ts) AS BIGINT) END AS quality_micro
+        |        FROM (SELECT doc_id,
+        |                list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |              FROM documents)) q
+        |  JOIN bpecnt USING (doc_id)),
+        |tot AS (SELECT CAST(SUM(n_bpe_tokens) * 3 // 10 AS BIGINT) AS b FROM m),
+        |sel AS (
+        |  SELECT doc_id, quality_micro, n_bpe_tokens,
+        |    SUM(n_bpe_tokens) OVER (ORDER BY quality_micro DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM m)
+        |SELECT doc_id, quality_micro, n_bpe_tokens
+        |FROM sel, tot WHERE cum <= b
+        |ORDER BY quality_micro DESC, doc_id""".stripMargin))
+
   // P14 — FUZZY (NEAR-DUP) DECONTAMINATION: training documents whose
   // shingle-set Jaccard against ANY held-out eval document reaches the
   // d3 threshold. p3/p4 catch EXACT n-gram contamination; real eval
@@ -3345,6 +3398,6 @@ object PipelineQueries {
     x1, x2, x3, x4, x5, x6, x7, x8, x9, x9b, x9c, x9d, x10, x11, x11b, x12,
     x13, x14, x15, x15b, x16, x17,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e5c, e9, e10, e10b,
-    p1, p2, p3, p4, p5, p6, p6b, p6c, p7, p8, p9, p10, p11, p12, p13, p14,
-    p15)
+    p1, p2, p3, p4, p5, p6, p6b, p6c, p7, p8, p9, p10, p11, p12, p13, p13b,
+    p14, p15)
 }

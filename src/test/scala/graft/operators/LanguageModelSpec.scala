@@ -46,4 +46,22 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(viaBroadcast.map(_._1) == Seq(1L, 2L, 3L, 4L))
     assert(viaBroadcast.forall(_._3 > 0.0))
   }
+
+  test("materialized bigram stream scores identically to the legacy re-derivation") {
+    // materializeBigrams = false re-tokenizes the corpus at score time
+    // (the pre-round-18 shape, kept only as this A/B baseline); the
+    // materialized default must be the same relation bit-for-bit —
+    // the score rows come from the same stream in the same grouping,
+    // so even ppl is exact here, not just within the FP envelope
+    val materialized = LanguageModel.bigramPerplexity(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val legacy = LanguageModel.bigramPerplexity(corpus,
+        materializeBigrams = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(materialized.map(t => (t._1, t._2)) == legacy.map(t => (t._1, t._2)))
+    materialized.zip(legacy).foreach { case (a, b) =>
+      assert(math.abs(a._3 - b._3) <= 1e-9 * math.abs(a._3),
+        s"doc ${a._1}: ${a._3} vs ${b._3}")
+    }
+  }
 }

@@ -47,17 +47,36 @@ object SpanScaleBench {
     if (sys.env.get("GRAFT_SPAN_STREAM").contains("1")) {
       // d18 sliced-arrival point: split the fixture into 8 doc_id-range
       // slices (cached per sfDir) and run the durable incremental
-      // census one slice per micro-batch, compacting every 4 batches
+      // census one slice per micro-batch, compacting every 4 batches.
+      // The cache validates against the fixture's mtime and is built
+      // in a staging dir renamed into place ATOMICALLY — a
+      // regenerated fixture (the documented per-round workflow) or a
+      // crash mid-slice-write must never silently bench stale or
+      // partial slices (the round-17 advice)
+      val fixtureMtime = {
+        val doc = new java.io.File(sfDir, "documents.parquet")
+        val f = if (doc.exists()) doc else new java.io.File(sfDir)
+        f.lastModified().toString
+      }
       val sliceDir = new java.io.File(
         s"/tmp/graft_span_slices_${new java.io.File(sfDir).getName}")
-      if (!sliceDir.exists()) {
-        sliceDir.mkdirs()
+      val marker = new java.io.File(sliceDir, "_complete")
+      val cacheValid = marker.exists() && {
+        val recorded = new String(java.nio.file.Files.readAllBytes(
+          marker.toPath), java.nio.charset.StandardCharsets.UTF_8)
+        recorded == fixtureMtime
+      }
+      if (!cacheValid) {
+        val staging = new java.io.File(sliceDir.getParent,
+          sliceDir.getName + ".staging")
+        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+        staging.mkdirs()
         val all = Records.table(spark, sfDir, "documents")
         val mm = all.agg(min("doc_id"), max("doc_id")).collect()(0)
         val (lo, hi) = (mm.getLong(0), mm.getLong(1))
         val width = (hi - lo) / 8 + 1
         for (i <- 0 until 8) {
-          val tmp = s"$sliceDir/_tmp_$i"
+          val tmp = s"$staging/_tmp_$i"
           all.filter(col("doc_id") >= lo + i * width &&
               col("doc_id") < lo + (i + 1) * width)
             .coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -66,10 +85,19 @@ object SpanScaleBench {
             try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
             finally ls.close()
           java.nio.file.Files.move(part, java.nio.file.Paths.get(
-            f"$sliceDir/documents-$i%02d.parquet"))
+            f"$staging/documents-$i%02d.parquet"))
           org.apache.commons.io.FileUtils.deleteDirectory(
             new java.io.File(tmp))
         }
+        // the marker lands INSIDE staging before the publish rename,
+        // so a crash at any point leaves either the old valid cache or
+        // an unmarked dir that the next run rebuilds
+        java.nio.file.Files.write(
+          new java.io.File(staging, "_complete").toPath,
+          fixtureMtime.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        org.apache.commons.io.FileUtils.deleteDirectory(sliceDir)
+        if (!staging.renameTo(sliceDir))
+          sys.error(s"could not publish slice cache to $sliceDir")
       }
       val workDir = SessionTemp.dir("span_stream_")
       val t0 = System.nanoTime()

@@ -15,9 +15,18 @@ import org.apache.spark.sql.functions._
  *  - [[topKeywords]]: one (doc, token) aggregation feeds BOTH tf and
  *    df (df is its per-token row count — no countDistinct Expand), the
  *    two consumers share the identical shuffle subtree
- *    (ReusedExchange), the vocabulary-sized df table broadcasts, and
- *    the per-doc top-k is a doc-partitioned row_number — one corpus
- *    shuffle total. Scoring is exact-integer (tf·1e6 ÷ df) rather than
+ *    (ReusedExchange), and the per-doc top-k is a doc-partitioned
+ *    row_number. The vocabulary join carries NO broadcast hint: the df
+ *    table is Heaps-law vocabulary-sized — millions of types on a real
+ *    corpus, past the 8 GB broadcast ceiling at 100 TB — so the gate
+ *    is AQE's runtime size check (the join converts to broadcast when
+ *    the materialized vocab shuffle is small, stays a token-keyed
+ *    shuffle join when it is not). AQE measures the ACTUAL relation at
+ *    the exact point a count-based gate would have to guess or pay an
+ *    extra job for, and unlike [[Broadcasts.sizeGated]] it costs no
+ *    materialization of the derived frame — the right form when the
+ *    gated side is an aggregation mid-plan rather than a parquet twin.
+ *    Scoring is exact-integer (tf·1e6 ÷ df) rather than
  *    tf·ln(N/df): floating-point ln is not identically rounded across
  *    engines and a last-ulp rank flip would fail a hash gate.
  *  - [[invertedIndex]]: bounded state per token — the distinct
@@ -50,7 +59,8 @@ object Indexing {
     val vocab = perDocTok.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(idCol).orderBy(desc("score"), asc("token"))
     perDocTok
-      .join(broadcast(vocab), "token")
+      .join(vocab, "token") // no hint — AQE gates by measured size
+
       .withColumn("score", expr("tf * 1000000L div df"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

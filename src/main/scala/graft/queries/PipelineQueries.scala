@@ -2004,23 +2004,36 @@ object PipelineQueries {
 
   /** The 8 trained merges of the x9b chain, collected in rank order —
     * shared by the apply-side entries (x9c vocabulary segmentation,
-    * x9d corpus tokenization, p6c BPE-count packing). Cached per
-    * (session, dir) — the minhashPairsShared contract: fixture dirs
-    * are immutable during a run, the value is a tiny driver-side list
-    * (8 pairs, nothing pinned on executors), and the cap merely
-    * bounds a long-lived driver sweeping many dirs. */
+    * x9d corpus tokenization, p6c BPE-count packing, p13b BPE-budget
+    * selection). Cached per (sessionUUID, dir) — the
+    * minhashPairsShared contract: fixture dirs are immutable during a
+    * run, the value is a tiny driver-side list (8 pairs, nothing
+    * pinned on executors), and the cap merely bounds a long-lived
+    * driver sweeping many dirs. Training runs OUTSIDE any lock (it is
+    * 8 full Spark rounds — a global lock around it would serialize
+    * every concurrent query definition; the round-17 advice): two
+    * racing callers may both train, putIfAbsent keeps one result, and
+    * the loser's duplicate work is bounded by the race window. The
+    * key is (dir, fixture mtime), NOT the session: the trained merges
+    * are a deterministic function of the fixture content alone, so a
+    * session key only pinned retired SparkSession objects in the map
+    * (the round-17 advice's leak), while the mtime component
+    * invalidates a regenerated fixture in a long-lived driver. */
   private val mergesCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Seq[(String, String)]]()
+    (String, Long), Seq[(String, String)]]()
   private def trainedMerges(s: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[(String, String)] =
-    mergesCache.synchronized {
-      if (mergesCache.size > 8) mergesCache.clear()
-      mergesCache.computeIfAbsent((s, dir), { _ =>
-        graft.operators.Bpe.trainMerges(bpeVocabDf(s, dir), nMerges = 8)
-          .orderBy("round").collect()
-          .map(r => (r.getString(1), r.getString(2))).toSeq
-      })
-    }
+      dir: String): Seq[(String, String)] = {
+    val key = (dir, new java.io.File(dir, "documents.parquet").lastModified)
+    val cached = mergesCache.get(key)
+    if (cached != null) return cached
+    val trained =
+      graft.operators.Bpe.trainMerges(bpeVocabDf(s, dir), nMerges = 8)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    if (mergesCache.size > 8) mergesCache.clear()
+    val prior = mergesCache.putIfAbsent(key, trained)
+    if (prior != null) prior else trained
+  }
 
   /** [[bpeChainSql]] extended with the CORPUS-side segmentation chain:
     * ds0 encodes every document (each whitespace token's char

@@ -1,0 +1,144 @@
+package graft.queries
+
+/**
+ * Shared DuckDB oracle-SQL builders for catalog entries whose oracles
+ * replay a multi-round chain — pulled out of [[PipelineQueries]] so
+ * entry definitions stay one screen (the scaffolding here is oracle
+ * TEXT generation only; no Spark planning lives in this file).
+ *
+ * Both builders replay the BPE merge chain the x9b trainer gates:
+ * replace() is non-overlapping left-to-right in both engines, which IS
+ * greedy BPE pairing, and the chr(31) unit separators / chr(30) record
+ * separator match [[graft.operators.Bpe]]'s encoding exactly.
+ */
+private[queries] object OracleSql {
+
+  /** The x9b training chain: vocab → s0 (separator-encoded char
+    * segmentation) → n rounds of (pair counts p_r, best pair b_r,
+    * segmentation s_r). Ends without a trailing comma — callers append
+    * their final SELECT (or more CTEs). */
+  def bpeChainSql(n: Int): String = {
+    val sep = "chr(31)"
+    def u(x: String) = s"$sep || $x || $sep"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH vocab AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+         |          AS token FROM documents)
+         |  GROUP BY token),
+         |s0 AS (
+         |  SELECT tf, substr(x, 1, length(x) - 1) AS seg FROM (
+         |    SELECT tf, $sep || regexp_replace(token, '(?s)(.)', '\\1' || $sep || $sep, 'g') AS x
+         |    FROM vocab WHERE token NOT LIKE '%' || $sep || '%')),
+         |""".stripMargin)
+    for (r <- 1 to n) {
+      sb.append(
+        s"""p$r AS (
+           |  SELECT p[1] AS l, p[2] AS r, CAST(SUM(tf) AS BIGINT) AS cnt FROM (
+           |    SELECT tf, unnest(list_zip(sm, sm[2:])) AS p FROM (
+           |      SELECT tf, string_split(substr(seg, 2, length(seg) - 2), $sep || $sep) AS sm
+           |      FROM s${r - 1}))
+           |  WHERE p[2] IS NOT NULL GROUP BY 1, 2),
+           |b$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+           |s$r AS (
+           |  SELECT tf, replace(seg, ${u("l")} || ${u("r")}, ${u("l || r")}) AS seg
+           |  FROM s${r - 1}, b$r),
+           |""".stripMargin)
+    }
+    // drop the trailing ",\n" of the last CTE
+    sb.setLength(sb.length - 2)
+    sb.toString
+  }
+
+  /** The d17-family oracle: replay the span census, the keep-first
+    * rule and the token-coverage cut relationally. `sampleMod > 1`
+    * folds the deterministic digest gate in (the d17c form — census
+    * and firsts over sampled spans only); `spanTokens` is the window
+    * width. Shared verbatim by d17 (literal mode), d17b (bloom mode —
+    * output equality across physical modes is the contract) and d17c
+    * (sampled). */
+  def spanDedupSql(spanTokens: Int, sampleMod: Long = 1L): String = {
+    val n = spanTokens
+    val occ = if (sampleMod > 1L) "samp" else "sp"
+    val sampCte = if (sampleMod > 1L)
+      s"""samp AS (
+         |  SELECT * FROM sp
+         |  WHERE ('0x' || substr(span_h, 1, 15))::BIGINT % $sampleMod = 0),
+         |""".stripMargin
+    else ""
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+       |  FROM documents),
+       |sp AS (
+       |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(ts[i:i+${n - 1}], ' ')) AS span_h
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - $n + 2)) AS i
+       |        FROM t WHERE len(ts) >= $n)),
+       |${sampCte}cen AS (
+       |  SELECT span_h FROM $occ GROUP BY span_h HAVING COUNT(*) >= 2),
+       |firsts AS (
+       |  SELECT span_h, doc_id AS f_doc, pos AS f_pos FROM (
+       |    SELECT $occ.span_h, $occ.doc_id, $occ.pos,
+       |      ROW_NUMBER() OVER (PARTITION BY $occ.span_h
+       |                         ORDER BY $occ.doc_id, $occ.pos) AS rn
+       |    FROM $occ JOIN cen USING (span_h)) WHERE rn = 1),
+       |cut AS (
+       |  SELECT $occ.doc_id, $occ.pos
+       |  FROM $occ JOIN cen USING (span_h)
+       |  LEFT JOIN firsts f ON f.span_h = $occ.span_h AND f.f_doc = $occ.doc_id
+       |    AND f.f_pos = $occ.pos
+       |  WHERE f.span_h IS NULL),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, pos + d AS j
+       |  FROM cut, (SELECT unnest(range(0, $n)) AS d) ds),
+       |covl AS (SELECT doc_id, list(j) AS js FROM cov GROUP BY doc_id),
+       |outp AS (
+       |  SELECT t.doc_id, len(t.ts) AS n_tokens,
+       |    list_filter(t.ts,
+       |      (x, i) -> c.js IS NULL OR NOT list_contains(c.js, i - 1)) AS kept
+       |  FROM t LEFT JOIN covl c USING (doc_id))
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  COALESCE(array_to_string(kept, ' '), '') AS kept_text
+       |FROM outp ORDER BY doc_id""".stripMargin
+  }
+
+  /** [[bpeChainSql]] extended with the CORPUS-side segmentation chain:
+    * ds0 encodes every document (each whitespace token's char
+    * segmentation, tokens joined by chr(30) so merges cannot cross
+    * token boundaries), ds1..dsN apply the trained merges b1..bN in
+    * rank order. `extraCols` are carried through (e.g. "source" for
+    * the packing consumer). Ends without a trailing comma — callers
+    * append their final SELECT. */
+  def bpeDocChainSql(n: Int, extraCols: String = ""): String = {
+    val sep = "chr(31)"
+    def u(x: String) = s"$sep || $x || $sep"
+    val ec = if (extraCols.isEmpty) "" else s"$extraCols, "
+    val sb = new StringBuilder
+    sb.append(bpeChainSql(n))
+    sb.append(
+      s""",
+         |ds0 AS (
+         |  SELECT ${ec}doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+         |      AS BIGINT) AS n_tokens,
+         |    COALESCE(array_to_string(list_transform(
+         |      list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
+         |        t -> NOT contains(t, $sep)),
+         |      t -> substr($sep || regexp_replace(t, '(?s)(.)',
+         |        '\\1' || $sep || $sep, 'g'), 1, 3 * length(t))),
+         |      chr(30)), '') AS seg
+         |  FROM documents),
+         |""".stripMargin)
+    for (r <- 1 to n) {
+      sb.append(
+        s"""ds$r AS (
+           |  SELECT ${ec}doc_id, n_tokens,
+           |    replace(seg, ${u("l")} || ${u("r")}, ${u("l || r")}) AS seg
+           |  FROM ds${r - 1}, b$r),
+           |""".stripMargin)
+    }
+    sb.setLength(sb.length - 2)
+    sb.toString
+  }
+}

@@ -1961,42 +1961,10 @@ object PipelineQueries {
   // rounds is a vocabulary-sized job: pair counts (exact tf sums), a
   // 1-row best-pair reduce (ties on count DESC, pair ASC), and one
   // replace() per vocab row applying the merge. The oracle replays all
-  // 8 rounds with chained CTEs over the same separator-encoded
-  // segmentation strings — replace() is non-overlapping left-to-right
-  // in both engines, which IS greedy BPE pairing.
-  private def bpeChainSql(n: Int): String = {
-    val sep = "chr(31)"
-    def u(x: String) = s"$sep || $x || $sep"
-    val sb = new StringBuilder
-    sb.append(
-      s"""WITH vocab AS (
-         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
-         |  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
-         |          AS token FROM documents)
-         |  GROUP BY token),
-         |s0 AS (
-         |  SELECT tf, substr(x, 1, length(x) - 1) AS seg FROM (
-         |    SELECT tf, $sep || regexp_replace(token, '(?s)(.)', '\\1' || $sep || $sep, 'g') AS x
-         |    FROM vocab WHERE token NOT LIKE '%' || $sep || '%')),
-         |""".stripMargin)
-    for (r <- 1 to n) {
-      sb.append(
-        s"""p$r AS (
-           |  SELECT p[1] AS l, p[2] AS r, CAST(SUM(tf) AS BIGINT) AS cnt FROM (
-           |    SELECT tf, unnest(list_zip(sm, sm[2:])) AS p FROM (
-           |      SELECT tf, string_split(substr(seg, 2, length(seg) - 2), $sep || $sep) AS sm
-           |      FROM s${r - 1}))
-           |  WHERE p[2] IS NOT NULL GROUP BY 1, 2),
-           |b$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
-           |s$r AS (
-           |  SELECT tf, replace(seg, ${u("l")} || ${u("r")}, ${u("l || r")}) AS seg
-           |  FROM s${r - 1}, b$r),
-           |""".stripMargin)
-    }
-    // drop the trailing ",\n" of the last CTE
-    sb.setLength(sb.length - 2)
-    sb.toString
-  }
+  // 8 rounds with chained CTEs ([[OracleSql.bpeChainSql]]) over the
+  // same separator-encoded segmentation strings — replace() is
+  // non-overlapping left-to-right in both engines, which IS greedy
+  // BPE pairing.
   private def bpeVocabDf(s: org.apache.spark.sql.SparkSession, dir: String) =
     docs(s, dir)
       .select(explode(expr(tokensExpr)).as("token"))
@@ -2035,50 +2003,12 @@ object PipelineQueries {
     if (prior != null) prior else trained
   }
 
-  /** [[bpeChainSql]] extended with the CORPUS-side segmentation chain:
-    * ds0 encodes every document (each whitespace token's char
-    * segmentation, tokens joined by chr(30) so merges cannot cross
-    * token boundaries), ds1..dsN apply the trained merges b1..bN in
-    * rank order. `extraCols` are carried through (e.g. "source" for
-    * the packing consumer). Ends without a trailing comma — callers
-    * append their final SELECT. */
-  private def bpeDocChainSql(n: Int, extraCols: String = ""): String = {
-    val sep = "chr(31)"
-    def u(x: String) = s"$sep || $x || $sep"
-    val ec = if (extraCols.isEmpty) "" else s"$extraCols, "
-    val sb = new StringBuilder
-    sb.append(bpeChainSql(n))
-    sb.append(
-      s""",
-         |ds0 AS (
-         |  SELECT ${ec}doc_id,
-         |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
-         |      AS BIGINT) AS n_tokens,
-         |    COALESCE(array_to_string(list_transform(
-         |      list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
-         |        t -> NOT contains(t, $sep)),
-         |      t -> substr($sep || regexp_replace(t, '(?s)(.)',
-         |        '\\1' || $sep || $sep, 'g'), 1, 3 * length(t))),
-         |      chr(30)), '') AS seg
-         |  FROM documents),
-         |""".stripMargin)
-    for (r <- 1 to n) {
-      sb.append(
-        s"""ds$r AS (
-           |  SELECT ${ec}doc_id, n_tokens,
-           |    replace(seg, ${u("l")} || ${u("r")}, ${u("l || r")}) AS seg
-           |  FROM ds${r - 1}, b$r),
-           |""".stripMargin)
-    }
-    sb.setLength(sb.length - 2)
-    sb.toString
-  }
   private val x9b = QueryDef(
     "x9b_bpe_train",
     (s, dir) =>
       graft.operators.Bpe.trainMerges(bpeVocabDf(s, dir), nMerges = 8)
         .orderBy("round"),
-    Some(bpeChainSql(8) + "\n" +
+    Some(OracleSql.bpeChainSql(8) + "\n" +
       (1 to 8).map(r =>
         s"""SELECT CAST($r AS BIGINT) AS round, l AS "left", r AS "right",
            |  l || r AS merged, cnt AS n_occurrences FROM b$r""".stripMargin)
@@ -2100,7 +2030,7 @@ object PipelineQueries {
         .groupBy("symbol").agg(sum("tf").as("n_occurrences"))
         .orderBy("symbol")
     },
-    Some(bpeChainSql(8) +
+    Some(OracleSql.bpeChainSql(8) +
       s""",
          |sym8 AS (
          |  SELECT tf, unnest(string_split(substr(seg, 2, length(seg) - 2),
@@ -2125,7 +2055,7 @@ object PipelineQueries {
     (s, dir) =>
       graft.operators.Bpe.tokenizeCorpus(docs(s, dir), trainedMerges(s, dir))
         .orderBy("doc_id"),
-    Some(bpeDocChainSql(8) +
+    Some(OracleSql.bpeDocChainSql(8) +
       """
         |SELECT doc_id, n_tokens,
         |  CAST((length(seg) - length(replace(seg, chr(31), ''))) // 2
@@ -2150,7 +2080,7 @@ object PipelineQueries {
           .select(col("source"), col("doc_id"),
             col("n_bpe_tokens").as("n_tokens")),
         tokenBudget = 256L),
-    Some(bpeDocChainSql(8, "source") +
+    Some(OracleSql.bpeDocChainSql(8, "source") +
       """,
         |cnt AS (
         |  SELECT source, doc_id,
@@ -2452,7 +2382,7 @@ object PipelineQueries {
       graft.operators.Dedup.spanDedupCorpus(d, census, spanTokens = 8)
         .orderBy("doc_id")
     },
-    Some(d17OracleSql))
+    Some(OracleSql.spanDedupSql(8)))
 
   // D17B — the BLOOM mode of the same action pass, forced below its
   // ceiling (maxLiteralFlagged = 0) so the 100-TB path — Bloom
@@ -2470,7 +2400,7 @@ object PipelineQueries {
           maxLiteralFlagged = 0L)
         .orderBy("doc_id")
     },
-    Some(d17OracleSql))
+    Some(OracleSql.spanDedupSql(8)))
 
   // D17C — the SAMPLED action pass: census-with-first under the same
   // deterministic 1/4 digest gate d16 exercises (span COVERAGE is
@@ -2490,80 +2420,7 @@ object PipelineQueries {
       graft.operators.Dedup.spanDedupCorpus(d, census, spanTokens = 8)
         .orderBy("doc_id")
     },
-    Some(
-      """WITH t AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
-        |  FROM documents),
-        |sp AS (
-        |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(ts[i:i+7], ' ')) AS span_h
-        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 8 + 2)) AS i
-        |        FROM t WHERE len(ts) >= 8)),
-        |samp AS (
-        |  SELECT * FROM sp
-        |  WHERE ('0x' || substr(span_h, 1, 15))::BIGINT % 4 = 0),
-        |cen AS (
-        |  SELECT span_h FROM samp GROUP BY span_h HAVING COUNT(*) >= 2),
-        |firsts AS (
-        |  SELECT span_h, doc_id AS f_doc, pos AS f_pos FROM (
-        |    SELECT samp.span_h, samp.doc_id, samp.pos,
-        |      ROW_NUMBER() OVER (PARTITION BY samp.span_h
-        |                         ORDER BY samp.doc_id, samp.pos) AS rn
-        |    FROM samp JOIN cen USING (span_h)) WHERE rn = 1),
-        |cut AS (
-        |  SELECT samp.doc_id, samp.pos
-        |  FROM samp JOIN cen USING (span_h)
-        |  LEFT JOIN firsts f ON f.span_h = samp.span_h AND f.f_doc = samp.doc_id
-        |    AND f.f_pos = samp.pos
-        |  WHERE f.span_h IS NULL),
-        |cov AS (
-        |  SELECT DISTINCT doc_id, pos + d AS j
-        |  FROM cut, (SELECT unnest(range(0, 8)) AS d) ds),
-        |covl AS (SELECT doc_id, list(j) AS js FROM cov GROUP BY doc_id),
-        |outp AS (
-        |  SELECT t.doc_id, len(t.ts) AS n_tokens,
-        |    list_filter(t.ts,
-        |      (x, i) -> c.js IS NULL OR NOT list_contains(c.js, i - 1)) AS kept
-        |  FROM t LEFT JOIN covl c USING (doc_id))
-        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  CAST(len(kept) AS BIGINT) AS n_kept,
-        |  COALESCE(array_to_string(kept, ' '), '') AS kept_text
-        |FROM outp ORDER BY doc_id""".stripMargin))
-
-  private lazy val d17OracleSql: String =
-      """WITH t AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
-        |  FROM documents),
-        |sp AS (
-        |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(ts[i:i+7], ' ')) AS span_h
-        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 8 + 2)) AS i
-        |        FROM t WHERE len(ts) >= 8)),
-        |cen AS (
-        |  SELECT span_h FROM sp GROUP BY span_h HAVING COUNT(*) >= 2),
-        |firsts AS (
-        |  SELECT span_h, doc_id AS f_doc, pos AS f_pos FROM (
-        |    SELECT sp.span_h, sp.doc_id, sp.pos,
-        |      ROW_NUMBER() OVER (PARTITION BY sp.span_h
-        |                         ORDER BY sp.doc_id, sp.pos) AS rn
-        |    FROM sp JOIN cen USING (span_h)) WHERE rn = 1),
-        |cut AS (
-        |  SELECT sp.doc_id, sp.pos
-        |  FROM sp JOIN cen USING (span_h)
-        |  LEFT JOIN firsts f ON f.span_h = sp.span_h AND f.f_doc = sp.doc_id
-        |    AND f.f_pos = sp.pos
-        |  WHERE f.span_h IS NULL),
-        |cov AS (
-        |  SELECT DISTINCT doc_id, pos + d AS j
-        |  FROM cut, (SELECT unnest(range(0, 8)) AS d) ds),
-        |covl AS (SELECT doc_id, list(j) AS js FROM cov GROUP BY doc_id),
-        |outp AS (
-        |  SELECT t.doc_id, len(t.ts) AS n_tokens,
-        |    list_filter(t.ts,
-        |      (x, i) -> c.js IS NULL OR NOT list_contains(c.js, i - 1)) AS kept
-        |  FROM t LEFT JOIN covl c USING (doc_id))
-        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  CAST(len(kept) AS BIGINT) AS n_kept,
-        |  COALESCE(array_to_string(kept, ' '), '') AS kept_text
-        |FROM outp ORDER BY doc_id""".stripMargin
+    Some(OracleSql.spanDedupSql(8, sampleMod = 4L)))
 
   private val d15 = QueryDef(
     "d15_boilerplate_removal",
@@ -3229,7 +3086,7 @@ object PipelineQueries {
           tokensCol = "n_bpe_tokens"),
         tokensCol = "n_bpe_tokens")
     },
-    Some(bpeDocChainSql(8) +
+    Some(OracleSql.bpeDocChainSql(8) +
       """,
         |bpecnt AS (
         |  SELECT doc_id,

@@ -893,6 +893,29 @@ object StreamingQueries {
         |FROM sp GROUP BY span_h HAVING COUNT(*) >= 2
         |ORDER BY span_h""".stripMargin))
 
+  // D19 — STREAMING SPAN DEDUP (the d18 → d17 composition): the
+  // incrementally-maintained census now carries each span's FIRST
+  // occurrence (min(doc_id, pos) partials merge across batches exactly
+  // like the counts), so the stream's output is a CONSUMED input — the
+  // keep-first action pass runs over the accumulated corpus against
+  // censusWithFirst without ever re-scanning history for the census
+  // side (IncrementalSpanCensus.dedupAccumulated; a pipeline emits
+  // deduplicated snapshots on any cadence). The oracle is d17's full
+  // batch SQL over the same documents: incremental maintenance and
+  // batch slicing must be invisible in the rewritten corpus.
+  private val d19Runs = new java.util.concurrent.atomic.AtomicLong(0)
+  private val d19 = QueryDef(
+    "d19_stream_span_dedup",
+    (s, dir) => {
+      val runId = d19Runs.incrementAndGet()
+      val workDir = s"$e3TmpRoot/d19_$runId"
+      graft.streaming.IncrementalSpanCensus.run(s, dir, workDir)
+      graft.streaming.IncrementalSpanCensus.dedupAccumulated(s, workDir,
+          Records.table(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
+    Some(OracleSql.spanDedupSql(8)))
+
   // ---- shared topic-log fixture plumbing (s2b / k2b) ----
 
   private val topicsCache =
@@ -1266,6 +1289,7 @@ object StreamingQueries {
     k2.oracle)
 
   val defs: Seq[QueryDef] =
-    Seq(k2, s2, s2b, k2b, k2c, k2d, k2e, e3, d7, d8, d12, d13, d14, d18, e4,
+    Seq(k2, s2, s2b, k2b, k2c, k2d, k2e, e3, d7, d8, d12, d13, d14, d18, d19,
+      e4,
       e6, e7)
 }

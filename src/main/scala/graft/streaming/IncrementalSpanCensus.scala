@@ -35,11 +35,19 @@ import org.apache.spark.sql.streaming.Trigger
   * (map-side partials absorb within-batch repeats); the merged census
   * read is one sum over the visible partitions; [[run]] compacts on a
   * cadence so the partition count stays bounded over a long-lived
-  * stream. The batch census consumer is [[graft.operators.Dedup
-  * .spanDedupCorpus]] — n_occurrences from this census is the same
-  * number (first-occurrence keepers need the batch census's positions,
-  * so the streaming census carries counts only: the DIAGNOSTIC the d16
-  * entry gates, maintained incrementally). */
+  * stream.
+  *
+  * The partials ALSO carry each span's first occurrence — min over
+  * (doc_id, pos) structs, which merges across batches exactly like the
+  * sums (min of per-batch mins; the position comes from the
+  * position-carrying `span_hashes_pos` kernel). That makes the
+  * maintained census a full [[graft.operators.Dedup
+  * .spanCensusWithFirst]] relation, so the stream's output is a
+  * CONSUMED input, not just the d16 diagnostic: [[censusWithFirst]]
+  * feeds [[graft.operators.Dedup.spanDedupCorpus]] directly (the d19
+  * composition — run the keep-first action pass over the accumulated
+  * corpus on whatever cadence the pipeline wants, [[dedupAccumulated]]).
+  * [[census]] still projects the counts-only d16 shape. */
 object IncrementalSpanCensus {
 
   /** batches that already threw once, keyed (workDir, batchId) — the
@@ -80,11 +88,14 @@ object IncrementalSpanCensus {
       workDir: String, spanTokens: Int): Unit =
     batch
       .select(col("doc_id"), explode_outer(
-        expr(s"span_hashes(text, $spanTokens, 1L)")).as("span_h"))
-      .filter(col("span_h").isNotNull)
+        expr(s"span_hashes_pos(text, $spanTokens, 1L)")).as("w"))
+      .filter(col("w").isNotNull)
+      .select(col("doc_id"), col("w").getField("pos").as("pos"),
+        col("w").getField("h").as("span_h"))
       .groupBy("span_h")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occurrences"))
+        count(lit(1)).as("n_occurrences"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
       .write.mode("overwrite").parquet(s"$workDir/census/batch=$id")
 
   private def partId(name: String): Option[(Boolean, Long)] = {
@@ -123,9 +134,29 @@ object IncrementalSpanCensus {
   }
 
   /** The merged census: (span_h, n_docs, n_occurrences) over every
-    * document streamed so far, spans occurring ≥ `minCount` times. */
+    * document streamed so far, spans occurring ≥ `minCount` times —
+    * the counts-only d16 shape (the `first` column is projected away
+    * before the merge). */
   def census(s: SparkSession, workDir: String,
-      minCount: Long = 2L): DataFrame = {
+      minCount: Long = 2L): DataFrame =
+    merged(s, workDir)
+      .filter(col("n_occurrences") >= minCount)
+      .select("span_h", "n_docs", "n_occurrences")
+
+  /** The merged census WITH each span's first occurrence — the
+    * [[graft.operators.Dedup.spanCensusWithFirst]] relation, built
+    * incrementally: (span_h, n_docs, n_occurrences, first_doc,
+    * first_pos). min(first) merges across partials exactly like the
+    * sums. */
+  def censusWithFirst(s: SparkSession, workDir: String,
+      minCount: Long = 2L): DataFrame =
+    merged(s, workDir)
+      .filter(col("n_occurrences") >= minCount)
+      .select(col("span_h"), col("n_docs"), col("n_occurrences"),
+        col("first").getField("doc_id").as("first_doc"),
+        col("first").getField("pos").as("first_pos"))
+
+  private def merged(s: SparkSession, workDir: String): DataFrame = {
     val root = new Path(s"$workDir/census")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val ps = visibleParts(fs, root)
@@ -133,9 +164,21 @@ object IncrementalSpanCensus {
     s.read.parquet(ps.map(_.toString): _*)
       .groupBy("span_h")
       .agg(sum("n_docs").as("n_docs"),
-        sum("n_occurrences").as("n_occurrences"))
-      .filter(col("n_occurrences") >= minCount)
+        sum("n_occurrences").as("n_occurrences"),
+        min("first").as("first"))
   }
+
+  /** The d19 composition: the keep-first action pass
+    * ([[graft.operators.Dedup.spanDedupCorpus]]) over the documents
+    * accumulated so far, consuming the INCREMENTALLY-maintained
+    * census — identical output to rebuilding the census from scratch
+    * (the merged partials ARE the batch census; spec-pinned), so a
+    * pipeline can emit a deduplicated snapshot on any cadence without
+    * ever re-scanning history for the census side. */
+  def dedupAccumulated(s: SparkSession, workDir: String,
+      corpus: DataFrame, spanTokens: Int = 8): DataFrame =
+    graft.operators.Dedup.spanDedupCorpus(corpus,
+      censusWithFirst(s, workDir), spanTokens)
 
   /** Sum-merge every visible partition with id ≤ `upToBatch` into ONE
     * `compacted=<upToBatch>` partition, then delete the sources.
@@ -164,7 +207,8 @@ object IncrementalSpanCensus {
       s.read.parquet(mergeable.map(_.toString): _*)
         .groupBy("span_h")
         .agg(sum("n_docs").as("n_docs"),
-          sum("n_occurrences").as("n_occurrences"))
+          sum("n_occurrences").as("n_occurrences"),
+          min("first").as("first"))
         .repartition(1).write.mode("overwrite").parquet(tmp.toString)
       if (failpoint == "before-publish")
         throw new RuntimeException("injected compaction crash before publish")

@@ -84,6 +84,28 @@ class IncrementalSpanCensusSpec extends AnyFunSuite {
     IncrementalSpanCensus.run(spark, docsDir, workDir, spanTokens = SpanTokens)
     assert(censusSet(workDir) === oracleSet(docsDir),
       "replayed batch double-counted or lost spans")
+    // the FIRST-occurrence side survives the same crash/replay: the
+    // incrementally-merged censusWithFirst equals the batch build, and
+    // the d19 composition (action pass over accumulated docs against
+    // the incremental census) equals the pure-batch d17 output
+    val docs = spark.read.option("pathGlobFilter", "documents*.parquet")
+      .parquet(docsDir)
+    val incFirst = IncrementalSpanCensus.censusWithFirst(spark, workDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    val batchFirst = graft.operators.Dedup
+      .spanCensusWithFirst(docs, SpanTokens)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(incFirst === batchFirst, "incremental firsts drifted from batch")
+    val viaStream = IncrementalSpanCensus
+      .dedupAccumulated(spark, workDir, docs, SpanTokens)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val viaBatch = graft.operators.Dedup.spanDedupCorpus(docs,
+        graft.operators.Dedup.spanCensusWithFirst(docs, SpanTokens),
+        SpanTokens)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaStream === viaBatch, "streaming action pass != batch d17")
   }
 
   test("compaction crash at every failpoint: the census stays EXACT, never a superset") {

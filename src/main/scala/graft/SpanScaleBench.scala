@@ -16,10 +16,12 @@ import graft.sources.Records
   * Usage: SpanScaleBench <sfDir> [mod ...]  (default mods: 4 16).
   * `mod = 0` exercises the AUTO modulus ([[Dedup.adaptiveSampleMod]]
   * from the corpus's exact window count — the production default).
-  * With env `GRAFT_SPAN_DEDUP=1` the main also times the d17 ACTION
-  * pass (exact census-with-first + keep-first `span_cut` rewrite) and
-  * prints a second `span_dedup` line with the census/rewrite split and
-  * the fraction of corpus tokens cut.
+  * With env `GRAFT_SPAN_DEDUP` set the main also times the d17 ACTION
+  * pass and prints one `span_dedup` line per requested mode with the
+  * census/rewrite split and the fraction of corpus tokens cut —
+  * `literal`, `bloom` (forced big-census fallback, same-session A/B
+  * against literal) and `sampled` (census-with-first at the auto
+  * corpus-scaled modulus); `1` means `literal`.
   */
 object SpanScaleBench {
   def main(args: Array[String]): Unit = {
@@ -113,20 +115,35 @@ object SpanScaleBench {
         f""""repeated_spans":$censusRows,"sf":"$sfDir"}""")
     }
 
-    if (sys.env.get("GRAFT_SPAN_DEDUP").contains("1")) {
+    // GRAFT_SPAN_DEDUP: "1" (legacy — literal mode only) or a comma
+    // list of modes: literal | bloom (maxLiteralFlagged = 0 — the
+    // 100-TB path A/B'd against literal in the same session) |
+    // sampled (census-with-first at the auto corpus-scaled modulus —
+    // the d17c lever). One span_dedup JSON line per mode.
+    val dedupModes = sys.env.get("GRAFT_SPAN_DEDUP") match {
+      case Some("1") => Seq("literal")
+      case Some(ms) => ms.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      case None => Seq.empty
+    }
+    dedupModes.foreach { mode =>
       val t0 = System.nanoTime()
-      val census = Dedup.spanCensusWithFirst(docs, spanTokens = 8)
+      val census =
+        if (mode == "sampled")
+          Dedup.spanCensusWithFirst(docs, spanTokens = 8, sampleMod = 0L)
+        else Dedup.spanCensusWithFirst(docs, spanTokens = 8)
       val censusTmp = SessionTemp.dir("span_dedup_census_")
       census.write.mode("overwrite").parquet(censusTmp)
       val flagged = spark.read.parquet(censusTmp).count()
       val censusSec = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
+      val maxLit = if (mode == "bloom") 0L else Dedup.defaultMaxLiteralFlagged
       val agg = Dedup.spanDedupCorpus(docs,
-          spark.read.parquet(censusTmp), spanTokens = 8)
+          spark.read.parquet(censusTmp), spanTokens = 8,
+          maxLiteralFlagged = maxLit)
         .agg(sum("n_tokens"), sum("n_kept")).collect()(0)
       val (tot, kept) = (agg.getLong(0), agg.getLong(1))
       val rewriteSec = (System.nanoTime() - t1) / 1e9
-      println(f"""{"metric":"span_dedup","docs":$n,""" +
+      println(f"""{"metric":"span_dedup","mode":"$mode","docs":$n,""" +
         f""""flagged_spans":$flagged,"census_sec":$censusSec%.2f,""" +
         f""""rewrite_sec":$rewriteSec%.2f,""" +
         f""""cut_frac":${(tot - kept).toDouble / math.max(tot, 1)}%.4f,""" +

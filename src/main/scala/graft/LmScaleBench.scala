@@ -18,6 +18,10 @@ object LmScaleBench {
     val sfDir = args(0)
     val modes = if (args.length > 1) args.drop(1).toSeq
       else Seq("materialized", "legacy")
+    // an unrecognized mode would silently run the legacy shape under
+    // the requested label, making an A/B compare legacy with itself
+    require(modes.forall(Set("materialized", "legacy")),
+      s"unknown mode in $modes — use materialized|legacy")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local("graft-lm-scale", cpus)
     spark.sparkContext.setLogLevel("WARN")

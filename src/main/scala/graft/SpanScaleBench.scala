@@ -125,6 +125,11 @@ object SpanScaleBench {
       case Some(ms) => ms.split(',').map(_.trim).filter(_.nonEmpty).toSeq
       case None => Seq.empty
     }
+    // an unrecognized mode would silently measure the literal path
+    // under the requested label — corrupt bench records, not an error
+    val known = Set("literal", "bloom", "sampled")
+    require(dedupModes.forall(known), s"unknown GRAFT_SPAN_DEDUP mode in " +
+      s"$dedupModes — use ${known.mkString("|")} (or 1 = literal)")
     dedupModes.foreach { mode =>
       val t0 = System.nanoTime()
       val census =

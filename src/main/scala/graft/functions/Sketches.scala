@@ -115,23 +115,10 @@ object Sketches {
     new GenericArrayData(out)
   }
 
-  /** Every `n`-token window's md5 hex hash in ONE pass, with the
-    * 60-bit sample gate applied from the digest we already hold —
-    * the kernel behind `Dedup.spanDuplicates`. Bit-identical to
-    * `transform(sequence(0, size(ts)-n), i -> md5(concat_ws(' ',
-    * slice(ts, i+1, n))))` filtered by
-    * `conv(substring(h,1,15),16,10) % mod = 0`: consecutive tokens
-    * joined by single spaces are a contiguous byte range of the
-    * single-space join of ALL tokens, so the window bytes are
-    * `md.update(buf, start, len)` slices — no per-window string
-    * building, and the hex encode runs only for windows that survive
-    * the gate. Fewer than n tokens → empty array. */
-  def spanHashes(text: UTF8String, n: Int, mod: Long): ArrayData = {
-    // n < 1 would make m = nTok - n + 1 positive while ends(i + n - 1)
-    // indexes out of bounds — a direct SQL call span_hashes(text, 0, 1)
-    // must degrade to the same empty result as a too-short document,
-    // not an executor ArrayIndexOutOfBoundsException
-    if (n < 1) return new GenericArrayData(Array.empty[Any])
+  /** Tokenize on single spaces with empties dropped — the shared
+    * tokenizer of every text kernel here (the JVM twin of
+    * `filter(split(text, ' '), t -> t != '')`). */
+  private def spaceTokens(text: UTF8String): java.util.ArrayList[String] = {
     val it = text.toString.split(" ", -1)
     val toks = new java.util.ArrayList[String]()
     var i = 0
@@ -139,37 +126,65 @@ object Sketches {
       if (!it(i).isEmpty) toks.add(it(i))
       i += 1
     }
-    val nTok = toks.size
-    val m = nTok - n + 1
-    if (m <= 0) return new GenericArrayData(Array.empty[Any])
-    // one UTF-8 buffer of all tokens joined by ' ', with byte offsets
-    val tokBytes = new Array[Array[Byte]](nTok)
-    var total = 0
-    i = 0
-    while (i < nTok) {
-      tokBytes(i) = toks.get(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      total += tokBytes(i).length
-      i += 1
-    }
-    val buf = new Array[Byte](total + nTok - 1)
+    toks
+  }
+
+  /** One UTF-8 buffer of all tokens joined by ' ', with per-token byte
+    * offsets — consecutive tokens joined by single spaces are then a
+    * contiguous `buf[starts(i) .. ends(j))` range, so window bytes
+    * feed `md.update` directly with no per-window string building. */
+  private final class TokenBuf(toks: java.util.ArrayList[String]) {
+    val nTok: Int = toks.size
     val starts = new Array[Int](nTok)
     val ends = new Array[Int](nTok)
-    var off = 0
-    i = 0
-    while (i < nTok) {
-      starts(i) = off
-      System.arraycopy(tokBytes(i), 0, buf, off, tokBytes(i).length)
-      off += tokBytes(i).length
-      ends(i) = off
-      if (i < nTok - 1) { buf(off) = ' '; off += 1 }
-      i += 1
+    val buf: Array[Byte] = {
+      val tokBytes = new Array[Array[Byte]](nTok)
+      var total = 0
+      var i = 0
+      while (i < nTok) {
+        tokBytes(i) =
+          toks.get(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        total += tokBytes(i).length
+        i += 1
+      }
+      val b = new Array[Byte](math.max(total + nTok - 1, 0))
+      var off = 0
+      i = 0
+      while (i < nTok) {
+        starts(i) = off
+        System.arraycopy(tokBytes(i), 0, b, off, tokBytes(i).length)
+        off += tokBytes(i).length
+        ends(i) = off
+        if (i < nTok - 1) { b(off) = ' '; off += 1 }
+        i += 1
+      }
+      b
     }
+  }
+
+  /** The single windowed-digest loop behind [[spanHashes]] and
+    * [[spanHashesPos]] (one implementation so the two SQL surfaces
+    * cannot drift): md5 each n-token window over the shared buffer,
+    * apply the 60-bit 1/mod gate from the digest, hex-encode only
+    * survivors, emit either the bare hex hash or a (pos, hash)
+    * struct. */
+  private def spanWindows(text: UTF8String, n: Int, mod: Long,
+      withPos: Boolean): ArrayData = {
+    // n < 1 would make m = nTok - n + 1 positive while ends(i + n - 1)
+    // indexes out of bounds — a direct SQL call span_hashes(text, 0, 1)
+    // must degrade to the same empty result as a too-short document,
+    // not an executor ArrayIndexOutOfBoundsException
+    if (n < 1) return new GenericArrayData(Array.empty[Any])
+    val toks = spaceTokens(text)
+    val m = toks.size - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val tb = new TokenBuf(toks)
     val md = Md5.get()
     val out = new java.util.ArrayList[Any](m)
-    i = 0
+    var i = 0
     while (i < m) {
       md.reset()
-      md.update(buf, starts(i), ends(i + n - 1) - starts(i))
+      md.update(tb.buf, tb.starts(i), tb.ends(i + n - 1) - tb.starts(i))
       val d = md.digest()
       var v = 0L
       var b = 0
@@ -183,12 +198,26 @@ object Sketches {
           hex(2 * q + 1) = HexDigits(d(q) & 0xf)
           q += 1
         }
-        out.add(UTF8String.fromString(new String(hex)))
+        val h = UTF8String.fromString(new String(hex))
+        out.add(if (withPos)
+          new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](i, h))
+        else h)
       }
       i += 1
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Every `n`-token window's md5 hex hash in ONE pass, with the
+    * 60-bit sample gate applied from the digest we already hold —
+    * the kernel behind `Dedup.spanDuplicates`. Bit-identical to
+    * `transform(sequence(0, size(ts)-n), i -> md5(concat_ws(' ',
+    * slice(ts, i+1, n))))` filtered by
+    * `conv(substring(h,1,15),16,10) % mod = 0` (see [[spanWindows]]).
+    * Fewer than n tokens → empty array. */
+  def spanHashes(text: UTF8String, n: Int, mod: Long): ArrayData =
+    spanWindows(text, n, mod, withPos = false)
 
   /** The POSITION-CARRYING variant of [[spanHashes]]: every `n`-token
     * window that survives the 1/`mod` digest gate is emitted as a
@@ -199,69 +228,12 @@ object Sketches {
     * NOT a token position once mod > 1; carrying the position through
     * the gate is what lets the action pass (d17) ride the same
     * coverage-sampling lever as the diagnostic census (d16).
-    * Bit-identical window set and hashes to [[spanHashes]] at every
-    * mod (SketchParitySpec pins it). Fewer than n tokens → empty
-    * array. */
-  def spanHashesPos(text: UTF8String, n: Int, mod: Long): ArrayData = {
-    if (n < 1) return new GenericArrayData(Array.empty[Any])
-    val it = text.toString.split(" ", -1)
-    val toks = new java.util.ArrayList[String]()
-    var i = 0
-    while (i < it.length) {
-      if (!it(i).isEmpty) toks.add(it(i))
-      i += 1
-    }
-    val nTok = toks.size
-    val m = nTok - n + 1
-    if (m <= 0) return new GenericArrayData(Array.empty[Any])
-    val tokBytes = new Array[Array[Byte]](nTok)
-    var total = 0
-    i = 0
-    while (i < nTok) {
-      tokBytes(i) = toks.get(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      total += tokBytes(i).length
-      i += 1
-    }
-    val buf = new Array[Byte](total + nTok - 1)
-    val starts = new Array[Int](nTok)
-    val ends = new Array[Int](nTok)
-    var off = 0
-    i = 0
-    while (i < nTok) {
-      starts(i) = off
-      System.arraycopy(tokBytes(i), 0, buf, off, tokBytes(i).length)
-      off += tokBytes(i).length
-      ends(i) = off
-      if (i < nTok - 1) { buf(off) = ' '; off += 1 }
-      i += 1
-    }
-    val md = Md5.get()
-    val out = new java.util.ArrayList[Any](m)
-    i = 0
-    while (i < m) {
-      md.reset()
-      md.update(buf, starts(i), ends(i + n - 1) - starts(i))
-      val d = md.digest()
-      var v = 0L
-      var b = 0
-      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-      v = (v << 4) | ((d(7) & 0xffL) >> 4)
-      if (mod <= 1L || v % mod == 0L) {
-        val hex = new Array[Char](32)
-        var q = 0
-        while (q < 16) {
-          hex(2 * q) = HexDigits((d(q) >> 4) & 0xf)
-          hex(2 * q + 1) = HexDigits(d(q) & 0xf)
-          q += 1
-        }
-        out.add(new org.apache.spark.sql.catalyst.expressions
-          .GenericInternalRow(Array[Any](i,
-            UTF8String.fromString(new String(hex)))))
-      }
-      i += 1
-    }
-    new GenericArrayData(out.toArray)
-  }
+    * Bit-identical window set and hashes to [[spanHashes]] BY
+    * CONSTRUCTION — both are the same [[spanWindows]] loop
+    * (SketchParitySpec additionally pins it at runtime). Fewer than n
+    * tokens → empty array. */
+  def spanHashesPos(text: UTF8String, n: Int, mod: Long): ArrayData =
+    spanWindows(text, n, mod, withPos = true)
 
   /** 16-byte-record comparison inside a packed digest array. */
   private def compareRec(packed: Array[Byte], off: Int,
@@ -339,13 +311,8 @@ object Sketches {
     * hot output scan. */
   def spanCutTokens(text: UTF8String, n: Int, flagged: Array[Byte],
       keepers: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
-    val it = text.toString.split(" ", -1)
-    val toks = new java.util.ArrayList[String]()
+    val toks = spaceTokens(text)
     var i = 0
-    while (i < it.length) {
-      if (!it(i).isEmpty) toks.add(it(i))
-      i += 1
-    }
     require(flagged.length % 16 == 0,
       s"flagged blob must pack 16-byte digests, got ${flagged.length} bytes")
     val nFlagged = flagged.length / 16
@@ -370,34 +337,13 @@ object Sketches {
       km.put(r.getInt(0), r.getUTF8String(1))
       k += 1
     }
-    // one UTF-8 buffer of all tokens joined by ' ' (the spanHashes layout)
-    val tokBytes = new Array[Array[Byte]](nTok)
-    var total = 0
-    i = 0
-    while (i < nTok) {
-      tokBytes(i) = toks.get(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      total += tokBytes(i).length
-      i += 1
-    }
-    val buf = new Array[Byte](total + nTok - 1)
-    val starts = new Array[Int](nTok)
-    val ends = new Array[Int](nTok)
-    var off = 0
-    i = 0
-    while (i < nTok) {
-      starts(i) = off
-      System.arraycopy(tokBytes(i), 0, buf, off, tokBytes(i).length)
-      off += tokBytes(i).length
-      ends(i) = off
-      if (i < nTok - 1) { buf(off) = ' '; off += 1 }
-      i += 1
-    }
+    val tb = new TokenBuf(toks)
     val removed = new Array[Boolean](nTok)
     val md = Md5.get()
     i = 0
     while (i < m) {
       md.reset()
-      md.update(buf, starts(i), ends(i + n - 1) - starts(i))
+      md.update(tb.buf, tb.starts(i), tb.ends(i + n - 1) - tb.starts(i))
       val d = md.digest()
       if (containsDigest(flagged, nFlagged, d)) {
         val kh = km.get(i)
@@ -433,13 +379,8 @@ object Sketches {
     * as one struct row, the [[spanCutTokens]] contract. */
   def cutByPositions(text: UTF8String, n: Int,
       cuts: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
-    val it = text.toString.split(" ", -1)
-    val toks = new java.util.ArrayList[String]()
+    val toks = spaceTokens(text)
     var i = 0
-    while (i < it.length) {
-      if (!it(i).isEmpty) toks.add(it(i))
-      i += 1
-    }
     val nTok = toks.size
     val nCuts = cuts.numElements()
     val removed = new Array[Boolean](nTok)
@@ -496,13 +437,8 @@ object Sketches {
     * occurrence (the `array_distinct` order). Fewer than n tokens →
     * empty array, matching the legacy CASE arm. */
   def wordNGrams(text: UTF8String, n: Int): ArrayData = {
-    val toks = new java.util.ArrayList[String]()
-    val it = text.toString.split(" ", -1)
+    val toks = spaceTokens(text)
     var i = 0
-    while (i < it.length) {
-      if (!it(i).isEmpty) toks.add(it(i))
-      i += 1
-    }
     val m = toks.size - n + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](m * 2)
@@ -540,13 +476,8 @@ object Sketches {
    * matches [[wordNGrams]] (split on single spaces, empties dropped).
    */
   def repetitionStats(text: UTF8String): ArrayData = {
-    val raw = text.toString.split(" ", -1)
-    val toks = new java.util.ArrayList[String](raw.length)
+    val toks = spaceTokens(text)
     var i = 0
-    while (i < raw.length) {
-      if (!raw(i).isEmpty) toks.add(raw(i))
-      i += 1
-    }
     val n = toks.size
     val uni = new java.util.HashSet[String](n * 2)
     i = 0

@@ -258,25 +258,37 @@ object Dedup {
     * spark.driver.maxResultSize (default 1 GB ≈ 33M hashes) well
     * before the literal ceiling does.
     *
-    * BLOOM mode (census > `maxLiteralFlagged` rows — the 100-TB
-    * regime: Lee et al. report ~1% of tokens inside duplicated spans,
-    * so a real corpus's flagged census reaches billions of rows, past
-    * any driver heap or broadcast): the census never leaves the
-    * cluster. A Bloom filter over the flagged hashes' 60-bit keys
-    * (built distributed, ~10 bits/key — billions of keys fit a literal
-    * where their full hashes could not) pre-filters candidate windows
-    * INSIDE the corpus scan (the p4/[[Decontamination.evalBloom]]
-    * pattern); the survivors — true flagged occurrences plus an
-    * fpp-sized trickle — resolve EXACTLY against the census by a
-    * shuffle join on span_h (false positives drop out and keeper
-    * occurrences are excluded by (first_doc, first_pos), so
-    * correctness is INDEPENDENT of fpp); the confirmed cut positions
-    * regroup per doc and join back to the corpus (size-gated
-    * broadcast; a doc-id shuffle join above the gate — the honest
-    * cost once per-doc cut lists outgrow one node) for a positional
-    * rewrite kernel that does no hashing at all
+    * BLOOM mode (census > `maxLiteralFlagged` rows): the census never
+    * leaves the cluster. A Bloom filter over the flagged hashes'
+    * 60-bit keys pre-filters candidate windows INSIDE the corpus scan
+    * (the p4/[[Decontamination.evalBloom]] pattern); the survivors —
+    * true flagged occurrences plus an fpp-sized trickle — resolve
+    * EXACTLY against the census by a shuffle join on span_h (false
+    * positives drop out and keeper occurrences are excluded by
+    * (first_doc, first_pos), so correctness is INDEPENDENT of fpp);
+    * the confirmed cut positions regroup per doc and join back to the
+    * corpus (size-gated broadcast; a doc-id shuffle join above the
+    * gate — the honest cost once per-doc cut lists outgrow one node)
+    * for a positional rewrite kernel that does no hashing at all
     * ([[graft.functions.Sketches.cutByPositions]]). Costs one extra
-    * corpus scan (the candidate pass) vs literal mode.
+    * corpus scan (the candidate pass) vs literal mode. The FILTER
+    * itself has a ceiling too: Spark's `stat.bloomFilter` merges
+    * full-size partials on the driver and the serialized filter must
+    * fit one Java array, which at the default fpp caps the prefilter
+    * at a few hundred million keys (`maxBloomKeys`) — two orders past
+    * the literal ceiling, NOT unbounded. Above THAT the prefilter is
+    * simply skipped: every window flows into the same exact span_h
+    * join (identical output — the Bloom probe is an optimization, not
+    * a semantic step), whose corpus-windows-sized shuffle is the
+    * honest cost of exact substring dedup at a census too large for
+    * any single structure; at that scale the d17c sampling lever is
+    * the production answer.
+    *
+    * PRECONDITION (all modes): `idCol` uniquely identifies corpus
+    * rows — the census keys occurrences by (id, window position), so
+    * under duplicate ids the "first occurrence" is ill-defined and
+    * bloom mode (which resolves cuts by (id, pos)) would cut every
+    * row sharing the id where literal mode re-verifies hashes per row.
     *
     * Output (idCol, n_tokens, n_kept, kept_text), one row per input
     * document (short/empty docs pass through unchanged). */
@@ -284,7 +296,8 @@ object Dedup {
       spanTokens: Int, idCol: String = "doc_id",
       textCol: String = "text",
       maxLiteralFlagged: Long = defaultMaxLiteralFlagged,
-      bloomFpp: Double = 0.001): DataFrame = {
+      bloomFpp: Double = 0.001,
+      maxBloomKeys: Long = defaultMaxBloomKeys): DataFrame = {
     require(spanTokens >= 2, "spanTokens must be at least 2")
     // the census feeds multiple consumers — materialize it once so an
     // unmaterialized census argument isn't recomputed corpus-wide per
@@ -297,12 +310,19 @@ object Dedup {
       .write.mode("overwrite").parquet(tmp)
     val flagged = s.read.parquet(tmp)
     val flaggedCount = flagged.count()
-    if (flaggedCount <= maxLiteralFlagged)
-      spanDedupLiteral(corpus, flagged, flaggedCount, spanTokens, idCol,
+    if (flaggedCount <= maxLiteralFlagged) {
+      // gate the keeper join on the TIGHT keeper-doc count (one narrow
+      // column aggregate over the materialized census) — gating on the
+      // census row count would demote a trivially-broadcastable keeper
+      // table to a full-corpus doc-id shuffle whenever flagged rows
+      // exceed the broadcast ceiling while keeper docs do not
+      val keeperDocs = flagged.agg(countDistinct("first_doc"))
+        .head.getLong(0)
+      spanDedupLiteral(corpus, flagged, keeperDocs, spanTokens, idCol,
         textCol)
-    else
+    } else
       spanDedupBloom(corpus, flagged, flaggedCount, spanTokens, idCol,
-        textCol, bloomFpp)
+        textCol, bloomFpp, maxBloomKeys)
   }
 
   /** Literal-mode ceiling for [[spanDedupCorpus]]: 4M hashes is a
@@ -311,6 +331,15 @@ object Dedup {
     * funneling the census through one node stops being the cheap move
     * and BLOOM mode takes over. */
   val defaultMaxLiteralFlagged: Long = 4000000L
+
+  /** Bloom-prefilter ceiling for [[spanDedupCorpus]]: Spark's
+    * `stat.bloomFilter` treeAggregate ships FULL-SIZE partial filters
+    * to the driver and the serialized filter must fit one Java array
+    * (2 GB), so at fpp 0.001 (~14.4 bits/key) the build is safe to a
+    * few hundred million keys, not billions. Above this the prefilter
+    * is skipped and every window flows into the exact span_h join —
+    * identical output, corpus-windows-sized shuffle. */
+  val defaultMaxBloomKeys: Long = 200000000L
 
   /** DuckDB-parity 60-bit key of a hex md5 column —
     * `('0x'||substr(h,1,15))::BIGINT`; the Bloom key of
@@ -331,7 +360,7 @@ object Dedup {
       array_join(col("__cut").getField("kept"), " ").as("kept_text"))
 
   private def spanDedupLiteral(corpus: DataFrame, flagged: DataFrame,
-      flaggedCount: Long, spanTokens: Int, idCol: String,
+      keeperDocs: Long, spanTokens: Int, idCol: String,
       textCol: String): DataFrame = {
     // collect as MANY rows (never one collect_list row — see the mode
     // Scaladoc), sort driver-side: hex digits are ASCII, so String
@@ -363,11 +392,11 @@ object Dedup {
       .groupBy(col("first_doc").as(idCol))
       .agg(collect_list(struct(col("first_pos").as("pos"),
         col("span_h").as("h"))).as("__kp"))
-    // keeper docs ≤ flagged rows — the already-known count is a valid
-    // upper bound for the gate, so no counting job runs on the derived
-    // grouping; above the ceiling this is a shuffle join on the doc id
+    // the caller passes the exact keeper-doc count, so no counting job
+    // runs on the derived grouping; above the broadcast ceiling this
+    // is a shuffle join on the doc id
     val gatedKeepers = Broadcasts.sizeGated(keepers,
-      knownRows = flaggedCount)
+      knownRows = keeperDocs)
     emitCut(corpus
       .join(gatedKeepers, Seq(idCol), "left")
       .withColumn("__cut", call_function("span_cut",
@@ -379,26 +408,35 @@ object Dedup {
 
   private def spanDedupBloom(corpus: DataFrame, flagged: DataFrame,
       flaggedCount: Long, spanTokens: Int, idCol: String,
-      textCol: String, bloomFpp: Double): DataFrame = {
+      textCol: String, bloomFpp: Double, maxBloomKeys: Long): DataFrame = {
     val s = corpus.sparkSession
     val qt = SqlLit.quoteName(textCol)
-    val bf = flagged.stat.bloomFilter(spanKey(col("span_h")),
-      math.max(flaggedCount, 1L), bloomFpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    val bloomBytes = bos.toByteArray
+    // the prefilter is an OPTIMIZATION, not a semantic step: above the
+    // filter build's own ceiling (driver-merged partials + one Java
+    // array — see defaultMaxBloomKeys) it is skipped and every window
+    // flows into the same exact join, identical output
+    val bloomBytes: Option[Array[Byte]] =
+      if (flaggedCount > maxBloomKeys) None
+      else {
+        val bf = flagged.stat.bloomFilter(spanKey(col("span_h")),
+          math.max(flaggedCount, 1L), bloomFpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        Some(bos.toByteArray)
+      }
     // candidate pass: every window's (pos, hash), gated by the Bloom
     // probe inside the scan stage — survivors are flagged occurrences
     // plus an fpp-sized trickle, so the only corpus-sized exchange is
     // the candidate shuffle of narrow (id, pos, span_h) rows.
     // posexplode_outer + isNotNull (not posexplode): the inferred
     // size()>0 filter would re-evaluate the kernel below the exchange
-    val cand = corpus
+    val windows = corpus
       .select(col(idCol), posexplode_outer(
         expr(s"span_hashes($qt, $spanTokens, 1L)")).as(Seq("pos", "span_h")))
       .filter(col("span_h").isNotNull)
-      .filter(call_function("bloom_contains", lit(bloomBytes),
-        spanKey(col("span_h"))))
+    val cand = bloomBytes.fold(windows)(bytes =>
+      windows.filter(call_function("bloom_contains", lit(bytes),
+        spanKey(col("span_h")))))
     // exact resolution: false positives drop out of the inner join;
     // the recorded first occurrence (the keeper) is excluded from cuts
     val cuts = cand.join(flagged, "span_h")

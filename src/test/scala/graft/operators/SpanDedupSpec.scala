@@ -69,12 +69,13 @@ class SpanDedupSpec extends AnyFunSuite {
   private def run(rows: Seq[(Long, String)], n: Int,
       minCount: Int = 2,
       maxLiteralFlagged: Long = Long.MaxValue,
-      sampleMod: Long = 1L): Seq[(Long, Long, Long, String)] = {
+      sampleMod: Long = 1L,
+      maxBloomKeys: Long = Long.MaxValue): Seq[(Long, Long, Long, String)] = {
     val d = df(rows)
     val census = Dedup.spanCensusWithFirst(d, n, minCount = minCount.toLong,
       sampleMod = sampleMod)
     Dedup.spanDedupCorpus(d, census, n,
-        maxLiteralFlagged = maxLiteralFlagged)
+        maxLiteralFlagged = maxLiteralFlagged, maxBloomKeys = maxBloomKeys)
       .orderBy("doc_id")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
@@ -190,6 +191,25 @@ class SpanDedupSpec extends AnyFunSuite {
     val out = run(rows, n = 3, maxLiteralFlagged = 0L)
     assert(out == Seq((1L, 4L, 4L, "a b c d"), (2L, 4L, 1L, "e"),
       (3L, 4L, 0L, "")))
+  }
+
+  test("no-prefilter tier (census past the Bloom build ceiling) is identical") {
+    // maxBloomKeys = 0 skips the Bloom probe entirely: every window
+    // flows into the exact span_h join — the prefilter is an
+    // optimization, never a semantic step
+    val rnd = new scala.util.Random(211)
+    for (trial <- 1 to 5) {
+      val alphabet = Seq("a", "b", "c")
+      val rows = (1L to (2 + rnd.nextInt(6)).toLong).map { id =>
+        id -> (1 to rnd.nextInt(12))
+          .map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString(" ")
+      }
+      val n = 2 + rnd.nextInt(2)
+      withClue(s"trial $trial (n=$n, rows=$rows): ") {
+        assert(run(rows, n, maxLiteralFlagged = 0L, maxBloomKeys = 0L) ==
+          reference(rows, n, 2))
+      }
+    }
   }
 
   test("span_cut_positions kernel guards degenerate inputs") {

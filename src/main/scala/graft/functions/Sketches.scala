@@ -248,19 +248,76 @@ object Sketches {
     0
   }
 
-  /** Binary search for a raw md5 digest in an ascending packed array
-    * of 16-byte records. Raw-byte order equals hex-string order (hex
-    * digits ascend in ASCII), so an engine-side `sort_array` of hex
-    * hashes packs directly into this layout. */
-  private def containsDigest(packed: Array[Byte], nRec: Int,
+  /** First 8 digest bytes as a long — md5 is uniform, so this IS a
+    * ready-made hash for the probe table. */
+  private def digestKey(bytes: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (bytes(off + i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** Open-addressing index over a packed digest blob: a power-of-2
+    * table of record indices at ≤ 50% load, linear probing, keyed by
+    * each digest's first 8 bytes. Replaces the binary search the
+    * rewrite kernel used to probe with: at sf100 the 24 MB blob
+    * stopped fitting shared cache and every one of the ~20 search
+    * steps became an L3 miss across 32 concurrent threads (measured
+    * superlinear — 6.3 s at sf30, 49.3 s at 3.3× the docs); a hash
+    * probe touches ~1 table slot + 1 record — two cache lines.
+    * Built once per blob INSTANCE and cached weakly: the task-binary
+    * literal is deserialized once per executor so all its tasks share
+    * one table, and a per-task copy merely rebuilds (~tens of ms per
+    * million records) — never a correctness concern. */
+  private val probeTables =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Array[Byte], Array[Int]]())
+
+  /** Per-thread last-used (blob, table) pair: the kernel resolves the
+    * table once per ROW, so the shared synchronized map must not be on
+    * that path (32 threads contending one lock per row measurably
+    * regressed the rewrite) — an identity hit here costs two reads. */
+  private val lastTable = new ThreadLocal[(Array[Byte], Array[Int])]
+
+  private def probeTable(packed: Array[Byte]): Array[Int] = {
+    val last = lastTable.get()
+    if (last != null && (last._1 eq packed)) return last._2
+    val t = probeTableShared(packed)
+    lastTable.set((packed, t))
+    t
+  }
+
+  private def probeTableShared(packed: Array[Byte]): Array[Int] = {
+    val cached = probeTables.get(packed)
+    if (cached != null) return cached
+    val nRec = packed.length / 16
+    var cap = 4
+    while (cap < nRec * 2) cap <<= 1
+    val t = new Array[Int](cap)
+    java.util.Arrays.fill(t, -1)
+    var i = 0
+    while (i < nRec) {
+      var slot = (digestKey(packed, i * 16) & (cap - 1)).toInt
+      while (t(slot) != -1) slot = (slot + 1) & (cap - 1)
+      t(slot) = i
+      i += 1
+    }
+    probeTables.put(packed, t)
+    t
+  }
+
+  /** Is digest `d` one of the packed records? Hash probe via
+    * [[probeTable]]; full 16-byte compare confirms (the 8-byte key is
+    * a filter, not an identity). */
+  private def containsDigest(packed: Array[Byte], table: Array[Int],
       d: Array[Byte]): Boolean = {
-    var lo = 0
-    var hi = nRec - 1
-    while (lo <= hi) {
-      val mid = (lo + hi) >>> 1
-      val c = compareRec(packed, mid * 16, d)
-      if (c == 0) return true
-      if (c < 0) lo = mid + 1 else hi = mid - 1
+    val mask = table.length - 1
+    var slot = (digestKey(d, 0) & mask).toInt
+    var idx = table(slot)
+    while (idx != -1) {
+      if (compareRec(packed, idx * 16, d) == 0) return true
+      slot = (slot + 1) & mask
+      idx = table(slot)
     }
     false
   }
@@ -300,7 +357,7 @@ object Sketches {
     * occurrence — the overlap-merge behavior of a span cut: a token is
     * removed iff ANY flagged non-keeper window covers it, keeper
     * membership saves only the windows it names. Per row: one md5 +
-    * one log|flagged| byte-compare probe per window, keeper lookups
+    * one ~O(1) hash probe per window ([[probeTable]]), keeper lookups
     * O(1) via a per-row position map. n < 1, no windows, or an empty
     * flagged set → tokens unchanged; a flagged blob whose length is
     * not a multiple of 16 is rejected.
@@ -337,6 +394,7 @@ object Sketches {
       km.put(r.getInt(0), r.getUTF8String(1))
       k += 1
     }
+    val table = probeTable(flagged)
     val tb = new TokenBuf(toks)
     val removed = new Array[Boolean](nTok)
     val md = Md5.get()
@@ -345,7 +403,7 @@ object Sketches {
       md.reset()
       md.update(tb.buf, tb.starts(i), tb.ends(i + n - 1) - tb.starts(i))
       val d = md.digest()
-      if (containsDigest(flagged, nFlagged, d)) {
+      if (containsDigest(flagged, table, d)) {
         val kh = km.get(i)
         if (kh == null || !matchesHex(kh, d)) {
           var j = i

@@ -364,11 +364,12 @@ object Dedup {
       textCol: String): DataFrame = {
     // collect as MANY rows (never one collect_list row — see the mode
     // Scaladoc), sort driver-side: hex digits are ASCII, so String
-    // order == UTF8String byte order == raw-digest order, and the
-    // packed blob probes by binary search with no per-window hex
-    // encode; a binary literal also renders opaquely in plan strings
-    // where an array-of-strings literal would print the whole census
-    // into every explain
+    // order == UTF8String byte order == raw-digest order — a
+    // deterministic blob for a given census (stable literal identity;
+    // the kernel probes it through a cached hash index, so sortedness
+    // is no longer load-bearing for the probe). A binary literal also
+    // renders opaquely in plan strings where an array-of-strings
+    // literal would print the whole census into every explain
     val rows = flagged.select("span_h").collect()
     val flaggedHex = new Array[String](rows.length)
     var i = 0

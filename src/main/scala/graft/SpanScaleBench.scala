@@ -28,6 +28,23 @@ object SpanScaleBench {
     val sfDir = args(0)
     val mods = if (args.length > 1) args.drop(1).map(_.toLong).toSeq
       else Seq(4L, 16L)
+    // GRAFT_SPAN_DEDUP: "1" (legacy — literal mode only) or a comma
+    // list of modes: literal | bloom (maxLiteralFlagged = 0 — the
+    // 100-TB path A/B'd against literal in the same session) |
+    // sampled (census-with-first at the auto corpus-scaled modulus —
+    // the d17c lever). Parsed and VALIDATED before any Spark work: an
+    // unrecognized mode must fail fast, not after minutes of census
+    // measurements (and a silent fall-through would measure the
+    // literal path under the requested label — corrupt bench records)
+    val dedupModes = sys.env.get("GRAFT_SPAN_DEDUP") match {
+      case Some("1") => Seq("literal")
+      case Some(ms) => ms.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      case None => Seq.empty
+    }
+    val knownModes = Set("literal", "bloom", "sampled")
+    require(dedupModes.forall(knownModes),
+      s"unknown GRAFT_SPAN_DEDUP mode in $dedupModes — use " +
+        s"${knownModes.mkString("|")} (or 1 = literal)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local("graft-span-scale", cpus)
     spark.sparkContext.setLogLevel("WARN")
@@ -115,21 +132,7 @@ object SpanScaleBench {
         f""""repeated_spans":$censusRows,"sf":"$sfDir"}""")
     }
 
-    // GRAFT_SPAN_DEDUP: "1" (legacy — literal mode only) or a comma
-    // list of modes: literal | bloom (maxLiteralFlagged = 0 — the
-    // 100-TB path A/B'd against literal in the same session) |
-    // sampled (census-with-first at the auto corpus-scaled modulus —
-    // the d17c lever). One span_dedup JSON line per mode.
-    val dedupModes = sys.env.get("GRAFT_SPAN_DEDUP") match {
-      case Some("1") => Seq("literal")
-      case Some(ms) => ms.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-      case None => Seq.empty
-    }
-    // an unrecognized mode would silently measure the literal path
-    // under the requested label — corrupt bench records, not an error
-    val known = Set("literal", "bloom", "sampled")
-    require(dedupModes.forall(known), s"unknown GRAFT_SPAN_DEDUP mode in " +
-      s"$dedupModes — use ${known.mkString("|")} (or 1 = literal)")
+    // one span_dedup JSON line per validated mode (parsed at startup)
     dedupModes.foreach { mode =>
       val t0 = System.nanoTime()
       val census =

@@ -260,36 +260,18 @@ object Sketches {
   /** Open-addressing index over a packed digest blob: a power-of-2
     * table of record indices at ≤ 50% load, linear probing, keyed by
     * each digest's first 8 bytes. Replaces the binary search the
-    * rewrite kernel used to probe with: at sf100 the 24 MB blob
-    * stopped fitting shared cache and every one of the ~20 search
-    * steps became an L3 miss across 32 concurrent threads (measured
-    * superlinear — 6.3 s at sf30, 49.3 s at 3.3× the docs); a hash
-    * probe touches ~1 table slot + 1 record — two cache lines.
-    * Built once per blob INSTANCE and cached weakly: the task-binary
-    * literal is deserialized once per executor so all its tasks share
-    * one table, and a per-task copy merely rebuilds (~tens of ms per
-    * million records) — never a correctness concern. */
-  private val probeTables =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[Array[Byte], Array[Int]]())
-
-  /** Per-thread last-used (blob, table) pair: the kernel resolves the
-    * table once per ROW, so the shared synchronized map must not be on
-    * that path (32 threads contending one lock per row measurably
-    * regressed the rewrite) — an identity hit here costs two reads. */
-  private val lastTable = new ThreadLocal[(Array[Byte], Array[Int])]
-
-  private def probeTable(packed: Array[Byte]): Array[Int] = {
-    val last = lastTable.get()
-    if (last != null && (last._1 eq packed)) return last._2
-    val t = probeTableShared(packed)
-    lastTable.set((packed, t))
-    t
-  }
-
-  private def probeTableShared(packed: Array[Byte]): Array[Int] = {
-    val cached = probeTables.get(packed)
-    if (cached != null) return cached
+    * rewrite kernel used to probe with — ~20 dependent cache-missing
+    * reads per window on a 24 MB blob at sf100 vs ~1 table slot + 1
+    * record (two cache lines); rewrite measured linear through sf100
+    * after the change. LIFECYCLE: built once per [[SpanCut]]
+    * expression instance from its foldable literal (the BloomContains
+    * reference-object pattern — shipped to generated code, alive
+    * exactly as long as the stage that uses it), NOT cached globally:
+    * an earlier cut cached tables in a synchronized weak map resolved
+    * per ROW (32 threads contending one lock measurably regressed
+    * sf30) with a per-thread fast path that pinned blob+table per
+    * executor thread indefinitely. */
+  private[functions] def buildProbeTable(packed: Array[Byte]): Array[Int] = {
     val nRec = packed.length / 16
     var cap = 4
     while (cap < nRec * 2) cap <<= 1
@@ -302,7 +284,6 @@ object Sketches {
       t(slot) = i
       i += 1
     }
-    probeTables.put(packed, t)
     t
   }
 
@@ -357,7 +338,7 @@ object Sketches {
     * occurrence — the overlap-merge behavior of a span cut: a token is
     * removed iff ANY flagged non-keeper window covers it, keeper
     * membership saves only the windows it names. Per row: one md5 +
-    * one ~O(1) hash probe per window ([[probeTable]]), keeper lookups
+    * one ~O(1) hash probe per window ([[buildProbeTable]]), keeper lookups
     * O(1) via a per-row position map. n < 1, no windows, or an empty
     * flagged set → tokens unchanged; a flagged blob whose length is
     * not a multiple of 16 is rejected.
@@ -365,11 +346,16 @@ object Sketches {
     * Returns (kept tokens, original token count) as one struct row:
     * the kernel tokenizes anyway, so handing the count back saves the
     * caller a second full tokenization of every document in the one
-    * hot output scan. */
+    * hot output scan.
+    *
+    * `table` is the [[buildProbeTable]] index of `flagged`, built once
+    * per expression instance and shipped as a codegen reference object
+    * (null → built here per call, the cold path for a non-foldable
+    * flagged argument — real callers pass a literal). */
   def spanCutTokens(text: UTF8String, n: Int, flagged: Array[Byte],
-      keepers: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+      keepers: ArrayData,
+      table: Array[Int]): org.apache.spark.sql.catalyst.InternalRow = {
     val toks = spaceTokens(text)
-    var i = 0
     require(flagged.length % 16 == 0,
       s"flagged blob must pack 16-byte digests, got ${flagged.length} bytes")
     val nFlagged = flagged.length / 16
@@ -394,16 +380,16 @@ object Sketches {
       km.put(r.getInt(0), r.getUTF8String(1))
       k += 1
     }
-    val table = probeTable(flagged)
+    val probe = if (table != null) table else buildProbeTable(flagged)
     val tb = new TokenBuf(toks)
     val removed = new Array[Boolean](nTok)
     val md = Md5.get()
-    i = 0
+    var i = 0
     while (i < m) {
       md.reset()
       md.update(tb.buf, tb.starts(i), tb.ends(i + n - 1) - tb.starts(i))
       val d = md.digest()
-      if (containsDigest(flagged, table, d)) {
+      if (containsDigest(flagged, probe, d)) {
         val kh = km.get(i)
         if (kh == null || !matchesHex(kh, d)) {
           var j = i
@@ -438,7 +424,6 @@ object Sketches {
   def cutByPositions(text: UTF8String, n: Int,
       cuts: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val toks = spaceTokens(text)
-    var i = 0
     val nTok = toks.size
     val nCuts = cuts.numElements()
     val removed = new Array[Boolean](nTok)
@@ -454,7 +439,7 @@ object Sketches {
       }
     }
     val out = new java.util.ArrayList[Any](nTok)
-    i = 0
+    var i = 0
     while (i < nTok) {
       if (!removed(i)) out.add(UTF8String.fromString(toks.get(i)))
       i += 1
@@ -496,11 +481,10 @@ object Sketches {
     * empty array, matching the legacy CASE arm. */
   def wordNGrams(text: UTF8String, n: Int): ArrayData = {
     val toks = spaceTokens(text)
-    var i = 0
     val m = toks.size - n + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](m * 2)
-    i = 0
+    var i = 0
     while (i < m) {
       val sb = new java.lang.StringBuilder
       var j = 0
@@ -535,10 +519,9 @@ object Sketches {
    */
   def repetitionStats(text: UTF8String): ArrayData = {
     val toks = spaceTokens(text)
-    var i = 0
     val n = toks.size
     val uni = new java.util.HashSet[String](n * 2)
-    i = 0
+    var i = 0
     while (i < n) { uni.add(toks.get(i)); i += 1 }
     val biCounts = new java.util.HashMap[String, Int](n * 2)
     var topBi = 0
@@ -748,15 +731,33 @@ case class SpanCut(first: Expression, second: Expression,
     }
   }
 
+  /** The probe index of the (foldable — real callers pass a literal)
+    * flagged blob, built ONCE per expression instance and shipped to
+    * generated code as a reference object (the [[BloomContains]]
+    * pattern): alive exactly as long as the stage using it — no
+    * global cache, no per-row resolution. Null when the blob is not
+    * foldable; the kernel then builds per call (cold path). */
+  @transient private lazy val staticTable: Array[Int] =
+    if (!third.foldable) null
+    else {
+      val blob = third.eval(null).asInstanceOf[Array[Byte]]
+      if (blob == null) null else Sketches.buildProbeTable(blob)
+    }
+
   override protected def nullSafeEval(text: Any, n: Any, flagged: Any,
       keepers: Any): Any =
     Sketches.spanCutTokens(text.asInstanceOf[UTF8String],
       n.asInstanceOf[Number].intValue, flagged.asInstanceOf[Array[Byte]],
-      keepers.asInstanceOf[ArrayData])
+      keepers.asInstanceOf[ArrayData], staticTable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (t, n, f, k) =>
-      s"graft.functions.Sketches.spanCutTokens($t, $n, $f, $k)")
+    if (staticTable != null) {
+      val tbl = ctx.addReferenceObj("spanCutTable", staticTable, "int[]")
+      defineCodeGen(ctx, ev, (t, n, f, k) =>
+        s"graft.functions.Sketches.spanCutTokens($t, $n, $f, $k, $tbl)")
+    } else
+      defineCodeGen(ctx, ev, (t, n, f, k) =>
+        s"graft.functions.Sketches.spanCutTokens($t, $n, $f, $k, null)")
 
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression,

@@ -249,8 +249,9 @@ object Dedup {
     * into 69 s of Platform.copyMemory — corpus × |flagged| bytes; the
     * literal form is 6 s). The keeper (first-occurrence) entries join
     * on the doc id through [[Broadcasts.sizeGated]] (`knownRows` = the
-    * flagged count — an upper bound on keeper docs, already known, so
-    * the gate costs zero extra jobs). The output pass is ONE corpus
+    * flagged count: the payload is one struct per flagged span however
+    * few docs hold them, and the count is already known — zero extra
+    * jobs). The output pass is ONE corpus
     * scan with a codegen'd in-row rewrite — zero corpus shuffle. The
     * flagged set is collected as MANY driver rows (one per hash,
     * packed driver-side) — a single collect_list row would funnel the
@@ -310,17 +311,10 @@ object Dedup {
       .write.mode("overwrite").parquet(tmp)
     val flagged = s.read.parquet(tmp)
     val flaggedCount = flagged.count()
-    if (flaggedCount <= maxLiteralFlagged) {
-      // gate the keeper join on the TIGHT keeper-doc count (one narrow
-      // column aggregate over the materialized census) — gating on the
-      // census row count would demote a trivially-broadcastable keeper
-      // table to a full-corpus doc-id shuffle whenever flagged rows
-      // exceed the broadcast ceiling while keeper docs do not
-      val keeperDocs = flagged.agg(countDistinct("first_doc"))
-        .head.getLong(0)
-      spanDedupLiteral(corpus, flagged, keeperDocs, spanTokens, idCol,
+    if (flaggedCount <= maxLiteralFlagged)
+      spanDedupLiteral(corpus, flagged, flaggedCount, spanTokens, idCol,
         textCol)
-    } else
+    else
       spanDedupBloom(corpus, flagged, flaggedCount, spanTokens, idCol,
         textCol, bloomFpp, maxBloomKeys)
   }
@@ -360,7 +354,7 @@ object Dedup {
       array_join(col("__cut").getField("kept"), " ").as("kept_text"))
 
   private def spanDedupLiteral(corpus: DataFrame, flagged: DataFrame,
-      keeperDocs: Long, spanTokens: Int, idCol: String,
+      flaggedCount: Long, spanTokens: Int, idCol: String,
       textCol: String): DataFrame = {
     // collect as MANY rows (never one collect_list row — see the mode
     // Scaladoc), sort driver-side: hex digits are ASCII, so String
@@ -393,11 +387,16 @@ object Dedup {
       .groupBy(col("first_doc").as(idCol))
       .agg(collect_list(struct(col("first_pos").as("pos"),
         col("span_h").as("h"))).as("__kp"))
-    // the caller passes the exact keeper-doc count, so no counting job
-    // runs on the derived grouping; above the broadcast ceiling this
-    // is a shuffle join on the doc id
+    // the gate bound is the flagged ENTRY count, not the keeper-doc
+    // count: the broadcast payload is one (pos, hash) struct per
+    // flagged span distributed across the keeper rows, so its bytes
+    // scale with flaggedCount regardless of how few docs hold them —
+    // a doc-count gate would wave a multi-GB broadcast through
+    // whenever spans concentrate in few docs. flaggedCount is already
+    // known (metadata count), so the gate costs zero extra jobs;
+    // above the ceiling this is a shuffle join on the doc id.
     val gatedKeepers = Broadcasts.sizeGated(keepers,
-      knownRows = keeperDocs)
+      knownRows = flaggedCount)
     emitCut(corpus
       .join(gatedKeepers, Seq(idCol), "left")
       .withColumn("__cut", call_function("span_cut",

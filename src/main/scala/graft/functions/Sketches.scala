@@ -288,8 +288,8 @@ object Sketches {
   }
 
   /** Is digest `d` one of the packed records? Hash probe via
-    * [[probeTable]]; full 16-byte compare confirms (the 8-byte key is
-    * a filter, not an identity). */
+    * [[buildProbeTable]]'s index; full 16-byte compare confirms (the
+    * 8-byte key is a filter, not an identity). */
   private def containsDigest(packed: Array[Byte], table: Array[Int],
       d: Array[Byte]): Boolean = {
     val mask = table.length - 1
@@ -750,14 +750,14 @@ case class SpanCut(first: Expression, second: Expression,
       n.asInstanceOf[Number].intValue, flagged.asInstanceOf[Array[Byte]],
       keepers.asInstanceOf[ArrayData], staticTable)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    if (staticTable != null) {
-      val tbl = ctx.addReferenceObj("spanCutTable", staticTable, "int[]")
-      defineCodeGen(ctx, ev, (t, n, f, k) =>
-        s"graft.functions.Sketches.spanCutTokens($t, $n, $f, $k, $tbl)")
-    } else
-      defineCodeGen(ctx, ev, (t, n, f, k) =>
-        s"graft.functions.Sketches.spanCutTokens($t, $n, $f, $k, null)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl =
+      if (staticTable != null)
+        ctx.addReferenceObj("spanCutTable", staticTable, "int[]")
+      else "null"
+    defineCodeGen(ctx, ev, (t, n, f, k) =>
+      s"graft.functions.Sketches.spanCutTokens($t, $n, $f, $k, $tbl)")
+  }
 
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression,

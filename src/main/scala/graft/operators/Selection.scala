@@ -90,4 +90,78 @@ object Selection {
           .select(col(idCol), col(rankCol), col(tokensCol)))
     kept.orderBy(col(rankCol).desc, col(idCol))
   }
+
+  /** Per-domain token budgets from target mixture weights — the
+    * budget relation [[selectByDomainBudget]] consumes. `weightsMicro`
+    * is (domainCol, w_micro): the domain's target share of the WHOLE
+    * corpus's tokens in integer micro-units (1e6 = everything).
+    * b_domain = corpus_total · w_micro div 1e6, pure integer
+    * arithmetic. Weights need not sum to 1e6 (a mix is a set of
+    * per-domain targets, not a partition), and a weight larger than
+    * the domain's natural share simply leaves its budget slack — the
+    * selection then keeps the whole domain, which is how up-weighted
+    * mixes behave when the corpus runs out of a domain's tokens. */
+  def domainBudgets(m: DataFrame, weightsMicro: DataFrame,
+      domainCol: String = "source",
+      tokensCol: String = "n_tok"): DataFrame =
+    weightsMicro.crossJoin(broadcast(
+        m.agg(sum(tokensCol).cast("long").as("__tot"))))
+      .select(col(domainCol),
+        expr(s"__tot * w_micro div 1000000").cast("long").as("b"))
+
+  /** [[selectByTokenBudget]] applied independently per domain — the
+    * data-mixing step of training-set construction ("sample each
+    * source to its target weight"): within every domain, keep
+    * documents in exact (`rankCol` DESC, `idCol`) order until the
+    * inclusive running `tokensCol` sum exceeds that domain's budget.
+    * `budgets` is (domainCol, b), e.g. [[domainBudgets]]; domains
+    * absent from it are dropped (a mix names its sources).
+    *
+    * Scale shape — the p13 design, keyed by domain: token totals
+    * aggregate per (domain, rank) VALUE, so the prefix-sum window is
+    * PARTITIONED by domain (parallel across domains, each partition
+    * aggregate-bounded by the rank domain — strictly better than
+    * p13's sanctioned unpartitioned form). The budget boundary picks
+    * ≤ 1 rank value per domain (broadcast — domain-count-sized);
+    * fully-kept (domain, rank) pairs join back WITHOUT a hint: their
+    * count is domains × rank values, so the runtime (AQE) decides
+    * broadcast vs shuffle from the real size — the x10 discipline,
+    * not a forced hint that would ship a multi-domain rank table past
+    * the broadcast ceiling. Only docs at each domain's boundary rank
+    * pay a keyed running-sum window (boundary-group-sized). The
+    * 100 TB plan: scan + one narrow (domain, rank) agg exchange +
+    * size-decided joins — the corpus is never globally sorted.
+    *
+    * Output (domainCol, idCol, rankCol, tokensCol) in selection order
+    * per domain. */
+  def selectByDomainBudget(m: DataFrame, budgets: DataFrame,
+      domainCol: String = "source", rankCol: String = "quality_micro",
+      idCol: String = "doc_id", tokensCol: String = "n_tok"): DataFrame = {
+    val qmeta = m.groupBy(domainCol, rankCol)
+      .agg(sum(tokensCol).as("q_tok"))
+      .withColumn("cum_excl", coalesce(
+        sum("q_tok").over(Window.partitionBy(domainCol)
+          .orderBy(col(rankCol).desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(budgets), Seq(domainCol))
+    val fullQ = qmeta
+      .filter(col("cum_excl") + col("q_tok") <= col("b"))
+      .select(col(domainCol), col(rankCol))
+    // <= (inclusive) at the full-value gate and the boundary filter —
+    // the same boundary-exact semantics SelectionProps pinned for p13
+    val boundaryQ = qmeta
+      .filter(col("cum_excl") <= col("b") &&
+        col("cum_excl") + col("q_tok") > col("b"))
+      .select(col(domainCol), col(rankCol), col("cum_excl"), col("b"))
+    val kept = m.join(fullQ, Seq(domainCol, rankCol))
+      .select(col(domainCol), col(idCol), col(rankCol), col(tokensCol))
+      .unionAll(
+        m.join(broadcast(boundaryQ), Seq(domainCol, rankCol))
+          .withColumn("run", sum(tokensCol).over(
+            Window.partitionBy(domainCol, rankCol).orderBy(idCol)))
+          .filter(col("cum_excl") + col("run") <= col("b"))
+          .select(col(domainCol), col(idCol), col(rankCol),
+            col(tokensCol)))
+    kept.orderBy(col(domainCol), col(rankCol).desc, col(idCol))
+  }
 }

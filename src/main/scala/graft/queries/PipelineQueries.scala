@@ -3261,6 +3261,74 @@ object PipelineQueries {
         |FROM sel, tot WHERE cum <= b
         |ORDER BY quality_micro DESC, doc_id""".stripMargin))
 
+  // P16 — DOMAIN-MIX SELECTION: apply per-source target weights as
+  // token budgets — the data-mixing step of training-set construction
+  // (sample each source to its target share of the corpus's tokens,
+  // best-quality first). p9 COMPUTES mixture weights; p16 APPLIES a
+  // weight vector: within every source, keep docs in exact
+  // (quality_micro DESC, doc_id) order until the source's inclusive
+  // running token sum exceeds b_src = corpus_tokens · w_micro div 1e6.
+  // The mix here up-weights src0–src2 to 15% each (3× their ~5%
+  // natural share — budget exceeds the domain's tokens, so the WHOLE
+  // domain is kept: the up-weighted-slack path) and down-weights the
+  // rest to 2.5% (binding: ~half of each survives — the boundary
+  // path), so both regimes are under the oracle at every sf.
+  //
+  // Scale shape (operators/Selection.selectByDomainBudget): the p13
+  // rank-value aggregation KEYED by domain — the prefix-sum window is
+  // partitioned by source (parallel, aggregate-bounded), the boundary
+  // set is ≤ 1 rank per source (broadcast), fully-kept (source, rank)
+  // pairs join back size-decided by AQE (no forced hint — the x10
+  // discipline), and only boundary-rank docs pay a keyed running-sum
+  // window. The corpus is never globally sorted.
+  private val p16 = QueryDef(
+    "p16_domain_mix",
+    (s, dir) => {
+      import graft.operators.Selection
+      val d = docs(s, dir)
+      val tmp = graft.SessionTemp.dir("graft_p16_")
+      // metric + source in ONE materialized narrow relation (the x16
+      // pattern): selection reads 4 integers/strings per doc, never
+      // the corpus again
+      Selection.vocabRichnessMicro(d)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .write.mode("overwrite").parquet(tmp)
+      val m = s.read.parquet(tmp)
+      import s.implicits._
+      val weights = (0 until 20)
+        .map(i => (s"src$i", if (i < 3) 150000L else 25000L))
+        .toDF("source", "w_micro")
+      Selection.selectByDomainBudget(m,
+        Selection.domainBudgets(m, weights))
+    },
+    Some(
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(ts) AS BIGINT) AS n_tok,
+        |    CASE WHEN len(ts) = 0 THEN 0
+        |         ELSE CAST(CAST(1000000 AS BIGINT) * len(list_distinct(ts))
+        |              // len(ts) AS BIGINT) END AS quality_micro
+        |  FROM (SELECT doc_id, source,
+        |          list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |        FROM documents)),
+        |w AS (
+        |  SELECT DISTINCT source,
+        |    CASE WHEN source IN ('src0', 'src1', 'src2') THEN 150000
+        |         ELSE 25000 END AS w_micro
+        |  FROM documents),
+        |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t FROM m),
+        |b AS (SELECT source, CAST(t * w_micro // 1000000 AS BIGINT) AS b
+        |      FROM w, tot),
+        |sel AS (
+        |  SELECT doc_id, source, quality_micro, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source
+        |      ORDER BY quality_micro DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM m)
+        |SELECT source, doc_id, quality_micro, n_tok
+        |FROM sel JOIN b USING (source) WHERE cum <= b.b
+        |ORDER BY source, quality_micro DESC, doc_id""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, d16, d17, d17b, d17c,
     c1q, c1bq, c2q,
@@ -3269,5 +3337,5 @@ object PipelineQueries {
     x13, x14, x15, x15b, x16, x17,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e5c, e9, e10, e10b,
     p1, p2, p3, p4, p5, p6, p6b, p6c, p7, p8, p9, p10, p11, p12, p13, p13b,
-    p14, p15)
+    p14, p15, p16)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions.col
 import org.scalacheck.{Gen, Properties}
 import org.scalacheck.Prop.forAll
 
@@ -49,5 +50,62 @@ object SelectionProps extends Properties("Selection") {
       val got = Selection.selectByTokenBudget(m, Seq(b).toDF("b"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       got == truth(rows, b)
+    }
+
+  // --- per-domain selection (selectByDomainBudget) ---
+
+  private val domainCorpusGen = for {
+    n <- Gen.choose(0, 80)
+    rows <- Gen.listOfN(n, Gen.zip(
+      Gen.choose(0, 3),      // domain: few domains → constant contention
+      Gen.choose(0L, 20L),   // n_tok (0 allowed)
+      Gen.choose(0L, 4L)))   // rank: tiny domain → constant ties
+  } yield rows.zipWithIndex.map { case ((d, t, q), i) =>
+    (s"dom$d", i.toLong, t, q) }
+
+  private def domainTruth(rows: Seq[(String, Long, Long, Long)],
+      budgets: Map[String, Long]) =
+    rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (d, rs) =>
+      budgets.get(d).toSeq.flatMap { b =>
+        var cum = 0L
+        rs.sortBy { case (_, id, _, q) => (-q, id) }
+          .flatMap { case (_, id, t, q) =>
+            cum += t
+            if (cum <= b) Some((d, id, q, t)) else None
+          }
+      }
+    }
+
+  property("selectByDomainBudget == per-domain running sum") =
+    forAll(domainCorpusGen,
+      Gen.listOfN(4, Gen.choose(0L, 200L))) { (rows, bs) =>
+      // budgets deliberately omit dom3 sometimes: absent domains drop
+      val budgets = bs.zipWithIndex.take(3 + bs.last.toInt % 2)
+        .map { case (b, i) => (s"dom$i", b) }.toMap
+      val m = rows.toDF("source", "doc_id", "n_tok", "quality_micro")
+      val bdf = budgets.toSeq.toDF("source", "b")
+      val got = Selection.selectByDomainBudget(m, bdf)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      got == domainTruth(rows, budgets)
+    }
+
+  property("each domain slice == selectByTokenBudget on that slice") =
+    forAll(domainCorpusGen, Gen.choose(0L, 200L)) { (rows, b) =>
+      val m = rows.toDF("source", "doc_id", "n_tok", "quality_micro")
+      val domains = rows.map(_._1).distinct.sorted
+      val bdf = domains.map((_, b)).toDF("source", "b")
+      val whole = Selection.selectByDomainBudget(m, bdf)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      domains.forall { d =>
+        val slice = Selection.selectByTokenBudget(
+          m.filter(col("source") === d).drop("source"), Seq(b).toDF("b"))
+          .collect()
+          .map(r => (d, r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        whole.filter(_._1 == d) == slice
+      }
     }
 }

@@ -150,7 +150,7 @@ object Dedup {
         coalesce(sum(greatest(
           size(expr(s"filter(split($qt, ' '), t -> t != '')"))
             - lit(spanTokens - 1), lit(0)).cast("long")), lit(0L)))
-        .head.getLong(0)
+        .head().getLong(0)
       adaptiveSampleMod(nSpans, autoTargetSpans)
     }
 

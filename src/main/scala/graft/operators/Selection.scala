@@ -164,4 +164,65 @@ object Selection {
             col(tokensCol)))
     kept.orderBy(col(domainCol), col(rankCol).desc, col(idCol))
   }
+
+  /** [[selectByDomainBudget]] with REPETITION — how real mixes spend a
+    * budget LARGER than a domain's token count: repeat the domain.
+    * Each domain runs at most `maxEpochs` passes, the last possibly
+    * partial: `full = min(b div tok_domain, maxEpochs)` complete
+    * passes (every doc, epochs 1..full), then — only when the cap
+    * isn't hit — the REMAINDER budget `b − full·tok` buys a
+    * best-quality-first partial pass (epoch full+1) with exactly
+    * [[selectByDomainBudget]]'s inclusive running-sum semantics. The
+    * cap bounds output at `maxEpochs × |corpus|` rows (repetition past
+    * ~4 epochs has sharply diminishing returns for LM training — the
+    * data-constrained scaling result — so uncapped repetition is never
+    * what a pipeline wants); a zero-token domain gets no full passes
+    * and its zero-token docs ride the partial pass once.
+    *
+    * Scale shape: the per-domain (tok, full, remainder) table is
+    * domain-count-sized (broadcast); full passes are ONE corpus join +
+    * an in-row `sequence` explode (filtered to full ≥ 1 — Spark's
+    * `sequence(1, 0)` infers a DESCENDING step and would emit [1, 0]);
+    * the partial pass is [[selectByDomainBudget]] on the remainder
+    * budgets. No global sort, no corpus shuffle beyond the p16 shape.
+    *
+    * Output (domainCol, idCol, epoch, rankCol, tokensCol) ordered by
+    * (domain, epoch, rank DESC, id). */
+  def domainMixWithRepetition(m: DataFrame, budgets: DataFrame,
+      maxEpochs: Int = 4,
+      domainCol: String = "source", rankCol: String = "quality_micro",
+      idCol: String = "doc_id", tokensCol: String = "n_tok"): DataFrame = {
+    require(maxEpochs >= 1, "maxEpochs must be at least 1")
+    val dom = m.groupBy(domainCol)
+      .agg(sum(tokensCol).cast("long").as("__tok"))
+      .join(broadcast(budgets), Seq(domainCol))
+      // ANSI mode: `div` by a zero-token domain would throw, so the
+      // zero case is decided before the division
+      .withColumn("__full",
+        when(col("__tok") > 0L,
+          least(expr("b div __tok"), lit(maxEpochs.toLong)))
+        .otherwise(0L))
+      .withColumn("__rem",
+        when(col("__full") < maxEpochs,
+          col("b") - col("__full") * col("__tok")).otherwise(0L))
+    val fullPasses = m
+      .join(broadcast(dom.filter(col("__full") >= 1L)
+        .select(col(domainCol), col("__full"))), Seq(domainCol))
+      .select(col(domainCol), col(idCol),
+        explode(expr("sequence(1L, __full)")).as("epoch"),
+        col(rankCol), col(tokensCol))
+    val fracBudgets = dom.filter(col("__full") < maxEpochs)
+      .select(col(domainCol), col("__rem").as("b"),
+        (col("__full") + 1L).as("__ep"))
+    val fractional = selectByDomainBudget(m,
+        fracBudgets.select(col(domainCol), col("b")),
+        domainCol, rankCol, idCol, tokensCol)
+      .join(broadcast(fracBudgets.select(col(domainCol), col("__ep"))),
+        Seq(domainCol))
+      .select(col(domainCol), col(idCol), col("__ep").as("epoch"),
+        col(rankCol), col(tokensCol))
+    fullPasses.unionAll(fractional)
+      .orderBy(col(domainCol), col("epoch"), col(rankCol).desc,
+        col(idCol))
+  }
 }

@@ -2468,7 +2468,7 @@ object PipelineQueries {
         .groupBy("chunk").agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= 5)
         .agg(sort_array(collect_list("chunk")).as("boiler"))
-        .head.getSeq[String](0)
+        .head().getSeq[String](0)
       seg
         .withColumn("kept", call_function("array_except_sorted",
           col("chunks"), lit(boilerArr.toArray)))
@@ -3329,6 +3329,91 @@ object PipelineQueries {
         |FROM sel JOIN b USING (source) WHERE cum <= b.b
         |ORDER BY source, quality_micro DESC, doc_id""".stripMargin))
 
+  // P16B — DOMAIN MIX WITH REPETITION: how a real mix spends a budget
+  // LARGER than a domain holds — repeat the domain, at most 4 passes,
+  // the last possibly partial (Selection.domainMixWithRepetition):
+  // full = min(b div tok_domain, 4) complete epochs, then the
+  // remainder budget buys a best-quality-first partial pass with
+  // p16's exact inclusive running-sum semantics (the
+  // data-constrained-scaling discipline: repetition past ~4 epochs
+  // stops paying, so the cap is the realistic default, and it also
+  // BOUNDS output at 4× corpus — uncapped repetition would let one
+  // tiny up-weighted domain explode the output). The mix exercises
+  // every regime at every sf: src0 at 10× natural share (cap hit — 4
+  // full passes, no partial), src1/src2 at 3× (full passes + partial
+  // remainder pass), the rest at half share (partial pass only — p16's
+  // binding path).
+  //
+  // Scale shape: the (tok, full, remainder) table is 20 rows
+  // (broadcast); full passes are ONE corpus join + an in-row sequence
+  // explode; the partial pass is p16's keyed-window selection on the
+  // remainder budgets. No global sort, no corpus shuffle beyond p16's.
+  private val p16b = QueryDef(
+    "p16b_domain_mix_epochs",
+    (s, dir) => {
+      import graft.operators.Selection
+      val d = docs(s, dir)
+      val tmp = graft.SessionTemp.dir("graft_p16b_")
+      Selection.vocabRichnessMicro(d)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .write.mode("overwrite").parquet(tmp)
+      val m = s.read.parquet(tmp)
+      import s.implicits._
+      val weights = (0 until 20)
+        .map(i => (s"src$i",
+          if (i == 0) 500000L else if (i < 3) 150000L else 25000L))
+        .toDF("source", "w_micro")
+      Selection.domainMixWithRepetition(m,
+        Selection.domainBudgets(m, weights), maxEpochs = 4)
+    },
+    Some(
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(ts) AS BIGINT) AS n_tok,
+        |    CASE WHEN len(ts) = 0 THEN 0
+        |         ELSE CAST(CAST(1000000 AS BIGINT) * len(list_distinct(ts))
+        |              // len(ts) AS BIGINT) END AS quality_micro
+        |  FROM (SELECT doc_id, source,
+        |          list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |        FROM documents)),
+        |w AS (
+        |  SELECT DISTINCT source,
+        |    CASE WHEN source = 'src0' THEN 500000
+        |         WHEN source IN ('src1', 'src2') THEN 150000
+        |         ELSE 25000 END AS w_micro
+        |  FROM documents),
+        |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t FROM m),
+        |b AS (SELECT source, CAST(t * w_micro // 1000000 AS BIGINT) AS b
+        |      FROM w, tot),
+        |dom AS (
+        |  SELECT m.source, CAST(SUM(n_tok) AS BIGINT) AS tok, b.b,
+        |    CASE WHEN SUM(n_tok) > 0
+        |         THEN LEAST(CAST(b.b // SUM(n_tok) AS BIGINT), 4)
+        |         ELSE 0 END AS fullp
+        |  FROM m JOIN b USING (source) GROUP BY m.source, b.b),
+        |dom2 AS (
+        |  SELECT source, tok, b, fullp,
+        |    CASE WHEN fullp < 4 THEN b - fullp * tok ELSE 0 END AS rem
+        |  FROM dom),
+        |fullpass AS (
+        |  SELECT m.source, m.doc_id,
+        |    CAST(unnest(generate_series(1, fullp)) AS BIGINT) AS epoch,
+        |    m.quality_micro, m.n_tok
+        |  FROM m JOIN dom2 USING (source)),
+        |frac AS (
+        |  SELECT sel.source, sel.doc_id,
+        |    CAST(fullp + 1 AS BIGINT) AS epoch, sel.quality_micro, sel.n_tok
+        |  FROM (SELECT m.*,
+        |          SUM(n_tok) OVER (PARTITION BY source
+        |            ORDER BY quality_micro DESC, doc_id
+        |            ROWS UNBOUNDED PRECEDING) AS cum
+        |        FROM m) sel
+        |  JOIN dom2 USING (source)
+        |  WHERE fullp < 4 AND cum <= rem)
+        |SELECT source, doc_id, epoch, quality_micro, n_tok
+        |FROM (SELECT * FROM fullpass UNION ALL SELECT * FROM frac)
+        |ORDER BY source, epoch, quality_micro DESC, doc_id""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, d16, d17, d17b, d17c,
     c1q, c1bq, c2q,
@@ -3337,5 +3422,5 @@ object PipelineQueries {
     x13, x14, x15, x15b, x16, x17,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e5c, e9, e10, e10b,
     p1, p2, p3, p4, p5, p6, p6b, p6c, p7, p8, p9, p10, p11, p12, p13, p13b,
-    p14, p15, p16)
+    p14, p15, p16, p16b)
 }

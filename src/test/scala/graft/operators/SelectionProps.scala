@@ -91,6 +91,45 @@ object SelectionProps extends Properties("Selection") {
       got == domainTruth(rows, budgets)
     }
 
+  private def repetitionTruth(rows: Seq[(String, Long, Long, Long)],
+      budgets: Map[String, Long], cap: Int) =
+    rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (d, rs) =>
+      budgets.get(d).toSeq.flatMap { b =>
+        val ordered = rs.sortBy { case (_, id, _, q) => (-q, id) }
+        val tok = rs.map(_._3).sum
+        val full = if (tok > 0) math.min(b / tok, cap.toLong) else 0L
+        val fullPart = for {
+          e <- 1L to full
+          (_, id, t, q) <- ordered
+        } yield (d, id, e, q, t)
+        val frac = if (full < cap) {
+          val rem = b - full * tok
+          var cum = 0L
+          ordered.flatMap { case (_, id, t, q) =>
+            cum += t
+            if (cum <= rem) Some((d, id, full + 1, q, t)) else None
+          }
+        } else Seq.empty
+        fullPart ++ frac
+      }
+    }
+
+  property("domainMixWithRepetition == capped epochs + remainder prefix") =
+    forAll(domainCorpusGen, Gen.listOfN(4, Gen.choose(0L, 600L)),
+      Gen.choose(1, 4)) { (rows, bs, cap) =>
+      // budgets up to ~several× a domain's tokens so full passes, the
+      // cap, and the remainder pass are all exercised
+      val budgets = bs.zipWithIndex
+        .map { case (b, i) => (s"dom$i", b) }.toMap
+      val m = rows.toDF("source", "doc_id", "n_tok", "quality_micro")
+      val bdf = budgets.toSeq.toDF("source", "b")
+      val got = Selection.domainMixWithRepetition(m, bdf, maxEpochs = cap)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      got == repetitionTruth(rows, budgets, cap)
+    }
+
   property("each domain slice == selectByTokenBudget on that slice") =
     forAll(domainCorpusGen, Gen.choose(0L, 200L)) { (rows, b) =>
       val m = rows.toDF("source", "doc_id", "n_tok", "quality_micro")

@@ -34,8 +34,7 @@ object MixScaleBench {
 
     val tmp = graft.SessionTemp.dir("graft_mix_scale_")
     val t0 = System.nanoTime()
-    Selection.vocabRichnessMicro(docs)
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    Selection.vocabRichnessMicro(docs, carryCols = Seq("source"))
       .write.mode("overwrite").parquet(tmp)
     val buildSec = (System.nanoTime() - t0) / 1e9
     val m = spark.read.parquet(tmp)

@@ -28,19 +28,26 @@ object Selection {
   /** Per-document vocabulary-richness quality in pure integer
     * micro-units: 1e6 · distinct / total tokens, integer division — no
     * FP anywhere, so any engine agrees bit-for-bit including ties.
-    * Input needs (idCol, `text`); output (idCol, n_tok, quality_micro).
-    * Callers materialize the result before reuse (the x16 pattern). */
+    * Input needs (idCol, `text`); output (idCol, carryCols…, n_tok,
+    * quality_micro). `carryCols` pass through the row-wise select
+    * chain unchanged — domain-keyed callers (p16) carry `source` here
+    * for FREE instead of re-attaching it with a corpus-sized self-join
+    * on the id. Callers materialize the result before reuse (the x16
+    * pattern). */
   def vocabRichnessMicro(docs: DataFrame, idCol: String = "doc_id",
-      tokensExpr: String = TextAnalysis.tokensExpr): DataFrame =
+      tokensExpr: String = TextAnalysis.tokensExpr,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val carry = carryCols.map(col)
     docs
-      .select(col(idCol), expr(tokensExpr).as("ts"))
-      .select(col(idCol),
+      .select(col(idCol) +: carry :+ expr(tokensExpr).as("ts"): _*)
+      .select(col(idCol) +: carry ++: Seq(
         size(col("ts")).cast("long").as("n_tok"),
-        expr("size(array_distinct(ts))").cast("long").as("n_distinct"))
-      .select(col(idCol), col("n_tok"),
+        expr("size(array_distinct(ts))").cast("long").as("n_distinct")): _*)
+      .select(col(idCol) +: carry ++: Seq(col("n_tok"),
         when(col("n_tok") === 0L, 0L)
           .otherwise(expr("1000000L * n_distinct div n_tok"))
-          .cast("long").as("quality_micro"))
+          .cast("long").as("quality_micro")): _*)
+  }
 
   /** A 1-row budget relation: `num/den` of the corpus's total tokens
     * (integer arithmetic), as column `b`. */
@@ -106,8 +113,19 @@ object Selection {
       tokensCol: String = "n_tok"): DataFrame =
     weightsMicro.crossJoin(broadcast(
         m.agg(sum(tokensCol).cast("long").as("__tot"))))
+      // NOT `__tot * w_micro div 1e6`: at the brief's scale the raw
+      // product overflows Long (1.85e13 corpus tokens × the p16b
+      // 500000 weight > 2^63 — ANSI throws, non-ANSI wraps to a
+      // NEGATIVE budget that silently drops the most up-weighted
+      // domain). Decompose __tot = q·1e6 + r: the value is exactly
+      // q·w + (r·w div 1e6), and each term is overflow-safe whenever
+      // the BUDGET itself fits a Long (q·w ≤ the budget + w;
+      // r·w < 1e6·w) — a budget past 2^63 tokens has no
+      // representable meaning anyway, and ANSI still fails it loudly.
       .select(col(domainCol),
-        expr(s"__tot * w_micro div 1000000").cast("long").as("b"))
+        expr("__tot div 1000000 * w_micro + " +
+          "(__tot % 1000000) * w_micro div 1000000")
+          .cast("long").as("b"))
 
   /** [[selectByTokenBudget]] applied independently per domain — the
     * data-mixing step of training-set construction ("sample each
@@ -193,7 +211,12 @@ object Selection {
       domainCol: String = "source", rankCol: String = "quality_micro",
       idCol: String = "doc_id", tokensCol: String = "n_tok"): DataFrame = {
     require(maxEpochs >= 1, "maxEpochs must be at least 1")
-    val dom = m.groupBy(domainCol)
+    // materialized ONCE (session-temp, the x14/p14 pattern): dom is
+    // referenced by the full-pass join, the remainder budgets, and
+    // the epoch-number join — unmaterialized, each reference would
+    // re-run the corpus-wide aggregation (and selectByDomainBudget
+    // evaluates its budget subtree twice more)
+    val domQ = m.groupBy(domainCol)
       .agg(sum(tokensCol).cast("long").as("__tok"))
       .join(broadcast(budgets), Seq(domainCol))
       // ANSI mode: `div` by a zero-token domain would throw, so the
@@ -205,6 +228,9 @@ object Selection {
       .withColumn("__rem",
         when(col("__full") < maxEpochs,
           col("b") - col("__full") * col("__tok")).otherwise(0L))
+    val tmp = graft.SessionTemp.dir("graft_mix_dom_")
+    domQ.write.mode("overwrite").parquet(tmp)
+    val dom = m.sparkSession.read.parquet(tmp)
     val fullPasses = m
       .join(broadcast(dom.filter(col("__full") >= 1L)
         .select(col(domainCol), col("__full"))), Seq(domainCol))

@@ -3290,8 +3290,7 @@ object PipelineQueries {
       // metric + source in ONE materialized narrow relation (the x16
       // pattern): selection reads 4 integers/strings per doc, never
       // the corpus again
-      Selection.vocabRichnessMicro(d)
-        .join(d.select(col("doc_id"), col("source")), "doc_id")
+      Selection.vocabRichnessMicro(d, carryCols = Seq("source"))
         .write.mode("overwrite").parquet(tmp)
       val m = s.read.parquet(tmp)
       import s.implicits._
@@ -3354,8 +3353,7 @@ object PipelineQueries {
       import graft.operators.Selection
       val d = docs(s, dir)
       val tmp = graft.SessionTemp.dir("graft_p16b_")
-      Selection.vocabRichnessMicro(d)
-        .join(d.select(col("doc_id"), col("source")), "doc_id")
+      Selection.vocabRichnessMicro(d, carryCols = Seq("source"))
         .write.mode("overwrite").parquet(tmp)
       val m = s.read.parquet(tmp)
       import s.implicits._

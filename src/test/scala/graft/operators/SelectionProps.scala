@@ -91,6 +91,25 @@ object SelectionProps extends Properties("Selection") {
       got == domainTruth(rows, budgets)
     }
 
+  property("domainBudgets is exact and overflow-safe at Long extremes") =
+    forAll(Gen.listOfN(3, Gen.choose(0L, 660000000000000000L)),
+      Gen.listOfN(3, Gen.choose(0L, 3000000L))) { (toks, ws) =>
+      // corpus totals up to ~2e18 × weights up to 3e6 micro: the raw
+      // product __tot * w_micro overflows Long (ANSI would throw) but
+      // every BUDGET still fits one — the contract's domain — and the
+      // decomposed form must equal the BigInt truth exactly there
+      val m = toks.zipWithIndex
+        .map { case (t, i) => (s"dom$i", i.toLong, t, 0L) }
+        .toDF("source", "doc_id", "n_tok", "quality_micro")
+      val w = ws.zipWithIndex.map { case (wm, i) => (s"dom$i", wm) }
+        .toDF("source", "w_micro")
+      val tot = BigInt(toks.sum)
+      val truth = ws.zipWithIndex.map { case (wm, i) =>
+        (s"dom$i", (tot * wm / 1000000).toLong) }.toMap
+      Selection.domainBudgets(m, w).collect()
+        .forall(r => truth(r.getString(0)) == r.getLong(1))
+    }
+
   private def repetitionTruth(rows: Seq[(String, Long, Long, Long)],
       budgets: Map[String, Long], cap: Int) =
     rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (d, rs) =>

@@ -171,6 +171,41 @@ class PlanShapeSpec extends AnyFunSuite {
       s"packing window is not partitioned by source:\n${windowLines.mkString("\n")}")
   }
 
+  test("p16: every mix window is keyed by source; corpus never globally sorted") {
+    val plan = finalPlan("p16_domain_mix")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in p16:\n$plan")
+    // the prefix-sum window over (source, rank) aggregates and the
+    // boundary running sum must BOTH be partitioned by source — an
+    // unkeyed window is the global-sort formulation the operator
+    // exists to avoid
+    val windowLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(windowLines.nonEmpty, s"no window in p16:\n$plan")
+    assert(windowLines.forall(_.contains("windowspecdefinition(source")),
+      s"mix window not keyed by source:\n${windowLines.mkString("\n")}")
+    // at fixture scale AQE must resolve the (source, rank) join-back
+    // to broadcast — a sort-merge join here means the size decision
+    // regressed to shuffling the metric relation for a tiny build side
+    assert(!plan.contains("SortMergeJoin"),
+      s"metric relation shuffled for a tiny join side:\n$plan")
+  }
+
+  test("p16b: repetition is an in-row sequence explode; windows stay keyed") {
+    val plan = finalPlan("p16b_domain_mix_epochs")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in p16b:\n$plan")
+    // full passes must replicate rows with an in-row explode of
+    // sequence(1, full) — not a join against an epoch table
+    assert(plan.contains("Generate explode(sequence("),
+      s"repetition is not an in-row sequence explode:\n$plan")
+    val windowLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(windowLines.nonEmpty, s"no window in p16b:\n$plan")
+    assert(windowLines.forall(_.contains("windowspecdefinition(source")),
+      s"mix window not keyed by source:\n${windowLines.mkString("\n")}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"metric relation shuffled for a tiny join side:\n$plan")
+  }
+
   test("p7: split census has zero joins") {
     val plan = executedPlan("p7_hash_split")
     assert(!plan.contains("Join"), s"join in p7:\n$plan")

@@ -419,7 +419,10 @@ object Sketches {
     * it. Out-of-range positions are ignored (cut lists come from the
     * same tokenization, so they are in range by construction; a
     * clamped guard beats an executor ArrayIndexOutOfBoundsException on
-    * a hand-built list). Returns (kept tokens, original token count)
+    * a hand-built list), and so are NULL entries — the SQL surface
+    * admits array<int> with nulls, where ArrayData.getInt would read
+    * the zeroed slot as position 0 and silently cut the document's
+    * first n tokens. Returns (kept tokens, original token count)
     * as one struct row, the [[spanCutTokens]] contract. */
   def cutByPositions(text: UTF8String, n: Int,
       cuts: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
@@ -430,7 +433,7 @@ object Sketches {
     if (n >= 1) {
       var c = 0
       while (c < nCuts) {
-        val p = cuts.getInt(c)
+        val p = if (cuts.isNullAt(c)) -1 else cuts.getInt(c)
         if (p >= 0 && p + n <= nTok) {
           var j = p
           while (j < p + n) { removed(j) = true; j += 1 }

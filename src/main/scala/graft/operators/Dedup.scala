@@ -448,7 +448,19 @@ object Dedup {
     // not the corpus) so the gate's count is metadata-cheap
     val cutsTmp = graft.SessionTemp.dir("graft_span_cuts_")
     cuts.write.mode("overwrite").parquet(cutsTmp)
-    val cutLists = Broadcasts.sizeGated(s.read.parquet(cutsTmp))
+    val cutsM = s.read.parquet(cutsTmp)
+    // gate on cut OCCURRENCES, not doc rows — the broadcast payload is
+    // the position arrays, whose bytes scale with occurrences however
+    // few docs hold them (the same concentration hazard the literal
+    // mode's keeper gate guards with knownRows = flaggedCount); a
+    // doc-row gate would wave a multi-GB broadcast through whenever
+    // 100M+ cuts land in under 2M documents. One narrow aggregate
+    // over the occurrence-bounded (never corpus-sized) relation.
+    val cutOccurrences = cutsM
+      .agg(coalesce(sum(size(col("__cuts"))), lit(0L)).cast("long"))
+      .head().getLong(0)
+    val cutLists = Broadcasts.sizeGated(cutsM,
+      knownRows = math.max(cutOccurrences, 1L))
     emitCut(corpus
       .join(cutLists, Seq(idCol), "left")
       .withColumn("__cut", call_function("span_cut_positions",

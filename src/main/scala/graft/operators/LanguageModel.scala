@@ -64,7 +64,13 @@ object LanguageModel {
     * false` keeps the legacy shape whose score pass re-derives the
     * bigram stream from the raw corpus (re-tokenize + re-explode) —
     * retained ONLY as the A/B baseline the spec pins equal; production
-    * callers want the default. */
+    * callers want the default. FOOTPRINT: the default materializes one
+    * corpus-scale (one row per token position) stream in
+    * [[graft.SessionTemp]] PER CALL, reclaimed at JVM exit — a
+    * long-lived driver scoring many corpora should call
+    * `SessionTemp.cleanupNow()` between rounds (safe once the returned
+    * frame is consumed) or pass `materializeBigrams = false` to trade
+    * the second scan for zero scratch. */
   def bigramPerplexity(d: DataFrame, idCol: String = "doc_id",
       broadcastMaxRows: Long = defaultBroadcastMaxRows,
       materializeBigrams: Boolean = true): DataFrame = {

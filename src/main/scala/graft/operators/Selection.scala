@@ -37,6 +37,14 @@ object Selection {
   def vocabRichnessMicro(docs: DataFrame, idCol: String = "doc_id",
       tokensExpr: String = TextAnalysis.tokensExpr,
       carryCols: Seq[String] = Nil): DataFrame = {
+    // the chain defines these internally — a carry column named after
+    // one would emit a duplicate and fail downstream with an
+    // AMBIGUOUS_REFERENCE far from the cause
+    val reserved = Set("ts", "n_tok", "n_distinct", "quality_micro", idCol)
+    val clash = carryCols.filter(reserved)
+    require(clash.isEmpty,
+      s"carryCols ${clash.mkString(", ")} collide with the metric " +
+        s"chain's own columns (${reserved.mkString(", ")})")
     val carry = carryCols.map(col)
     docs
       .select(col(idCol) +: carry :+ expr(tokensExpr).as("ts"): _*)

@@ -1982,16 +1982,35 @@ object PipelineQueries {
     * every concurrent query definition; the round-17 advice): two
     * racing callers may both train, putIfAbsent keeps one result, and
     * the loser's duplicate work is bounded by the race window. The
-    * key is (dir, fixture mtime), NOT the session: the trained merges
-    * are a deterministic function of the fixture content alone, so a
-    * session key only pinned retired SparkSession objects in the map
-    * (the round-17 advice's leak), while the mtime component
+    * key is (dir, [[fixtureStamp]]), NOT the session: the trained
+    * merges are a deterministic function of the fixture content alone,
+    * so a session key only pinned retired SparkSession objects in the
+    * map (the round-17 advice's leak), while the fingerprint component
     * invalidates a regenerated fixture in a long-lived driver. */
   private val mergesCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long), Seq[(String, String)]]()
+
+  /** Content fingerprint of the fixture the merges were trained on —
+    * folds (name, mtime, length) over the parquet file's part files,
+    * not the bare directory mtime: second-granularity mtimes alias a
+    * fixture regenerated within one second (or moved with mtimes
+    * preserved, as this repo's slice tooling does), and a missing path
+    * must not collide with every other missing path's 0. */
+  private def fixtureStamp(dir: String): Long = {
+    val f = new java.io.File(dir, "documents.parquet")
+    if (!f.exists) -1L
+    else {
+      val files =
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty)
+        else Array(f)
+      files.sortBy(_.getName).foldLeft(1L)((a, p) =>
+        31L * a + p.getName.hashCode.toLong + p.lastModified + p.length)
+    }
+  }
+
   private def trainedMerges(s: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(String, String)] = {
-    val key = (dir, new java.io.File(dir, "documents.parquet").lastModified)
+    val key = (dir, fixtureStamp(dir))
     val cached = mergesCache.get(key)
     if (cached != null) return cached
     val trained =

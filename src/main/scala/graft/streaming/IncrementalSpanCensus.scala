@@ -156,16 +156,24 @@ object IncrementalSpanCensus {
         col("first").getField("doc_id").as("first_doc"),
         col("first").getField("pos").as("first_pos"))
 
+  /** THE census merge — the one place that knows how partials combine
+    * (counts are additive, the keeper is the min (doc_id, pos) struct).
+    * Both the read path ([[merged]]) and [[compact]] go through here:
+    * when a partial gains a column, this is the single edit point —
+    * split, a column added to one site and not the other would
+    * silently corrupt everything older than the compaction horizon. */
+  private def mergeAgg(partials: DataFrame): DataFrame =
+    partials.groupBy("span_h")
+      .agg(sum("n_docs").as("n_docs"),
+        sum("n_occurrences").as("n_occurrences"),
+        min("first").as("first"))
+
   private def merged(s: SparkSession, workDir: String): DataFrame = {
     val root = new Path(s"$workDir/census")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val ps = visibleParts(fs, root)
     require(ps.nonEmpty, s"no census partitions under $root")
-    s.read.parquet(ps.map(_.toString): _*)
-      .groupBy("span_h")
-      .agg(sum("n_docs").as("n_docs"),
-        sum("n_occurrences").as("n_occurrences"),
-        min("first").as("first"))
+    mergeAgg(s.read.parquet(ps.map(_.toString): _*))
   }
 
   /** The d19 composition: the keep-first action pass
@@ -204,11 +212,7 @@ object IncrementalSpanCensus {
     if (!fs.exists(target)) {
       if (mergeable.size <= 1) return
       val tmp = new Path(s"$workDir/census/_compact_$upToBatch")
-      s.read.parquet(mergeable.map(_.toString): _*)
-        .groupBy("span_h")
-        .agg(sum("n_docs").as("n_docs"),
-          sum("n_occurrences").as("n_occurrences"),
-          min("first").as("first"))
+      mergeAgg(s.read.parquet(mergeable.map(_.toString): _*))
         .repartition(1).write.mode("overwrite").parquet(tmp.toString)
       if (failpoint == "before-publish")
         throw new RuntimeException("injected compaction crash before publish")

@@ -224,6 +224,12 @@ class SpanDedupSpec extends AnyFunSuite {
       "SELECT span_cut_positions('a b', 0, array(0)) AS r").head()
       .getStruct(0)
     assert(r0.getSeq[String](0) == Seq("a", "b") && r0.getInt(1) == 2)
+    // NULL entries are ignored — ArrayData.getInt would read the
+    // zeroed slot as position 0 and silently cut the first n tokens
+    val rn = spark.sql("SELECT span_cut_positions('a b c', 2, " +
+      "array(CAST(NULL AS INT), 1)) AS r").head().getStruct(0)
+    assert(rn.getSeq[String](0) == Seq("a") && rn.getInt(1) == 3,
+      s"null cut entry mishandled: ${rn.getSeq[String](0)}")
   }
 
   test("degenerate shapes: empty corpus, empty docs, no duplicates") {

@@ -376,8 +376,14 @@ object Sketches {
     var k = 0
     val nKeep = keepers.numElements()
     while (k < nKeep) {
-      val r = keepers.getStruct(k, 2)
-      km.put(r.getInt(0), r.getUTF8String(1))
+      // NULL slots/fields are ignored, the cutByPositions discipline:
+      // the SQL surface admits them, getStruct would NPE on a null
+      // slot, and a null pos field would read as a spurious keeper 0
+      if (!keepers.isNullAt(k)) {
+        val r = keepers.getStruct(k, 2)
+        if (!r.isNullAt(0) && !r.isNullAt(1))
+          km.put(r.getInt(0), r.getUTF8String(1))
+      }
       k += 1
     }
     val probe = if (table != null) table else buildProbeTable(flagged)

@@ -455,11 +455,15 @@ object Dedup {
     // mode's keeper gate guards with knownRows = flaggedCount); a
     // doc-row gate would wave a multi-GB broadcast through whenever
     // 100M+ cuts land in under 2M documents. One narrow aggregate
-    // over the occurrence-bounded (never corpus-sized) relation.
+    // over the occurrence-bounded (never corpus-sized) relation. The
+    // ceiling is re-scaled to the payload: the default models ~100 B
+    // rows where an occurrence is one unsafe-array int (~8 B
+    // amortized), so the same byte budget admits 12× the entries.
     val cutOccurrences = cutsM
       .agg(coalesce(sum(size(col("__cuts"))), lit(0L)).cast("long"))
       .head().getLong(0)
     val cutLists = Broadcasts.sizeGated(cutsM,
+      maxRows = Broadcasts.defaultMaxRows * 12,
       knownRows = math.max(cutOccurrences, 1L))
     emitCut(corpus
       .join(cutLists, Seq(idCol), "left")

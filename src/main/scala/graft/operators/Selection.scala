@@ -39,12 +39,17 @@ object Selection {
       carryCols: Seq[String] = Nil): DataFrame = {
     // the chain defines these internally — a carry column named after
     // one would emit a duplicate and fail downstream with an
-    // AMBIGUOUS_REFERENCE far from the cause
-    val reserved = Set("ts", "n_tok", "n_distinct", "quality_micro", idCol)
-    val clash = carryCols.filter(reserved)
+    // AMBIGUOUS_REFERENCE far from the cause. Compared lower-cased:
+    // Spark resolution is case-insensitive by default, so N_TOK
+    // collides with n_tok exactly as hard as the exact-case name
+    val reserved =
+      Set("ts", "n_tok", "n_distinct", "quality_micro", idCol.toLowerCase)
+    val clash = carryCols.filter(c => reserved(c.toLowerCase))
     require(clash.isEmpty,
       s"carryCols ${clash.mkString(", ")} collide with the metric " +
         s"chain's own columns (${reserved.mkString(", ")})")
+    require(carryCols.map(_.toLowerCase).distinct.size == carryCols.size,
+      s"duplicate carryCols: ${carryCols.mkString(", ")}")
     val carry = carryCols.map(col)
     docs
       .select(col(idCol) +: carry :+ expr(tokensExpr).as("ts"): _*)

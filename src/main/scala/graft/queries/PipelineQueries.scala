@@ -1988,25 +1988,18 @@ object PipelineQueries {
     * map (the round-17 advice's leak), while the fingerprint component
     * invalidates a regenerated fixture in a long-lived driver. */
   private val mergesCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), Seq[(String, String)]]()
+    (String, String), Seq[(String, String)]]()
 
   /** Content fingerprint of the fixture the merges were trained on —
-    * folds (name, mtime, length) over the parquet file's part files,
-    * not the bare directory mtime: second-granularity mtimes alias a
+    * [[graft.operators.Retrieval.pathFingerprint]], the engine's ONE
+    * scan-free corpus fingerprint (recursive (rel-path, size, mtime)
+    * walk, canonical order, md5): a bare directory mtime aliases a
     * fixture regenerated within one second (or moved with mtimes
-    * preserved, as this repo's slice tooling does), and a missing path
-    * must not collide with every other missing path's 0. */
-  private def fixtureStamp(dir: String): Long = {
-    val f = new java.io.File(dir, "documents.parquet")
-    if (!f.exists) -1L
-    else {
-      val files =
-        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty)
-        else Array(f)
-      files.sortBy(_.getName).foldLeft(1L)((a, p) =>
-        31L * a + p.getName.hashCode.toLong + p.lastModified + p.length)
-    }
-  }
+    * preserved, as this repo's slice tooling does) and misses nested
+    * part files of a partitioned fixture entirely; "absent" for a
+    * missing path never collides with a real stamp. */
+  private def fixtureStamp(dir: String): String =
+    graft.operators.Retrieval.pathFingerprint(s"$dir/documents.parquet")
 
   private def trainedMerges(s: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(String, String)] = {

@@ -232,6 +232,24 @@ class SpanDedupSpec extends AnyFunSuite {
       s"null cut entry mishandled: ${rn.getSeq[String](0)}")
   }
 
+  test("span_cut kernel ignores null keeper entries and null fields") {
+    // 'a b' is the flagged 2-gram; a NULL keeper slot must neither NPE
+    // (getStruct on a null slot) nor mint a spurious keeper, and a
+    // struct with a null pos/hash field is equally ignored — the
+    // window still cuts because no VALID keeper names it
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def cut(keepers: String): Seq[String] = spark.sql(
+      s"SELECT span_cut('a b c', 2, X'$hex', $keepers) AS r")
+      .head().getStruct(0).getSeq[String](0)
+    val nullSlot = "array(CAST(NULL AS struct<pos:int,h:string>), " +
+      "named_struct('pos', 0, 'h', md5('a b')))"
+    assert(cut(nullSlot) == Seq("a", "b", "c"), "valid keeper ignored")
+    val nullField = "array(named_struct('pos', CAST(NULL AS INT), " +
+      "'h', md5('a b')))"
+    assert(cut(nullField) == Seq("c"), "null-pos keeper should not save")
+  }
+
   test("degenerate shapes: empty corpus, empty docs, no duplicates") {
     assert(run(Seq.empty, n = 3) == Seq.empty)
     assert(run(Seq(1L -> "", 2L -> ""), n = 2) ==

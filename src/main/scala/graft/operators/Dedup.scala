@@ -449,22 +449,26 @@ object Dedup {
     val cutsTmp = graft.SessionTemp.dir("graft_span_cuts_")
     cuts.write.mode("overwrite").parquet(cutsTmp)
     val cutsM = s.read.parquet(cutsTmp)
-    // gate on cut OCCURRENCES, not doc rows — the broadcast payload is
-    // the position arrays, whose bytes scale with occurrences however
-    // few docs hold them (the same concentration hazard the literal
-    // mode's keeper gate guards with knownRows = flaggedCount); a
-    // doc-row gate would wave a multi-GB broadcast through whenever
-    // 100M+ cuts land in under 2M documents. One narrow aggregate
-    // over the occurrence-bounded (never corpus-sized) relation. The
-    // ceiling is re-scaled to the payload: the default models ~100 B
-    // rows where an occurrence is one unsafe-array int (~8 B
-    // amortized), so the same byte budget admits 12× the entries.
+    // the broadcast budget has TWO axes and the gate bounds both: doc
+    // ROWS (each costs full row overhead, ~100 B — the default
+    // ceiling's model; the common duplicated-once corpus has
+    // one-entry cut lists, so rows ≈ occurrences and a pure
+    // occurrence ceiling would admit ~10× the modeled bytes) and cut
+    // OCCURRENCES at 12× (each is one unsafe-array int ~8 B, so
+    // occurrences concentrated in few docs — where a row gate alone
+    // would wave multi-GB position arrays through — spend the same
+    // byte budget 12 entries per row-equivalent). Row count is
+    // metadata-cheap on the materialized parquet; the occurrence
+    // count is one narrow aggregate over the occurrence-bounded
+    // (never corpus-sized) relation. Encoded as one knownRows bound:
+    // max(rows, ceil(occurrences / 12)) against the default ceiling.
+    val cutDocRows = cutsM.count()
     val cutOccurrences = cutsM
       .agg(coalesce(sum(size(col("__cuts"))), lit(0L)).cast("long"))
       .head().getLong(0)
     val cutLists = Broadcasts.sizeGated(cutsM,
-      maxRows = Broadcasts.defaultMaxRows * 12,
-      knownRows = math.max(cutOccurrences, 1L))
+      knownRows = math.max(1L,
+        math.max(cutDocRows, (cutOccurrences + 11L) / 12L)))
     emitCut(corpus
       .join(cutLists, Seq(idCol), "left")
       .withColumn("__cut", call_function("span_cut_positions",

@@ -39,16 +39,18 @@ object Selection {
       carryCols: Seq[String] = Nil): DataFrame = {
     // the chain defines these internally — a carry column named after
     // one would emit a duplicate and fail downstream with an
-    // AMBIGUOUS_REFERENCE far from the cause. Compared lower-cased:
-    // Spark resolution is case-insensitive by default, so N_TOK
-    // collides with n_tok exactly as hard as the exact-case name
+    // AMBIGUOUS_REFERENCE far from the cause. Compared lower-cased in
+    // Locale.ROOT: Spark resolution is case-insensitive by default
+    // (and locale-independent — a Turkish-locale toLowerCase maps I to
+    // dotless ı and would silently miss the collision)
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val reserved =
-      Set("ts", "n_tok", "n_distinct", "quality_micro", idCol.toLowerCase)
-    val clash = carryCols.filter(c => reserved(c.toLowerCase))
+      Set("ts", "n_tok", "n_distinct", "quality_micro", lc(idCol))
+    val clash = carryCols.filter(c => reserved(lc(c)))
     require(clash.isEmpty,
       s"carryCols ${clash.mkString(", ")} collide with the metric " +
         s"chain's own columns (${reserved.mkString(", ")})")
-    require(carryCols.map(_.toLowerCase).distinct.size == carryCols.size,
+    require(carryCols.map(lc).distinct.size == carryCols.size,
       s"duplicate carryCols: ${carryCols.mkString(", ")}")
     val carry = carryCols.map(col)
     docs

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+ * arXiv:2302.03169) as an engine capability — the library surface
+ * behind catalog entries p17 (importance scoring) and p17b (Gumbel
+ * top-k resampling): score every raw-pool document by how much more
+ * likely its hashed-bigram bag is under a TARGET-domain bag-of-ngrams
+ * model than under the RAW-pool model, then sample without replacement
+ * proportionally to those importance weights. This is the published
+ * method pretraining pipelines use to tilt a web-scale crawl toward a
+ * small high-quality seed set (Wikipedia, textbooks, an eval domain)
+ * without training a classifier.
+ *
+ * The math: features are word bigrams hashed into `buckets` buckets
+ * (the engine-wide salted-md5 gate reduced mod B — reproducible on any
+ * engine, any partitioning). Both corpora fit an add-one-smoothed
+ * multinomial over the bucket domain; a document's log importance
+ * weight is
+ *
+ *   log w(d) = Σ_{g ∈ bigrams(d)} [ ln p̂_target(b(g)) − ln p̂_raw(b(g)) ]
+ *
+ * and resampling-without-replacement ∝ w is the Gumbel top-k trick:
+ * keep the k largest `log w(d) − ln(−ln(u_d))` with `u_d` a salted
+ * md5 uniform — deterministic, incremental-safe (a new doc never
+ * changes an existing doc's key), and exactly the Efraimidis–Spirakis
+ * weighted sample.
+ *
+ * Scale shape (the 100 TB plan): the two model fits are single scans
+ * ending in a `buckets`-bounded aggregation (map-side partials; the
+ * exchange carries ≤ B rows per partition) — the target corpus is by
+ * definition small, and the raw fit can run on any deterministic
+ * subsample ([[Sampling.hashUnitMicro]]) since only bucket FREQUENCIES
+ * matter. The per-bucket log-ratio table is B doubles — a parameter,
+ * thousands — shipped as one dense array LITERAL riding the task
+ * binary (the d17/d15 probe-literal precedent: a joined constant
+ * column would be re-materialized per row), so SCORING is one corpus
+ * scan with a per-row fold — zero shuffle, no join, whole-stage
+ * codegen. Resampling is orderBy+limit ⇒ TakeOrderedAndProject (a
+ * per-partition partial top-k then a k-sized merge — the corpus is
+ * never globally sorted).
+ */
+object Dsir {
+
+  /** Per-row hashed-bigram bucket array (ARRAY<BIGINT>, values in
+    * [0, buckets)) over the engine-wide whitespace tokens of `text`.
+    * Bucket of a bigram (a, b) = 60-bit md5 of "a b" mod `buckets` —
+    * DuckDB: `('0x'||substr(md5(a||' '||b),1,15))::BIGINT % buckets`.
+    * A doc with fewer than 2 tokens gets an empty array (Spark's
+    * `sequence(1, 0)` infers a DESCENDING step and would emit [1, 0] —
+    * the p16b guard). */
+  def bigramBucketsExpr(buckets: Int): String = {
+    require(buckets > 0, "buckets must be positive")
+    s"""CASE WHEN size(__ts) >= 2 THEN
+       |  transform(sequence(1, size(__ts) - 1), i ->
+       |    pmod(cast(conv(substring(md5(concat(
+       |      element_at(__ts, i), ' ', element_at(__ts, i + 1))),
+       |      1, 15), 16, 10) as bigint), ${buckets}L))
+       |ELSE cast(array() as array<bigint>) END""".stripMargin
+  }
+
+  /** (bucket, cnt) over a corpus — corpus-sized scan, bucket-bounded
+    * output (≤ `buckets` rows after the aggregation). */
+  def bucketCounts(corpus: DataFrame, buckets: Int): DataFrame =
+    corpus
+      .select(expr(TextAnalysis.tokensExpr).as("__ts"))
+      .select(explode(expr(bigramBucketsExpr(buckets))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** The dense per-bucket log-ratio table
+    * `lr[b] = ln((ct_t(b)+1)/(tot_t+B)) − ln((ct_r(b)+1)/(tot_r+B))`
+    * as a driver-side array of exactly `buckets` doubles. Bounded by
+    * construction: the collects pull the AGGREGATED bucket tables
+    * (≤ B rows each), never corpus rows — B is a caller parameter in
+    * the thousands, the same boundedness class as a centroid set.
+    * The expression order (add-one in the numerator, `tot + B` in the
+    * denominator, one ln per model) is part of the cross-engine
+    * contract — see [[Sampling]]'s note on IEEE op order. */
+  def importanceLogRatios(target: DataFrame, raw: DataFrame,
+      buckets: Int): Array[Double] = {
+    def fit(c: DataFrame): (Map[Long, Long], Long) = {
+      val rows = bucketCounts(c, buckets).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      (rows.toMap, rows.map(_._2).sum)
+    }
+    val (tc, tt) = fit(target)
+    val (rc, rt) = fit(raw)
+    Array.tabulate(buckets) { b =>
+      math.log((tc.getOrElse(b.toLong, 0L) + 1.0) / (tt + buckets)) -
+        math.log((rc.getOrElse(b.toLong, 0L) + 1.0) / (rt + buckets))
+    }
+  }
+
+  /** Per-document DSIR importance score: (idCol, n_bigrams, logw)
+    * where `logw` is the fold of `lr` over the doc's bigram buckets —
+    * ONE corpus scan, zero shuffle, no join: `lr` rides the task
+    * binary as a dense array literal and each row pays a sequential
+    * in-row fold (engine-order-deterministic; cross-engine agreement
+    * is the x14 float envelope — ulp-level ln/summation differences
+    * land far inside the driver's 9 significant digits). A doc with no
+    * bigrams scores 0 (the fold's zero element), n_bigrams 0. */
+  def importanceWeights(raw: DataFrame, lr: Array[Double],
+      idCol: String = "doc_id"): DataFrame = {
+    require(lr.nonEmpty, "log-ratio table must be non-empty")
+    val lrLit = typedLit(lr.toSeq)
+    raw
+      .select(col(idCol), expr(TextAnalysis.tokensExpr).as("__ts"))
+      .select(col(idCol), expr(bigramBucketsExpr(lr.length)).as("__bg"))
+      .select(col(idCol),
+        size(col("__bg")).cast("long").as("n_bigrams"),
+        aggregate(col("__bg"), lit(0.0),
+          (acc, b) => acc + element_at(lrLit, (b + 1).cast("int")))
+          .as("logw"))
+  }
+
+  /** Gumbel top-k resampling without replacement ∝ exp(weightCol):
+    * key `g = logw − ln(−ln(u))` with `u = (h32 + 0.5) / 2³²` from the
+    * salted 32-bit md5 of the id (never 0 or 1, so both lns are
+    * finite), keep the k largest, tie-broken by id. Physically a
+    * TakeOrderedAndProject — per-partition partial top-k, never a
+    * global sort. Output: the input columns plus `g`, in (g DESC, id)
+    * order. */
+  def gumbelResample(scored: DataFrame, k: Int, salt: String = "dsir",
+      idCol: String = "doc_id", weightCol: String = "logw"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h32 = pmod(conv(substring(md5(concat(lit(salt + ":"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(4294967296L))
+    scored
+      .withColumn("g", col(weightCol) -
+        log(-log((h32 + lit(0.5)) / lit(4294967296.0))))
+      .orderBy(desc("g"), col(idCol))
+      .limit(k)
+  }
+}

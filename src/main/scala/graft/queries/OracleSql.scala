@@ -141,4 +141,47 @@ private[queries] object OracleSql {
     sb.setLength(sb.length - 2)
     sb.toString
   }
+
+  /** The p17-family oracle (DSIR, Xie et al. 2023): hashed-bigram
+    * buckets per doc (the engine-wide 60-bit md5 gate mod `buckets`),
+    * add-one-smoothed bucket models over the `targetSource` seed set
+    * vs the rest of the corpus, and the per-doc summed log ratio —
+    * ends with a `scored(doc_id, n_bigrams, logw)` CTE over the RAW
+    * pool (source <> targetSource); callers append their final SELECT
+    * (p17 dumps it, p17b adds the Gumbel key). The ln expression order
+    * matches [[graft.operators.Dsir.importanceLogRatios]] exactly —
+    * one ln per model, add-one numerator, `tot + B` denominator. */
+  def dsirScoredSql(buckets: Int, targetSource: String): String = {
+    val t = "'" + targetSource.replace("'", "''") + "'"
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
+       |  FROM documents),
+       |bk AS (
+       |  SELECT doc_id, source, list_transform(range(1, len(ts)),
+       |    i -> ('0x' || substr(md5(ts[i] || ' ' || ts[i+1]), 1, 15))
+       |      ::BIGINT % $buckets) AS bs
+       |  FROM toks),
+       |tb AS (SELECT unnest(bs) AS b FROM bk WHERE source = $t),
+       |tc AS (SELECT b, COUNT(*) AS c FROM tb GROUP BY 1),
+       |tt AS (SELECT COUNT(*) AS t FROM tb),
+       |rb AS (SELECT unnest(bs) AS b FROM bk WHERE source <> $t),
+       |rc AS (SELECT b, COUNT(*) AS c FROM rb GROUP BY 1),
+       |rt AS (SELECT COUNT(*) AS t FROM rb),
+       |lr AS (
+       |  SELECT g.b,
+       |    ln((COALESCE(tc.c, 0) + 1.0) / (tt.t + $buckets)) -
+       |    ln((COALESCE(rc.c, 0) + 1.0) / (rt.t + $buckets)) AS lr
+       |  FROM (SELECT unnest(range(0, $buckets)) AS b) g
+       |  LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
+       |  CROSS JOIN tt CROSS JOIN rt),
+       |ex AS (SELECT doc_id, unnest(bs) AS b FROM bk WHERE source <> $t),
+       |sums AS (SELECT e.doc_id, SUM(l.lr) AS w
+       |         FROM ex e JOIN lr l USING (b) GROUP BY 1),
+       |scored AS (
+       |  SELECT k.doc_id, CAST(len(k.bs) AS BIGINT) AS n_bigrams,
+       |    COALESCE(s.w, 0.0) AS logw
+       |  FROM bk k LEFT JOIN sums s USING (doc_id)
+       |  WHERE k.source <> $t)""".stripMargin
+  }
 }

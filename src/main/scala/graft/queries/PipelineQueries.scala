@@ -3424,6 +3424,63 @@ object PipelineQueries {
         |FROM (SELECT * FROM fullpass UNION ALL SELECT * FROM frac)
         |ORDER BY source, epoch, quality_micro DESC, doc_id""".stripMargin))
 
+  // P17 — DSIR IMPORTANCE SCORING (Xie et al. 2023, arXiv:2302.03169):
+  // the published classifier-free way to tilt a web-scale raw pool
+  // toward a small target domain — hashed-bigram bag-of-ngrams models
+  // over target (the src0 seed set) vs raw (the other 19 sources),
+  // per-doc log importance weight = Σ ln p̂_t(b) − ln p̂_r(b) over the
+  // doc's 4096-bucket bigram hashes. Scale shape: two scans ending in
+  // a bucket-BOUNDED aggregation fit the models (≤ 4096 rows collected
+  // — parameter-sized, the centroid boundedness class), the log-ratio
+  // table ships as ONE dense array literal riding the task binary (the
+  // d17/d15 probe precedent — a joined constant column re-materializes
+  // per row), and scoring is one corpus scan with an in-row fold: zero
+  // shuffle, no join, whole-stage codegen. Float gate: ulp-level
+  // ln/sum-order differences land ~1e-14 relative — the x14 envelope.
+  private val p17 = QueryDef(
+    "p17_dsir_weights",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val lr = graft.operators.Dsir.importanceLogRatios(
+        d.filter(col("source") === "src0"),
+        d.filter(col("source") =!= "src0"), buckets = 4096)
+      graft.operators.Dsir.importanceWeights(
+          d.filter(col("source") =!= "src0"), lr)
+        .orderBy("doc_id")
+    },
+    Some(OracleSql.dsirScoredSql(4096, "src0") +
+      "\nSELECT doc_id, n_bigrams, logw FROM scored ORDER BY doc_id"))
+
+  // P17B — the RESAMPLING act of DSIR: sample k docs without
+  // replacement with probability ∝ exp(logw) via Gumbel top-k
+  // (Efraimidis–Spirakis): key = logw − ln(−ln(u)), u a salted 32-bit
+  // md5 uniform (+0.5 keeps both lns finite) — deterministic on any
+  // engine, any partitioning, and incremental-safe (new docs never
+  // move an existing doc's key). Physically a TakeOrderedAndProject:
+  // per-partition partial top-k then a k-sized merge — the corpus is
+  // never globally sorted (the p10 discipline, FP keys under the x14
+  // envelope with a doc_id tie-break).
+  private val p17b = QueryDef(
+    "p17b_dsir_resample",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val lr = graft.operators.Dsir.importanceLogRatios(
+        d.filter(col("source") === "src0"),
+        d.filter(col("source") =!= "src0"), buckets = 4096)
+      graft.operators.Dsir.gumbelResample(
+        graft.operators.Dsir.importanceWeights(
+            d.filter(col("source") =!= "src0"), lr)
+          .select(col("doc_id"), col("logw")),
+        k = 200)
+    },
+    Some(OracleSql.dsirScoredSql(4096, "src0") +
+      """
+        |SELECT doc_id, logw,
+        |  logw - ln(-ln((('0x' || substr(md5('dsir:' ||
+        |    CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4294967296
+        |    + 0.5) / 4294967296.0)) AS g
+        |FROM scored ORDER BY g DESC, doc_id LIMIT 200""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, d16, d17, d17b, d17c,
     c1q, c1bq, c2q,
@@ -3432,5 +3489,5 @@ object PipelineQueries {
     x13, x14, x15, x15b, x16, x17,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e5c, e9, e10, e10b,
     p1, p2, p3, p4, p5, p6, p6b, p6c, p7, p8, p9, p10, p11, p12, p13, p13b,
-    p14, p15, p16, p16b)
+    p14, p15, p16, p16b, p17, p17b)
 }

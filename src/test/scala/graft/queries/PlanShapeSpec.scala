@@ -709,4 +709,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-100 must be a partial top-k, not a global sort:\n$plan")
   }
+
+  test("p17: DSIR scoring is one join-free scan — the log-ratio table " +
+      "rides as a literal, never a joined column") {
+    val plan = finalPlan("p17_dsir_weights")
+    assert(!plan.contains("Join"),
+      s"scoring must be a per-row fold against a literal, not a join:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"scoring must not re-aggregate the corpus (fold is in-row):\n$plan")
+  }
+
+  test("p17b: Gumbel resample is a partial top-k, join-free") {
+    val plan = finalPlan("p17b_dsir_resample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"resample must be a partial top-k, not a global sort:\n$plan")
+    assert(!plan.contains("Join"), s"resample must be join-free:\n$plan")
+  }
 }

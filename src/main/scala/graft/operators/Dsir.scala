@@ -46,9 +46,11 @@ import org.apache.spark.sql.functions._
 object Dsir {
 
   /** Per-row hashed-bigram bucket array (ARRAY<BIGINT>, values in
-    * [0, buckets)) over the engine-wide whitespace tokens of `text`.
-    * Bucket of a bigram (a, b) = 60-bit md5 of "a b" mod `buckets` —
-    * DuckDB: `('0x'||substr(md5(a||' '||b),1,15))::BIGINT % buckets`.
+    * [0, buckets)) — expression TEXT over a token-array column named
+    * `__ts` (callers project `TextAnalysis.tokensExpr` to `__ts`
+    * first; both entry points here do). Bucket of a bigram (a, b) =
+    * 60-bit md5 of "a b" mod `buckets` — DuckDB:
+    * `('0x'||substr(md5(a||' '||b),1,15))::BIGINT % buckets`.
     * A doc with fewer than 2 tokens gets an empty array (Spark's
     * `sequence(1, 0)` infers a DESCENDING step and would emit [1, 0] —
     * the p16b guard). */
@@ -105,6 +107,12 @@ object Dsir {
   def importanceWeights(raw: DataFrame, lr: Array[Double],
       idCol: String = "doc_id"): DataFrame = {
     require(lr.nonEmpty, "log-ratio table must be non-empty")
+    // the chain defines __ts/__bg internally — an idCol named after
+    // one would collide far from the cause (the p16 carryCols guard,
+    // compared lower-cased in Locale.ROOT like Spark's resolution)
+    val lcId = idCol.toLowerCase(java.util.Locale.ROOT)
+    require(lcId != "__ts" && lcId != "__bg",
+      s"idCol $idCol collides with the scoring chain's own columns")
     val lrLit = typedLit(lr.toSeq)
     raw
       .select(col(idCol), expr(TextAnalysis.tokensExpr).as("__ts"))
@@ -126,6 +134,9 @@ object Dsir {
   def gumbelResample(scored: DataFrame, k: Int, salt: String = "dsir",
       idCol: String = "doc_id", weightCol: String = "logw"): DataFrame = {
     require(k > 0, "k must be positive")
+    require(!scored.columns.exists(
+        _.toLowerCase(java.util.Locale.ROOT) == "g"),
+      "input already has a column named g (the Gumbel key this adds)")
     val h32 = pmod(conv(substring(md5(concat(lit(salt + ":"),
       col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"),
       lit(4294967296L))

@@ -144,28 +144,34 @@ private[queries] object OracleSql {
 
   /** The p17-family oracle (DSIR, Xie et al. 2023): hashed-bigram
     * buckets per doc (the engine-wide 60-bit md5 gate mod `buckets`),
-    * add-one-smoothed bucket models over the `targetSource` seed set
-    * vs the rest of the corpus, and the per-doc summed log ratio —
-    * ends with a `scored(doc_id, n_bigrams, logw)` CTE over the RAW
-    * pool (source <> targetSource); callers append their final SELECT
-    * (p17 dumps it, p17b adds the Gumbel key). The ln expression order
-    * matches [[graft.operators.Dsir.importanceLogRatios]] exactly —
-    * one ln per model, add-one numerator, `tot + B` denominator. */
-  def dsirScoredSql(buckets: Int, targetSource: String): String = {
-    val t = "'" + targetSource.replace("'", "''") + "'"
-    s"""WITH toks AS (
-       |  SELECT doc_id, source,
-       |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
-       |  FROM documents),
-       |bk AS (
-       |  SELECT doc_id, source, list_transform(range(1, len(ts)),
-       |    i -> ('0x' || substr(md5(ts[i] || ' ' || ts[i+1]), 1, 15))
-       |      ::BIGINT % $buckets) AS bs
-       |  FROM toks),
-       |tb AS (SELECT unnest(bs) AS b FROM bk WHERE source = $t),
+    * add-one-smoothed bucket models over two CALLER-DEFINED CTEs
+    * `dsir_target(doc_id, text)` and `dsir_raw(doc_id, text)` — a CTE
+    * FRAGMENT (no leading WITH) so the corpora can themselves be the
+    * output of earlier relational stages (p18 feeds the deduped +
+    * decontaminated pool in). Ends with a
+    * `scored(doc_id, n_bigrams, logw)` CTE over the raw pool; callers
+    * append their final SELECT (p17 dumps it, p17b/p18 add the Gumbel
+    * key). The ln expression order matches
+    * [[graft.operators.Dsir.importanceLogRatios]] exactly — one ln per
+    * model, add-one numerator, `tot + B` denominator. */
+  def dsirScoredSql(buckets: Int): String = {
+    val bucket = (ts: String) =>
+      s"('0x' || substr(md5($ts[i] || ' ' || $ts[i+1]), 1, 15))" +
+        s"::BIGINT % $buckets"
+    s"""t_tk AS (
+       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts
+       |  FROM dsir_target),
+       |tb AS (SELECT unnest(list_transform(range(1, len(ts)),
+       |         i -> ${bucket("ts")})) AS b FROM t_tk),
        |tc AS (SELECT b, COUNT(*) AS c FROM tb GROUP BY 1),
        |tt AS (SELECT COUNT(*) AS t FROM tb),
-       |rb AS (SELECT unnest(bs) AS b FROM bk WHERE source <> $t),
+       |r_bk AS (
+       |  SELECT doc_id, list_transform(range(1, len(ts)),
+       |    i -> ${bucket("ts")}) AS bs
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split(text, ' '), x -> x <> '') AS ts
+       |        FROM dsir_raw)),
+       |rb AS (SELECT unnest(bs) AS b FROM r_bk),
        |rc AS (SELECT b, COUNT(*) AS c FROM rb GROUP BY 1),
        |rt AS (SELECT COUNT(*) AS t FROM rb),
        |lr AS (
@@ -175,13 +181,24 @@ private[queries] object OracleSql {
        |  FROM (SELECT unnest(range(0, $buckets)) AS b) g
        |  LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
        |  CROSS JOIN tt CROSS JOIN rt),
-       |ex AS (SELECT doc_id, unnest(bs) AS b FROM bk WHERE source <> $t),
+       |ex AS (SELECT doc_id, unnest(bs) AS b FROM r_bk),
        |sums AS (SELECT e.doc_id, SUM(l.lr) AS w
        |         FROM ex e JOIN lr l USING (b) GROUP BY 1),
        |scored AS (
        |  SELECT k.doc_id, CAST(len(k.bs) AS BIGINT) AS n_bigrams,
        |    COALESCE(s.w, 0.0) AS logw
-       |  FROM bk k LEFT JOIN sums s USING (doc_id)
-       |  WHERE k.source <> $t)""".stripMargin
+       |  FROM r_bk k LEFT JOIN sums s USING (doc_id))""".stripMargin
+  }
+
+  /** The Gumbel top-k final SELECT over [[dsirScoredSql]]'s `scored`
+    * CTE — key = logw − ln(−ln(u)) with the salted 32-bit md5 uniform,
+    * matching [[graft.operators.Dsir.gumbelResample]] term for term. */
+  def dsirGumbelSelect(k: Int, salt: String = "dsir"): String = {
+    val s = "'" + salt.replace("'", "''") + ":'"
+    s"""SELECT doc_id, logw,
+       |  logw - ln(-ln((('0x' || substr(md5($s ||
+       |    CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4294967296
+       |    + 0.5) / 4294967296.0)) AS g
+       |FROM scored ORDER BY g DESC, doc_id LIMIT $k""".stripMargin
   }
 }

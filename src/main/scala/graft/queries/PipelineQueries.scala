@@ -3448,7 +3448,12 @@ object PipelineQueries {
           d.filter(col("source") =!= "src0"), lr)
         .orderBy("doc_id")
     },
-    Some(OracleSql.dsirScoredSql(4096, "src0") +
+    Some(
+      """WITH dsir_target AS (
+        |  SELECT doc_id, text FROM documents WHERE source = 'src0'),
+        |dsir_raw AS (
+        |  SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        |""".stripMargin + OracleSql.dsirScoredSql(4096) +
       "\nSELECT doc_id, n_bigrams, logw FROM scored ORDER BY doc_id"))
 
   // P17B — the RESAMPLING act of DSIR: sample k docs without
@@ -3473,13 +3478,79 @@ object PipelineQueries {
           .select(col("doc_id"), col("logw")),
         k = 200)
     },
-    Some(OracleSql.dsirScoredSql(4096, "src0") +
-      """
-        |SELECT doc_id, logw,
-        |  logw - ln(-ln((('0x' || substr(md5('dsir:' ||
-        |    CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4294967296
-        |    + 0.5) / 4294967296.0)) AS g
-        |FROM scored ORDER BY g DESC, doc_id LIMIT 200""".stripMargin))
+    Some(
+      """WITH dsir_target AS (
+        |  SELECT doc_id, text FROM documents WHERE source = 'src0'),
+        |dsir_raw AS (
+        |  SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        |""".stripMargin + OracleSql.dsirScoredSql(4096) + "\n" +
+      OracleSql.dsirGumbelSelect(200)))
+
+  // P18 — DSIR IN THE CURATION FUNNEL (the p15 composition proof
+  // applied to the new wing): exact dedup (keep-first) → 4-gram eval
+  // decontamination (the p15 stages, verbatim) → DSIR scoring of the
+  // CLEAN pool against the src0 seed set → Gumbel top-150 resample.
+  // Every stage is a library call (Dedup.exactDuplicates,
+  // Decontamination.ngramHashes/flagExact, Dsir.importanceLogRatios/
+  // importanceWeights/gumbelResample); the oracle replays the whole
+  // chain relationally — the dsir fragment consumes the deduped +
+  // decontaminated CTEs directly, so stage boundaries cannot hide
+  // drift. Scale shape = the stages' own (semi/anti joins on hashes,
+  // bucket-bounded fits, fold-scan, partial top-k); the fit here runs
+  // on the DECONTAMINATED pool, which is the method's actual contract
+  // (score the docs you could actually train on).
+  private val p18 = QueryDef(
+    "p18_dsir_pipeline",
+    (s, dir) => {
+      import graft.operators.{Decontamination, Dedup, Dsir}
+      val d = docs(s, dir)
+      val keepIds = Dedup.exactDuplicates(d)
+        .select(col("keeper_doc_id").as("doc_id"))
+      val deduped = d.join(keepIds, Seq("doc_id"), "left_semi")
+      val grams = Decontamination.ngramHashes(deduped, 4)
+      val evalG = grams.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("eval_id"), col("gh")).distinct()
+      val flagged = Decontamination
+        .flagExact(grams.filter(pmod(col("doc_id"), lit(97)) =!= 0), evalG)
+        .select(col("doc_id"))
+      val target = deduped.filter(col("source") === "src0")
+      val pool = deduped
+        .filter(col("source") =!= "src0" &&
+          pmod(col("doc_id"), lit(97)) =!= 0)
+        .join(flagged, Seq("doc_id"), "left_anti")
+      val lr = Dsir.importanceLogRatios(target, pool, buckets = 4096)
+      Dsir.gumbelResample(
+        Dsir.importanceWeights(pool, lr)
+          .select(col("doc_id"), col("logw")),
+        k = 150)
+    },
+    Some(
+      """WITH keep AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |dd AS (SELECT d.doc_id, d.source, d.text FROM documents d
+        |       JOIN keep USING (doc_id)),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM dd),
+        |g4 AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 4 THEN
+        |    list_transform(generate_series(1, len(ts) - 3), i ->
+        |      ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
+        |    ELSE [] END)) AS g
+        |  FROM toks),
+        |gh AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh FROM g4),
+        |ev AS (SELECT DISTINCT gh FROM gh WHERE doc_id % 97 = 0),
+        |flagged AS (
+        |  SELECT DISTINCT doc_id FROM gh
+        |  WHERE doc_id % 97 <> 0 AND gh IN (SELECT gh FROM ev)),
+        |dsir_target AS (
+        |  SELECT doc_id, text FROM dd WHERE source = 'src0'),
+        |dsir_raw AS (
+        |  SELECT doc_id, text FROM dd
+        |  WHERE source <> 'src0' AND doc_id % 97 <> 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+        |""".stripMargin + OracleSql.dsirScoredSql(4096) + "\n" +
+      OracleSql.dsirGumbelSelect(150)))
 
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, d16, d17, d17b, d17c,
@@ -3489,5 +3560,5 @@ object PipelineQueries {
     x13, x14, x15, x15b, x16, x17,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e5c, e9, e10, e10b,
     p1, p2, p3, p4, p5, p6, p6b, p6c, p7, p8, p9, p10, p11, p12, p13, p13b,
-    p14, p15, p16, p16b, p17, p17b)
+    p14, p15, p16, p16b, p17, p17b, p18)
 }

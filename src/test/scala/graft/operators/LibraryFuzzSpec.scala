@@ -226,6 +226,38 @@ class LibraryFuzzSpec extends AnyFunSuite {
     assert(Sampling.mixtureWeights(masses.limit(0)).count() == 0)
   }
 
+  // ---------------------------------------------------------- Dsir
+
+  test("Dsir surfaces survive degenerate corpora") {
+    val B = 32
+    forEachCorpus { (name, d) =>
+      // target == raw == the degenerate corpus: every log ratio is a
+      // well-defined finite double (add-one smoothing tolerates zero
+      // totals), the table is exactly B wide
+      val lr = Dsir.importanceLogRatios(d, d, buckets = B)
+      assert(lr.length == B)
+      assert(lr.forall(x => !x.isNaN && !x.isInfinite),
+        s"non-finite log ratio on '$name'")
+      val scored = Dsir.importanceWeights(d, lr)
+      val rows = scored.collect()
+      assert(rows.length == d.count())
+      // docs with < 2 tokens score exactly the fold zero
+      rows.filter(_.getLong(1) == 0L)
+        .foreach(r => assert(r.getDouble(2) == 0.0))
+      val picked = Dsir.gumbelResample(scored, k = 2)
+      assert(picked.count() <= math.min(2L, rows.length.toLong))
+    }
+    // guards fail loudly, not downstream
+    intercept[IllegalArgumentException] {
+      Dsir.importanceWeights(docs(), Array.empty[Double])
+    }
+    intercept[IllegalArgumentException] {
+      Dsir.gumbelResample(
+        docs(1L -> "x").withColumn("logw", lit(0.0))
+          .withColumn("g", lit(1.0)), k = 1)
+    }
+  }
+
   // ------------------------------------------------- Decontamination
 
   test("Decontamination surfaces survive degenerate corpora") {

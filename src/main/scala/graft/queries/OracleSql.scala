@@ -142,6 +142,33 @@ private[queries] object OracleSql {
     sb.toString
   }
 
+  /** Shared curation-funnel oracle PREFIX (the p15/p18 stages): exact
+    * dedup keep-first (`keep`/`dd`) and 4-gram eval decontamination
+    * (`toks`/`g4`/`gh`/`ev`/`flagged` — eval slice = doc_id % 97 = 0;
+    * `flagged` = non-eval docs sharing a 4-gram hash with it). Starts
+    * with WITH and ends WITHOUT a trailing comma — callers append
+    * their consuming CTEs. `dd` carries `source` for domain-aware
+    * consumers (p18); p15's stages simply never read it. */
+  def curationPrefixSql: String =
+    """WITH keep AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |dd AS (SELECT d.doc_id, d.source, d.text FROM documents d
+      |       JOIN keep USING (doc_id)),
+      |toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      |  FROM dd),
+      |g4 AS (
+      |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 4 THEN
+      |    list_transform(generate_series(1, len(ts) - 3), i ->
+      |      ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
+      |    ELSE [] END)) AS g
+      |  FROM toks),
+      |gh AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh FROM g4),
+      |ev AS (SELECT DISTINCT gh FROM gh WHERE doc_id % 97 = 0),
+      |flagged AS (
+      |  SELECT DISTINCT doc_id FROM gh
+      |  WHERE doc_id % 97 <> 0 AND gh IN (SELECT gh FROM ev))""".stripMargin
+
   /** The p17-family oracle (DSIR, Xie et al. 2023): hashed-bigram
     * buckets per doc (the engine-wide 60-bit md5 gate mod `buckets`),
     * add-one-smoothed bucket models over two CALLER-DEFINED CTEs

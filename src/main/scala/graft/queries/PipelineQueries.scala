@@ -3234,25 +3234,8 @@ object PipelineQueries {
       Selection.selectByTokenBudget(m,
         Selection.tokenBudgetFraction(m, num = 1, den = 2))
     },
-    Some(
-      """WITH keep AS (
-        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-        |dd AS (SELECT d.doc_id, d.text FROM documents d
-        |       JOIN keep USING (doc_id)),
-        |toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
-        |  FROM dd),
-        |g4 AS (
-        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 4 THEN
-        |    list_transform(generate_series(1, len(ts) - 3), i ->
-        |      ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
-        |    ELSE [] END)) AS g
-        |  FROM toks),
-        |gh AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh FROM g4),
-        |ev AS (SELECT DISTINCT gh FROM gh WHERE doc_id % 97 = 0),
-        |flagged AS (
-        |  SELECT DISTINCT doc_id FROM gh
-        |  WHERE doc_id % 97 <> 0 AND gh IN (SELECT gh FROM ev)),
+    Some(OracleSql.curationPrefixSql +
+      """,
         |clean AS (
         |  SELECT * FROM toks
         |  WHERE doc_id % 97 <> 0
@@ -3524,25 +3507,8 @@ object PipelineQueries {
           .select(col("doc_id"), col("logw")),
         k = 150)
     },
-    Some(
-      """WITH keep AS (
-        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-        |dd AS (SELECT d.doc_id, d.source, d.text FROM documents d
-        |       JOIN keep USING (doc_id)),
-        |toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
-        |  FROM dd),
-        |g4 AS (
-        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 4 THEN
-        |    list_transform(generate_series(1, len(ts) - 3), i ->
-        |      ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
-        |    ELSE [] END)) AS g
-        |  FROM toks),
-        |gh AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh FROM g4),
-        |ev AS (SELECT DISTINCT gh FROM gh WHERE doc_id % 97 = 0),
-        |flagged AS (
-        |  SELECT DISTINCT doc_id FROM gh
-        |  WHERE doc_id % 97 <> 0 AND gh IN (SELECT gh FROM ev)),
+    Some(OracleSql.curationPrefixSql +
+      """,
         |dsir_target AS (
         |  SELECT doc_id, text FROM dd WHERE source = 'src0'),
         |dsir_raw AS (

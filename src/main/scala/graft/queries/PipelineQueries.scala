@@ -3497,10 +3497,17 @@ object PipelineQueries {
         .flagExact(grams.filter(pmod(col("doc_id"), lit(97)) =!= 0), evalG)
         .select(col("doc_id"))
       val target = deduped.filter(col("source") === "src0")
-      val pool = deduped
+      // the pool feeds BOTH the raw-model fit and the scoring scan —
+      // materialized once (the p15 session-temp pattern) so the
+      // dedup + decontamination joins don't re-run per consumer
+      val tmp = graft.SessionTemp.dir("graft_p18_")
+      deduped
         .filter(col("source") =!= "src0" &&
           pmod(col("doc_id"), lit(97)) =!= 0)
         .join(flagged, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(tmp)
+      val pool = s.read.parquet(tmp)
       val lr = Dsir.importanceLogRatios(target, pool, buckets = 4096)
       Dsir.gumbelResample(
         Dsir.importanceWeights(pool, lr)

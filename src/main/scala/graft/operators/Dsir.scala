@@ -80,16 +80,33 @@ object Dsir {
     * the thousands, the same boundedness class as a centroid set.
     * The expression order (add-one in the numerator, `tot + B` in the
     * denominator, one ln per model) is part of the cross-engine
-    * contract — see [[Sampling]]'s note on IEEE op order. */
+    * contract — see [[Sampling]]'s note on IEEE op order.
+    *
+    * `rawSampleMod > 1` fits the RAW model on a deterministic 1/mod
+    * doc subsample (the d16 digest-gate form: 60-bit salted md5 of the
+    * id, kept iff ≡ 0 mod m) — the 100-TB lever: only bucket
+    * FREQUENCIES enter the model, so a frequency estimate from 1/m of
+    * the pool changes smoothing noise, not the method, while the fit
+    * scan drops to 1/m of the corpus. The target seed set is small by
+    * definition and always fits exactly; scoring always sees every
+    * doc. DuckDB gate of the sample:
+    * `('0x'||substr(md5('dsirfit:'||CAST(id AS VARCHAR)),1,15))::BIGINT % mod = 0`. */
   def importanceLogRatios(target: DataFrame, raw: DataFrame,
-      buckets: Int): Array[Double] = {
+      buckets: Int, rawSampleMod: Int = 1,
+      idCol: String = "doc_id"): Array[Double] = {
+    require(rawSampleMod >= 1, "rawSampleMod must be at least 1")
     def fit(c: DataFrame): (Map[Long, Long], Long) = {
       val rows = bucketCounts(c, buckets).collect()
         .map(r => r.getLong(0) -> r.getLong(1))
       (rows.toMap, rows.map(_._2).sum)
     }
+    val rawFit =
+      if (rawSampleMod == 1) raw
+      else raw.filter(pmod(conv(substring(md5(concat(lit("dsirfit:"),
+        col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(rawSampleMod.toLong)) === 0L)
     val (tc, tt) = fit(target)
-    val (rc, rt) = fit(raw)
+    val (rc, rt) = fit(rawFit)
     Array.tabulate(buckets) { b =>
       math.log((tc.getOrElse(b.toLong, 0L) + 1.0) / (tt + buckets)) -
         math.log((rc.getOrElse(b.toLong, 0L) + 1.0) / (rt + buckets))

@@ -180,11 +180,19 @@ private[queries] object OracleSql {
     * append their final SELECT (p17 dumps it, p17b/p18 add the Gumbel
     * key). The ln expression order matches
     * [[graft.operators.Dsir.importanceLogRatios]] exactly — one ln per
-    * model, add-one numerator, `tot + B` denominator. */
-  def dsirScoredSql(buckets: Int): String = {
+    * model, add-one numerator, `tot + B` denominator. `rawSampleMod`
+    * folds the deterministic raw-fit subsample gate into the rc/rt
+    * CTEs (the p17c form — scoring still sees every raw doc). */
+  def dsirScoredSql(buckets: Int, rawSampleMod: Int = 1): String = {
     val bucket = (ts: String) =>
       s"('0x' || substr(md5($ts[i] || ' ' || $ts[i+1]), 1, 15))" +
         s"::BIGINT % $buckets"
+    val fitGate =
+      if (rawSampleMod == 1) ""
+      else s"""
+         | WHERE ('0x' || substr(md5('dsirfit:' ||
+         |   CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $rawSampleMod = 0"""
+        .stripMargin
     s"""t_tk AS (
        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts
        |  FROM dsir_target),
@@ -198,7 +206,7 @@ private[queries] object OracleSql {
        |  FROM (SELECT doc_id,
        |          list_filter(string_split(text, ' '), x -> x <> '') AS ts
        |        FROM dsir_raw)),
-       |rb AS (SELECT unnest(bs) AS b FROM r_bk),
+       |rb AS (SELECT unnest(bs) AS b FROM r_bk$fitGate),
        |rc AS (SELECT b, COUNT(*) AS c FROM rb GROUP BY 1),
        |rt AS (SELECT COUNT(*) AS t FROM rb),
        |lr AS (

@@ -3469,6 +3469,34 @@ object PipelineQueries {
         |""".stripMargin + OracleSql.dsirScoredSql(4096) + "\n" +
       OracleSql.dsirGumbelSelect(200)))
 
+  // P17C — the SAMPLED-FIT form: the raw model fits on a
+  // deterministic 1/4 doc subsample (60-bit salted md5 digest gate —
+  // the d16/d17c sampling discipline applied to the model fit), while
+  // SCORING still sees every raw doc. This is the 100-TB lever the
+  // Dsir Scaladoc names — only bucket FREQUENCIES enter the raw
+  // model, so a 1/m sample changes smoothing noise, not the method,
+  // and the fit scan drops to 1/m of the corpus. Gated so the claim
+  // is proven, not prose (the p13b/d17c discipline).
+  private val p17c = QueryDef(
+    "p17c_dsir_sampled_fit",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val lr = graft.operators.Dsir.importanceLogRatios(
+        d.filter(col("source") === "src0"),
+        d.filter(col("source") =!= "src0"), buckets = 4096,
+        rawSampleMod = 4)
+      graft.operators.Dsir.importanceWeights(
+          d.filter(col("source") =!= "src0"), lr)
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH dsir_target AS (
+        |  SELECT doc_id, text FROM documents WHERE source = 'src0'),
+        |dsir_raw AS (
+        |  SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        |""".stripMargin + OracleSql.dsirScoredSql(4096, rawSampleMod = 4) +
+      "\nSELECT doc_id, n_bigrams, logw FROM scored ORDER BY doc_id"))
+
   // P18 — DSIR IN THE CURATION FUNNEL (the p15 composition proof
   // applied to the new wing): exact dedup (keep-first) → 4-gram eval
   // decontamination (the p15 stages, verbatim) → DSIR scoring of the
@@ -3533,5 +3561,5 @@ object PipelineQueries {
     x13, x14, x15, x15b, x16, x17,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e5c, e9, e10, e10b,
     p1, p2, p3, p4, p5, p6, p6b, p6c, p7, p8, p9, p10, p11, p12, p13, p13b,
-    p14, p15, p16, p16b, p17, p17b, p18)
+    p14, p15, p16, p16b, p17, p17b, p17c, p18)
 }

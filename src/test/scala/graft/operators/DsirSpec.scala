@@ -119,6 +119,26 @@ class DsirSpec extends AnyFunSuite {
     assert(w(1L) > w(2L), s"target-like ${w(1L)} !> junk ${w(2L)}")
   }
 
+  test("sampled raw fit matches the plain-Scala fit over the same gate") {
+    for (seed <- 7 to 8; mod <- Seq(2, 4)) {
+      val docsSeq = fuzzDocs(seed, 60)
+      val (t, r) = docsSeq.partition(_._1 % 5 == 0)
+      val got = Dsir.importanceLogRatios(
+        t.toDF("doc_id", "text"), r.toDF("doc_id", "text"), B,
+        rawSampleMod = mod)
+      val rFit = r.filter { case (id, _) => h60(s"dsirfit:$id") % mod == 0 }
+      val want = refLogRatios(t.map(_._2), rFit.map(_._2))
+      got.zip(want).zipWithIndex.foreach { case ((g, w), b) =>
+        assert(math.abs(g - w) <= 1e-12, s"seed $seed mod $mod bucket $b")
+      }
+      // mod 1 is exactly the unsampled fit
+      val m1 = Dsir.importanceLogRatios(
+        t.toDF("doc_id", "text"), r.toDF("doc_id", "text"), B,
+        rawSampleMod = 1)
+      assert(m1.sameElements(refLogRatios(t.map(_._2), r.map(_._2))))
+    }
+  }
+
   test("gumbelResample matches the plain-Scala Gumbel top-k and is stable") {
     val scored = fuzzDocs(9, 60)
       .map { case (id, text) => (id, text.length.toDouble / 10.0 - 3.0) }

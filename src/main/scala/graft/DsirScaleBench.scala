@@ -39,6 +39,14 @@ object DsirScaleBench {
     println(f"""{"metric":"dsir_scale","phase":"fit",""" +
       f""""docs":$n,"sec":$fitSec%.2f,"sf":"$sfDir"}""")
 
+    // the p17c lever: raw model from a 1/16 digest-gated subsample
+    val t0b = System.nanoTime()
+    Dsir.importanceLogRatios(target, pool, buckets = 4096,
+      rawSampleMod = 16)
+    val fitSampledSec = (System.nanoTime() - t0b) / 1e9
+    println(f"""{"metric":"dsir_scale","phase":"fit_sampled_16",""" +
+      f""""docs":$n,"sec":$fitSampledSec%.2f,"sf":"$sfDir"}""")
+
     // score once, materialized (the production shape: one scored
     // relation, many downstream resamples/thresholds read it)
     val tmp = graft.SessionTemp.dir("graft_dsir_scale_")

@@ -102,9 +102,8 @@ object Dsir {
     }
     val rawFit =
       if (rawSampleMod == 1) raw
-      else raw.filter(pmod(conv(substring(md5(concat(lit("dsirfit:"),
-        col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"),
-        lit(rawSampleMod.toLong)) === 0L)
+      else raw.filter(Sampling.saltedHashMod("dsirfit", col(idCol),
+        rawSampleMod.toLong) === 0L)
     val (tc, tt) = fit(target)
     val (rc, rt) = fit(rawFit)
     Array.tabulate(buckets) { b =>
@@ -154,9 +153,7 @@ object Dsir {
     require(!scored.columns.exists(
         _.toLowerCase(java.util.Locale.ROOT) == "g"),
       "input already has a column named g (the Gumbel key this adds)")
-    val h32 = pmod(conv(substring(md5(concat(lit(salt + ":"),
-      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"),
-      lit(4294967296L))
+    val h32 = Sampling.saltedHashMod(salt, col(idCol), 4294967296L)
     scored
       .withColumn("g", col(weightCol) -
         log(-log((h32 + lit(0.5)) / lit(4294967296.0))))

@@ -30,13 +30,22 @@ import org.apache.spark.sql.functions._
  */
 object Sampling {
 
+  /** Salted 60-bit md5 of `id` reduced mod `m` — THE engine-wide
+    * deterministic per-id draw every sampler and gate derives from
+    * (unit-micro draws, split buckets, priority uniforms, the DSIR
+    * Gumbel uniform and fit gate). One definition so a change to the
+    * hash width or salt convention lands everywhere at once. DuckDB:
+    * `('0x'||substr(md5(salt||':'||CAST(id AS VARCHAR)),1,15))::BIGINT % m`. */
+  def saltedHashMod(salt: String, id: Column, m: Long): Column =
+    pmod(conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))),
+      1, 15), 16, 10).cast("long"), lit(m))
+
   /** Salted 60-bit md5 of `id`, reduced mod 1e6 — a deterministic
     * draw from [0, 1e6) unique to (salt, id). Spark side of the
     * engine-wide gate; DuckDB:
     * `('0x'||substr(md5(salt||':'||CAST(id AS VARCHAR)),1,15))::BIGINT % 1000000`. */
   def hashUnitMicro(salt: String, id: Column): Column =
-    pmod(conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))),
-      1, 15), 16, 10).cast("long"), lit(1000000L))
+    saltedHashMod(salt, id, 1000000L)
 
   /** Per-stratum keep thresholds: counts each stratum, finds the
     * smallest, and evaluates `thrOf(minCount, count)` per stratum —
@@ -68,9 +77,7 @@ object Sampling {
       trainPct: Int = 90, valPct: Int = 5): Column = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"invalid split percentages ($trainPct/$valPct)")
-    val bucket = pmod(conv(substring(
-      md5(concat(lit(salt + ":"), id.cast("string"))), 1, 15), 16, 10)
-      .cast("long"), lit(100L))
+    val bucket = saltedHashMod(salt, id, 100L)
     when(bucket < trainPct, lit("train"))
       .when(bucket < trainPct + valPct, lit("val"))
       .otherwise(lit("test"))
@@ -90,9 +97,7 @@ object Sampling {
   def prioritySample(d: DataFrame, k: Int, salt: String = "pri",
       idCol: String = "doc_id", weightCol: String = "w"): DataFrame = {
     require(k > 0, "k must be positive")
-    val u = pmod(conv(substring(md5(concat(lit(salt + ":"),
-      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"),
-      lit(4294967296L))
+    val u = saltedHashMod(salt, col(idCol), 4294967296L)
     d.filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("u", u)
       .withColumn("pri",

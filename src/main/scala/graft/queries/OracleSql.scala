@@ -194,7 +194,8 @@ private[queries] object OracleSql {
          |   CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $rawSampleMod = 0"""
         .stripMargin
     s"""t_tk AS (
-       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts
+       |  SELECT list_filter(string_split(COALESCE(text, ''), ' '),
+       |           x -> x <> '') AS ts
        |  FROM dsir_target),
        |tb AS (SELECT unnest(list_transform(range(1, len(ts)),
        |         i -> ${bucket("ts")})) AS b FROM t_tk),
@@ -204,7 +205,8 @@ private[queries] object OracleSql {
        |  SELECT doc_id, list_transform(range(1, len(ts)),
        |    i -> ${bucket("ts")}) AS bs
        |  FROM (SELECT doc_id,
-       |          list_filter(string_split(text, ' '), x -> x <> '') AS ts
+       |          list_filter(string_split(COALESCE(text, ''), ' '),
+       |            x -> x <> '') AS ts
        |        FROM dsir_raw)),
        |rb AS (SELECT unnest(bs) AS b FROM r_bk$fitGate),
        |rc AS (SELECT b, COUNT(*) AS c FROM rb GROUP BY 1),

@@ -2001,6 +2001,28 @@ object PipelineQueries {
   private def fixtureStamp(dir: String): String =
     graft.operators.Retrieval.pathFingerprint(s"$dir/documents.parquet")
 
+  private val dsirLrCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Array[Double]]()
+
+  /** The p17/p17b shared DSIR model — the two entries fit
+    * byte-identical (src0-vs-rest, 4096-bucket) log-ratio tables, so
+    * the fit runs once per (dir, fixture stamp), the [[trainedMerges]]
+    * way: computed OUTSIDE any lock, lock-free putIfAbsent, cleared
+    * past 8 fixtures. p17c (different sample mod) and p18 (different
+    * corpora) fit their own. */
+  private def dsirLrShared(s: SparkSession, dir: String): Array[Double] = {
+    val key = (dir, fixtureStamp(dir))
+    val cached = dsirLrCache.get(key)
+    if (cached != null) return cached
+    val d = docs(s, dir)
+    val lr = graft.operators.Dsir.importanceLogRatios(
+      d.filter(col("source") === "src0"),
+      d.filter(col("source") =!= "src0"), buckets = 4096)
+    if (dsirLrCache.size > 8) dsirLrCache.clear()
+    val prior = dsirLrCache.putIfAbsent(key, lr)
+    if (prior != null) prior else lr
+  }
+
   private def trainedMerges(s: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(String, String)] = {
     val key = (dir, fixtureStamp(dir))
@@ -3424,11 +3446,8 @@ object PipelineQueries {
     "p17_dsir_weights",
     (s, dir) => {
       val d = docs(s, dir)
-      val lr = graft.operators.Dsir.importanceLogRatios(
-        d.filter(col("source") === "src0"),
-        d.filter(col("source") =!= "src0"), buckets = 4096)
       graft.operators.Dsir.importanceWeights(
-          d.filter(col("source") =!= "src0"), lr)
+          d.filter(col("source") =!= "src0"), dsirLrShared(s, dir))
         .orderBy("doc_id")
     },
     Some(
@@ -3452,12 +3471,9 @@ object PipelineQueries {
     "p17b_dsir_resample",
     (s, dir) => {
       val d = docs(s, dir)
-      val lr = graft.operators.Dsir.importanceLogRatios(
-        d.filter(col("source") === "src0"),
-        d.filter(col("source") =!= "src0"), buckets = 4096)
       graft.operators.Dsir.gumbelResample(
         graft.operators.Dsir.importanceWeights(
-            d.filter(col("source") =!= "src0"), lr)
+            d.filter(col("source") =!= "src0"), dsirLrShared(s, dir))
           .select(col("doc_id"), col("logw")),
         k = 200)
     },

@@ -235,6 +235,72 @@ object Sketches {
   def spanHashesPos(text: UTF8String, n: Int, mod: Long): ArrayData =
     spanWindows(text, n, mod, withPos = true)
 
+  /** Every adjacent-token bigram's DSIR bucket (60-bit md5 of
+    * "a b" mod `buckets`) in ONE pass — the fit-side kernel behind
+    * [[graft.operators.Dsir.bucketCounts]]. Bit-identical to the
+    * tokenize → transform → md5 → conv → pmod lambda chain
+    * ([[graft.operators.Dsir.bigramBucketsExpr]]; DsirSpec pins the
+    * parity): the window bytes feed md5 straight from the shared
+    * [[TokenBuf]], no per-bigram string building. Fewer than 2 tokens
+    * → empty array. */
+  def bigramBuckets(text: UTF8String, buckets: Int): ArrayData = {
+    if (buckets < 1) return new GenericArrayData(Array.empty[Any])
+    val toks = spaceTokens(text)
+    val m = toks.size - 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val tb = new TokenBuf(toks)
+    val md = Md5.get()
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      md.update(tb.buf, tb.starts(i), tb.ends(i + 1) - tb.starts(i))
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((d(7) & 0xffL) >> 4)
+      out(i) = v % buckets
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The DSIR per-doc score in ONE pass: fold the dense log-ratio
+    * array over every bigram bucket, left-to-right (the same
+    * summation order as the `aggregate` lambda fold it replaces —
+    * DsirSpec pins bit-equality). Returns (n_bigrams, logw); fewer
+    * than 2 tokens → (0, 0.0), the fold's zero. The lr array rides as
+    * a LITERAL argument (the span_cut probe discipline — never a
+    * joined column). */
+  def dsirScore(text: UTF8String,
+      lr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val buckets = lr.numElements()
+    val toks = spaceTokens(text)
+    val m = toks.size - 1
+    if (m <= 0 || buckets < 1) {
+      return new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](0L, 0.0))
+    }
+    val tb = new TokenBuf(toks)
+    val md = Md5.get()
+    var w = 0.0
+    var i = 0
+    while (i < m) {
+      md.reset()
+      md.update(tb.buf, tb.starts(i), tb.ends(i + 1) - tb.starts(i))
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((d(7) & 0xffL) >> 4)
+      w += lr.getDouble((v % buckets).toInt)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](m.toLong, w))
+  }
+
   /** 16-byte-record comparison inside a packed digest array. */
   private def compareRec(packed: Array[Byte], off: Int,
       d: Array[Byte]): Int = {
@@ -963,5 +1029,56 @@ case class ArrayExceptSorted(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayExceptSorted =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `bigram_buckets(text STRING, buckets INT) -> ARRAY<BIGINT>` — every
+  * adjacent-token bigram's DSIR feature bucket in one kernel call
+  * ([[Sketches.bigramBuckets]]), replacing the tokenize → transform →
+  * md5 → conv → pmod lambda chain that Catalyst's interpreted
+  * higher-order functions keep outside whole-stage codegen. */
+case class BigramBuckets(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bigram_buckets"
+
+  override protected def nullSafeEval(text: Any, buckets: Any): Any =
+    Sketches.bigramBuckets(text.asInstanceOf[UTF8String],
+      buckets.asInstanceOf[Number].intValue)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, b) =>
+      s"graft.functions.Sketches.bigramBuckets($t, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BigramBuckets =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `dsir_score(text STRING, lr ARRAY<DOUBLE>) ->
+  * STRUCT<n_bigrams BIGINT, logw DOUBLE>` — the DSIR per-doc score in
+  * one kernel call ([[Sketches.dsirScore]]): hash each bigram, fold
+  * the dense log-ratio literal left-to-right, return the count and the
+  * sum without materializing a bucket array per row. */
+case class DsirScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_bigrams", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("logw", DoubleType,
+        nullable = false)))
+  override def prettyName: String = "dsir_score"
+
+  override protected def nullSafeEval(text: Any, lr: Any): Any =
+    Sketches.dsirScore(text.asInstanceOf[UTF8String],
+      lr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, l) =>
+      s"graft.functions.Sketches.dsirScore($t, $l)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DsirScore =
     copy(left = newLeft, right = newRight)
 }

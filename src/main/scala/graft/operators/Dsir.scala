@@ -33,27 +33,33 @@ import org.apache.spark.sql.functions._
  * ending in a `buckets`-bounded aggregation (map-side partials; the
  * exchange carries ≤ B rows per partition) — the target corpus is by
  * definition small, and the raw fit can run on any deterministic
- * subsample ([[Sampling.hashUnitMicro]]) since only bucket FREQUENCIES
- * matter. The per-bucket log-ratio table is B doubles — a parameter,
- * thousands — shipped as one dense array LITERAL riding the task
- * binary (the d17/d15 probe-literal precedent: a joined constant
+ * subsample (`rawSampleMod`, the engine digest gate) since only bucket
+ * FREQUENCIES matter. The per-bucket log-ratio table is B doubles — a
+ * parameter, thousands — shipped as one dense array LITERAL riding the
+ * task binary (the d17/d15 probe-literal precedent: a joined constant
  * column would be re-materialized per row), so SCORING is one corpus
- * scan with a per-row fold — zero shuffle, no join, whole-stage
- * codegen. Resampling is orderBy+limit ⇒ TakeOrderedAndProject (a
- * per-partition partial top-k then a k-sized merge — the corpus is
- * never globally sorted).
+ * scan with one codegen'd `dsir_score` kernel call per row — zero
+ * shuffle, no join, and the per-bigram hashing stays inside
+ * whole-stage codegen (Catalyst's `transform`/`aggregate` lambdas run
+ * through the interpreted walker; the kernel is pinned bit-identical
+ * to that reference chain by DsirSpec). Resampling is orderBy+limit ⇒
+ * TakeOrderedAndProject (a per-partition partial top-k then a k-sized
+ * merge — the corpus is never globally sorted).
  */
 object Dsir {
 
   /** Per-row hashed-bigram bucket array (ARRAY<BIGINT>, values in
     * [0, buckets)) — expression TEXT over a token-array column named
-    * `__ts` (callers project `TextAnalysis.tokensExpr` to `__ts`
-    * first; both entry points here do). Bucket of a bigram (a, b) =
-    * 60-bit md5 of "a b" mod `buckets` — DuckDB:
+    * `__ts`. Bucket of a bigram (a, b) = 60-bit md5 of "a b" mod
+    * `buckets` — DuckDB:
     * `('0x'||substr(md5(a||' '||b),1,15))::BIGINT % buckets`.
     * A doc with fewer than 2 tokens gets an empty array (Spark's
     * `sequence(1, 0)` infers a DESCENDING step and would emit [1, 0] —
-    * the p16b guard). */
+    * the p16b guard). This is the REFERENCE form the codegen'd
+    * `bigram_buckets` kernel is pinned bit-identical to (DsirSpec);
+    * the operator paths below call the kernel — Catalyst evaluates
+    * `transform` lambdas through the interpreted walker, outside
+    * whole-stage codegen. */
   def bigramBucketsExpr(buckets: Int): String = {
     require(buckets > 0, "buckets must be positive")
     s"""CASE WHEN size(__ts) >= 2 THEN
@@ -65,12 +71,16 @@ object Dsir {
   }
 
   /** (bucket, cnt) over a corpus — corpus-sized scan, bucket-bounded
-    * output (≤ `buckets` rows after the aggregation). */
-  def bucketCounts(corpus: DataFrame, buckets: Int): DataFrame =
+    * output (≤ `buckets` rows after the aggregation), the per-row
+    * bigram hashing one codegen'd `bigram_buckets` kernel call
+    * (null text folds to the empty-doc path). */
+  def bucketCounts(corpus: DataFrame, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
     corpus
-      .select(expr(TextAnalysis.tokensExpr).as("__ts"))
-      .select(explode(expr(bigramBucketsExpr(buckets))).as("bucket"))
+      .select(explode(call_function("bigram_buckets",
+        coalesce(col("text"), lit("")), lit(buckets))).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
 
   /** The dense per-bucket log-ratio table
     * `lr[b] = ln((ct_t(b)+1)/(tot_t+B)) − ln((ct_r(b)+1)/(tot_r+B))`
@@ -114,21 +124,37 @@ object Dsir {
 
   /** Per-document DSIR importance score: (idCol, n_bigrams, logw)
     * where `logw` is the fold of `lr` over the doc's bigram buckets —
-    * ONE corpus scan, zero shuffle, no join: `lr` rides the task
-    * binary as a dense array literal and each row pays a sequential
-    * in-row fold (engine-order-deterministic; cross-engine agreement
-    * is the x14 float envelope — ulp-level ln/summation differences
-    * land far inside the driver's 9 significant digits). A doc with no
-    * bigrams scores 0 (the fold's zero element), n_bigrams 0. */
+    * ONE corpus scan, zero shuffle, no join, one codegen'd `dsir_score`
+    * kernel call per row (hash each bigram, fold the dense log-ratio
+    * LITERAL left-to-right — no per-row bucket array, and the literal
+    * rides the task binary, the span_cut probe discipline). The
+    * summation order matches the reference `aggregate` fold exactly
+    * (DsirSpec pins bit-equality); cross-engine agreement is the x14
+    * float envelope. A doc with no bigrams (or null text) scores 0,
+    * n_bigrams 0. */
   def importanceWeights(raw: DataFrame, lr: Array[Double],
       idCol: String = "doc_id"): DataFrame = {
     require(lr.nonEmpty, "log-ratio table must be non-empty")
-    // the chain defines __ts/__bg internally — an idCol named after
-    // one would collide far from the cause (the p16 carryCols guard,
+    // the chain defines __sc internally — an idCol named after it
+    // would collide far from the cause (the p16 carryCols guard,
     // compared lower-cased in Locale.ROOT like Spark's resolution)
-    val lcId = idCol.toLowerCase(java.util.Locale.ROOT)
-    require(lcId != "__ts" && lcId != "__bg",
-      s"idCol $idCol collides with the scoring chain's own columns")
+    require(idCol.toLowerCase(java.util.Locale.ROOT) != "__sc",
+      s"idCol $idCol collides with the scoring chain's own column")
+    raw
+      .select(col(idCol), call_function("dsir_score",
+        coalesce(col("text"), lit("")), typedLit(lr.toSeq)).as("__sc"))
+      .select(col(idCol),
+        col("__sc.n_bigrams").as("n_bigrams"),
+        col("__sc.logw").as("logw"))
+  }
+
+  /** The interpreted reference form of [[importanceWeights]] — the
+    * tokenize → bucket → `aggregate`-fold lambda chain the kernel is
+    * pinned bit-identical to (DsirSpec). Kept callable so the parity
+    * pin exercises REAL plans, not a re-derivation. */
+  def importanceWeightsExprForm(raw: DataFrame, lr: Array[Double],
+      idCol: String = "doc_id"): DataFrame = {
+    require(lr.nonEmpty, "log-ratio table must be non-empty")
     val lrLit = typedLit(lr.toSeq)
     raw
       .select(col(idCol), expr(TextAnalysis.tokensExpr).as("__ts"))

@@ -119,6 +119,23 @@ class DsirSpec extends AnyFunSuite {
     assert(w(1L) > w(2L), s"target-like ${w(1L)} !> junk ${w(2L)}")
   }
 
+  test("dsir_score kernel ≡ the interpreted expression chain, bit-exact") {
+    for (seed <- 10 to 12) {
+      val docsSeq = fuzzDocs(seed, 50)
+      val (t, r) = docsSeq.partition(_._1 % 5 == 0)
+      val lr = refLogRatios(t.map(_._2), r.map(_._2))
+      val df = r.toDF("doc_id", "text")
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+          .sortBy(_._1).toSeq
+      val kernel = rows(Dsir.importanceWeights(df, lr))
+      val chain = rows(Dsir.importanceWeightsExprForm(df, lr))
+      // same JVM, same fold order — equality must be EXACT, not an
+      // epsilon (the span-kernel parity discipline)
+      assert(kernel == chain, s"seed $seed kernel/chain divergence")
+    }
+  }
+
   test("sampled raw fit matches the plain-Scala fit over the same gate") {
     for (seed <- 7 to 8; mod <- Seq(2, 4)) {
       val docsSeq = fuzzDocs(seed, 60)

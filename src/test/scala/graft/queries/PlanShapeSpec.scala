@@ -717,6 +717,8 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scoring must be a per-row fold against a literal, not a join:\n$plan")
     assert(!plan.contains("HashAggregate"),
       s"scoring must not re-aggregate the corpus (fold is in-row):\n$plan")
+    assert(plan.contains("dsir_score"),
+      s"codegen'd scoring kernel missing (interpreted HOF fallback?):\n$plan")
   }
 
   test("p17b: Gumbel resample is a partial top-k, join-free") {

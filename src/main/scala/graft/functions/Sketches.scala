@@ -60,11 +60,14 @@ object Sketches {
     new String(out)
   }
 
-  /** First 15 hex chars of md5 as a 60-bit non-negative long — the JVM
-    * twin of `cast(conv(substring(md5(x),1,15),16,10) as bigint)`:
-    * bytes 0..6 plus the high nibble of byte 7. */
-  private def md5Long15(bytes: Array[Byte]): Long = {
-    val d = Md5.get().digest(bytes)
+  /** First 15 hex chars of an md5 DIGEST as a 60-bit non-negative
+    * long — the JVM twin of
+    * `cast(conv(substring(md5(x),1,15),16,10) as bigint)`: bytes 0..6
+    * plus the high nibble of byte 7. ONE implementation shared by
+    * every windowed-digest loop (spanWindows, bigramBuckets,
+    * dsirScore) so the span gate, the DSIR bucket space and the DuckDB
+    * substr(md5,1,15) contract cannot drift apart. */
+  private def digest60(d: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 7) {
@@ -73,6 +76,10 @@ object Sketches {
     }
     (v << 4) | ((d(7) & 0xffL) >> 4)
   }
+
+  /** [[digest60]] of the md5 of `bytes`. */
+  private def md5Long15(bytes: Array[Byte]): Long =
+    digest60(Md5.get().digest(bytes))
 
   /**
    * The full MinHash-LSH band table for one document in one pass: hash
@@ -186,10 +193,7 @@ object Sketches {
       md.reset()
       md.update(tb.buf, tb.starts(i), tb.ends(i + n - 1) - tb.starts(i))
       val d = md.digest()
-      var v = 0L
-      var b = 0
-      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-      v = (v << 4) | ((d(7) & 0xffL) >> 4)
+      val v = digest60(d)
       if (mod <= 1L || v % mod == 0L) {
         val hex = new Array[Char](32)
         var q = 0
@@ -255,12 +259,7 @@ object Sketches {
     while (i < m) {
       md.reset()
       md.update(tb.buf, tb.starts(i), tb.ends(i + 1) - tb.starts(i))
-      val d = md.digest()
-      var v = 0L
-      var b = 0
-      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-      v = (v << 4) | ((d(7) & 0xffL) >> 4)
-      out(i) = v % buckets
+      out(i) = digest60(md.digest()) % buckets
       i += 1
     }
     new GenericArrayData(out)
@@ -289,12 +288,7 @@ object Sketches {
     while (i < m) {
       md.reset()
       md.update(tb.buf, tb.starts(i), tb.ends(i + 1) - tb.starts(i))
-      val d = md.digest()
-      var v = 0L
-      var b = 0
-      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-      v = (v << 4) | ((d(7) & 0xffL) >> 4)
-      w += lr.getDouble((v % buckets).toInt)
+      w += lr.getDouble((digest60(md.digest()) % buckets).toInt)
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions

@@ -155,6 +155,11 @@ object Dsir {
   def importanceWeightsExprForm(raw: DataFrame, lr: Array[Double],
       idCol: String = "doc_id"): DataFrame = {
     require(lr.nonEmpty, "log-ratio table must be non-empty")
+    // this chain defines __ts/__bg internally — the collision guard
+    // the kernel path has for __sc, kept here for ITS columns
+    val lcId = idCol.toLowerCase(java.util.Locale.ROOT)
+    require(lcId != "__ts" && lcId != "__bg",
+      s"idCol $idCol collides with the scoring chain's own columns")
     val lrLit = typedLit(lr.toSeq)
     raw
       .select(col(idCol), expr(TextAnalysis.tokensExpr).as("__ts"))

@@ -19,6 +19,13 @@ object DsirProps extends Properties("Dsir") {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  // each case runs real Spark jobs (the sampled-fit property two
+  // aggregation+collects) — trimmed like the sibling Spark-backed
+  // suites (RetrievalProps 12, SqlLitProps 20)
+  override def overrideParameters(
+      p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
   private def md5hex(s: String): String =
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

@@ -727,4 +727,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"resample must be a partial top-k, not a global sort:\n$plan")
     assert(!plan.contains("Join"), s"resample must be join-free:\n$plan")
   }
+
+  test("curation funnels (p15, p18): hash-joined stages, no cartesian") {
+    for (name <- Seq("p15_curation_pipeline", "p18_dsir_pipeline")) {
+      val plan = finalPlan(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: funnel stage degenerated to a cartesian:\n$plan")
+    }
+    // p15's only nested-loop is the sanctioned 1-row broadcast budget
+    // cross join (the q20 shape); p18 has no cross join at all, so a
+    // nested-loop there is always a degenerated stage
+    val p18 = finalPlan("p18_dsir_pipeline")
+    assert(!p18.contains("BroadcastNestedLoopJoin"),
+      s"p18: funnel stage degenerated to a nested-loop:\n$p18")
+  }
 }

@@ -105,22 +105,35 @@ object Dsir {
       buckets: Int, rawSampleMod: Int = 1,
       idCol: String = "doc_id"): Array[Double] = {
     require(rawSampleMod >= 1, "rawSampleMod must be at least 1")
-    def fit(c: DataFrame): (Map[Long, Long], Long) = {
-      val rows = bucketCounts(c, buckets).collect()
-        .map(r => r.getLong(0) -> r.getLong(1))
-      (rows.toMap, rows.map(_._2).sum)
-    }
     val rawFit =
       if (rawSampleMod == 1) raw
       else raw.filter(Sampling.saltedHashMod("dsirfit", col(idCol),
         rawSampleMod.toLong) === 0L)
-    val (tc, tt) = fit(target)
-    val (rc, rt) = fit(rawFit)
+    val (tc, tt) = fitCounts(target, buckets)
+    val (rc, rt) = fitCounts(rawFit, buckets)
+    logRatiosFromCounts(tc, tt, rc, rt, buckets)
+  }
+
+  /** Collect a corpus's AGGREGATED (bucket → cnt) table plus its total
+    * — ≤ `buckets` rows pulled to the driver, never corpus rows. */
+  def fitCounts(c: DataFrame, buckets: Int): (Map[Long, Long], Long) = {
+    val rows = bucketCounts(c, buckets).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    (rows.toMap, rows.map(_._2).sum)
+  }
+
+  /** [[importanceLogRatios]]'s arithmetic over already-collected bucket
+    * tables — split out so an INCREMENTALLY-maintained raw model
+    * ([[graft.streaming.IncrementalDsir]]'s additive bucket-count
+    * state) produces the bit-identical table the batch fit does: the
+    * expression order here (add-one numerator, `tot + B` denominator,
+    * one ln per model) is the cross-engine contract, stated once. */
+  def logRatiosFromCounts(tc: Map[Long, Long], tt: Long,
+      rc: Map[Long, Long], rt: Long, buckets: Int): Array[Double] =
     Array.tabulate(buckets) { b =>
       math.log((tc.getOrElse(b.toLong, 0L) + 1.0) / (tt + buckets)) -
         math.log((rc.getOrElse(b.toLong, 0L) + 1.0) / (rt + buckets))
     }
-  }
 
   /** Per-document DSIR importance score: (idCol, n_bigrams, logw)
     * where `logw` is the fold of `lr` over the doc's bigram buckets —

@@ -916,6 +916,42 @@ object StreamingQueries {
     },
     Some(OracleSql.spanDedupSql(8)))
 
+  // P17D — STREAMING DSIR (the d18 → d19 discipline applied to the
+  // p17 wing): the raw pool's hashed-bigram bucket-count model is
+  // maintained INCREMENTALLY across micro-batches — per-batch
+  // (bucket, cnt) partials are additive exactly like the span census's
+  // sums, kept in the same batch-addressed preference-rule layout
+  // (AdditiveBatchState; a double-counted partial would be a WRONG
+  // model, so the publish rename is the commit point) — and the
+  // consumed output is a Gumbel top-k importance resample of the
+  // accumulated pool scored against that model, with the target seed
+  // set fit exact at read time. Each partial is bucket-BOUNDED
+  // (≤ 4096 rows, parameter-sized): the model state never grows with
+  // the corpus, only the partition count, which compaction bounds.
+  // The oracle is p17b's full batch SQL over the same documents:
+  // incremental maintenance and batch slicing must be invisible in
+  // the sample (IncrementalDsirSpec drives the mid-stream crash,
+  // every compaction failpoint, and the sampled-fit equivalence).
+  private val p17dRuns = new java.util.concurrent.atomic.AtomicLong(0)
+  private val p17d = QueryDef(
+    "p17d_stream_dsir",
+    (s, dir) => {
+      val runId = p17dRuns.incrementAndGet()
+      val workDir = s"$e3TmpRoot/p17d_$runId"
+      graft.streaming.IncrementalDsir.run(s, dir, workDir)
+      val d = Records.table(s, dir, "documents")
+      graft.streaming.IncrementalDsir.resampleAccumulated(s, workDir,
+        target = d.filter(col("source") === "src0"),
+        pool = d.filter(col("source") =!= "src0"), k = 200)
+    },
+    Some(
+      """WITH dsir_target AS (
+        |  SELECT doc_id, text FROM documents WHERE source = 'src0'),
+        |dsir_raw AS (
+        |  SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        |""".stripMargin + OracleSql.dsirScoredSql(4096) + "\n" +
+      OracleSql.dsirGumbelSelect(200)))
+
   // ---- shared topic-log fixture plumbing (s2b / k2b) ----
 
   private val topicsCache =
@@ -1290,6 +1326,7 @@ object StreamingQueries {
 
   val defs: Seq[QueryDef] =
     Seq(k2, s2, s2b, k2b, k2c, k2d, k2e, e3, d7, d8, d12, d13, d14, d18, d19,
+      p17d,
       e4,
       e6, e7)
 }

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Batch-addressed parquet layout for ADDITIVE streaming state — the
+  * [[IncrementalSpanCensus]] discipline extracted so other
+  * additive-state maintainers ([[IncrementalDsir]]'s raw bucket-count
+  * model) share it verbatim rather than re-deriving the crash-safety
+  * argument.
+  *
+  * Contract: every source row lands in exactly ONE `batch=<id>`
+  * partition (per-batch overwrite keeps checkpoint replay idempotent),
+  * and the caller's `mergeAgg` combines partials such that
+  * mergeAgg(A ∪ B) == mergeAgg(mergeAgg(A) ∪ B) — sums, mins, maxes.
+  * Because partials are summed, compaction CANNOT use
+  * [[BatchedParquetIndex]]'s duplicate-tolerant publish-then-delete (a
+  * crash between publish and delete would double-count). Instead the
+  * READER enforces a preference rule: partitions with id ≤ the highest
+  * published `compacted=<n>` are invisible — publishing the merged
+  * partition IS the commit point, and every crash point (before
+  * publish, after publish, mid-delete) leaves the visible state
+  * exactly correct, never a superset.
+  *
+  * The compacted partition is written HASH-PARTITIONED on the caller's
+  * key at a corpus-scaled file count
+  * ([[BatchedParquetIndex.compactionPartitions]] over the source
+  * partitions' bytes): merged additive state can approach the key
+  * domain's full size (the span census keeps EVERY span), so the write
+  * must be as wide as the data — never one task. The rename commit is
+  * unchanged: it operates on the directory, however many files it
+  * holds. */
+private[streaming] object AdditiveBatchState {
+
+  /** (isCompacted, id) of a state partition dir name. */
+  private def partId(name: String): Option[(Boolean, Long)] = {
+    val eq = name.indexOf('=')
+    if (eq < 0) None
+    else name.take(eq) match {
+      case "batch" =>
+        try Some((false, name.drop(eq + 1).toLong))
+        catch { case _: NumberFormatException => None }
+      case "compacted" =>
+        try Some((true, name.drop(eq + 1).toLong))
+        catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+  }
+
+  private def allParts(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[(Path, Boolean, Long)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .flatMap(p => partId(p.getName).map { case (c, n) => (p, c, n) })
+
+  /** The VISIBLE partitions under the preference rule: the highest
+    * published `compacted=<n>` plus every `batch=<k>` with k > n.
+    * Anything with id ≤ n is already summed into the compacted
+    * partition — reading it too would double-count. */
+  private def visibleParts(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[Path] = {
+    val all = allParts(fs, root)
+    val maxC = all.collect { case (_, true, n) => n }
+      .foldLeft(-1L)(math.max)
+    all.collect {
+      case (p, true, n) if n == maxC => p
+      case (p, false, n) if n > maxC => p
+    }
+  }
+
+  /** mergeAgg over every visible partition — the one read path. */
+  def merged(s: SparkSession, root: Path,
+      mergeAgg: DataFrame => DataFrame): DataFrame = {
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ps = visibleParts(fs, root)
+    require(ps.nonEmpty, s"no state partitions under $root")
+    mergeAgg(s.read.parquet(ps.map(_.toString): _*))
+  }
+
+  /** mergeAgg every visible partition with id ≤ `upToBatch` into ONE
+    * `compacted=<upToBatch>` partition (hash-partitioned on `keyCols`
+    * at a corpus-scaled file count), then delete the sources.
+    * Crash-safe by publish-rename + the reader's preference rule (see
+    * object Scaladoc). A re-run that finds the target published skips
+    * the merge and finishes the deletions. `failpoint` injects test
+    * crashes. */
+  def compact(s: SparkSession, root: Path, upToBatch: Long,
+      mergeAgg: DataFrame => DataFrame, keyCols: Seq[String],
+      targetFileBytes: Long = BatchedParquetIndex.DefaultTargetFileBytes,
+      failpoint: String = ""): Unit = {
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("_compact_"))
+      .foreach(p => fs.delete(p, true))
+    val target = new Path(root, s"compacted=$upToBatch")
+    val mergeable = visibleParts(fs, root).filter { p =>
+      partId(p.getName).exists(_._2 <= upToBatch) &&
+        p.getName != target.getName
+    }
+    if (!fs.exists(target)) {
+      if (mergeable.size <= 1) return
+      val tmp = new Path(root, s"_compact_$upToBatch")
+      val n = BatchedParquetIndex.compactionPartitions(
+        fs, mergeable, targetFileBytes)
+      val merged = mergeAgg(s.read.parquet(mergeable.map(_.toString): _*))
+      val laid =
+        if (keyCols.nonEmpty) merged.repartition(n, keyCols.map(col): _*)
+        else merged.repartition(n)
+      laid.write.mode("overwrite").parquet(tmp.toString)
+      if (failpoint == "before-publish")
+        throw new RuntimeException("injected compaction crash before publish")
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"rename $tmp -> $target failed")
+    }
+    if (failpoint == "after-publish")
+      throw new RuntimeException("injected compaction crash after publish")
+    // delete EVERYTHING with id <= upToBatch (visible or stale — all
+    // of it is represented in the target)
+    allParts(fs, root).collect {
+      case (p, _, n) if n <= upToBatch && p.getName != target.getName => p
+    }.foreach { p =>
+      fs.delete(p, true)
+      if (failpoint == "mid-delete")
+        throw new RuntimeException("injected compaction crash mid-delete")
+    }
+  }
+}

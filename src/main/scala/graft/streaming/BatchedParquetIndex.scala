@@ -15,6 +15,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * never a forgotten index. */
 private[streaming] object BatchedParquetIndex {
 
+  /** Default compaction target file size (bytes). Specs shrink it to
+    * force multi-file compacted partitions at fixture scale. */
+  val DefaultTargetFileBytes: Long = 128L << 20
+
+  /** Corpus-scaled output partition count for a compaction write:
+    * total bytes of the source partitions (one FS summary walk — no
+    * data scan) over the target file size, floored at 1. The merged
+    * output is never larger than its sources (compaction only unions
+    * or sum-merges), so sizing from source bytes bounds files from
+    * above — the [[graft.operators.Retrieval.adaptiveBuckets]]
+    * discipline applied to state maintenance: at 100 TB the compacted
+    * census is multi-TB and the write must be as wide as the data,
+    * never a single task. */
+  private[streaming] def compactionPartitions(
+      fs: org.apache.hadoop.fs.FileSystem, sources: Seq[Path],
+      targetFileBytes: Long): Int = {
+    val bytes = sources.iterator
+      .map(p => fs.getContentSummary(p).getLength).sum
+    math.min(1L << 20,
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)).toInt
+  }
+
   /** id of an index partition dir: `batch=<n>` (written by one batch) or
     * `compacted=<n>` (the merge of every partition with id <= n). Both
     * obey the same visibility rule — a partition named with id n holds
@@ -62,10 +84,19 @@ private[streaming] object BatchedParquetIndex {
     * new source with id <= upToBatch can have appeared since).
     * Single-writer assumption is the pipeline's own.
     *
+    * The merged partition is written HASH-PARTITIONED on `keyCols` at
+    * a corpus-scaled file count ([[compactionPartitions]]) — compaction
+    * must stay as wide as its data (a single-task funnel recurs every
+    * `compactEvery` batches and is multi-TB at 100 TB), and clustering
+    * by the probe key keeps any one key's rows in one file. The commit
+    * protocol is unchanged: publish-rename works on directories
+    * regardless of how many files they hold.
+    *
     * `failpoint` is a test hook injecting a crash "before-publish",
     * "after-publish", or "mid-delete". */
   def compact(s: SparkSession, idxRoot: String, upToBatch: Long,
-      failpoint: String = ""): Unit = {
+      failpoint: String = "", keyCols: Seq[String] = Seq.empty,
+      targetFileBytes: Long = DefaultTargetFileBytes): Unit = {
     val root = new Path(idxRoot)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
@@ -83,8 +114,12 @@ private[streaming] object BatchedParquetIndex {
     val sources = all.collect { case (p, _) if p.getName != target.getName => p }
     if (!fs.exists(target)) {
       val tmp = new Path(s"$idxRoot/_compact_$upToBatch")
-      s.read.parquet(sources.map(_.toString): _*)
-        .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val n = compactionPartitions(fs, sources, targetFileBytes)
+      val merged = s.read.parquet(sources.map(_.toString): _*)
+      val laid =
+        if (keyCols.nonEmpty) merged.repartition(n, keyCols.map(merged(_)): _*)
+        else merged.repartition(n)
+      laid.write.mode("overwrite").parquet(tmp.toString)
       if (failpoint == "before-publish")
         throw new RuntimeException("injected compaction crash before publish")
       if (!fs.rename(tmp, target))

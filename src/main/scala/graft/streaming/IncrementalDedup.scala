@@ -103,6 +103,8 @@ object IncrementalDedup {
     * partitions are harmless to the left_anti join, which is what makes
     * every crash point leave a usable superset. */
   def compactIndex(s: SparkSession, workDir: String, upToBatch: Long,
-      failpoint: String = ""): Unit =
-    BatchedParquetIndex.compact(s, s"$workDir/index", upToBatch, failpoint)
+      failpoint: String = "",
+      targetFileBytes: Long = BatchedParquetIndex.DefaultTargetFileBytes): Unit =
+    BatchedParquetIndex.compact(s, s"$workDir/index", upToBatch, failpoint,
+      keyCols = Seq("content_hash"), targetFileBytes = targetFileBytes)
 }

@@ -98,41 +98,6 @@ object IncrementalSpanCensus {
         min(struct(col("doc_id"), col("pos"))).as("first"))
       .write.mode("overwrite").parquet(s"$workDir/census/batch=$id")
 
-  private def partId(name: String): Option[(Boolean, Long)] = {
-    val eq = name.indexOf('=')
-    if (eq < 0) None
-    else name.take(eq) match {
-      case "batch" =>
-        try Some((false, name.drop(eq + 1).toLong))
-        catch { case _: NumberFormatException => None }
-      case "compacted" =>
-        try Some((true, name.drop(eq + 1).toLong))
-        catch { case _: NumberFormatException => None }
-      case _ => None
-    }
-  }
-
-  private def allParts(fs: org.apache.hadoop.fs.FileSystem,
-      root: Path): Seq[(Path, Boolean, Long)] =
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.map(_.getPath)
-      .flatMap(p => partId(p.getName).map { case (c, n) => (p, c, n) })
-
-  /** The VISIBLE partitions under the preference rule: the highest
-    * published `compacted=<n>` plus every `batch=<k>` with k > n.
-    * Anything with id ≤ n is already summed into the compacted
-    * partition — reading it too would double-count. */
-  private def visibleParts(fs: org.apache.hadoop.fs.FileSystem,
-      root: Path): Seq[Path] = {
-    val all = allParts(fs, root)
-    val maxC = all.collect { case (_, true, n) => n }
-      .foldLeft(-1L)(math.max)
-    all.collect {
-      case (p, true, n) if n == maxC => p
-      case (p, false, n) if n > maxC => p
-    }
-  }
-
   /** The merged census: (span_h, n_docs, n_occurrences) over every
     * document streamed so far, spans occurring ≥ `minCount` times —
     * the counts-only d16 shape (the `first` column is projected away
@@ -168,13 +133,8 @@ object IncrementalSpanCensus {
         sum("n_occurrences").as("n_occurrences"),
         min("first").as("first"))
 
-  private def merged(s: SparkSession, workDir: String): DataFrame = {
-    val root = new Path(s"$workDir/census")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val ps = visibleParts(fs, root)
-    require(ps.nonEmpty, s"no census partitions under $root")
-    mergeAgg(s.read.parquet(ps.map(_.toString): _*))
-  }
+  private def merged(s: SparkSession, workDir: String): DataFrame =
+    AdditiveBatchState.merged(s, new Path(s"$workDir/census"), mergeAgg)
 
   /** The d19 composition: the keep-first action pass
     * ([[graft.operators.Dedup.spanDedupCorpus]]) over the documents
@@ -195,40 +155,23 @@ object IncrementalSpanCensus {
     * tmp is `_`-invisible, after it every source with id ≤ upToBatch
     * is reader-invisible whether or not its delete completed. A re-run
     * that finds the target published skips the merge and finishes the
-    * deletions. `failpoint` injects test crashes. */
+    * deletions. `failpoint` injects test crashes.
+    *
+    * The merged partition is written HASH-PARTITIONED on `span_h` at a
+    * corpus-scaled file count
+    * ([[BatchedParquetIndex.compactionPartitions]] over the source
+    * partitions' bytes): the partials keep EVERY span (the ≥ minCount
+    * filter is read-side — a later occurrence can lift a count), so
+    * the merged census approaches the corpus's distinct span count and
+    * must be written as wide as the data, never through one task. The
+    * rename commit point is unchanged — it operates on the directory,
+    * however many files it holds — and clustering by span_h means the
+    * NEXT compaction's merge of this partition shuffles rows that are
+    * already co-located. */
   def compact(s: SparkSession, workDir: String, upToBatch: Long,
-      failpoint: String = ""): Unit = {
-    val root = new Path(s"$workDir/census")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith("_compact_"))
-      .foreach(p => fs.delete(p, true))
-    val target = new Path(s"$workDir/census/compacted=$upToBatch")
-    val mergeable = visibleParts(fs, root).filter { p =>
-      partId(p.getName).exists(_._2 <= upToBatch) &&
-        p.getName != target.getName
-    }
-    if (!fs.exists(target)) {
-      if (mergeable.size <= 1) return
-      val tmp = new Path(s"$workDir/census/_compact_$upToBatch")
-      mergeAgg(s.read.parquet(mergeable.map(_.toString): _*))
-        .repartition(1).write.mode("overwrite").parquet(tmp.toString)
-      if (failpoint == "before-publish")
-        throw new RuntimeException("injected compaction crash before publish")
-      if (!fs.rename(tmp, target))
-        throw new java.io.IOException(s"rename $tmp -> $target failed")
-    }
-    if (failpoint == "after-publish")
-      throw new RuntimeException("injected compaction crash after publish")
-    // delete EVERYTHING with id <= upToBatch (visible or stale —
-    // all of it is represented in the target)
-    allParts(fs, root).collect {
-      case (p, _, n) if n <= upToBatch && p.getName != target.getName => p
-    }.foreach { p =>
-      fs.delete(p, true)
-      if (failpoint == "mid-delete")
-        throw new RuntimeException("injected compaction crash mid-delete")
-    }
-  }
+      failpoint: String = "",
+      targetFileBytes: Long = BatchedParquetIndex.DefaultTargetFileBytes): Unit =
+    AdditiveBatchState.compact(s, new Path(s"$workDir/census"), upToBatch,
+      mergeAgg, keyCols = Seq("span_h"), targetFileBytes = targetFileBytes,
+      failpoint = failpoint)
 }

@@ -54,7 +54,7 @@ private[streaming] object MinRuleIncremental {
         if (compactEvery > 0 && id.toLong > 0 &&
             id.toLong % compactEvery == 0)
           BatchedParquetIndex.compact(batch.sparkSession,
-            s"$workDir/index", id.toLong - 1)
+            s"$workDir/index", id.toLong - 1, keyCols = bucketCols)
         ()
       }
       .option("checkpointLocation", s"$workDir/ckpt")

@@ -121,7 +121,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
       val before = keptSet(workDir)
       val crashed = intercept[RuntimeException] {
         IncrementalDedup.compactIndex(spark, workDir, upToBatch = 3L,
-          failpoint = failpoint)
+          failpoint = failpoint, targetFileBytes = 1024L)
       }
       assert(crashed.getMessage.contains("injected compaction crash"),
         s"[$failpoint] unexpected failure: $crashed")
@@ -136,11 +136,17 @@ class IncrementalDedupSpec extends AnyFunSuite {
         s"[$failpoint] dup slipped past the crashed-compaction index")
       assert((after -- before).map(_._2) === Set(101L), s"[$failpoint]")
       // a re-run of the same compaction recovers to the clean layout
-      // (publish already done -> deletes only; not done -> full redo)
-      IncrementalDedup.compactIndex(spark, workDir, upToBatch = 3L)
+      // (publish already done -> deletes only; not done -> full redo);
+      // the tiny target file size keeps the compacted partition
+      // MULTI-FILE so the crash matrix exercises the 100-TB layout
+      IncrementalDedup.compactIndex(spark, workDir, upToBatch = 3L,
+        targetFileBytes = 1024L)
       val names = indexPartNames(workDir)
       assert(names === Seq("batch=4", "compacted=3"),
         s"[$failpoint] recovery left: $names")
+      assert(new java.io.File(s"$workDir/index/compacted=3").listFiles()
+          .count(_.getName.endsWith(".parquet")) >= 2,
+        s"[$failpoint] compacted index partition is single-file")
     }
   }
 

@@ -101,10 +101,16 @@ class IncrementalNearDupSpec extends AnyFunSuite {
     assert(resultSet(w1) === resultSet(w2), "verdicts depend on slicing")
     // compact, then stream one more slice with a dup of doc 4's family
     // and a fresh doc — the compacted index must still catch the dup
-    BatchedParquetIndex.compact(spark, s"$w1/index", upToBatch = 3L)
+    // tiny target file size -> multi-file compacted partition, the
+    // layout compaction uses at scale (never a single-task write)
+    BatchedParquetIndex.compact(spark, s"$w1/index", upToBatch = 3L,
+      keyCols = Seq("band", "band_hash"), targetFileBytes = 1024L)
     val idx = new java.io.File(s"$w1/index").listFiles()
       .map(_.getName).filter(n => n.startsWith("batch=") || n.startsWith("compacted="))
     assert(idx.toSeq.sorted === Seq("compacted=3"), s"compaction left: ${idx.toSeq}")
+    assert(new java.io.File(s"$w1/index/compacted=3").listFiles()
+        .count(_.getName.endsWith(".parquet")) >= 2,
+      "compacted index partition is single-file")
     // 97 % 7 == 6 (and 97 % 5 != 4) -> the exact-family text shared
     // with docs 6/13/20/27/34 from the COMPACTED batches; 98 is unique
     writeSlice(docsDir, 4, Seq(97L, 98L))

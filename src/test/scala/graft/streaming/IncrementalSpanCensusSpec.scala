@@ -108,7 +108,15 @@ class IncrementalSpanCensusSpec extends AnyFunSuite {
     assert(viaStream === viaBatch, "streaming action pass != batch d17")
   }
 
-  test("compaction crash at every failpoint: the census stays EXACT, never a superset") {
+  private def partFileCount(dir: String): Int =
+    new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+
+  test("compaction crash at every failpoint: the census stays EXACT, never a superset — over a MULTI-FILE compacted target") {
+    // a tiny target file size forces compactionPartitions > 1, so the
+    // whole crash matrix runs against a multi-file compacted partition
+    // (the 100-TB layout, where the merge is never one task)
+    val target = 1024L
     for (failpoint <- Seq("before-publish", "after-publish", "mid-delete")) {
       val docsDir = java.nio.file.Files
         .createTempDirectory("graft_d18x_docs_").toString
@@ -121,7 +129,7 @@ class IncrementalSpanCensusSpec extends AnyFunSuite {
       assert(before === oracleSet(docsDir), s"[$failpoint] pre-compaction")
       val crashed = intercept[RuntimeException] {
         IncrementalSpanCensus.compact(spark, workDir, upToBatch = 3L,
-          failpoint = failpoint)
+          failpoint = failpoint, targetFileBytes = target)
       }
       assert(crashed.getMessage.contains("injected compaction crash"),
         s"[$failpoint] unexpected failure: $crashed")
@@ -136,10 +144,14 @@ class IncrementalSpanCensusSpec extends AnyFunSuite {
         spanTokens = SpanTokens)
       assert(censusSet(workDir) === oracleSet(docsDir), s"[$failpoint]")
       // a re-run of the same compaction recovers to the clean layout
-      IncrementalSpanCensus.compact(spark, workDir, upToBatch = 3L)
+      IncrementalSpanCensus.compact(spark, workDir, upToBatch = 3L,
+        targetFileBytes = target)
       val names = partNames(workDir)
       assert(names === Seq("batch=4", "compacted=3"),
         s"[$failpoint] recovery left: $names")
+      assert(partFileCount(s"$workDir/census/compacted=3") >= 2,
+        s"[$failpoint] compacted partition is single-file — the " +
+          "multi-file layout was not exercised")
       assert(censusSet(workDir) === oracleSet(docsDir),
         s"[$failpoint] post-recovery")
     }

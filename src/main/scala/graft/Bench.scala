@@ -169,8 +169,24 @@ object Bench {
     val rivalJvmsEnd = otherJavaProcs()
     val min2Stamp = rerunNames.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Same-box A/B control (tools/bench.sh --ab writes BENCH_AB.json:
+    // {prev, shipped} totals + loadavg triple + the prev ref): ride it
+    // into this artifact so the round's bench record carries its own
+    // control instead of leaning on cross-session total comparison,
+    // which box noise confounds (the round-18 223 s/174 s lesson).
+    val abStamp =
+      try {
+        val p = java.nio.file.Paths.get(
+          sys.env.getOrElse("GRAFT_AB_FILE", "BENCH_AB.json"))
+        if (java.nio.file.Files.exists(p)) {
+          val s = java.nio.file.Files.readString(p).trim
+          if (s.startsWith("{") && s.endsWith("}") && !s.contains("\n"))
+            s""","ab":$s"""
+          else ""
+        } else ""
+      } catch { case _: Throwable => "" }
     val contentionStamp =
-      f""","contended":${contended || rivalJvmsEnd > 0},"loadavg_start":$loadAtStart%.2f,"loadavg_end":$loadAtEnd%.2f,"other_jvms":${math.max(rivalJvms, rivalJvmsEnd)},"min2":$min2Stamp"""
+      f""","contended":${contended || rivalJvmsEnd > 0},"loadavg_start":$loadAtStart%.2f,"loadavg_end":$loadAtEnd%.2f,"other_jvms":${math.max(rivalJvms, rivalJvmsEnd)},"min2":$min2Stamp$abStamp"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"max_task_sec":$tm,"failed":$failed$contentionStamp,"sf":"$sfDir"}""")
     // The harness keeps only a ~2000-char tail of this process's output,
     // and the full per-query line above outgrows it (the JSON gets cut

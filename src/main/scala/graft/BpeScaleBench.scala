@@ -50,11 +50,15 @@ object BpeScaleBench {
 
     // phase 2 — n merge rounds, each vocabulary-sized
     val t1 = System.nanoTime()
+    val driverRounds = new java.util.concurrent.atomic.AtomicLong(0)
     val mergeRows = (if (batchSize > 1)
-        Bpe.trainMergesBatched(vocab, nMerges, batchSize)
+        Bpe.trainMergesBatched(vocab, nMerges, batchSize,
+          roundsOut = Some(driverRounds))
       else Bpe.trainMerges(vocab, nMerges)).collect()
     val merges = mergeRows.length.toLong
     val roundsSec = (System.nanoTime() - t1) / 1e9
+    // sequential trainer = one driver round-trip per merge by definition
+    val rounds = if (batchSize > 1) driverRounds.get() else merges
 
     // phase 3 — corpus tokenization with the trained merges (x9d),
     // both forms (direct rewrite / via-vocab join)
@@ -72,8 +76,10 @@ object BpeScaleBench {
     println(f"""{"metric":"bpe_scale","docs":$n,"vocab":$v,""" +
       f""""build_sec":$buildSec%.2f,"rounds":$merges,""" +
       f""""batch_size":$batchSize,""" +
+      f""""driver_rounds":$rounds,""" +
+      f""""accept_ratio":${merges.toDouble / math.max(rounds, 1)}%.2f,""" +
       f""""rounds_sec":$roundsSec%.2f,""" +
-      f""""sec_per_round":${roundsSec / math.max(merges, 1)}%.3f,""" +
+      f""""sec_per_merge":${roundsSec / math.max(merges, 1)}%.3f,""" +
       f""""tokenize_sec":$tokSec%.2f,"tokenize_vocab_sec":$tokVocabSec%.2f,""" +
       f""""sf":"$sfDir"}""")
     spark.stop()

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -1036,6 +1036,21 @@ case class BigramBuckets(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "bigram_buckets"
 
+  // a string/BIGINT buckets argument would otherwise pass analysis and
+  // fail at execution (interpreted: ClassCastException; codegen: the
+  // generated Java doesn't compile and silently falls back) — make the
+  // contract an analysis error, the vec_dot/span_cut pattern
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bigram_buckets requires (STRING, INT) arguments, got " +
+            s"${l.catalogString} and ${r.catalogString}")
+    }
+
   override protected def nullSafeEval(text: Any, buckets: Any): Any =
     Sketches.bigramBuckets(text.asInstanceOf[UTF8String],
       buckets.asInstanceOf[Number].intValue)
@@ -1063,6 +1078,19 @@ case class DsirScore(left: Expression, right: Expression)
       org.apache.spark.sql.types.StructField("logw", DoubleType,
         nullable = false)))
   override def prettyName: String = "dsir_score"
+
+  // same analysis-time contract as bigram_buckets: a non-DOUBLE lr
+  // array would ClassCast in a task (or break the generated Java)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dsir_score requires (STRING, ARRAY<DOUBLE>) arguments, got " +
+            s"${l.catalogString} and ${r.catalogString}")
+    }
 
   override protected def nullSafeEval(text: Any, lr: Any): Any =
     Sketches.dsirScore(text.asInstanceOf[UTF8String],

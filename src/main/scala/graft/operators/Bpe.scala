@@ -178,7 +178,8 @@ object Bpe {
     * in BENCH_sf1 `bpe_scale`. */
   def trainMergesBatched(vocab: DataFrame, nMerges: Int,
       batchSize: Int = 16, tokenCol: String = "token",
-      tfCol: String = "tf"): DataFrame = {
+      tfCol: String = "tf",
+      roundsOut: Option[java.util.concurrent.atomic.AtomicLong] = None): DataFrame = {
     require(nMerges > 0, "nMerges must be positive")
     require(batchSize > 0, "batchSize must be positive")
     val spark = vocab.sparkSession
@@ -190,6 +191,10 @@ object Bpe {
     var exhausted = false
     var sinceMaterialize = 0
     while (merges.size < nMerges && !exhausted) {
+      // one driver round-trip per iteration — the batch ACCEPTANCE
+      // ratio (merges / rounds) is the wing's viability number at a
+      // production merge budget, so callers can count rounds
+      roundsOut.foreach(_.incrementAndGet())
       val c = math.max(4 * batchSize, 64)
       val top = rankedPairs(seg).limit(c).collect()
       if (top.isEmpty) exhausted = true

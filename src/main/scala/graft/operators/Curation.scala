@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * The curation FUNNEL as an engine capability — the stage-list builder
+ * behind catalog entries p15 (dedup → decontaminate → select), p18
+ * (dedup → decontaminate → DSIR → resample) and p19 (dedup →
+ * decontaminate → domain mix): a production training-set build is a
+ * short pipeline of the library's own operators, and composing them
+ * should be a library call, not a catalog idiom re-typed per entry
+ * (the Sessionization/Packing promotion discipline).
+ *
+ * A [[Stage]] is a named relational transform. [[funnel]] folds the
+ * corpus through the stages in order; a stage marked `materialize`
+ * writes its output ONCE to a session-temp parquet and hands the
+ * re-read relation to the next stage — the p15/p18 policy for the
+ * point in the funnel where one narrow relation feeds multiple
+ * downstream consumers (a metric table read by both the budget
+ * aggregate and the selection join, a clean pool feeding both the
+ * DSIR fit and the scoring scan): without it, Catalyst re-runs the
+ * whole upstream funnel per consumer. Everything stays declarative
+ * otherwise — no action is taken for un-materialized stages, so the
+ * optimizer sees the fused chain.
+ *
+ * Scale shape is inherited from the member operators (hash semi/anti
+ * joins, bucket-bounded fits, keyed windows — never a global sort or
+ * an all-pairs step); the funnel adds no shuffle of its own.
+ */
+object Curation {
+
+  /** One funnel stage: `transform` the corpus, optionally materialize
+    * the result (session-temp parquet, read back once). */
+  final case class Stage(name: String, transform: DataFrame => DataFrame,
+      materialize: Boolean = false) {
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-'),
+      s"stage name '$name' must be [A-Za-z0-9_-]+ (it names a temp dir)")
+  }
+
+  /** Ad-hoc stage sugar. */
+  def stage(name: String)(f: DataFrame => DataFrame): Stage =
+    Stage(name, f)
+
+  /** Ad-hoc materialized stage sugar. */
+  def materialized(name: String)(f: DataFrame => DataFrame): Stage =
+    Stage(name, f, materialize = true)
+
+  /** Keep-first exact dedup ([[Dedup.exactDuplicates]] keeper set,
+    * applied as a semi join — one hash aggregation, one hash join).
+    * Input needs (doc_id, `textCol`), like the member operator. */
+  def exactDedup(textCol: String = "text"): Stage =
+    Stage("exact_dedup", { d =>
+      d.join(Dedup.exactDuplicates(d, textCol)
+          .select(col("keeper_doc_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+    })
+
+  /** Eval-set decontamination: drop the eval slice itself AND every
+    * remaining doc sharing an exact `n`-gram hash with it
+    * ([[Decontamination.ngramHashes]] → [[Decontamination.flagExact]]
+    * — distinct-hash semi join, then an anti join back; the corpus is
+    * scanned once for grams). `evalPred` selects the eval slice; it is
+    * applied to BOTH the corpus and the gram relation, so express it
+    * over `doc_id` (the one column the grams carry — e.g.
+    * `pmod(col("doc_id"), lit(97)) === 0`). */
+  def decontaminate(evalPred: Column, n: Int = 4): Stage =
+    Stage("decontaminate", { d =>
+      val grams = Decontamination.ngramHashes(d, n)
+      val evalG = grams.filter(evalPred)
+        .select(col("doc_id").as("eval_id"), col("gh")).distinct()
+      val flagged = Decontamination
+        .flagExact(grams.filter(!evalPred), evalG)
+        .select(col("doc_id"))
+      d.filter(!evalPred).join(flagged, Seq("doc_id"), "left_anti")
+    })
+
+  /** The narrow per-doc metric relation
+    * ([[Selection.vocabRichnessMicro]]), MATERIALIZED — downstream
+    * selection reads it at least twice (budget aggregate + selection),
+    * and it is integers-per-doc, not the corpus. */
+  def qualityMetric(carryCols: Seq[String] = Seq.empty,
+      idCol: String = "doc_id"): Stage =
+    Stage("metric",
+      d => Selection.vocabRichnessMicro(d, idCol, carryCols = carryCols),
+      materialize = true)
+
+  /** Best-quality-first selection to a `num/den` fraction of the
+    * pool's tokens ([[Selection.selectByTokenBudget]] over
+    * [[Selection.tokenBudgetFraction]]). Expects the metric relation
+    * (use after [[qualityMetric]]). */
+  def selectTokenBudget(num: Long, den: Long): Stage =
+    Stage("select_budget", m =>
+      Selection.selectByTokenBudget(m,
+        Selection.tokenBudgetFraction(m, num, den)))
+
+  /** Domain-mix selection to per-source token budgets
+    * ([[Selection.selectByDomainBudget]] over
+    * [[Selection.domainBudgets]]): `weightsMicro(source, w_micro)` are
+    * target corpus shares in micro units. Expects the metric relation
+    * with `source` carried (use after `qualityMetric(Seq("source"))`). */
+  def domainMix(weightsMicro: DataFrame): Stage =
+    Stage("domain_mix", m =>
+      Selection.selectByDomainBudget(m,
+        Selection.domainBudgets(m, weightsMicro)))
+
+  /** DSIR importance resampling of the pool against a target seed set
+    * ([[Dsir.importanceLogRatios]] → [[Dsir.importanceWeights]] →
+    * [[Dsir.gumbelResample]]): fit on the pool it receives — the
+    * method's contract is to score the docs one could actually train
+    * on, so place this AFTER dedup/decontamination stages. Output:
+    * (idCol, logw, g), the resample. */
+  def dsirResample(target: DataFrame, k: Int, buckets: Int = 4096,
+      idCol: String = "doc_id"): Stage =
+    Stage("dsir_resample", { pool =>
+      val lr = Dsir.importanceLogRatios(target, pool, buckets,
+        idCol = idCol)
+      Dsir.gumbelResample(
+        Dsir.importanceWeights(pool, lr, idCol)
+          .select(col(idCol), col("logw")),
+        k, idCol = idCol)
+    })
+
+  /** Fold the corpus through the stages in order. Materialized stages
+    * write once to [[graft.SessionTemp]] (cleaned at session end) and
+    * re-read; everything else stays one declarative plan. */
+  def funnel(corpus: DataFrame, stages: Seq[Stage]): DataFrame =
+    stages.foldLeft(corpus) { (df, st) =>
+      val out = st.transform(df)
+      if (!st.materialize) out
+      else {
+        val tmp = graft.SessionTemp.dir(s"graft_cur_${st.name}_")
+        out.write.mode("overwrite").parquet(tmp)
+        df.sparkSession.read.parquet(tmp)
+      }
+    }
+}

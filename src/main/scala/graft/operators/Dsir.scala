@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
  *
  * The math: features are word bigrams hashed into `buckets` buckets
  * (the engine-wide salted-md5 gate reduced mod B — reproducible on any
- * engine, any partitioning). Both corpora fit an add-one-smoothed
+ * engine, any partitioning). This is a deliberate SIMPLIFICATION of
+ * the paper's feature space — Xie et al. hash unigrams AND bigrams
+ * into the bucket domain; this wing hashes bigrams only (same
+ * estimator, same resampling, one fewer feature stream per doc), and
+ * SURVEY.md names the deviation where it cites the paper. Both corpora fit an add-one-smoothed
  * multinomial over the bucket domain; a document's log importance
  * weight is
  *

@@ -3235,26 +3235,12 @@ object PipelineQueries {
   private val p15 = QueryDef(
     "p15_curation_pipeline",
     (s, dir) => {
-      import graft.operators.{Decontamination, Dedup, Selection}
-      val d = docs(s, dir)
-      val keepIds = Dedup.exactDuplicates(d)
-        .select(col("keeper_doc_id").as("doc_id"))
-      val deduped = d.join(keepIds, Seq("doc_id"), "left_semi")
-      val grams = Decontamination.ngramHashes(deduped, 4)
-      val evalG = grams.filter(pmod(col("doc_id"), lit(97)) === 0)
-        .select(col("doc_id").as("eval_id"), col("gh")).distinct()
-      val flagged = Decontamination
-        .flagExact(grams.filter(pmod(col("doc_id"), lit(97)) =!= 0), evalG)
-        .select(col("doc_id"))
-      val clean = deduped
-        .filter(pmod(col("doc_id"), lit(97)) =!= 0)
-        .join(flagged, Seq("doc_id"), "left_anti")
-      val tmp = graft.SessionTemp.dir("graft_p15_")
-      Selection.vocabRichnessMicro(clean)
-        .write.mode("overwrite").parquet(tmp)
-      val m = s.read.parquet(tmp)
-      Selection.selectByTokenBudget(m,
-        Selection.tokenBudgetFraction(m, num = 1, den = 2))
+      import graft.operators.Curation
+      Curation.funnel(docs(s, dir), Seq(
+        Curation.exactDedup(),
+        Curation.decontaminate(pmod(col("doc_id"), lit(97)) === 0),
+        Curation.qualityMetric(),
+        Curation.selectTokenBudget(num = 1, den = 2)))
     },
     Some(OracleSql.curationPrefixSql +
       """,
@@ -3529,34 +3515,21 @@ object PipelineQueries {
   private val p18 = QueryDef(
     "p18_dsir_pipeline",
     (s, dir) => {
-      import graft.operators.{Decontamination, Dedup, Dsir}
-      val d = docs(s, dir)
-      val keepIds = Dedup.exactDuplicates(d)
-        .select(col("keeper_doc_id").as("doc_id"))
-      val deduped = d.join(keepIds, Seq("doc_id"), "left_semi")
-      val grams = Decontamination.ngramHashes(deduped, 4)
-      val evalG = grams.filter(pmod(col("doc_id"), lit(97)) === 0)
-        .select(col("doc_id").as("eval_id"), col("gh")).distinct()
-      val flagged = Decontamination
-        .flagExact(grams.filter(pmod(col("doc_id"), lit(97)) =!= 0), evalG)
-        .select(col("doc_id"))
-      val target = deduped.filter(col("source") === "src0")
-      // the pool feeds BOTH the raw-model fit and the scoring scan —
-      // materialized once (the p15 session-temp pattern) so the
-      // dedup + decontamination joins don't re-run per consumer
-      val tmp = graft.SessionTemp.dir("graft_p18_")
-      deduped
-        .filter(col("source") =!= "src0" &&
-          pmod(col("doc_id"), lit(97)) =!= 0)
-        .join(flagged, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("text"))
-        .write.mode("overwrite").parquet(tmp)
-      val pool = s.read.parquet(tmp)
-      val lr = Dsir.importanceLogRatios(target, pool, buckets = 4096)
-      Dsir.gumbelResample(
-        Dsir.importanceWeights(pool, lr)
-          .select(col("doc_id"), col("logw")),
-        k = 150)
+      import graft.operators.Curation
+      val dd = Curation.funnel(docs(s, dir), Seq(Curation.exactDedup()))
+      // the clean pool feeds BOTH the raw-model fit and the scoring
+      // scan — materialized once (Curation's session-temp policy) so
+      // the dedup + decontamination joins don't re-run per consumer;
+      // the target seed set is the deduped src0 slice, not
+      // decontaminated (the eval gate applies to what one TRAINS on,
+      // not to the seed)
+      Curation.funnel(dd, Seq(
+        Curation.decontaminate(pmod(col("doc_id"), lit(97)) === 0),
+        Curation.materialized("p18pool")(_
+          .filter(col("source") =!= "src0")
+          .select(col("doc_id"), col("text"))),
+        Curation.dsirResample(
+          target = dd.filter(col("source") === "src0"), k = 150)))
     },
     Some(OracleSql.curationPrefixSql +
       """,
@@ -3569,6 +3542,67 @@ object PipelineQueries {
         |""".stripMargin + OracleSql.dsirScoredSql(4096) + "\n" +
       OracleSql.dsirGumbelSelect(150)))
 
+  // P19 — THE FULL PRODUCTION SHAPE: curate, then MIX to target
+  // weights. p15/p18 prove dedup → decontaminate → {select, DSIR};
+  // p19 adds the domain-mix stage as the funnel's final act — exact
+  // dedup → 4-gram eval decontamination (the shared prefix, verbatim)
+  // → per-doc metric WITH source carried (one materialized narrow
+  // relation) → per-source token budgets at the p16 mix (src0–src2
+  // up-weighted to 15%, the rest 2.5%) over the CLEAN pool's total
+  // tokens. Every stage is a Curation builder over the member
+  // operators; the oracle replays the whole chain relationally (the
+  // p16 fragment consuming the curation prefix's `dd`/`flagged` CTEs
+  // directly), so stage boundaries cannot hide drift. Scale shape =
+  // the stages' own: hash semi/anti joins, the domain-keyed
+  // aggregate-bounded prefix window, AQE-size-decided joins — the
+  // corpus is never globally sorted.
+  private val p19 = QueryDef(
+    "p19_curation_mix",
+    (s, dir) => {
+      import graft.operators.Curation
+      import s.implicits._
+      val weights = (0 until 20)
+        .map(i => (s"src$i", if (i < 3) 150000L else 25000L))
+        .toDF("source", "w_micro")
+      Curation.funnel(docs(s, dir), Seq(
+        Curation.exactDedup(),
+        Curation.decontaminate(pmod(col("doc_id"), lit(97)) === 0),
+        Curation.qualityMetric(carryCols = Seq("source")),
+        Curation.domainMix(weights)))
+    },
+    Some(OracleSql.curationPrefixSql +
+      """,
+        |clean AS (
+        |  SELECT dd.doc_id, dd.source, dd.text FROM dd
+        |  WHERE doc_id % 97 <> 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+        |m AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(ts) AS BIGINT) AS n_tok,
+        |    CASE WHEN len(ts) = 0 THEN 0
+        |         ELSE CAST(CAST(1000000 AS BIGINT) * len(list_distinct(ts))
+        |              // len(ts) AS BIGINT) END AS quality_micro
+        |  FROM (SELECT doc_id, source,
+        |          list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |        FROM clean)),
+        |w AS (
+        |  SELECT DISTINCT source,
+        |    CASE WHEN source IN ('src0', 'src1', 'src2') THEN 150000
+        |         ELSE 25000 END AS w_micro
+        |  FROM documents),
+        |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t FROM m),
+        |b AS (SELECT source, CAST(t * w_micro // 1000000 AS BIGINT) AS b
+        |      FROM w, tot),
+        |sel AS (
+        |  SELECT doc_id, source, quality_micro, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source
+        |      ORDER BY quality_micro DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM m)
+        |SELECT source, doc_id, quality_micro, n_tok
+        |FROM sel JOIN b USING (source) WHERE cum <= b.b
+        |ORDER BY source, quality_micro DESC, doc_id""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, d16, d17, d17b, d17c,
     c1q, c1bq, c2q,
@@ -3577,5 +3611,5 @@ object PipelineQueries {
     x13, x14, x15, x15b, x16, x17,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e5c, e9, e10, e10b,
     p1, p2, p3, p4, p5, p6, p6b, p6c, p7, p8, p9, p10, p11, p12, p13, p13b,
-    p14, p15, p16, p16b, p17, p17b, p17c, p18)
+    p14, p15, p16, p16b, p17, p17b, p17c, p18, p19)
 }

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Curation stage-list builder against hand-inlined chains: each
+  * builder stage must equal the operator composition it names (the
+  * catalog entries p15/p18/p19 gate the same compositions against
+  * DuckDB; this spec pins the BUILDER itself, so a funnel refactor
+  * cannot silently change stage semantics), and the materialization
+  * policy must be behavior-invisible. */
+class CurationSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** 30 docs: ids 0-9 duplicated as 100-109 (dedup pressure), every
+    * 3rd doc the eval slice, two sources. */
+  private def corpus = {
+    val base = (0L until 20L).map { i =>
+      (i, (0 until 6).map(j => s"w${(i + j) % 7}").mkString(" "),
+        if (i % 2 == 0) "srcA" else "srcB")
+    }
+    val dups = (0L until 10L).map { i =>
+      (100L + i, base(i.toInt)._2, "srcB")
+    }
+    (base ++ dups).toDF("doc_id", "text", "source")
+  }
+
+  private val evalPred = pmod(col("doc_id"), lit(3)) === 0
+
+  test("exactDedup stage == keeper semi join; decontaminate == flag anti join") {
+    val d = corpus
+    val dd = Curation.funnel(d, Seq(Curation.exactDedup()))
+    val wantDd = d.join(
+      Dedup.exactDuplicates(d).select(col("keeper_doc_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    assert(dd.collect().map(_.toSeq).toSet ===
+      wantDd.collect().map(_.toSeq).toSet)
+    // every duplicated text keeps exactly its min id
+    assert(dd.filter(col("doc_id") >= 100L).count() === 0L)
+
+    val clean = Curation.funnel(dd, Seq(Curation.decontaminate(evalPred)))
+    val grams = Decontamination.ngramHashes(dd, 4)
+    val evalG = grams.filter(evalPred)
+      .select(col("doc_id").as("eval_id"), col("gh")).distinct()
+    val flagged = Decontamination
+      .flagExact(grams.filter(!evalPred), evalG).select("doc_id")
+    val wantClean = dd.filter(!evalPred)
+      .join(flagged, Seq("doc_id"), "left_anti")
+    assert(clean.collect().map(_.toSeq).toSet ===
+      wantClean.collect().map(_.toSeq).toSet)
+    // the eval slice is gone from the clean pool
+    assert(clean.filter(evalPred).count() === 0L)
+  }
+
+  test("materialization is behavior-invisible; select stages == member operators") {
+    val d = corpus
+    val viaFunnel = Curation.funnel(d, Seq(
+      Curation.exactDedup(),
+      Curation.decontaminate(evalPred),
+      Curation.qualityMetric(carryCols = Seq("source")),
+      Curation.domainMix(Seq(("srcA", 300000L), ("srcB", 200000L))
+        .toDF("source", "w_micro"))))
+    // the same chain with NO materialized metric stage
+    val inline = {
+      val dd = Curation.funnel(d,
+        Seq(Curation.exactDedup(), Curation.decontaminate(evalPred)))
+      val m = Selection.vocabRichnessMicro(dd, carryCols = Seq("source"))
+      Selection.selectByDomainBudget(m,
+        Selection.domainBudgets(m,
+          Seq(("srcA", 300000L), ("srcB", 200000L))
+            .toDF("source", "w_micro")))
+    }
+    assert(viaFunnel.collect().map(_.toSeq).toSeq ===
+      inline.collect().map(_.toSeq).toSeq)
+
+    val viaBudget = Curation.funnel(d, Seq(
+      Curation.exactDedup(),
+      Curation.decontaminate(evalPred),
+      Curation.qualityMetric(),
+      Curation.selectTokenBudget(1, 2)))
+    val inlineBudget = {
+      val dd = Curation.funnel(d,
+        Seq(Curation.exactDedup(), Curation.decontaminate(evalPred)))
+      val m = Selection.vocabRichnessMicro(dd)
+      Selection.selectByTokenBudget(m,
+        Selection.tokenBudgetFraction(m, 1, 2))
+    }
+    assert(viaBudget.collect().map(_.toSeq).toSeq ===
+      inlineBudget.collect().map(_.toSeq).toSeq)
+  }
+
+  test("dsirResample stage == the p17b chain over the funnel's pool") {
+    val d = corpus
+    val target = d.filter(col("source") === "srcA")
+    val got = Curation.funnel(d, Seq(
+      Curation.exactDedup(),
+      Curation.materialized("fuzpool")(_
+        .filter(col("source") =!= "srcA")
+        .select(col("doc_id"), col("text"))),
+      Curation.dsirResample(target, k = 5, buckets = 64)))
+    val want = {
+      val dd = Curation.funnel(d, Seq(Curation.exactDedup()))
+      val pool = dd.filter(col("source") =!= "srcA")
+        .select(col("doc_id"), col("text"))
+      val lr = Dsir.importanceLogRatios(target, pool, 64)
+      Dsir.gumbelResample(
+        Dsir.importanceWeights(pool, lr)
+          .select(col("doc_id"), col("logw")), 5)
+    }
+    assert(got.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq)
+  }
+
+  test("stage names are validated (they name temp dirs)") {
+    intercept[IllegalArgumentException] {
+      Curation.Stage("../evil", identity)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.Stage("", identity)
+    }
+  }
+}

@@ -3,7 +3,7 @@ package graft.operators
 import java.security.MessageDigest
 
 import graft.SparkTestSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{call_function, col, lit, typedLit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** DSIR (p17/p17b) against a plain-Scala reference: the hashed-bigram
@@ -172,5 +172,33 @@ class DsirSpec extends AnyFunSuite {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
     assert(run1 == want, s"gumbel top-k diverges from reference")
     assert(run1 == run2, "gumbel resample is not deterministic")
+  }
+
+  test("kernel type contracts surface at ANALYSIS time, not in a task") {
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    // bigram_buckets with a string buckets argument
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      d.select(call_function("bigram_buckets", col("text"), lit("7")))
+        .collect()
+    }
+    assert(e1.getMessage.contains("bigram_buckets"), e1.getMessage)
+    // bigram_buckets with a BIGINT buckets argument (the silent
+    // codegen-fallback hazard the advice named)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      d.select(call_function("bigram_buckets", col("text"), lit(7L)))
+        .collect()
+    }
+    assert(e2.getMessage.contains("bigram_buckets"), e2.getMessage)
+    // dsir_score with a float lr array
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      d.select(call_function("dsir_score", col("text"),
+        typedLit(Seq(1.0f, 2.0f)))).collect()
+    }
+    assert(e3.getMessage.contains("dsir_score"), e3.getMessage)
+    // the blessed signatures still analyze and run
+    assert(d.select(call_function("bigram_buckets", col("text"), lit(8)))
+      .count() == 1L)
+    assert(d.select(call_function("dsir_score", col("text"),
+      typedLit(Seq.fill(8)(0.0)))).count() == 1L)
   }
 }

@@ -36,6 +36,25 @@ class LibraryFuzzSpec extends AnyFunSuite {
       withClue(s"corpus '$name': ") { f(name, d) }
     }
 
+  test("Curation funnel surfaces survive degenerate corpora") {
+    forEachCorpus { (_, d) =>
+      val sel = Curation.funnel(d, Seq(
+        Curation.exactDedup(),
+        Curation.decontaminate(pmod(col("doc_id"), lit(2)) === 0),
+        Curation.qualityMetric(),
+        Curation.selectTokenBudget(1, 2)))
+      assert(sel.count() <= d.count(), "curation fabricated rows")
+      val mix = Curation.funnel(d, Seq(
+        Curation.exactDedup(),
+        Curation.qualityMetric(carryCols = Seq("source")),
+        Curation.domainMix(Seq(("s1", 500000L)).toDF("source", "w_micro"))))
+      assert(mix.count() <= d.count(), "domain mix fabricated rows")
+      // an empty stage list is the identity
+      assert(Curation.funnel(d, Seq.empty).collect().map(_.toSeq).toSet ===
+        d.collect().map(_.toSeq).toSet)
+    }
+  }
+
   // ---------------------------------------------------- TextAnalysis
 
   test("Bpe and LanguageModel surfaces survive degenerate corpora") {

@@ -8,6 +8,52 @@ for p in $OPENS; do FLAGS="$FLAGS --add-opens $p=ALL-UNNAMED"; done
 # worktree benches ITSELF, not /root/repo (a hard-coded path once made an
 # A/B run bench the wrong tree).
 REPO_ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+
+# --ab <ref>: STRUCTURAL same-box A/B — check out <ref> in a throwaway
+# worktree, compile it, bench it, then bench the current tree
+# back-to-back, and write the {prev, shipped} totals + loadavg into
+# BENCH_AB.json at the repo root. graft.Bench embeds that file into its
+# own JSON line (the "ab" key), so the round's bench artifact carries
+# its own control instead of depending on a cross-session total
+# comparison that box noise confounds.
+if [ "$1" = "--ab" ]; then
+  REF="$2"; shift 2
+  set -e
+  REF_SHA=$(git -C "$REPO_ROOT" rev-parse --short "$REF")
+  AB_DIR=$(mktemp -d /tmp/graft_ab_XXXXXX)
+  rmdir "$AB_DIR"
+  git -C "$REPO_ROOT" worktree add --detach "$AB_DIR" "$REF" 1>&2
+  trap 'git -C "$REPO_ROOT" worktree remove --force "$AB_DIR" 1>&2 || true' EXIT
+  echo "[ab] compiling $REF_SHA in $AB_DIR" 1>&2
+  (cd "$AB_DIR" && sbt -batch compile 1>&2)
+  LOAD0=$(cut -d' ' -f1 /proc/loadavg)
+  echo "[ab] benching prev ($REF_SHA), loadavg $LOAD0" 1>&2
+  PREV_LINE=$("$AB_DIR/tools/bench.sh" "$@" | head -1)
+  LOAD1=$(cut -d' ' -f1 /proc/loadavg)
+  echo "[ab] benching shipped (HEAD), loadavg $LOAD1" 1>&2
+  SHIP_LINE=$("$REPO_ROOT/tools/bench.sh" "$@" | head -1)
+  LOAD2=$(cut -d' ' -f1 /proc/loadavg)
+  python3 - "$REF_SHA" "$LOAD0" "$LOAD1" "$LOAD2" "$REPO_ROOT" \
+      "$PREV_LINE" "$SHIP_LINE" <<'PYEOF' 1>&2
+import json, sys, time
+ref, l0, l1, l2, root, prev_line, ship_line = sys.argv[1:8]
+prev, ship = json.loads(prev_line), json.loads(ship_line)
+rec = {"ref": ref,
+       "prev_total": prev["value"], "shipped_total": ship["value"],
+       "prev_n": len(prev["queries"]), "shipped_n": len(ship["queries"]),
+       "prev_failed": prev.get("failed", []),
+       "shipped_failed": ship.get("failed", []),
+       "loadavg": [float(l0), float(l1), float(l2)],
+       "sf": ship.get("sf", ""), "recorded_unix": int(time.time())}
+with open(f"{root}/BENCH_AB.json", "w") as f:
+    f.write(json.dumps(rec) + "\n")
+print("[ab] wrote BENCH_AB.json:", json.dumps(rec))
+PYEOF
+  echo "$PREV_LINE"
+  echo "$SHIP_LINE"
+  exit 0
+fi
+
 exec java $FLAGS $EXTRA_JAVA_OPTS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx${SPARK_DRIVER_MEM:-8g} \
   -cp "$REPO_ROOT/target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench "$@"

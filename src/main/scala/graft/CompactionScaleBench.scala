@@ -16,7 +16,7 @@ import graft.streaming.IncrementalSpanCensus
   * census is multi-TB and recurs every `compactEvery` batches, so the
   * single-task form is a recurring wall, not a one-off.
   *
-  * Usage: CompactionScaleBench <docsDir> [targetFileBytes]
+  * Usage: CompactionScaleBench <docsDir> [targetFileBytes] [slices]
   * Prints one JSON line
   * `{"metric":"compaction_scale","batches":…,"census_rows":…,
   *   "single_sec":…,"wide_sec":…,"single_files":1,"wide_files":…}`.
@@ -25,15 +25,32 @@ object CompactionScaleBench {
   def main(args: Array[String]): Unit = {
     val docsDir = args(0)
     val targetFileBytes = if (args.length > 1) args(1).toLong else 4L << 20
+    val slices = if (args.length > 2) args(2).toInt else 16
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local("graft-compaction-scale", cpus)
     spark.sparkContext.setLogLevel("WARN")
+
+    // slice the corpus into `slices` documents-*.parquet files so the
+    // file stream (maxFilesPerTrigger=1) produces that many batch
+    // partials — the fixture ships one file, which would make the
+    // merge a 1-partition no-op
+    val sliced = SessionTemp.dir("compact_docs_")
+    graft.sources.Records.table(spark, docsDir, "documents")
+      .repartition(slices)
+      .write.mode("overwrite").parquet(s"$sliced/_parts")
+    val parts = new java.io.File(s"$sliced/_parts").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(f"$sliced/documents-$i%03d.parquet"))
+    }
+    FileUtils.deleteDirectory(new java.io.File(s"$sliced/_parts"))
 
     // build the batch partials once (no in-pipeline compaction), then
     // clone the census dir so both arms merge identical inputs
     val work = SessionTemp.dir("compact_scale_")
     val t0 = System.nanoTime()
-    IncrementalSpanCensus.run(spark, docsDir, work, compactEvery = 0)
+    IncrementalSpanCensus.run(spark, sliced, work, compactEvery = 0)
     val buildSec = (System.nanoTime() - t0) / 1e9
     val censusDir = new java.io.File(s"$work/census")
     val batchIds = censusDir.listFiles().map(_.getName)

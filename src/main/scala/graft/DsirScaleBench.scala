@@ -16,7 +16,14 @@ import graft.sources.Records
   * literal. One JSON line per phase:
   * `{"metric":"dsir_scale","phase":…,"docs":n,"sec":…}`.
   *
-  * Usage: DsirScaleBench <sfDir>
+  * With a second argument `sweep`, adds the bucket-count robustness
+  * phase (the adaptiveBits discipline applied to DSIR's one free
+  * parameter): fit + score at B ∈ {1024, 16384} and report each
+  * against the 4096 default — Pearson correlation of per-doc logw and
+  * the overlap of the top-k-by-logw sets — so the bucket-count
+  * default is a measured choice, not a constant.
+  *
+  * Usage: DsirScaleBench <sfDir> [sweep]
   */
 object DsirScaleBench {
   def main(args: Array[String]): Unit = {
@@ -68,6 +75,33 @@ object DsirScaleBench {
     println(f"""{"metric":"dsir_scale","phase":"resample",""" +
       f""""docs":$n,"sec":$resampleSec%.2f,"k":$k,"rows":$got,""" +
       f""""sf":"$sfDir"}""")
+
+    if (args.length > 1 && args(1) == "sweep") {
+      val base = scored.select(col("doc_id"), col("logw"))
+      val baseTop = base.orderBy(desc("logw"), col("doc_id")).limit(k)
+        .select("doc_id")
+      for (b <- Seq(1024, 16384)) {
+        val t = System.nanoTime()
+        val lrB = Dsir.importanceLogRatios(target, pool, buckets = b)
+        val tmpB = graft.SessionTemp.dir(s"graft_dsir_b${b}_")
+        Dsir.importanceWeights(pool, lrB)
+          .select(col("doc_id"), col("logw").as("logw_b"))
+          .write.mode("overwrite").parquet(tmpB)
+        val sec = (System.nanoTime() - t) / 1e9
+        val sb = spark.read.parquet(tmpB)
+        val c = base.join(sb, "doc_id")
+          .agg(corr(col("logw"), col("logw_b"))).head().getDouble(0)
+        val overlap = baseTop
+          .join(sb.orderBy(desc("logw_b"), col("doc_id")).limit(k)
+            .select("doc_id"), "doc_id")
+          .count()
+        println(f"""{"metric":"dsir_scale","phase":"bucket_sweep",""" +
+          f""""buckets":$b,"docs":$n,"sec":$sec%.2f,""" +
+          f""""corr_vs_4096":$c%.4f,""" +
+          f""""topk_overlap":${overlap.toDouble / k}%.3f,"k":$k,""" +
+          f""""sf":"$sfDir"}""")
+      }
+    }
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayExceptSorted, BigramBuckets, BloomContains, BottomKDistinct, DsirScore, KafkaMurmur2Partition, MinHashLshBands, RepetitionStats, SimHash16, SpanCut, SpanCutPositions, SpanHashes, SpanHashesPos, VecDot, VecSumAgg, WordNGrams}
+import graft.functions.{ArrayExceptSorted, BigramBuckets, BloomContains, BottomKDistinct, DsirScore, DsirScoreN, KafkaMurmur2Partition, MinHashLshBands, NgramBuckets, RepetitionStats, SimHash16, SpanCut, SpanCutPositions, SpanHashes, SpanHashesPos, VecDot, VecSumAgg, WordNGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -55,6 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => BigramBuckets(c.head, c(1)))
     inject(ext, "dsir_score", 2, classOf[DsirScore],
       c => DsirScore(c.head, c(1)))
+    inject(ext, "ngram_buckets", 3, classOf[NgramBuckets],
+      c => NgramBuckets(c.head, c(1), c(2)))
+    inject(ext, "dsir_score_n", 3, classOf[DsirScoreN],
+      c => DsirScoreN(c.head, c(1), c(2)))
     inject(ext, "vec_dot", 2, classOf[VecDot], c => VecDot(c.head, c(1)))
     inject(ext, "repetition_stats", 1, classOf[RepetitionStats],
       c => RepetitionStats(c.head))

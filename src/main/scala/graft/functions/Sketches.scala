@@ -247,10 +247,19 @@ object Sketches {
     * parity): the window bytes feed md5 straight from the shared
     * [[TokenBuf]], no per-bigram string building. Fewer than 2 tokens
     * → empty array. */
-  def bigramBuckets(text: UTF8String, buckets: Int): ArrayData = {
-    if (buckets < 1) return new GenericArrayData(Array.empty[Any])
+  def bigramBuckets(text: UTF8String, buckets: Int): ArrayData =
+    ngramBuckets(text, 2, buckets)
+
+  /** [[bigramBuckets]] generalized to n-token windows (n = 1 gives the
+    * per-token unigram buckets of the paper-faithful DSIR feature
+    * space; the bigram kernel is the n = 2 instance — same bytes, same
+    * md5, bit-identical). Fewer than n tokens (or n < 1, buckets < 1)
+    * → empty array. */
+  def ngramBuckets(text: UTF8String, n: Int, buckets: Int): ArrayData = {
+    if (buckets < 1 || n < 1)
+      return new GenericArrayData(Array.empty[Any])
     val toks = spaceTokens(text)
-    val m = toks.size - 1
+    val m = toks.size - n + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
     val tb = new TokenBuf(toks)
     val md = Md5.get()
@@ -258,7 +267,7 @@ object Sketches {
     var i = 0
     while (i < m) {
       md.reset()
-      md.update(tb.buf, tb.starts(i), tb.ends(i + 1) - tb.starts(i))
+      md.update(tb.buf, tb.starts(i), tb.ends(i + n - 1) - tb.starts(i))
       out(i) = digest60(md.digest()) % buckets
       i += 1
     }
@@ -273,10 +282,18 @@ object Sketches {
     * a LITERAL argument (the span_cut probe discipline — never a
     * joined column). */
   def dsirScore(text: UTF8String,
+      lr: ArrayData): org.apache.spark.sql.catalyst.InternalRow =
+    dsirScoreN(text, 2, lr)
+
+  /** [[dsirScore]] generalized to n-token windows — the scoring twin
+    * of [[ngramBuckets]] (n = 1 folds unigram features; the bigram
+    * kernel is the n = 2 instance, bit-identical). A doc shorter than
+    * n tokens folds to (0, 0.0). */
+  def dsirScoreN(text: UTF8String, n: Int,
       lr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val buckets = lr.numElements()
     val toks = spaceTokens(text)
-    val m = toks.size - 1
+    val m = if (n < 1) 0 else toks.size - n + 1
     if (m <= 0 || buckets < 1) {
       return new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(Array[Any](0L, 0.0))
@@ -287,7 +304,7 @@ object Sketches {
     var i = 0
     while (i < m) {
       md.reset()
-      md.update(tb.buf, tb.starts(i), tb.ends(i + 1) - tb.starts(i))
+      md.update(tb.buf, tb.starts(i), tb.ends(i + n - 1) - tb.starts(i))
       w += lr.getDouble((digest60(md.digest()) % buckets).toInt)
       i += 1
     }
@@ -1103,4 +1120,74 @@ case class DsirScore(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DsirScore =
     copy(left = newLeft, right = newRight)
+}
+
+/** `ngram_buckets(text STRING, n INT, buckets INT) -> ARRAY<BIGINT>` —
+  * [[BigramBuckets]] generalized to n-token windows
+  * ([[Sketches.ngramBuckets]]; n = 1 emits the unigram feature stream
+  * of the paper-faithful DSIR feature space, n = 2 is bit-identical to
+  * `bigram_buckets`). */
+case class NgramBuckets(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_buckets"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_buckets requires (STRING, INT, INT) arguments, got " +
+            s"${a.catalogString}, ${b.catalogString} and ${c.catalogString}")
+    }
+
+  override protected def nullSafeEval(text: Any, n: Any, buckets: Any): Any =
+    Sketches.ngramBuckets(text.asInstanceOf[UTF8String],
+      n.asInstanceOf[Number].intValue, buckets.asInstanceOf[Number].intValue)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n, b) =>
+      s"${ev.value} = graft.functions.Sketches.ngramBuckets($t, $n, $b);")
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): NgramBuckets = copy(f, s, t)
+}
+
+/** `dsir_score_n(text STRING, n INT, lr ARRAY<DOUBLE>) ->
+  * STRUCT<n_features BIGINT, logw DOUBLE>` — [[DsirScore]] generalized
+  * to n-token windows ([[Sketches.dsirScoreN]]; the unigram+bigram
+  * score is the n = 1 and n = 2 folds added, each left-to-right). */
+case class DsirScoreN(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_features", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("logw", DoubleType,
+        nullable = false)))
+  override def prettyName: String = "dsir_score_n"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dsir_score_n requires (STRING, INT, ARRAY<DOUBLE>) arguments, " +
+            s"got ${a.catalogString}, ${b.catalogString} and ${c.catalogString}")
+    }
+
+  override protected def nullSafeEval(text: Any, n: Any, lr: Any): Any =
+    Sketches.dsirScoreN(text.asInstanceOf[UTF8String],
+      n.asInstanceOf[Number].intValue, lr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n, l) =>
+      s"${ev.value} = graft.functions.Sketches.dsirScoreN($t, $n, $l);")
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): DsirScoreN = copy(f, s, t)
 }

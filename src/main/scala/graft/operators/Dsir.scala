@@ -77,12 +77,23 @@ object Dsir {
   /** (bucket, cnt) over a corpus — corpus-sized scan, bucket-bounded
     * output (≤ `buckets` rows after the aggregation), the per-row
     * bigram hashing one codegen'd `bigram_buckets` kernel call
-    * (null text folds to the empty-doc path). */
-  def bucketCounts(corpus: DataFrame, buckets: Int): DataFrame = {
+    * (null text folds to the empty-doc path). With
+    * `includeUnigrams = true` the feature stream is the paper-faithful
+    * unigram ∪ bigram bag (Xie et al. hash both into one bucket
+    * domain): the unigram buckets ride the same scan as a second
+    * `ngram_buckets` kernel call concatenated in-row — still one
+    * corpus pass, still bucket-bounded. */
+  def bucketCounts(corpus: DataFrame, buckets: Int,
+      includeUnigrams: Boolean = false): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    val t = coalesce(col("text"), lit(""))
+    val feats =
+      if (includeUnigrams)
+        concat(call_function("ngram_buckets", t, lit(1), lit(buckets)),
+          call_function("ngram_buckets", t, lit(2), lit(buckets)))
+      else call_function("bigram_buckets", t, lit(buckets))
     corpus
-      .select(explode(call_function("bigram_buckets",
-        coalesce(col("text"), lit("")), lit(buckets))).as("bucket"))
+      .select(explode(feats).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
   }
 
@@ -107,21 +118,23 @@ object Dsir {
     * `('0x'||substr(md5('dsirfit:'||CAST(id AS VARCHAR)),1,15))::BIGINT % mod = 0`. */
   def importanceLogRatios(target: DataFrame, raw: DataFrame,
       buckets: Int, rawSampleMod: Int = 1,
-      idCol: String = "doc_id"): Array[Double] = {
+      idCol: String = "doc_id",
+      includeUnigrams: Boolean = false): Array[Double] = {
     require(rawSampleMod >= 1, "rawSampleMod must be at least 1")
     val rawFit =
       if (rawSampleMod == 1) raw
       else raw.filter(Sampling.saltedHashMod("dsirfit", col(idCol),
         rawSampleMod.toLong) === 0L)
-    val (tc, tt) = fitCounts(target, buckets)
-    val (rc, rt) = fitCounts(rawFit, buckets)
+    val (tc, tt) = fitCounts(target, buckets, includeUnigrams)
+    val (rc, rt) = fitCounts(rawFit, buckets, includeUnigrams)
     logRatiosFromCounts(tc, tt, rc, rt, buckets)
   }
 
   /** Collect a corpus's AGGREGATED (bucket → cnt) table plus its total
     * — ≤ `buckets` rows pulled to the driver, never corpus rows. */
-  def fitCounts(c: DataFrame, buckets: Int): (Map[Long, Long], Long) = {
-    val rows = bucketCounts(c, buckets).collect()
+  def fitCounts(c: DataFrame, buckets: Int,
+      includeUnigrams: Boolean = false): (Map[Long, Long], Long) = {
+    val rows = bucketCounts(c, buckets, includeUnigrams).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     (rows.toMap, rows.map(_._2).sum)
   }
@@ -163,6 +176,30 @@ object Dsir {
       .select(col(idCol),
         col("__sc.n_bigrams").as("n_bigrams"),
         col("__sc.logw").as("logw"))
+  }
+
+  /** [[importanceWeights]] over the paper-faithful unigram ∪ bigram
+    * feature space (fit the `lr` table with `includeUnigrams = true`):
+    * still ONE corpus scan, zero shuffle, no join — the two window
+    * widths are two codegen'd `dsir_score_n` kernel folds per row,
+    * summed in-row (unigram fold first, then bigram — the stated
+    * cross-engine order). Output (idCol, n_features, logw) where
+    * n_features = unigram count + bigram count. */
+  def importanceWeightsUniBi(raw: DataFrame, lr: Array[Double],
+      idCol: String = "doc_id"): DataFrame = {
+    require(lr.nonEmpty, "log-ratio table must be non-empty")
+    val lc = idCol.toLowerCase(java.util.Locale.ROOT)
+    require(lc != "__s1" && lc != "__s2",
+      s"idCol $idCol collides with the scoring chain's own columns")
+    val t = coalesce(col("text"), lit(""))
+    val lrLit = typedLit(lr.toSeq)
+    raw
+      .select(col(idCol),
+        call_function("dsir_score_n", t, lit(1), lrLit).as("__s1"),
+        call_function("dsir_score_n", t, lit(2), lrLit).as("__s2"))
+      .select(col(idCol),
+        (col("__s1.n_features") + col("__s2.n_features")).as("n_features"),
+        (col("__s1.logw") + col("__s2.logw")).as("logw"))
   }
 
   /** The interpreted reference form of [[importanceWeights]] — the

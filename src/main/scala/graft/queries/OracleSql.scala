@@ -183,10 +183,24 @@ private[queries] object OracleSql {
     * model, add-one numerator, `tot + B` denominator. `rawSampleMod`
     * folds the deterministic raw-fit subsample gate into the rc/rt
     * CTEs (the p17c form — scoring still sees every raw doc). */
-  def dsirScoredSql(buckets: Int, rawSampleMod: Int = 1): String = {
-    val bucket = (ts: String) =>
+  def dsirScoredSql(buckets: Int, rawSampleMod: Int = 1,
+      includeUnigrams: Boolean = false): String = {
+    val bigram = (ts: String) =>
       s"('0x' || substr(md5($ts[i] || ' ' || $ts[i+1]), 1, 15))" +
         s"::BIGINT % $buckets"
+    val unigram = (ts: String) =>
+      s"('0x' || substr(md5($ts[i]), 1, 15))::BIGINT % $buckets"
+    // the per-doc feature-bucket list: bigrams only (the engine
+    // default), or the paper-faithful unigram ∪ bigram bag — unigrams
+    // FIRST, matching the Spark side's in-row fold order
+    val feats = (ts: String) =>
+      if (includeUnigrams)
+        s"""list_concat(
+           |    list_transform(range(1, len($ts) + 1), i -> ${unigram(ts)}),
+           |    list_transform(range(1, len($ts)), i -> ${bigram(ts)}))"""
+          .stripMargin
+      else s"list_transform(range(1, len($ts)), i -> ${bigram(ts)})"
+    val nCol = if (includeUnigrams) "n_features" else "n_bigrams"
     val fitGate =
       if (rawSampleMod == 1) ""
       else s"""
@@ -197,13 +211,11 @@ private[queries] object OracleSql {
        |  SELECT list_filter(string_split(COALESCE(text, ''), ' '),
        |           x -> x <> '') AS ts
        |  FROM dsir_target),
-       |tb AS (SELECT unnest(list_transform(range(1, len(ts)),
-       |         i -> ${bucket("ts")})) AS b FROM t_tk),
+       |tb AS (SELECT unnest(${feats("ts")}) AS b FROM t_tk),
        |tc AS (SELECT b, COUNT(*) AS c FROM tb GROUP BY 1),
        |tt AS (SELECT COUNT(*) AS t FROM tb),
        |r_bk AS (
-       |  SELECT doc_id, list_transform(range(1, len(ts)),
-       |    i -> ${bucket("ts")}) AS bs
+       |  SELECT doc_id, ${feats("ts")} AS bs
        |  FROM (SELECT doc_id,
        |          list_filter(string_split(COALESCE(text, ''), ' '),
        |            x -> x <> '') AS ts
@@ -222,7 +234,7 @@ private[queries] object OracleSql {
        |sums AS (SELECT e.doc_id, SUM(l.lr) AS w
        |         FROM ex e JOIN lr l USING (b) GROUP BY 1),
        |scored AS (
-       |  SELECT k.doc_id, CAST(len(k.bs) AS BIGINT) AS n_bigrams,
+       |  SELECT k.doc_id, CAST(len(k.bs) AS BIGINT) AS $nCol,
        |    COALESCE(s.w, 0.0) AS logw
        |  FROM r_bk k LEFT JOIN sums s USING (doc_id))""".stripMargin
   }

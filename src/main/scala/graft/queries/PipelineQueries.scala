@@ -3499,6 +3499,36 @@ object PipelineQueries {
         |""".stripMargin + OracleSql.dsirScoredSql(4096, rawSampleMod = 4) +
       "\nSELECT doc_id, n_bigrams, logw FROM scored ORDER BY doc_id"))
 
+  // P17E — PAPER-FAITHFUL FEATURE SPACE: Xie et al. hash unigrams AND
+  // bigrams into one bucket domain; the engine's default wing is
+  // bigram-only (a stated simplification — SURVEY names it where it
+  // cites the paper). This entry gates the full unigram ∪ bigram form
+  // so the fidelity option is proven, not prose: the fit explodes two
+  // concatenated ngram_buckets kernel streams in the SAME corpus scan
+  // (still bucket-bounded), and scoring is two dsir_score_n folds per
+  // row summed in-row (unigrams first — the stated cross-engine
+  // order) — still one scan, zero shuffle, no join.
+  private val p17e = QueryDef(
+    "p17e_dsir_unibigram",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val lr = graft.operators.Dsir.importanceLogRatios(
+        d.filter(col("source") === "src0"),
+        d.filter(col("source") =!= "src0"), buckets = 4096,
+        includeUnigrams = true)
+      graft.operators.Dsir.importanceWeightsUniBi(
+          d.filter(col("source") =!= "src0"), lr)
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH dsir_target AS (
+        |  SELECT doc_id, text FROM documents WHERE source = 'src0'),
+        |dsir_raw AS (
+        |  SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        |""".stripMargin +
+      OracleSql.dsirScoredSql(4096, includeUnigrams = true) +
+      "\nSELECT doc_id, n_features, logw FROM scored ORDER BY doc_id"))
+
   // P18 — DSIR IN THE CURATION FUNNEL (the p15 composition proof
   // applied to the new wing): exact dedup (keep-first) → 4-gram eval
   // decontamination (the p15 stages, verbatim) → DSIR scoring of the
@@ -3611,5 +3641,5 @@ object PipelineQueries {
     x13, x14, x15, x15b, x16, x17,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e5c, e9, e10, e10b,
     p1, p2, p3, p4, p5, p6, p6b, p6c, p7, p8, p9, p10, p11, p12, p13, p13b,
-    p14, p15, p16, p16b, p17, p17b, p17c, p18, p19)
+    p14, p15, p16, p16b, p17, p17b, p17c, p17e, p18, p19)
 }

@@ -113,6 +113,31 @@ class CurationSpec extends AnyFunSuite {
       want.collect().map(_.toSeq).toSeq)
   }
 
+  test("domain-mix over the CURATED pool: each domain slice == selectByTokenBudget on that slice") {
+    // the SelectionProps slice property, re-pinned on a funnel-curated
+    // metric (dedup + decontamination upstream) instead of a synthetic
+    // table — the p19 shape
+    val weights = Seq(("srcA", 400000L), ("srcB", 150000L))
+      .toDF("source", "w_micro")
+    val m = Curation.funnel(corpus, Seq(
+      Curation.exactDedup(),
+      Curation.decontaminate(evalPred),
+      Curation.qualityMetric(carryCols = Seq("source"))))
+    val budgets = Selection.domainBudgets(m, weights)
+    val mixed = Selection.selectByDomainBudget(m, budgets)
+    for (src <- Seq("srcA", "srcB")) {
+      val b = budgets.filter(col("source") === src)
+        .select(col("b")).limit(1)
+      val slice = Selection.selectByTokenBudget(
+          m.filter(col("source") === src), b)
+        .collect().map(_.toSeq).toSeq
+      val got = mixed.filter(col("source") === src)
+        .select(col("doc_id"), col("quality_micro"), col("n_tok"))
+        .collect().map(_.toSeq).toSeq
+      assert(got === slice, s"domain $src diverges from its slice")
+    }
+  }
+
   test("stage names are validated (they name temp dirs)") {
     intercept[IllegalArgumentException] {
       Curation.Stage("../evil", identity)

@@ -136,6 +136,74 @@ class DsirSpec extends AnyFunSuite {
     }
   }
 
+  // ---- the paper-faithful unigram ∪ bigram feature space (p17e) ----
+
+  private def refFeats(text: String): Seq[Long] = {
+    val ts = text.split(' ').filter(_.nonEmpty)
+    // unigrams first, then bigrams — the stated cross-engine order
+    ts.map(t => h60(t) % B).toSeq ++ refBuckets(text)
+  }
+
+  private def refLogRatiosUniBi(target: Seq[String],
+      raw: Seq[String]): Array[Double] = {
+    def fit(c: Seq[String]) = {
+      val bs = c.flatMap(refFeats)
+      (bs.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong },
+        bs.size.toLong)
+    }
+    val (tc, tt) = fit(target)
+    val (rc, rt) = fit(raw)
+    Array.tabulate(B) { b =>
+      math.log((tc.getOrElse(b.toLong, 0L) + 1.0) / (tt + B)) -
+        math.log((rc.getOrElse(b.toLong, 0L) + 1.0) / (rt + B))
+    }
+  }
+
+  test("ngram_buckets generalizes bigram_buckets: n=2 bit-identical, n=1 is the unigram stream") {
+    val df = fuzzDocs(20, 40).toDF("doc_id", "text")
+    val both = df.select(col("doc_id"),
+        call_function("bigram_buckets", col("text"), lit(B)).as("bi"),
+        call_function("ngram_buckets", col("text"), lit(2), lit(B)).as("n2"),
+        call_function("ngram_buckets", col("text"), lit(1), lit(B)).as("n1"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: ngram_buckets(2) != bigram_buckets")
+    }
+    val want = fuzzDocs(20, 40).toMap
+    both.foreach { r =>
+      val ts = want(r.getLong(0)).split(' ').filter(_.nonEmpty)
+      assert(r.getSeq[Long](3) == ts.map(t => h60(t) % B).toSeq,
+        s"doc ${r.getLong(0)}: unigram stream diverges")
+    }
+  }
+
+  test("unigram+bigram fit and score match the plain-Scala reference (fuzzed)") {
+    for (seed <- 21 to 22) {
+      val docsSeq = fuzzDocs(seed, 40)
+      val (t, r) = docsSeq.partition(_._1 % 5 == 0)
+      val lr = Dsir.importanceLogRatios(t.toDF("doc_id", "text"),
+        r.toDF("doc_id", "text"), B, includeUnigrams = true)
+      val want = refLogRatiosUniBi(t.map(_._2), r.map(_._2))
+      lr.zip(want).zipWithIndex.foreach { case ((g, w), b) =>
+        assert(math.abs(g - w) <= 1e-12, s"seed $seed bucket $b: $g vs $w")
+      }
+      val got = Dsir.importanceWeightsUniBi(r.toDF("doc_id", "text"), lr)
+        .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2)))
+        .toMap
+      r.foreach { case (id, text) =>
+        val fs = refFeats(text)
+        assert(got(id)._1 == fs.size, s"seed $seed doc $id n_features")
+        // reference sums unigram fold then bigram fold, like the rows
+        val uni = fs.take(text.split(' ').count(_.nonEmpty))
+          .foldLeft(0.0)((a, b) => a + lr(b.toInt))
+        val bi = refWeight(text, lr)
+        assert(math.abs(got(id)._2 - (uni + bi)) <= 1e-12,
+          s"seed $seed doc $id logw")
+      }
+    }
+  }
+
   test("sampled raw fit matches the plain-Scala fit over the same gate") {
     for (seed <- 7 to 8; mod <- Seq(2, 4)) {
       val docsSeq = fuzzDocs(seed, 60)

@@ -728,8 +728,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"resample must be join-free:\n$plan")
   }
 
-  test("curation funnels (p15, p18): hash-joined stages, no cartesian") {
-    for (name <- Seq("p15_curation_pipeline", "p18_dsir_pipeline")) {
+  test("curation funnels (p15, p18, p19): hash-joined stages, no cartesian") {
+    for (name <- Seq("p15_curation_pipeline", "p18_dsir_pipeline",
+        "p19_curation_mix")) {
       val plan = finalPlan(name)
       assert(!plan.contains("CartesianProduct"),
         s"$name: funnel stage degenerated to a cartesian:\n$plan")
@@ -740,5 +741,13 @@ class PlanShapeSpec extends AnyFunSuite {
     val p18 = finalPlan("p18_dsir_pipeline")
     assert(!p18.contains("BroadcastNestedLoopJoin"),
       s"p18: funnel stage degenerated to a nested-loop:\n$p18")
+    // p19's domain-mix stage must keep its prefix window PARTITIONED
+    // by source (parallel across domains — the selectByDomainBudget
+    // contract), not fall back to p13's unpartitioned global window;
+    // its only nested-loops are the sanctioned 1-row broadcast budget
+    // cross joins (domainBudgets' total, the q20 shape)
+    val p19 = finalPlan("p19_curation_mix")
+    assert(p19.contains("windowspecdefinition(source#"),
+      s"p19: domain window lost its source partitioning:\n$p19")
   }
 }

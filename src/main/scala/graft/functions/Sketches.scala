@@ -312,6 +312,59 @@ object Sketches {
       .GenericInternalRow(Array[Any](m.toLong, w))
   }
 
+  /** BPE merge application over one token in a tight JVM loop — the
+    * kernel behind `bpe_segment` ([[graft.operators.Bpe
+    * .applyMergesKernel]]): split the token into CODE POINTS (the
+    * `split(token, "")` chain's unit — astral-plane chars stay whole),
+    * then apply each merge in RANK order as a left-to-right
+    * non-overlapping adjacent-pair rewrite — exactly the
+    * separator-encoded `replace` chain's semantics, without the
+    * |merges|-deep expression tree. `merges` is the flat
+    * [l0, r0, l1, r1, …] table (parsed once per expression instance
+    * from the literal and shipped as a codegen reference object). */
+  def bpeSegment(token: UTF8String, merges: Array[String]): ArrayData = {
+    val s = token.toString
+    var syms = new java.util.ArrayList[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      val cc = Character.charCount(s.codePointAt(i))
+      syms.add(s.substring(i, i + cc))
+      i += cc
+    }
+    var k = 0
+    while (k + 1 < merges.length && syms.size > 1) {
+      val l = merges(k)
+      val r = merges(k + 1)
+      // scan for the first match before allocating a rebuilt list —
+      // most merges touch few vocabulary types
+      var first = -1
+      var j = 0
+      while (first < 0 && j + 1 < syms.size) {
+        if (syms.get(j) == l && syms.get(j + 1) == r) first = j else j += 1
+      }
+      if (first >= 0) {
+        val out = new java.util.ArrayList[String](syms.size - 1)
+        var p = 0
+        while (p < first) { out.add(syms.get(p)); p += 1 }
+        val m = l + r
+        while (p < syms.size) {
+          if (p + 1 < syms.size && syms.get(p) == l && syms.get(p + 1) == r) {
+            out.add(m); p += 2
+          } else { out.add(syms.get(p)); p += 1 }
+        }
+        syms = out
+      }
+      k += 2
+    }
+    val out = new Array[Any](syms.size)
+    var q = 0
+    while (q < syms.size) {
+      out(q) = UTF8String.fromString(syms.get(q))
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 16-byte-record comparison inside a packed digest array. */
   private def compareRec(packed: Array[Byte], off: Int,
       d: Array[Byte]): Int = {
@@ -1119,6 +1172,82 @@ case class DsirScore(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DsirScore =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `bpe_segment(token STRING, merges ARRAY<STRING>) -> ARRAY<STRING>`
+  * — apply a rank-ordered BPE merge table to one token
+  * ([[Sketches.bpeSegment]]). `merges` must be a foldable literal
+  * (each element `left + U+001F + right` — symbols never contain the
+  * separator); it is parsed ONCE per expression instance and rides
+  * codegen as a reference object (the bloom-filter discipline), so
+  * per-row work is the segment loop alone. */
+case class BpeSegment(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "bpe_segment"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) if right.foldable =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (StringType, ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "bpe_segment requires the merge table to be a foldable literal")
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_segment requires (STRING, ARRAY<STRING>) arguments, got " +
+            s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  /** flat [l0, r0, l1, r1, …] parsed from the literal once */
+  @transient private lazy val table: Array[String] = {
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    if (arr == null) null
+    else {
+      val out = new Array[String](arr.numElements() * 2)
+      var i = 0
+      while (i < arr.numElements()) {
+        val e = arr.getUTF8String(i).toString
+        val cut = e.indexOf('\u001f')
+        require(cut >= 0, s"bpe_segment merge entry without separator: $e")
+        out(2 * i) = e.substring(0, cut)
+        out(2 * i + 1) = e.substring(cut + 1)
+        i += 1
+      }
+      out
+    }
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    if (table == null) return null
+    val t = left.eval(input)
+    if (t == null) null
+    else Sketches.bpeSegment(t.asInstanceOf[UTF8String], table)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    if (table == null) {
+      return ev.copy(code = code"""
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;""")
+    }
+    val tbl = ctx.addReferenceObj("bpeMerges", table, "java.lang.String[]")
+    val leftCode = left.genCode(ctx)
+    ev.copy(code = code"""
+      ${leftCode.code}
+      boolean ${ev.isNull} = ${leftCode.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.Sketches.bpeSegment(${leftCode.value}, $tbl);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeSegment =
     copy(left = newLeft, right = newRight)
 }
 

@@ -263,13 +263,61 @@ object Bpe {
     * frequency at apply time). */
   def applyMerges(vocab: DataFrame, merges: Seq[(String, String)],
       tokenCol: String = "token", tfCol: String = "tf"): DataFrame = {
-    val segCol = merges.foldLeft(charSeg(col(tokenCol))) {
-      case (acc, (l, r)) => replace(acc, lit(unit(l) + unit(r)), lit(unit(l + r)))
+    val spark = vocab.sparkSession
+    val base = vocab
+      .filter(col(tokenCol).isNotNull && length(col(tokenCol)) >= 1 &&
+        !col(tokenCol).contains(Sep))
+    // the replace chain is applied in CHUNKS with the segmentation
+    // re-materialized between them (the tokenizeCorpus pattern): a
+    // single fold of every merge builds a |merges|-deep Column tree,
+    // and past ~1k nesting the recursive node-to-expression conversion
+    // overflows the JVM stack — found driving the 1,024-merge
+    // production-budget point. Merge lists within one chunk (the gated
+    // entries' 8) keep the original single-select plan.
+    val chunks = merges.grouped(rematerializeEvery).toSeq
+    if (chunks.length <= 1) {
+      val segCol = merges.foldLeft(charSeg(col(tokenCol))) {
+        case (acc, (l, r)) =>
+          replace(acc, lit(unit(l) + unit(r)), lit(unit(l + r)))
+      }
+      return base.select(col(tokenCol), col(tfCol),
+        symbols(segCol).as("symbols"))
     }
+    var cur = base.select(col(tokenCol), col(tfCol),
+      charSeg(col(tokenCol)).as("__seg"))
+    for ((chunk, ci) <- chunks.zipWithIndex) {
+      cur = cur.withColumn("__seg", chunk.foldLeft(col("__seg")) {
+        case (acc, (l, r)) =>
+          replace(acc, lit(unit(l) + unit(r)), lit(unit(l + r)))
+      })
+      if (ci < chunks.length - 1) {
+        val tmp = graft.SessionTemp.dir("bpe_applyseg_")
+        cur.write.mode("overwrite").parquet(tmp)
+        cur = spark.read.parquet(tmp)
+      }
+    }
+    cur.select(col(tokenCol), col(tfCol), symbols(col("__seg")).as("symbols"))
+  }
+
+  /** The KERNEL form of [[applyMerges]] for production merge budgets:
+    * one codegen'd `bpe_segment(token, merges)` call per vocabulary
+    * row, with the rank-ordered merge table riding the task binary as
+    * an array LITERAL (the bloom/span probe discipline) and applied
+    * per token in a tight JVM loop — no |merges|-deep expression tree,
+    * no intermediate materializations, no per-merge full-string
+    * regex/replace machinery. Semantics are [[applyMerges]]'s exactly
+    * (rank-ordered, left-to-right non-overlapping per merge,
+    * code-point initial segmentation — BpeSpec pins chain ≡ kernel on
+    * fuzzed vocabularies including astral-plane tokens). */
+  def applyMergesKernel(vocab: DataFrame, merges: Seq[(String, String)],
+      tokenCol: String = "token", tfCol: String = "tf"): DataFrame = {
+    val enc = merges.map { case (l, r) => l + Sep + r }
     vocab
       .filter(col(tokenCol).isNotNull && length(col(tokenCol)) >= 1 &&
         !col(tokenCol).contains(Sep))
-      .select(col(tokenCol), col(tfCol), symbols(segCol).as("symbols"))
+      .select(col(tokenCol), col(tfCol),
+        call_function("bpe_segment", col(tokenCol), typedLit(enc))
+          .as("symbols"))
   }
 
   /** X9D — apply a trained merge list to CORPUS TEXT and report each
@@ -332,6 +380,15 @@ object Bpe {
     * per-doc sum partial-aggregates map-side, so the exchange is
     * document-count-sized. Identical output columns and values to
     * [[tokenizeCorpus]] (BpeSpec pins it). */
+  /** Merge-list size above which [[tokenCountsViaVocab]] segments the
+    * vocabulary through the `bpe_segment` kernel instead of the
+    * chunked replace chain: within one rematerialization chunk the
+    * chain is a single codegen'd select (the gated entries' shape);
+    * past it the chain pays a vocab materialization per chunk while
+    * the kernel is one call per type — and the two are spec-pinned
+    * identical, so the switch is pure physics. */
+  val segmentKernelThreshold: Int = rematerializeEvery
+
   def tokenCountsViaVocab(docs: DataFrame, merges: Seq[(String, String)],
       idCol: String = "doc_id", textCol: String = "text",
       keepCols: Seq[String] = Nil,
@@ -346,7 +403,11 @@ object Bpe {
     // trainer's pattern: the chain is evaluated once, never per branch)
     val vocab = exploded.filter(col("token").isNotNull)
       .groupBy("token").agg(count(lit(1)).as("tf"))
-    val counts = applyMerges(vocab, merges)
+    val segmented =
+      if (merges.size > segmentKernelThreshold)
+        applyMergesKernel(vocab, merges)
+      else applyMerges(vocab, merges)
+    val counts = segmented
       .select(col("token"), size(col("symbols")).cast("long").as("n_sym"))
     val tmp = graft.SessionTemp.dir("bpe_vocab_counts_")
     counts.write.mode("overwrite").parquet(tmp)

@@ -96,6 +96,34 @@ class BpeSpec extends AnyFunSuite {
     assert(seg13 == seg)
   }
 
+  test("applyMergesKernel ≡ applyMerges (chunked chain), incl. astral-plane and deep merge lists") {
+    val rnd = new scala.util.Random(31L)
+    // random vocab over a tiny alphabet + a surrogate-pair token (the
+    // kernel splits CODE POINTS like split(token, "")) + hostile chars
+    val alphabet = "abc"
+    val base = (1 to 60).map { _ =>
+      (1 to (1 + rnd.nextInt(8)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    } ++ Seq("😀a😀", "über", "don't", "a\"b")
+    val vocab = base.groupBy(identity).view.mapValues(_.size.toLong * 3).toMap
+    // train past the chunk boundary so the chain form exercises its
+    // rematerialized multi-chunk path (rematerializeEvery = 8)
+    val merges = Bpe.trainMerges(vocabDf(vocab), 20)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.size > Bpe.rematerializeEvery,
+      s"fixture too small: ${merges.size} merges")
+    def segs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    val chain = segs(Bpe.applyMerges(vocabDf(vocab), merges))
+    val kernel = segs(Bpe.applyMergesKernel(vocabDf(vocab), merges))
+    assert(kernel == chain, "kernel segmentation diverged from the chain")
+    kernel.foreach { case (t, syms) => assert(syms.mkString == t, t) }
+    // the empty merge list is the char segmentation (code points whole)
+    val none = segs(Bpe.applyMergesKernel(vocabDf(vocab), Seq.empty))
+    assert(none("😀a😀") ==
+      Seq("😀", "a", "😀"))
+  }
+
   test("degenerate vocabularies: empty, single-char-only, early exhaustion") {
     import spark.implicits._
     assert(Bpe.trainMerges(vocabDf(Map.empty[String, Long]), 3).count() == 0)

@@ -22,13 +22,23 @@ import graft.sources.Records
   * `tokenize_sec` (direct in-row rewrite) and `tokenize_vocab_sec`
   * (via-vocab join form).
   *
-  * Usage: BpeScaleBench <sfDir> [nMerges] [batchSize]
+  * A 4th argument `skipDirect` omits the per-occurrence
+  * `tokenizeCorpus` phase: at production merge budgets the direct
+  * chunked rewrite pays a corpus materialization per chunk
+  * (O(merges/chunk) corpus writes — measured 45.5 s at 500k docs /
+  * 401 merges and past 10 min at 5M docs), which is exactly why
+  * `tokenCountsViaVocab` is the production path; the flag lets the
+  * big-corpus point record train + via-vocab without the known-bad
+  * phase.
+  *
+  * Usage: BpeScaleBench <sfDir> [nMerges] [batchSize] [skipDirect]
   */
 object BpeScaleBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val nMerges = if (args.length > 1) args(1).toInt else 16
     val batchSize = if (args.length > 2) args(2).toInt else 1
+    val skipDirect = args.length > 3 && args(3) == "skipDirect"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local("graft-bpe-scale", cpus)
     spark.sparkContext.setLogLevel("WARN")
@@ -65,9 +75,10 @@ object BpeScaleBench {
     val ms = mergeRows.sortBy(_.getLong(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq
     val t2 = System.nanoTime()
-    Bpe.tokenizeCorpus(base, ms)
-      .agg(sum("n_bpe_tokens")).collect()
-    val tokSec = (System.nanoTime() - t2) / 1e9
+    if (!skipDirect)
+      Bpe.tokenizeCorpus(base, ms)
+        .agg(sum("n_bpe_tokens")).collect()
+    val tokSec = if (skipDirect) -1.0 else (System.nanoTime() - t2) / 1e9
     val t3 = System.nanoTime()
     Bpe.tokenCountsViaVocab(base, ms)
       .agg(sum("n_bpe_tokens")).collect()

@@ -105,6 +105,16 @@ object Curation {
       Selection.selectByDomainBudget(m,
         Selection.domainBudgets(m, weightsMicro)))
 
+  /** Domain mix WITH repetition ([[Selection.domainMixWithRepetition]]
+    * over [[Selection.domainBudgets]]): budgets larger than a domain
+    * holds repeat the domain, at most `maxEpochs` passes, the last
+    * partial — the data-constrained-scaling mix shape. Expects the
+    * metric relation with `source` carried. */
+  def domainMixEpochs(weightsMicro: DataFrame, maxEpochs: Int = 4): Stage =
+    Stage("domain_mix_epochs", m =>
+      Selection.domainMixWithRepetition(m,
+        Selection.domainBudgets(m, weightsMicro), maxEpochs))
+
   /** DSIR importance resampling of the pool against a target seed set
     * ([[Dsir.importanceLogRatios]] → [[Dsir.importanceWeights]] →
     * [[Dsir.gumbelResample]]): fit on the pool it receives — the

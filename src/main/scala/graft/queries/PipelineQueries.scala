@@ -3633,6 +3633,85 @@ object PipelineQueries {
         |FROM sel JOIN b USING (source) WHERE cum <= b.b
         |ORDER BY source, quality_micro DESC, doc_id""".stripMargin))
 
+  // P20 — CURATION + REPETITION MIX: the p19 funnel with the
+  // repetition form as the final stage (Curation.domainMixEpochs →
+  // Selection.domainMixWithRepetition): the curated pool's budgets
+  // exercise the cap path (src0 at a 50% weight — budget ≫ domain →
+  // 4 full epochs), full + partial (src1/src2 at 15%), and
+  // partial-only (the rest at 2.5%) over the CLEAN pool's tokens. The
+  // oracle replays dedup → decontamination → metric → epoch expansion
+  // relationally (p16b's chain consuming the curation prefix's CTEs).
+  // Scale shape: the stages' own + p16b's (one corpus join +
+  // in-row sequence explode for full passes; the keyed window only on
+  // remainder budgets).
+  private val p20 = QueryDef(
+    "p20_curation_mix_epochs",
+    (s, dir) => {
+      import graft.operators.Curation
+      import s.implicits._
+      val weights = (0 until 20)
+        .map(i => (s"src$i",
+          if (i == 0) 500000L else if (i < 3) 150000L else 25000L))
+        .toDF("source", "w_micro")
+      Curation.funnel(docs(s, dir), Seq(
+        Curation.exactDedup(),
+        Curation.decontaminate(pmod(col("doc_id"), lit(97)) === 0),
+        Curation.qualityMetric(carryCols = Seq("source")),
+        Curation.domainMixEpochs(weights, maxEpochs = 4)))
+    },
+    Some(OracleSql.curationPrefixSql +
+      """,
+        |clean AS (
+        |  SELECT dd.doc_id, dd.source, dd.text FROM dd
+        |  WHERE doc_id % 97 <> 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+        |m AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(ts) AS BIGINT) AS n_tok,
+        |    CASE WHEN len(ts) = 0 THEN 0
+        |         ELSE CAST(CAST(1000000 AS BIGINT) * len(list_distinct(ts))
+        |              // len(ts) AS BIGINT) END AS quality_micro
+        |  FROM (SELECT doc_id, source,
+        |          list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |        FROM clean)),
+        |w AS (
+        |  SELECT DISTINCT source,
+        |    CASE WHEN source = 'src0' THEN 500000
+        |         WHEN source IN ('src1', 'src2') THEN 150000
+        |         ELSE 25000 END AS w_micro
+        |  FROM documents),
+        |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t FROM m),
+        |b AS (SELECT source, CAST(t * w_micro // 1000000 AS BIGINT) AS b
+        |      FROM w, tot),
+        |dom AS (
+        |  SELECT m.source, CAST(SUM(n_tok) AS BIGINT) AS tok, b.b,
+        |    CASE WHEN SUM(n_tok) > 0
+        |         THEN LEAST(CAST(b.b // SUM(n_tok) AS BIGINT), 4)
+        |         ELSE 0 END AS fullp
+        |  FROM m JOIN b USING (source) GROUP BY m.source, b.b),
+        |dom2 AS (
+        |  SELECT source, tok, b, fullp,
+        |    CASE WHEN fullp < 4 THEN b - fullp * tok ELSE 0 END AS rem
+        |  FROM dom),
+        |fullpass AS (
+        |  SELECT m.source, m.doc_id,
+        |    CAST(unnest(generate_series(1, fullp)) AS BIGINT) AS epoch,
+        |    m.quality_micro, m.n_tok
+        |  FROM m JOIN dom2 USING (source)),
+        |frac AS (
+        |  SELECT sel.source, sel.doc_id,
+        |    CAST(fullp + 1 AS BIGINT) AS epoch, sel.quality_micro, sel.n_tok
+        |  FROM (SELECT m.*,
+        |          SUM(n_tok) OVER (PARTITION BY source
+        |            ORDER BY quality_micro DESC, doc_id
+        |            ROWS UNBOUNDED PRECEDING) AS cum
+        |        FROM m) sel
+        |  JOIN dom2 USING (source)
+        |  WHERE fullp < 4 AND cum <= rem)
+        |SELECT source, doc_id, epoch, quality_micro, n_tok
+        |FROM (SELECT * FROM fullpass UNION ALL SELECT * FROM frac)
+        |ORDER BY source, epoch, quality_micro DESC, doc_id""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, d16, d17, d17b, d17c,
     c1q, c1bq, c2q,
@@ -3641,5 +3720,5 @@ object PipelineQueries {
     x13, x14, x15, x15b, x16, x17,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e5c, e9, e10, e10b,
     p1, p2, p3, p4, p5, p6, p6b, p6c, p7, p8, p9, p10, p11, p12, p13, p13b,
-    p14, p15, p16, p16b, p17, p17b, p17c, p17e, p18, p19)
+    p14, p15, p16, p16b, p17, p17b, p17c, p17e, p18, p19, p20)
 }

@@ -60,7 +60,7 @@ object IncrementalDsir {
   def run(s: SparkSession, docsDir: String, workDir: String,
       buckets: Int = 4096, rawFilter: Column = defaultRawFilter,
       rawSampleMod: Int = 1, failAtBatch: Option[Long] = None,
-      compactEvery: Int = 16): Unit = {
+      compactEvery: Int = 16, includeUnigrams: Boolean = false): Unit = {
     require(rawSampleMod >= 1, "rawSampleMod must be at least 1")
     val schema = s.read.option("pathGlobFilter", "documents*.parquet")
       .parquet(docsDir).schema
@@ -71,7 +71,7 @@ object IncrementalDsir {
       .writeStream
       .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
         runBatch(batch, id.toLong, workDir, buckets, rawFilter,
-          rawSampleMod)
+          rawSampleMod, includeUnigrams)
         if (failAtBatch.contains(id.toLong) &&
             thrown.add(s"$workDir#$id"))
           throw new RuntimeException(
@@ -92,13 +92,13 @@ object IncrementalDsir {
 
   private[streaming] def runBatch(batch: DataFrame, id: Long,
       workDir: String, buckets: Int, rawFilter: Column,
-      rawSampleMod: Int): Unit = {
+      rawSampleMod: Int, includeUnigrams: Boolean = false): Unit = {
     val pool = batch.filter(rawFilter)
     val fitPool =
       if (rawSampleMod == 1) pool
       else pool.filter(Sampling.saltedHashMod("dsirfit", col("doc_id"),
         rawSampleMod.toLong) === 0L)
-    Dsir.bucketCounts(fitPool, buckets)
+    Dsir.bucketCounts(fitPool, buckets, includeUnigrams)
       .write.mode("overwrite").parquet(s"$workDir/model/batch=$id")
   }
 
@@ -118,10 +118,12 @@ object IncrementalDsir {
     * fit's, stated once. No history re-scan: the raw side is a
     * bucket-bounded state read. */
   def logRatios(s: SparkSession, workDir: String, target: DataFrame,
-      buckets: Int = 4096): Array[Double] = {
+      buckets: Int = 4096, includeUnigrams: Boolean = false): Array[Double] = {
     val rows = rawModel(s, workDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
-    val (tc, tt) = Dsir.fitCounts(target, buckets)
+    // the TARGET fit must use the same feature space the maintained
+    // raw model was built with (the caller's run(includeUnigrams))
+    val (tc, tt) = Dsir.fitCounts(target, buckets, includeUnigrams)
     Dsir.logRatiosFromCounts(tc, tt, rows.toMap, rows.map(_._2).sum,
       buckets)
   }
@@ -134,12 +136,15 @@ object IncrementalDsir {
     * from history. Output: (idCol, logw, g) in (g DESC, id) order. */
   def resampleAccumulated(s: SparkSession, workDir: String,
       target: DataFrame, pool: DataFrame, k: Int,
-      buckets: Int = 4096, idCol: String = "doc_id"): DataFrame =
-    Dsir.gumbelResample(
-      Dsir.importanceWeights(pool, logRatios(s, workDir, target, buckets),
-          idCol)
-        .select(col(idCol), col("logw")),
+      buckets: Int = 4096, idCol: String = "doc_id",
+      includeUnigrams: Boolean = false): DataFrame = {
+    val lr = logRatios(s, workDir, target, buckets, includeUnigrams)
+    val scored =
+      if (includeUnigrams) Dsir.importanceWeightsUniBi(pool, lr, idCol)
+      else Dsir.importanceWeights(pool, lr, idCol)
+    Dsir.gumbelResample(scored.select(col(idCol), col("logw")),
       k, idCol = idCol)
+  }
 
   /** Crash-safe publish-rename compaction of the model partials — see
     * [[AdditiveBatchState.compact]]. The merged model is

@@ -721,6 +721,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"codegen'd scoring kernel missing (interpreted HOF fallback?):\n$plan")
   }
 
+  test("p17e: unigram+bigram scoring keeps p17's shape — join-free, two in-row kernel folds") {
+    val plan = finalPlan("p17e_dsir_unibigram")
+    assert(!plan.contains("Join"),
+      s"scoring must be per-row folds against a literal, not a join:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"scoring must not re-aggregate the corpus:\n$plan")
+    assert(plan.contains("dsir_score_n"),
+      s"codegen'd n-gram scoring kernel missing:\n$plan")
+  }
+
   test("p17b: Gumbel resample is a partial top-k, join-free") {
     val plan = finalPlan("p17b_dsir_resample")
     assert(plan.contains("TakeOrderedAndProject"),
@@ -728,9 +738,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"resample must be join-free:\n$plan")
   }
 
-  test("curation funnels (p15, p18, p19): hash-joined stages, no cartesian") {
+  test("curation funnels (p15, p18, p19, p20): hash-joined stages, no cartesian") {
     for (name <- Seq("p15_curation_pipeline", "p18_dsir_pipeline",
-        "p19_curation_mix")) {
+        "p19_curation_mix", "p20_curation_mix_epochs")) {
       val plan = finalPlan(name)
       assert(!plan.contains("CartesianProduct"),
         s"$name: funnel stage degenerated to a cartesian:\n$plan")

@@ -158,6 +158,30 @@ class IncrementalDsirSpec extends AnyFunSuite {
       s"sample gate inert: $sampled of $full bigrams")
   }
 
+  test("unigram+bigram feature space: streaming model and resample ≡ the batch p17e chain") {
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_p17du_docs_").toString
+    val workDir = java.nio.file.Files.createTempDirectory("graft_p17du_work_").toString
+    writeSlices(docsDir)
+    IncrementalDsir.run(spark, docsDir, workDir, buckets = Buckets,
+      includeUnigrams = true)
+    val d = docs(docsDir)
+    val target = d.filter(col("source") === "src0")
+    val pool = d.filter(col("source") =!= "src0")
+    val incLr = IncrementalDsir.logRatios(spark, workDir, target, Buckets,
+      includeUnigrams = true)
+    val batchLr = graft.operators.Dsir.importanceLogRatios(
+      target, pool, Buckets, includeUnigrams = true)
+    assert(incLr.toSeq === batchLr.toSeq, "unigram incremental lr drifted")
+    val viaStream = IncrementalDsir.resampleAccumulated(spark, workDir,
+        target, pool, k = 8, buckets = Buckets, includeUnigrams = true)
+      .collect().map(_.toSeq).toSeq
+    val viaBatch = graft.operators.Dsir.gumbelResample(
+        graft.operators.Dsir.importanceWeightsUniBi(pool, batchLr)
+          .select(col("doc_id"), col("logw")), k = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(viaStream === viaBatch, "unigram streaming resample != batch")
+  }
+
   test("in-pipeline cadence bounds partitions over 30 batches; model exact") {
     val docsDir = java.nio.file.Files.createTempDirectory("graft_p17dl_docs_").toString
     val workDir = java.nio.file.Files.createTempDirectory("graft_p17dl_work_").toString

@@ -25,7 +25,19 @@ if [ "$1" = "--ab" ]; then
   git -C "$REPO_ROOT" worktree add --detach "$AB_DIR" "$REF" 1>&2
   trap 'git -C "$REPO_ROOT" worktree remove --force "$AB_DIR" 1>&2 || true' EXIT
   echo "[ab] compiling $REF_SHA in $AB_DIR" 1>&2
-  (cd "$AB_DIR" && sbt -batch compile 1>&2)
+  # copyResources is NOT part of sbt compile: without it the classes
+  # dir lacks META-INF/services/...DataSourceRegister and every
+  # graft-topiclog DSv2 entry fails with DATA_SOURCE_NOT_FOUND (the
+  # main tree never sees this because runMain/test copy resources
+  # there) — found when the first --ab prev arm failed its 6
+  # streaming-lifecycle entries deterministically
+  (cd "$AB_DIR" && sbt -batch 'Compile/compile' 'Compile/copyResources' 1>&2)
+  # ONE recorded pass per arm, back-to-back. (A warm-up pass per arm
+  # was tried and retired: the box degrades over consecutive full
+  # benches — a 4th-in-a-row run recorded 599 s for a tree that
+  # benches 170 s solo — so extra passes ADD the confound they were
+  # meant to remove. The one deterministic worktree failure mode,
+  # missing copied resources, is fixed above.)
   LOAD0=$(cut -d' ' -f1 /proc/loadavg)
   echo "[ab] benching prev ($REF_SHA), loadavg $LOAD0" 1>&2
   PREV_LINE=$("$AB_DIR/tools/bench.sh" "$@" | head -1)

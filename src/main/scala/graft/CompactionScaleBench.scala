@@ -34,17 +34,8 @@ object CompactionScaleBench {
     // file stream (maxFilesPerTrigger=1) produces that many batch
     // partials — the fixture ships one file, which would make the
     // merge a 1-partition no-op
-    val sliced = SessionTemp.dir("compact_docs_")
-    graft.sources.Records.table(spark, docsDir, "documents")
-      .repartition(slices)
-      .write.mode("overwrite").parquet(s"$sliced/_parts")
-    val parts = new java.io.File(s"$sliced/_parts").listFiles()
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    parts.zipWithIndex.foreach { case (f, i) =>
-      java.nio.file.Files.move(f.toPath,
-        java.nio.file.Paths.get(f"$sliced/documents-$i%03d.parquet"))
-    }
-    FileUtils.deleteDirectory(new java.io.File(s"$sliced/_parts"))
+    val sliced = BenchFixtures.sliceDocs(spark, docsDir, slices,
+      "compact_docs_")
 
     // build the batch partials once (no in-pipeline compaction), then
     // clone the census dir so both arms merge identical inputs

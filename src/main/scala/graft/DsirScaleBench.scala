@@ -76,6 +76,42 @@ object DsirScaleBench {
       f""""docs":$n,"sec":$resampleSec%.2f,"k":$k,"rows":$got,""" +
       f""""sf":"$sfDir"}""")
 
+    // `stream`: the p17d maintenance-cost phase — slice the corpus
+    // into 16 micro-batches, maintain the raw bucket-count model
+    // incrementally (IncrementalDsir, bucket-bounded partials), then
+    // emit one accumulated resample, and compare the whole streaming
+    // path to the pure-batch fit+score+resample wall. The claim under
+    // test: incremental model maintenance adds only per-batch
+    // partial-write overhead — the consumed resample costs the same
+    // one scoring scan either way, and the model read is state-sized.
+    if (args.length > 1 && args(1) == "stream") {
+      val sliced = BenchFixtures.sliceDocs(spark, sfDir, 16,
+        "dsir_stream_docs_")
+      val work = SessionTemp.dir("dsir_stream_work_")
+      val t3 = System.nanoTime()
+      graft.streaming.IncrementalDsir.run(spark, sliced, work,
+        buckets = 4096)
+      val runSec = (System.nanoTime() - t3) / 1e9
+      val t4 = System.nanoTime()
+      val sk = math.max(1000L, n / 100L).toInt
+      val rows = graft.streaming.IncrementalDsir.resampleAccumulated(
+          spark, work, target, pool, k = sk)
+        .agg(count(lit(1))).head().getLong(0)
+      val resSec = (System.nanoTime() - t4) / 1e9
+      // batch baseline over the same corpus, end to end
+      val t5 = System.nanoTime()
+      val blr = Dsir.importanceLogRatios(target, pool, buckets = 4096)
+      Dsir.gumbelResample(
+          Dsir.importanceWeights(pool, blr)
+            .select(col("doc_id"), col("logw")), k = sk)
+        .agg(count(lit(1))).head().getLong(0)
+      val batchSec = (System.nanoTime() - t5) / 1e9
+      println(f"""{"metric":"dsir_scale","phase":"stream",""" +
+        f""""docs":$n,"batches":16,"stream_run_sec":$runSec%.2f,""" +
+        f""""stream_resample_sec":$resSec%.2f,"rows":$rows,""" +
+        f""""batch_total_sec":$batchSec%.2f,"k":$sk,"sf":"$sfDir"}""")
+    }
+
     if (args.length > 1 && args(1) == "sweep") {
       val base = scored.select(col("doc_id"), col("logw"))
       val baseTop = base.orderBy(desc("logw"), col("doc_id")).limit(k)

@@ -2018,10 +2018,23 @@ object PipelineQueries {
     val lr = graft.operators.Dsir.importanceLogRatios(
       d.filter(col("source") === "src0"),
       d.filter(col("source") =!= "src0"), buckets = 4096)
-    if (dsirLrCache.size > 8) dsirLrCache.clear()
+    evictOne(dsirLrCache, 8)
     val prior = dsirLrCache.putIfAbsent(key, lr)
     if (prior != null) prior else lr
   }
+
+  /** Drop ONE arbitrary entry when the cache is over `cap` — the
+    * round-18 advice on the clear()-based eviction: under concurrent
+    * catalog runs a clear() could wipe a sibling's just-inserted
+    * table, forcing its expensive fit to re-run; removing a single
+    * entry bounds the cache without that cross-thread waste (results
+    * stay correct either way — the tables are deterministic). */
+  private def evictOne[K, V](
+      cache: java.util.concurrent.ConcurrentHashMap[K, V], cap: Int): Unit =
+    if (cache.size > cap) {
+      val it = cache.keySet().iterator()
+      if (it.hasNext) { it.next(); it.remove() }
+    }
 
   private def trainedMerges(s: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(String, String)] = {
@@ -2032,7 +2045,7 @@ object PipelineQueries {
       graft.operators.Bpe.trainMerges(bpeVocabDf(s, dir), nMerges = 8)
         .orderBy("round").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-    if (mergesCache.size > 8) mergesCache.clear()
+    evictOne(mergesCache, 8)
     val prior = mergesCache.putIfAbsent(key, trained)
     if (prior != null) prior else trained
   }

@@ -178,7 +178,14 @@ object Bench {
       try {
         val p = java.nio.file.Paths.get(
           sys.env.getOrElse("GRAFT_AB_FILE", "BENCH_AB.json"))
-        if (java.nio.file.Files.exists(p)) {
+        // STALENESS GUARD: the record names a specific prev ref and
+        // box state; embedding it weeks later would claim a control
+        // this run doesn't have. 7 days covers the regenerate-per-
+        // round cadence with slack.
+        val fresh = java.nio.file.Files.exists(p) &&
+          java.nio.file.Files.getLastModifiedTime(p).toMillis >
+            System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+        if (fresh) {
           val s = java.nio.file.Files.readString(p).trim
           if (s.startsWith("{") && s.endsWith("}") && !s.contains("\n"))
             s""","ab":$s"""

@@ -125,8 +125,11 @@ object DsirScaleBench {
           .write.mode("overwrite").parquet(tmpB)
         val sec = (System.nanoTime() - t) / 1e9
         val sb = spark.read.parquet(tmpB)
-        val c = base.join(sb, "doc_id")
-          .agg(corr(col("logw"), col("logw_b"))).head().getDouble(0)
+        // corr() is NULL on zero variance / empty join — record NaN
+        // rather than dying after the fit+score was already paid
+        val cRow = base.join(sb, "doc_id")
+          .agg(corr(col("logw"), col("logw_b"))).head()
+        val c = if (cRow.isNullAt(0)) Double.NaN else cRow.getDouble(0)
         val overlap = baseTop
           .join(sb.orderBy(desc("logw_b"), col("doc_id")).limit(k)
             .select("doc_id"), "doc_id")

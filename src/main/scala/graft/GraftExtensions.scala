@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayExceptSorted, BigramBuckets, BloomContains, BottomKDistinct, BpeSegment, DsirScore, DsirScoreN, KafkaMurmur2Partition, MinHashLshBands, NgramBuckets, RepetitionStats, SimHash16, SpanCut, SpanCutPositions, SpanHashes, SpanHashesPos, VecDot, VecSumAgg, WordNGrams}
+import graft.functions.{ArrayExceptSorted, BigramBuckets, BloomContains, BottomKDistinct, BpeSegment, DsirScore, DsirScoreN, DsirScoreUniBi, KafkaMurmur2Partition, MinHashLshBands, NgramBuckets, RepetitionStats, SimHash16, SpanCut, SpanCutPositions, SpanHashes, SpanHashesPos, UnibigramBuckets, VecDot, VecSumAgg, WordNGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -61,6 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => DsirScoreN(c.head, c(1), c(2)))
     inject(ext, "bpe_segment", 2, classOf[BpeSegment],
       c => BpeSegment(c.head, c(1)))
+    inject(ext, "unibigram_buckets", 2, classOf[UnibigramBuckets],
+      c => UnibigramBuckets(c.head, c(1)))
+    inject(ext, "dsir_score_unibi", 2, classOf[DsirScoreUniBi],
+      c => DsirScoreUniBi(c.head, c(1)))
     inject(ext, "vec_dot", 2, classOf[VecDot], c => VecDot(c.head, c(1)))
     inject(ext, "repetition_stats", 1, classOf[RepetitionStats],
       c => RepetitionStats(c.head))

@@ -312,6 +312,74 @@ object Sketches {
       .GenericInternalRow(Array[Any](m.toLong, w))
   }
 
+  /** The combined unigram ∪ bigram DSIR feature stream in ONE pass —
+    * one tokenize, one [[TokenBuf]], unigram windows then bigram
+    * windows (the oracle's `list_concat(uni, bi)` order). Equals
+    * `concat(ngramBuckets(t,1,B), ngramBuckets(t,2,B))` element for
+    * element at half the per-row tokenization/buffer cost. */
+  def unibigramBuckets(text: UTF8String, buckets: Int): ArrayData = {
+    if (buckets < 1) return new GenericArrayData(Array.empty[Any])
+    val toks = spaceTokens(text)
+    val n1 = toks.size
+    if (n1 == 0) return new GenericArrayData(Array.empty[Any])
+    val n2 = n1 - 1
+    val tb = new TokenBuf(toks)
+    val md = Md5.get()
+    val out = new Array[Any](n1 + math.max(n2, 0))
+    var i = 0
+    while (i < n1) {
+      md.reset()
+      md.update(tb.buf, tb.starts(i), tb.ends(i) - tb.starts(i))
+      out(i) = digest60(md.digest()) % buckets
+      i += 1
+    }
+    i = 0
+    while (i < n2) {
+      md.reset()
+      md.update(tb.buf, tb.starts(i), tb.ends(i + 1) - tb.starts(i))
+      out(n1 + i) = digest60(md.digest()) % buckets
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The combined unigram ∪ bigram DSIR score in ONE pass: the two
+    * window widths fold over the same [[TokenBuf]] (each left-to-right
+    * — identical arithmetic to summing the two [[dsirScoreN]] folds,
+    * which is what the p17e spec/oracle state). Returns
+    * (n_features = unigrams + bigrams, logw = uniFold + biFold). */
+  def dsirScoreUniBi(text: UTF8String,
+      lr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val buckets = lr.numElements()
+    val toks = spaceTokens(text)
+    val n1 = toks.size
+    if (n1 == 0 || buckets < 1) {
+      return new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](0L, 0.0))
+    }
+    val n2 = n1 - 1
+    val tb = new TokenBuf(toks)
+    val md = Md5.get()
+    var w1 = 0.0
+    var i = 0
+    while (i < n1) {
+      md.reset()
+      md.update(tb.buf, tb.starts(i), tb.ends(i) - tb.starts(i))
+      w1 += lr.getDouble((digest60(md.digest()) % buckets).toInt)
+      i += 1
+    }
+    var w2 = 0.0
+    i = 0
+    while (i < n2) {
+      md.reset()
+      md.update(tb.buf, tb.starts(i), tb.ends(i + 1) - tb.starts(i))
+      w2 += lr.getDouble((digest60(md.digest()) % buckets).toInt)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any]((n1 + math.max(n2, 0)).toLong, w1 + w2))
+  }
+
   /** BPE merge application over one token in a tight JVM loop — the
     * kernel behind `bpe_segment` ([[graft.operators.Bpe
     * .applyMergesKernel]]): split the token into CODE POINTS (the
@@ -1172,6 +1240,79 @@ case class DsirScore(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DsirScore =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `unibigram_buckets(text STRING, buckets INT) -> ARRAY<BIGINT>` —
+  * the combined unigram ∪ bigram DSIR feature stream in one kernel
+  * call ([[Sketches.unibigramBuckets]]): equal to
+  * `concat(ngram_buckets(text,1,B), ngram_buckets(text,2,B))` at one
+  * tokenize per row instead of two. */
+case class UnibigramBuckets(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "unibigram_buckets"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"unibigram_buckets requires (STRING, INT) arguments, got " +
+            s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override protected def nullSafeEval(text: Any, buckets: Any): Any =
+    Sketches.unibigramBuckets(text.asInstanceOf[UTF8String],
+      buckets.asInstanceOf[Number].intValue)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, b) =>
+      s"graft.functions.Sketches.unibigramBuckets($t, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UnibigramBuckets =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `dsir_score_unibi(text STRING, lr ARRAY<DOUBLE>) ->
+  * STRUCT<n_features BIGINT, logw DOUBLE>` — the combined unigram ∪
+  * bigram DSIR score in one kernel call ([[Sketches.dsirScoreUniBi]]):
+  * identical arithmetic to `dsir_score_n(t,1,lr) + dsir_score_n(t,2,lr)`
+  * at one tokenize per row. */
+case class DsirScoreUniBi(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_features", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("logw", DoubleType,
+        nullable = false)))
+  override def prettyName: String = "dsir_score_unibi"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dsir_score_unibi requires (STRING, ARRAY<DOUBLE>) arguments, " +
+            s"got ${l.catalogString} and ${r.catalogString}")
+    }
+
+  override protected def nullSafeEval(text: Any, lr: Any): Any =
+    Sketches.dsirScoreUniBi(text.asInstanceOf[UTF8String],
+      lr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, l) =>
+      s"graft.functions.Sketches.dsirScoreUniBi($t, $l)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DsirScoreUniBi =
     copy(left = newLeft, right = newRight)
 }
 

@@ -34,8 +34,11 @@ object Curation {
     * the result (session-temp parquet, read back once). */
   final case class Stage(name: String, transform: DataFrame => DataFrame,
       materialize: Boolean = false) {
+    // ASCII-explicit (not isLetterOrDigit, which is Unicode-wide and
+    // would admit names the documented contract excludes)
     require(name.nonEmpty && name.forall(c =>
-        c.isLetterOrDigit || c == '_' || c == '-'),
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '-'),
       s"stage name '$name' must be [A-Za-z0-9_-]+ (it names a temp dir)")
   }
 

@@ -80,8 +80,9 @@ object Dsir {
     * (null text folds to the empty-doc path). With
     * `includeUnigrams = true` the feature stream is the paper-faithful
     * unigram ∪ bigram bag (Xie et al. hash both into one bucket
-    * domain): the unigram buckets ride the same scan as a second
-    * `ngram_buckets` kernel call concatenated in-row — still one
+    * domain) via the combined `unibigram_buckets` kernel — one
+    * tokenize per row for both window widths (spec-pinned equal to
+    * concatenating the two `ngram_buckets` streams) — still one
     * corpus pass, still bucket-bounded. */
   def bucketCounts(corpus: DataFrame, buckets: Int,
       includeUnigrams: Boolean = false): DataFrame = {
@@ -89,8 +90,7 @@ object Dsir {
     val t = coalesce(col("text"), lit(""))
     val feats =
       if (includeUnigrams)
-        concat(call_function("ngram_buckets", t, lit(1), lit(buckets)),
-          call_function("ngram_buckets", t, lit(2), lit(buckets)))
+        call_function("unibigram_buckets", t, lit(buckets))
       else call_function("bigram_buckets", t, lit(buckets))
     corpus
       .select(explode(feats).as("bucket"))
@@ -180,26 +180,23 @@ object Dsir {
 
   /** [[importanceWeights]] over the paper-faithful unigram ∪ bigram
     * feature space (fit the `lr` table with `includeUnigrams = true`):
-    * still ONE corpus scan, zero shuffle, no join — the two window
-    * widths are two codegen'd `dsir_score_n` kernel folds per row,
-    * summed in-row (unigram fold first, then bigram — the stated
-    * cross-engine order). Output (idCol, n_features, logw) where
+    * still ONE corpus scan, zero shuffle, no join — one combined
+    * `dsir_score_unibi` kernel fold per row (one tokenize for both
+    * window widths; arithmetic identical to summing the n = 1 and
+    * n = 2 `dsir_score_n` folds — the stated cross-engine order,
+    * spec-pinned). Output (idCol, n_features, logw) where
     * n_features = unigram count + bigram count. */
   def importanceWeightsUniBi(raw: DataFrame, lr: Array[Double],
       idCol: String = "doc_id"): DataFrame = {
     require(lr.nonEmpty, "log-ratio table must be non-empty")
-    val lc = idCol.toLowerCase(java.util.Locale.ROOT)
-    require(lc != "__s1" && lc != "__s2",
-      s"idCol $idCol collides with the scoring chain's own columns")
-    val t = coalesce(col("text"), lit(""))
-    val lrLit = typedLit(lr.toSeq)
+    require(idCol.toLowerCase(java.util.Locale.ROOT) != "__sc",
+      s"idCol $idCol collides with the scoring chain's own column")
     raw
+      .select(col(idCol), call_function("dsir_score_unibi",
+        coalesce(col("text"), lit("")), typedLit(lr.toSeq)).as("__sc"))
       .select(col(idCol),
-        call_function("dsir_score_n", t, lit(1), lrLit).as("__s1"),
-        call_function("dsir_score_n", t, lit(2), lrLit).as("__s2"))
-      .select(col(idCol),
-        (col("__s1.n_features") + col("__s2.n_features")).as("n_features"),
-        (col("__s1.logw") + col("__s2.logw")).as("logw"))
+        col("__sc.n_features").as("n_features"),
+        col("__sc.logw").as("logw"))
   }
 
   /** The interpreted reference form of [[importanceWeights]] — the

@@ -33,8 +33,13 @@ private[streaming] object BatchedParquetIndex {
       targetFileBytes: Long): Int = {
     val bytes = sources.iterator
       .map(p => fs.getContentSummary(p).getLength).sum
-    math.min(1L << 20,
-      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)).toInt
+    // explicit small-input case BEFORE the ceil: `bytes + target - 1`
+    // wraps negative when target is huge (benches pass Long.MaxValue
+    // to force the single-task arm) and the wrap only accidentally
+    // landed on 1 via the max() rescue
+    if (bytes <= targetFileBytes) 1
+    else math.min(1L << 20,
+      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
   }
 
   /** id of an index partition dir: `batch=<n>` (written by one batch) or

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming twin of d10's incremental dedup: a continuously-arriving
   * document stream is deduplicated against a PERSISTENT content-hash
@@ -39,41 +38,13 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object IncrementalDedup {
 
-  /** batches that already threw once, keyed (workDir, batchId) — the
-    * injected crash fires on the first attempt only, so the restarted
-    * query completes */
-  private val thrown = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   def run(s: SparkSession, docsDir: String, workDir: String,
       failAtBatch: Option[Long] = None,
-      compactEvery: Int = 16): Unit = {
-    val schema = s.read.option("pathGlobFilter", "documents*.parquet")
-      .parquet(docsDir).schema
-    val q = s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents*.parquet")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(docsDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
-        runBatch(batch, id.toLong, workDir)
-        if (failAtBatch.contains(id.toLong) &&
-            thrown.add(s"$workDir#$id"))
-          throw new RuntimeException(
-            s"injected crash after batch $id writes, before commit")
-        // In-pipeline compaction cadence: STRICTLY prior batches only
-        // (upToBatch = id - 1, never id) — if we crash here and batch
-        // `id` replays, its prior-index scan must not see a compacted
-        // partition containing its own failed attempt's rows.
-        if (compactEvery > 0 && id.toLong > 0 &&
-            id.toLong % compactEvery == 0)
-          compactIndex(batch.sparkSession, workDir, id.toLong - 1)
-        ()
-      }
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+      compactEvery: Int = 16): Unit =
+    BatchStreamRunner.run(s, docsDir, workDir, "documents*.parquet",
+      (batch, id) => runBatch(batch, id, workDir),
+      (ss, upTo) => compactIndex(ss, workDir, upTo),
+      failAtBatch, compactEvery)
 
   private[streaming] def runBatch(batch: DataFrame, id: Long,
       workDir: String): Unit = {

@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.{Dsir, Sampling}
 
@@ -51,8 +50,6 @@ import graft.operators.{Dsir, Sampling}
   * lever survives streaming unchanged. */
 object IncrementalDsir {
 
-  private val thrown = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** The raw pool a streamed documents fixture contributes: everything
     * outside the src0 seed set — the p17-family split. */
   def defaultRawFilter: Column = col("source") =!= "src0"
@@ -62,32 +59,11 @@ object IncrementalDsir {
       rawSampleMod: Int = 1, failAtBatch: Option[Long] = None,
       compactEvery: Int = 16, includeUnigrams: Boolean = false): Unit = {
     require(rawSampleMod >= 1, "rawSampleMod must be at least 1")
-    val schema = s.read.option("pathGlobFilter", "documents*.parquet")
-      .parquet(docsDir).schema
-    val q = s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents*.parquet")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(docsDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
-        runBatch(batch, id.toLong, workDir, buckets, rawFilter,
-          rawSampleMod, includeUnigrams)
-        if (failAtBatch.contains(id.toLong) &&
-            thrown.add(s"$workDir#$id"))
-          throw new RuntimeException(
-            s"injected crash after batch $id writes, before commit")
-        // strictly prior batches only (id - 1): if we crash here and
-        // batch `id` replays, its own partition must stay un-compacted
-        // so the overwrite replay addresses exactly its old partition
-        if (compactEvery > 0 && id.toLong > 0 &&
-            id.toLong % compactEvery == 0)
-          compact(batch.sparkSession, workDir, id.toLong - 1)
-        ()
-      }
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    BatchStreamRunner.run(s, docsDir, workDir, "documents*.parquet",
+      (batch, id) => runBatch(batch, id, workDir, buckets, rawFilter,
+        rawSampleMod, includeUnigrams),
+      (ss, upTo) => compact(ss, workDir, upTo),
+      failAtBatch, compactEvery)
   }
 
   private[streaming] def runBatch(batch: DataFrame, id: Long,

@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming twin of the d16/d17 span wing's BUILD side: a
   * continuously-arriving document stream maintains a PERSISTENT
@@ -50,39 +49,13 @@ import org.apache.spark.sql.streaming.Trigger
   * [[census]] still projects the counts-only d16 shape. */
 object IncrementalSpanCensus {
 
-  /** batches that already threw once, keyed (workDir, batchId) — the
-    * injected crash fires on the first attempt only. */
-  private val thrown = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   def run(s: SparkSession, docsDir: String, workDir: String,
       spanTokens: Int = 8, failAtBatch: Option[Long] = None,
-      compactEvery: Int = 16): Unit = {
-    val schema = s.read.option("pathGlobFilter", "documents*.parquet")
-      .parquet(docsDir).schema
-    val q = s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents*.parquet")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(docsDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
-        runBatch(batch, id.toLong, workDir, spanTokens)
-        if (failAtBatch.contains(id.toLong) &&
-            thrown.add(s"$workDir#$id"))
-          throw new RuntimeException(
-            s"injected crash after batch $id writes, before commit")
-        // strictly prior batches only (id - 1): if we crash here and
-        // batch `id` replays, its own partition must stay un-compacted
-        // so the overwrite replay addresses exactly its old partition
-        if (compactEvery > 0 && id.toLong > 0 &&
-            id.toLong % compactEvery == 0)
-          compact(batch.sparkSession, workDir, id.toLong - 1)
-        ()
-      }
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+      compactEvery: Int = 16): Unit =
+    BatchStreamRunner.run(s, docsDir, workDir, "documents*.parquet",
+      (batch, id) => runBatch(batch, id, workDir, spanTokens),
+      (ss, upTo) => compact(ss, workDir, upTo),
+      failAtBatch, compactEvery)
 
   private[streaming] def runBatch(batch: DataFrame, id: Long,
       workDir: String, spanTokens: Int): Unit =

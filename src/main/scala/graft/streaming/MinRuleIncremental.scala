@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 /** Generic MIN-RULE incremental dedup over an arbitrary bucketing — the
   * shared engine of [[IncrementalNearDup]] (MinHash-LSH band buckets)
@@ -26,8 +25,6 @@ import org.apache.spark.sql.streaming.Trigger
   * superset). */
 private[streaming] object MinRuleIncremental {
 
-  private val thrown = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** @param bucketize batch → one row per (item, bucket):
     *                  (`idCol`, `bucketCols`...) — everything else in
     *                  the batch is the caller's business
@@ -35,33 +32,13 @@ private[streaming] object MinRuleIncremental {
   def run(s: SparkSession, srcDir: String, workDir: String,
       globFilter: String, idCol: String, bucketCols: Seq[String],
       bucketize: DataFrame => DataFrame,
-      failAtBatch: Option[Long], compactEvery: Int): Unit = {
-    val schema = s.read.option("pathGlobFilter", globFilter)
-      .parquet(srcDir).schema
-    val q = s.readStream.schema(schema)
-      .option("pathGlobFilter", globFilter)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(srcDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
-        runBatch(batch, id.toLong, workDir, idCol, bucketCols, bucketize)
-        if (failAtBatch.contains(id.toLong) &&
-            thrown.add(s"$workDir#$id"))
-          throw new RuntimeException(
-            s"injected crash after batch $id writes, before commit")
-        // strictly prior batches only (id - 1): a replayed batch must
-        // never see a compacted partition holding its own failed rows
-        if (compactEvery > 0 && id.toLong > 0 &&
-            id.toLong % compactEvery == 0)
-          BatchedParquetIndex.compact(batch.sparkSession,
-            s"$workDir/index", id.toLong - 1, keyCols = bucketCols)
-        ()
-      }
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+      failAtBatch: Option[Long], compactEvery: Int): Unit =
+    BatchStreamRunner.run(s, srcDir, workDir, globFilter,
+      (batch, id) =>
+        runBatch(batch, id, workDir, idCol, bucketCols, bucketize),
+      (ss, upTo) => BatchedParquetIndex.compact(ss,
+        s"$workDir/index", upTo, keyCols = bucketCols),
+      failAtBatch, compactEvery)
 
   private def runBatch(batch: DataFrame, id: Long, workDir: String,
       idCol: String, bucketCols: Seq[String],

@@ -3,7 +3,7 @@ package graft.operators
 import java.security.MessageDigest
 
 import graft.SparkTestSession
-import org.apache.spark.sql.functions.{call_function, col, lit, typedLit}
+import org.apache.spark.sql.functions.{call_function, col, concat, lit, typedLit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** DSIR (p17/p17b) against a plain-Scala reference: the hashed-bigram
@@ -175,6 +175,31 @@ class DsirSpec extends AnyFunSuite {
       val ts = want(r.getLong(0)).split(' ').filter(_.nonEmpty)
       assert(r.getSeq[Long](3) == ts.map(t => h60(t) % B).toSeq,
         s"doc ${r.getLong(0)}: unigram stream diverges")
+    }
+  }
+
+  test("combined unibigram kernels ≡ the two-call ngram forms, bit-exact") {
+    val df = fuzzDocs(23, 40).toDF("doc_id", "text")
+    val lrLit = typedLit(Seq.tabulate(B)(i => (i % 7) * 0.25 - 0.5))
+    val rows = df.select(col("doc_id"),
+        call_function("unibigram_buckets", col("text"), lit(B)).as("ub"),
+        concat(call_function("ngram_buckets", col("text"), lit(1), lit(B)),
+          call_function("ngram_buckets", col("text"), lit(2), lit(B)))
+          .as("two"),
+        call_function("dsir_score_unibi", col("text"), lrLit).as("s"),
+        call_function("dsir_score_n", col("text"), lit(1), lrLit).as("s1"),
+        call_function("dsir_score_n", col("text"), lit(2), lrLit).as("s2"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: combined bucket stream diverges")
+      val s = r.getStruct(3)
+      val s1 = r.getStruct(4)
+      val s2 = r.getStruct(5)
+      assert(s.getLong(0) == s1.getLong(0) + s2.getLong(0),
+        s"doc ${r.getLong(0)}: n_features")
+      assert(s.getDouble(1) == s1.getDouble(1) + s2.getDouble(1),
+        s"doc ${r.getLong(0)}: combined fold != sum of folds (bit-exact)")
     }
   }
 

@@ -721,14 +721,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"codegen'd scoring kernel missing (interpreted HOF fallback?):\n$plan")
   }
 
-  test("p17e: unigram+bigram scoring keeps p17's shape — join-free, two in-row kernel folds") {
+  test("p17e: unigram+bigram scoring keeps p17's shape — join-free, one combined in-row kernel fold") {
     val plan = finalPlan("p17e_dsir_unibigram")
     assert(!plan.contains("Join"),
       s"scoring must be per-row folds against a literal, not a join:\n$plan")
     assert(!plan.contains("HashAggregate"),
       s"scoring must not re-aggregate the corpus:\n$plan")
-    assert(plan.contains("dsir_score_n"),
-      s"codegen'd n-gram scoring kernel missing:\n$plan")
+    assert(plan.contains("dsir_score_unibi"),
+      s"combined scoring kernel missing (one tokenize per row):\n$plan")
   }
 
   test("p17b: Gumbel resample is a partial top-k, join-free") {

@@ -38,12 +38,19 @@ if [ "$1" = "--ab" ]; then
   # benches 170 s solo — so extra passes ADD the confound they were
   # meant to remove. The one deterministic worktree failure mode,
   # missing copied resources, is fixed above.)
+  #
+  # ARM ORDER: shipped FIRST, prev second. Both arms read the same
+  # fixture parquet and jars, so the second arm rides the first's page
+  # cache — the orientation is chosen so any residual warmth favors
+  # the PREV tree, making a "shipped is not slower" reading
+  # conservative (the CompactionScaleBench discipline). The order is
+  # recorded in the artifact.
   LOAD0=$(cut -d' ' -f1 /proc/loadavg)
-  echo "[ab] benching prev ($REF_SHA), loadavg $LOAD0" 1>&2
-  PREV_LINE=$("$AB_DIR/tools/bench.sh" "$@" | head -1)
-  LOAD1=$(cut -d' ' -f1 /proc/loadavg)
-  echo "[ab] benching shipped (HEAD), loadavg $LOAD1" 1>&2
+  echo "[ab] benching shipped (HEAD), loadavg $LOAD0" 1>&2
   SHIP_LINE=$("$REPO_ROOT/tools/bench.sh" "$@" | head -1)
+  LOAD1=$(cut -d' ' -f1 /proc/loadavg)
+  echo "[ab] benching prev ($REF_SHA), loadavg $LOAD1" 1>&2
+  PREV_LINE=$("$AB_DIR/tools/bench.sh" "$@" | head -1)
   LOAD2=$(cut -d' ' -f1 /proc/loadavg)
   python3 - "$REF_SHA" "$LOAD0" "$LOAD1" "$LOAD2" "$REPO_ROOT" \
       "$PREV_LINE" "$SHIP_LINE" <<'PYEOF' 1>&2
@@ -55,6 +62,7 @@ rec = {"ref": ref,
        "prev_n": len(prev["queries"]), "shipped_n": len(ship["queries"]),
        "prev_failed": prev.get("failed", []),
        "shipped_failed": ship.get("failed", []),
+       "order": "shipped-first (residual cache warmth favors prev)",
        "loadavg": [float(l0), float(l1), float(l2)],
        "sf": ship.get("sf", ""), "recorded_unix": int(time.time())}
 with open(f"{root}/BENCH_AB.json", "w") as f:

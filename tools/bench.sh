@@ -32,6 +32,15 @@ if [ "$1" = "--ab" ]; then
   # there) — found when the first --ab prev arm failed its 6
   # streaming-lifecycle entries deterministically
   (cd "$AB_DIR" && sbt -batch 'Compile/compile' 'Compile/copyResources' 1>&2)
+  # let the compile's load decay before the FIRST arm: whichever arm
+  # runs first otherwise absorbs the residual (observed: the same tree
+  # at 258 s first-after-compile vs 170 s solo quiet) — bounded wait
+  for i in $(seq 1 16); do
+    L=$(cut -d' ' -f1 /proc/loadavg)
+    awk -v l="$L" 'BEGIN{exit !(l < 0.7)}' && break
+    echo "[ab] post-compile loadavg $L — cooling ($i/16)" 1>&2
+    sleep 30
+  done
   # ONE recorded pass per arm, back-to-back. (A warm-up pass per arm
   # was tried and retired: the box degrades over consecutive full
   # benches — a 4th-in-a-row run recorded 599 s for a tree that

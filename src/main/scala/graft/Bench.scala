@@ -187,7 +187,27 @@ object Bench {
             System.currentTimeMillis() - 7L * 24 * 3600 * 1000
         if (fresh) {
           val s = java.nio.file.Files.readString(p).trim
-          if (s.startsWith("{") && s.endsWith("}") && !s.contains("\n"))
+          // SHA GUARD on top of mtime: the record names the shipped
+          // tree it measured ("shipped_sha", written by bench.sh);
+          // embedding it from a LATER commit within the mtime window
+          // would claim a control this tree doesn't have. Records
+          // without the field (pre-r20) or with git unavailable fall
+          // back to the mtime rule alone.
+          val shaOk = """"shipped_sha"\s*:\s*"([0-9a-f]+)"""".r
+            .findFirstMatchIn(s) match {
+              case None => true
+              case Some(m) =>
+                try {
+                  val pr = new ProcessBuilder("git", "rev-parse",
+                    "--short", "HEAD").start()
+                  val head = new String(pr.getInputStream.readAllBytes,
+                    java.nio.charset.StandardCharsets.UTF_8).trim
+                  pr.waitFor() != 0 || head.startsWith(m.group(1)) ||
+                    m.group(1).startsWith(head)
+                } catch { case _: Throwable => true }
+            }
+          if (shaOk && s.startsWith("{") && s.endsWith("}") &&
+              !s.contains("\n"))
             s""","ab":$s"""
           else ""
         } else ""

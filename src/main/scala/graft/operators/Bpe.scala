@@ -311,6 +311,15 @@ object Bpe {
     * fuzzed vocabularies including astral-plane tokens). */
   def applyMergesKernel(vocab: DataFrame, merges: Seq[(String, String)],
       tokenCol: String = "token", tfCol: String = "tf"): DataFrame = {
+    // BpeSegment.table splits each entry at the FIRST U+001F — a
+    // caller-supplied symbol containing the separator would silently
+    // mis-split into a wrong merge pair. TRAINED merges are safe (the
+    // trainers filter Sep-containing tokens from the vocabulary); this
+    // public API must hold the same line rather than corrupt quietly.
+    merges.foreach { case (l, r) =>
+      require(!l.contains(Sep) && !r.contains(Sep),
+        s"merge symbols must not contain U+001F (got ${(l, r)})")
+    }
     val enc = merges.map { case (l, r) => l + Sep + r }
     vocab
       .filter(col(tokenCol).isNotNull && length(col(tokenCol)) >= 1 &&

@@ -100,7 +100,21 @@ private[streaming] object AdditiveBatchState {
         p.getName != target.getName
     }
     if (!fs.exists(target)) {
-      if (mergeable.size <= 1) return
+      if (mergeable.size <= 1) {
+        // A prior compaction may have crashed mid-delete: partitions
+        // with id ≤ the highest published compacted partition are
+        // reader-INVISIBLE (already summed into it) but still on disk,
+        // and if no later compaction ever sees ≥ 2 mergeable partials
+        // they would persist forever. Finish that sweep here — the
+        // same justification as the post-publish sweep below, with the
+        // published partition in the target role.
+        val maxC = allParts(fs, root).collect { case (_, true, n) => n }
+          .foldLeft(-1L)(math.max)
+        allParts(fs, root).collect {
+          case (p, c, n) if n <= maxC && !(c && n == maxC) => p
+        }.foreach(p => fs.delete(p, true))
+        return
+      }
       val tmp = new Path(root, s"_compact_$upToBatch")
       val n = BatchedParquetIndex.compactionPartitions(
         fs, mergeable, targetFileBytes)

@@ -760,4 +760,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p19.contains("windowspecdefinition(source#"),
       s"p19: domain window lost its source partitioning:\n$p19")
   }
+
+  test("decontaminate after dedup: the dedup subtree is REUSED across " +
+      "the gram and corpus branches, never re-executed") {
+    // Curation.decontaminate consumes its input twice (the gram
+    // relation and the corpus filter both derive from the deduped
+    // pool); at corpus scale a re-run dedup aggregation is a full
+    // extra shuffle. AQE's stage reuse catches the repeated subtree —
+    // this pins that it KEEPS catching it (the catalog entries
+    // materialize the metric stage, so their final-job plans never
+    // show this join; the pin drives the funnel prefix directly).
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Records.table(spark, sfDir, "documents")
+    val dd = graft.operators.Curation.funnel(docs, Seq(
+      graft.operators.Curation.exactDedup(),
+      graft.operators.Curation.decontaminate(
+        pmod(col("doc_id"), lit(97)) === 0)))
+    dd.collect()
+    val reused = flattenPlan(dd.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ReusedExchangeExec])
+    // the keeper-hash exchange feeds three consumers (dedup semi join
+    // in the corpus branch, the gram branch, the eval-gram branch):
+    // one build + at least two reuses
+    assert(reused >= 2,
+      s"dedup exchange re-executed under decontaminate (reused=$reused):\n" +
+        dd.queryExecution.executedPlan)
+  }
 }

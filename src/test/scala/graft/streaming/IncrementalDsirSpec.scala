@@ -137,6 +137,30 @@ class IncrementalDsirSpec extends AnyFunSuite {
     }
   }
 
+  test("stale partials from a mid-delete crash are swept even when a later compaction has nothing to merge") {
+    val docsDir = java.nio.file.Files
+      .createTempDirectory("graft_p17dsw_docs_").toString
+    val workDir = java.nio.file.Files
+      .createTempDirectory("graft_p17dsw_work_").toString
+    writeSlices(docsDir)
+    IncrementalDsir.run(spark, docsDir, workDir, buckets = Buckets)
+    val before = modelMap(workDir)
+    intercept[RuntimeException] {
+      IncrementalDsir.compact(spark, workDir, upToBatch = 3L,
+        failpoint = "mid-delete")
+    }
+    // crash left compacted=3 published plus ≥1 stale (invisible) partial
+    assert(partNames(workDir).exists(_.startsWith("batch=")),
+      "mid-delete crash left no stale partial — scenario not exercised")
+    // a LATER compaction with nothing to merge (compacted=3 is the only
+    // visible partition, so mergeable ≤ 1) must still finish the sweep
+    // instead of returning early and leaking the stale dirs forever
+    IncrementalDsir.compact(spark, workDir, upToBatch = 5L)
+    assert(partNames(workDir) === Seq("compacted=3"),
+      s"stale partials survived the empty-merge path: ${partNames(workDir)}")
+    assert(modelMap(workDir) === before, "sweep changed the visible model")
+  }
+
   test("digest-gated sampled fit: streaming ≡ batch p17c (the gate is a per-doc function)") {
     val docsDir = java.nio.file.Files.createTempDirectory("graft_p17ds_docs_").toString
     val workDir = java.nio.file.Files.createTempDirectory("graft_p17ds_work_").toString

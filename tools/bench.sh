@@ -61,12 +61,13 @@ if [ "$1" = "--ab" ]; then
   echo "[ab] benching prev ($REF_SHA), loadavg $LOAD1" 1>&2
   PREV_LINE=$("$AB_DIR/tools/bench.sh" "$@" | head -1)
   LOAD2=$(cut -d' ' -f1 /proc/loadavg)
+  SHIP_SHA=$(git -C "$REPO_ROOT" rev-parse --short HEAD)
   python3 - "$REF_SHA" "$LOAD0" "$LOAD1" "$LOAD2" "$REPO_ROOT" \
-      "$PREV_LINE" "$SHIP_LINE" <<'PYEOF' 1>&2
+      "$PREV_LINE" "$SHIP_LINE" "$SHIP_SHA" <<'PYEOF' 1>&2
 import json, sys, time
-ref, l0, l1, l2, root, prev_line, ship_line = sys.argv[1:8]
+ref, l0, l1, l2, root, prev_line, ship_line, ship_sha = sys.argv[1:9]
 prev, ship = json.loads(prev_line), json.loads(ship_line)
-rec = {"ref": ref,
+rec = {"ref": ref, "shipped_sha": ship_sha,
        "prev_total": prev["value"], "shipped_total": ship["value"],
        "prev_n": len(prev["queries"]), "shipped_n": len(ship["queries"]),
        "prev_failed": prev.get("failed", []),

@@ -72,41 +72,162 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
-  /** IVF ANN: `nCells` deterministically seeded centroids (smallest
-    * md5 of "c:"||vec_id — reproducible on any engine), one
-    * assignment pass, queries probe the `nprobe` nearest cells and
-    * brute-force only there. Output (q_id, vec_id, cell, cos, rank). */
-  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
-      nCells: Int = 8, nprobe: Int = 2): DataFrame = {
-    val e = nonZero(emb)
-    val h = conv(substring(md5(concat(lit("c:"),
+  /** The deterministic seed-hash column: 60-bit md5 of "c:"||vec_id —
+    * reproducible on any engine, any partitioning. The nCells vectors
+    * with the SMALLEST hashes are the centroids. */
+  private[operators] def seedHash: Column =
+    conv(substring(md5(concat(lit("c:"),
       col("vec_id").cast("string"))), 1, 15), 16, 10).cast("long")
-    val seeds = e
-      .withColumn("h", h)
-      .orderBy("h", "vec_id").limit(nCells)
+
+  /** The (cell, cv) centroid table of a corpus: the `nCells` smallest
+    * seed hashes, cell ids assigned in (h, vec_id) order. Seed
+    * selection is orderBy+limit ⇒ TakeOrderedAndProject (a partial
+    * top-k — the corpus is never globally sorted); the cell-id window
+    * runs over the nCells-row result. */
+  private[operators] def ivfSeeds(e: DataFrame, nCells: Int): DataFrame =
+    seedRowsToCentroids(
+      e.withColumn("h", seedHash).orderBy("h", "vec_id").limit(nCells))
+
+  /** Cell ids over an ALREADY-SELECTED (h, vec_id, v) seed row set —
+    * split out so an incrementally-maintained seed state
+    * ([[graft.streaming.IncrementalAnn]]) derives the bit-identical
+    * centroid table the batch path does. */
+  private[operators] def seedRowsToCentroids(seedRows: DataFrame): DataFrame =
+    seedRows
       .withColumn("crank", row_number().over(Window.orderBy("h", "vec_id")))
       .select(col("crank").cast("long").as("cell"), col("v").as("cv"))
-    val assign = e.crossJoin(broadcast(seeds))
+
+  /** Nearest-cell assignment: a map-side-combinable max_by aggregation
+    * over the broadcast centroid table (a single shuffle, never a
+    * per-(vec × cell) window sort). Pure per-row function of
+    * (v, centroids) — the property the incremental maintainer leans on:
+    * per-batch partials under a frozen centroid table are exact. */
+  private[operators] def ivfAssign(e: DataFrame, seeds: DataFrame): DataFrame =
+    e.crossJoin(broadcast(seeds))
       .withColumn("sim", round(cosine("v", "cv"), 6))
       .groupBy(col("vec_id"), col("v"))
       .agg(max_by(col("cell"),
         struct(col("sim"), (-col("cell")).as("nc"))).as("cell"))
       .select(col("vec_id"), col("cell"), col("v"))
-    val probes = e.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .crossJoin(broadcast(seeds))
+
+  /** The `nprobe` nearest cells of each query: (q_id, qv, cell). */
+  private[operators] def ivfProbeCells(q: DataFrame, seeds: DataFrame,
+      nprobe: Int): DataFrame =
+    q.crossJoin(broadcast(seeds))
       .withColumn("sim", round(cosine("qv", "cv"), 6))
       .withColumn("prn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("sim").desc, col("cell"))))
       .filter(col("prn") <= nprobe)
       .select(col("q_id"), col("qv"), col("cell"))
+
+  /** Exact-cosine top-k of probes against their cells' members —
+    * the shared ranking tail of the one-shot, persisted-index, and
+    * streaming IVF paths (one arithmetic, three access paths). */
+  private[operators] def ivfRank(probes: DataFrame, assign: DataFrame,
+      k: Int): DataFrame =
     probes.join(assign, "cell").filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", round(cosine("qv", "v"), 4))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id")))
         .cast("long"))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("cell"), col("cos"), col("rank"))
+      .select(col("q_id"), col("vec_id"), col("cell").cast("long").as("cell"),
+        col("cos"), col("rank"))
+
+  /** IVF ANN: `nCells` deterministically seeded centroids (smallest
+    * md5 of "c:"||vec_id — reproducible on any engine), one
+    * assignment pass, queries probe the `nprobe` nearest cells and
+    * brute-force only there. Output (q_id, vec_id, cell, cos, rank).
+    * One-shot form — everything recomputed per call; for build-once-
+    * probe-many use [[buildIvfIndex]]/[[probeIvfIndex]]. */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nCells: Int = 8, nprobe: Int = 2): DataFrame = {
+    val e = nonZero(emb)
+    val seeds = ivfSeeds(e, nCells)
+    val assign = ivfAssign(e, seeds)
+    val probes = ivfProbeCells(
+      e.filter(queryPred)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")),
+      seeds, nprobe)
+    ivfRank(probes, assign, k)
+  }
+
+  // ---- persisted IVF index: build once, probe many ----
+  //
+  // ivfTopK re-fits the centroids and re-assigns the whole corpus on
+  // EVERY invocation — correct for a one-shot query set, wrong as a
+  // 100 TB serving story: assignment is the corpus-wide pass, probing
+  // touches nprobe/nCells of it. The persisted form pays assignment
+  // once into a cell-PARTITIONED parquet layout (probes prune to their
+  // cells' directories and never touch the rest), guarded by the
+  // fingerprinted `_built` marker (the Retrieval.ensureIndex
+  // discipline): marker existence commits a finished build, marker
+  // content pins the corpus + geometry it was built from.
+
+  private def ivfMarker(dir: String) =
+    java.nio.file.Paths.get(dir, "_built")
+  private[operators] def readIvfMeta(dir: String): Option[(String, Int)] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(ivfMarker(dir)))
+      Some((node.get("fingerprint").asText(), node.get("nCells").asInt()))
+    } catch { case _: Exception => None }
+
+  /** Build the persisted IVF index for `emb` under `indexDir`:
+    * `centroids/` (cell, cv — nCells rows) and `assign/`
+    * (vec_id, v) written `partitionBy(cell)` after a repartition on
+    * the cell (probe reads are directory-pruned to the probed cells),
+    * then the fingerprinted `_built` marker as the commit point (a
+    * half-written index has no marker and rebuilds). */
+  def buildIvfIndex(emb: DataFrame, indexDir: String, fingerprint: String,
+      nCells: Int = 8): Unit = {
+    val s = emb.sparkSession
+    val e = nonZero(emb)
+    ivfSeeds(e, nCells).write.mode("overwrite")
+      .parquet(s"$indexDir/centroids")
+    // assignment broadcasts the PERSISTED table (nCells rows read
+    // back), so the seed plan executes once, not per consumer
+    val seeds = s.read.parquet(s"$indexDir/centroids")
+    ivfAssign(e, seeds)
+      .repartition(nCells, col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$indexDir/assign")
+    java.nio.file.Files.write(ivfMarker(indexDir),
+      s"""{"fingerprint":"$fingerprint","nCells":$nCells}"""
+        .getBytes("UTF-8")): Unit
+  }
+
+  /** Build only when absent or stale (marker missing, fingerprint or
+    * geometry mismatch). The reuse path costs one marker read — no
+    * corpus access. Returns true when a build ran. */
+  def ensureIvfIndex(emb: => DataFrame, indexDir: String,
+      fingerprint: String, nCells: Int = 8): Boolean =
+    readIvfMeta(indexDir) match {
+      case Some((fp, nc)) if fp == fingerprint && nc == nCells => false
+      case _ => buildIvfIndex(emb, indexDir, fingerprint, nCells); true
+    }
+
+  /** Probe a persisted IVF index: `queries` is a (q_id, qv) relation
+    * (zero-norm queries are excluded, as everywhere). Physical work:
+    * broadcast the nCells-row centroid table, rank each query's
+    * nprobe cells, then a directory-PRUNED scan of only those cells'
+    * assignment partitions — the corpus-sized remainder of the index
+    * is never read (the probed cell ids are collected driver-side:
+    * ≤ nCells rows, a parameter, so the pruning predicate is a
+    * literal the scan sees). Output matches [[ivfTopK]] exactly. */
+  def probeIvfIndex(s: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    require(readIvfMeta(indexDir).isDefined,
+      s"no committed IVF index at $indexDir (run buildIvfIndex first)")
+    val seeds = s.read.parquet(s"$indexDir/centroids")
+    val probes = ivfProbeCells(
+      queries.filter(expr("vec_dot(qv, qv)") > 0), seeds, nprobe)
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val assign = s.read.parquet(s"$indexDir/assign")
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("v"))
+    ivfRank(probes, assign, k)
   }
 
   /** The (vec_id, v, tbl, bucket) relation of `tables` hyperplane LSH

@@ -739,6 +739,40 @@ object PipelineQueries {
          |QUALIFY rank <= 3 ORDER BY q_id, rank""".stripMargin
     })
 
+  // SIM5 — the PERSISTED form of sim2's IVF: build the index once
+  // (centroid table + cell-PARTITIONED assignment, committed by a
+  // fingerprinted marker — the x15b postings-index discipline applied
+  // to the ANN wing), then serve every query set as a probe that
+  // broadcasts the nCells-row centroid table and directory-prunes the
+  // assignment scan to the probed cells. sim2 re-fits seeds and
+  // re-assigns the corpus per invocation — right for one-shot, wrong
+  // at 100 TB where assignment is the corpus-wide pass and probes
+  // should touch nprobe/nCells of the index. The entry probes TWICE
+  // through ensureIvfIndex and require-pins that the second call
+  // REUSED the committed index (the amortization surface is real, not
+  // a rebuild that happens to match); same oracle SQL as sim2 — two
+  // physical strategies, one relational contract.
+  private val sim5 = QueryDef(
+    "sim_topk_ivf_indexed",
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val idx = sys.env.get("GRAFT_SIM5_INDEX_DIR").getOrElse(
+        graft.SessionTemp.dir("graft_sim5_idx_"))
+      val fp = graft.operators.Retrieval.pathFingerprint(
+        s"$dir/embeddings.parquet")
+      graft.operators.Similarity.ensureIvfIndex(e, idx, fp, nCells = 8)
+      val rebuilt = graft.operators.Similarity
+        .ensureIvfIndex(e, idx, fp, nCells = 8)
+      require(!rebuilt, "second ensureIvfIndex rebuilt a fresh index")
+      graft.operators.Similarity.probeIvfIndex(s, idx,
+        e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("v").as("qv")),
+        k = 3, nprobe = 2)
+        .orderBy("q_id", "rank")
+    },
+    sim2.oracle)
+
   // ---------------------------------------------------- text analysis
 
   // X1 — language-marker profile (n-gram heuristic scoring). The
@@ -3728,7 +3762,7 @@ object PipelineQueries {
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, d16, d17, d17b, d17c,
     c1q, c1bq, c2q,
-    sim1, sim2, sim3, sim4,
+    sim1, sim2, sim3, sim4, sim5,
     x1, x2, x3, x4, x5, x6, x7, x8, x9, x9b, x9c, x9d, x10, x11, x11b, x12,
     x13, x14, x15, x15b, x16, x17,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e5c, e9, e10, e10b,

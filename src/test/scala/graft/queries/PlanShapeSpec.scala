@@ -761,6 +761,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"p19: domain window lost its source partitioning:\n$p19")
   }
 
+  test("sim5: the index probe is a PartitionFilters-pruned scan of the " +
+      "probed cells — the corpus-sized remainder is never read") {
+    val df = Catalog.byName("sim_topk_ivf_indexed").fn(spark, sfDir)
+    df.collect()
+    val scans = flattenPlan(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths
+            .exists(_.toString.contains("/assign")) => f
+    }
+    assert(scans.nonEmpty,
+      s"no assignment-index scan found:\n${df.queryExecution.executedPlan}")
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        s"assignment scan not partition-pruned to the probed cells:\n$f")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in sim5:\n$plan")
+  }
+
   test("decontaminate after dedup: the dedup subtree is REUSED across " +
       "the gram and corpus branches, never re-executed") {
     // Curation.decontaminate consumes its input twice (the gram

@@ -75,7 +75,7 @@ object Similarity {
   /** The deterministic seed-hash column: 60-bit md5 of "c:"||vec_id —
     * reproducible on any engine, any partitioning. The nCells vectors
     * with the SMALLEST hashes are the centroids. */
-  private[operators] def seedHash: Column =
+  private[graft] def seedHash: Column =
     conv(substring(md5(concat(lit("c:"),
       col("vec_id").cast("string"))), 1, 15), 16, 10).cast("long")
 
@@ -84,7 +84,7 @@ object Similarity {
     * selection is orderBy+limit ⇒ TakeOrderedAndProject (a partial
     * top-k — the corpus is never globally sorted); the cell-id window
     * runs over the nCells-row result. */
-  private[operators] def ivfSeeds(e: DataFrame, nCells: Int): DataFrame =
+  private[graft] def ivfSeeds(e: DataFrame, nCells: Int): DataFrame =
     seedRowsToCentroids(
       e.withColumn("h", seedHash).orderBy("h", "vec_id").limit(nCells))
 
@@ -92,7 +92,7 @@ object Similarity {
     * split out so an incrementally-maintained seed state
     * ([[graft.streaming.IncrementalAnn]]) derives the bit-identical
     * centroid table the batch path does. */
-  private[operators] def seedRowsToCentroids(seedRows: DataFrame): DataFrame =
+  private[graft] def seedRowsToCentroids(seedRows: DataFrame): DataFrame =
     seedRows
       .withColumn("crank", row_number().over(Window.orderBy("h", "vec_id")))
       .select(col("crank").cast("long").as("cell"), col("v").as("cv"))
@@ -102,7 +102,7 @@ object Similarity {
     * per-(vec × cell) window sort). Pure per-row function of
     * (v, centroids) — the property the incremental maintainer leans on:
     * per-batch partials under a frozen centroid table are exact. */
-  private[operators] def ivfAssign(e: DataFrame, seeds: DataFrame): DataFrame =
+  private[graft] def ivfAssign(e: DataFrame, seeds: DataFrame): DataFrame =
     e.crossJoin(broadcast(seeds))
       .withColumn("sim", round(cosine("v", "cv"), 6))
       .groupBy(col("vec_id"), col("v"))
@@ -111,7 +111,7 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("v"))
 
   /** The `nprobe` nearest cells of each query: (q_id, qv, cell). */
-  private[operators] def ivfProbeCells(q: DataFrame, seeds: DataFrame,
+  private[graft] def ivfProbeCells(q: DataFrame, seeds: DataFrame,
       nprobe: Int): DataFrame =
     q.crossJoin(broadcast(seeds))
       .withColumn("sim", round(cosine("qv", "cv"), 6))
@@ -123,7 +123,7 @@ object Similarity {
   /** Exact-cosine top-k of probes against their cells' members —
     * the shared ranking tail of the one-shot, persisted-index, and
     * streaming IVF paths (one arithmetic, three access paths). */
-  private[operators] def ivfRank(probes: DataFrame, assign: DataFrame,
+  private[graft] def ivfRank(probes: DataFrame, assign: DataFrame,
       k: Int): DataFrame =
     probes.join(assign, "cell").filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", round(cosine("qv", "v"), 4))

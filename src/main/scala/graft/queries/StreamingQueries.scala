@@ -952,6 +952,38 @@ object StreamingQueries {
         |""".stripMargin + OracleSql.dsirScoredSql(4096) + "\n" +
       OracleSql.dsirGumbelSelect(200)))
 
+  // D21 — STREAMING ANN INDEX MAINTENANCE (the d18/p17d discipline
+  // applied to the IVF wing): an arriving embedding stream maintains
+  // the seed state (each batch's nCells smallest seed hashes — a
+  // parameter-BOUNDED partial; merge = top-k of union) and the cell
+  // assignment (a pure per-row function of the epoch-frozen centroid
+  // table, so per-batch partials are exact) in AdditiveBatchState's
+  // layout; compaction doubles as the epoch rebuild (fresh centroids
+  // frozen at the boundary, folded vectors re-assigned under them).
+  // The probe is exact at EVERY moment: current centroids derive
+  // read-time from the parameter-sized seed state, epoch_fp-matching
+  // rows serve straight from the persisted assignment, displaced rows
+  // re-assign in-flight. The oracle is sim2's full batch SQL over the
+  // same embeddings: incremental maintenance, batch slicing, and
+  // epoch churn must be invisible in the top-k (IncrementalAnnSpec
+  // drives the mid-stream crash, every compaction failpoint, and the
+  // epoch-displacement equivalence).
+  private val d21Runs = new java.util.concurrent.atomic.AtomicLong(0)
+  private val d21 = QueryDef(
+    "d21_stream_ann",
+    (s, dir) => {
+      val workDir = s"$e3TmpRoot/d21_${d21Runs.incrementAndGet()}"
+      graft.streaming.IncrementalAnn.run(s, dir, workDir, nCells = 8)
+      val e = Records.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      graft.streaming.IncrementalAnn.probeAccumulated(s, workDir,
+          e.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("q_id"), col("v").as("qv")),
+          k = 3, nCells = 8, nprobe = 2)
+        .orderBy("q_id", "rank")
+    },
+    PipelineQueries.defs.find(_.name == "sim_topk_ivf").get.oracle)
+
   // ---- shared topic-log fixture plumbing (s2b / k2b) ----
 
   private val topicsCache =
@@ -1326,7 +1358,7 @@ object StreamingQueries {
 
   val defs: Seq[QueryDef] =
     Seq(k2, s2, s2b, k2b, k2c, k2d, k2e, e3, d7, d8, d12, d13, d14, d18, d19,
-      p17d,
+      p17d, d21,
       e4,
       e6, e7)
 }

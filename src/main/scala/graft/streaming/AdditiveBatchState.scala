@@ -78,6 +78,22 @@ private[streaming] object AdditiveBatchState {
     mergeAgg(s.read.parquet(ps.map(_.toString): _*))
   }
 
+  /** [[merged]] restricted to visible partitions with id ≤ `upTo` — the
+    * deterministic "state as of batch upTo" read a compaction-boundary
+    * epoch derivation needs (partials > upTo exist while the cadence
+    * runs with `id - 1`, and must not leak into the epoch). Replay-
+    * stable: partitions ≤ upTo are never touched by a later batch's
+    * overwrite, and a compaction that already folded them publishes a
+    * `compacted=<n>` with n ≤ upTo holding identical content. */
+  def mergedUpTo(s: SparkSession, root: Path, upTo: Long,
+      mergeAgg: DataFrame => DataFrame): DataFrame = {
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ps = visibleParts(fs, root).filter(p =>
+      partId(p.getName).exists(_._2 <= upTo))
+    require(ps.nonEmpty, s"no state partitions ≤ $upTo under $root")
+    mergeAgg(s.read.parquet(ps.map(_.toString): _*))
+  }
+
   /** mergeAgg every visible partition with id ≤ `upToBatch` into ONE
     * `compacted=<upToBatch>` partition (hash-partitioned on `keyCols`
     * at a corpus-scaled file count), then delete the sources.

@@ -952,6 +952,50 @@ object StreamingQueries {
         |""".stripMargin + OracleSql.dsirScoredSql(4096) + "\n" +
       OracleSql.dsirGumbelSelect(200)))
 
+  // P17F — BOUNDED-COST STREAMING DSIR EMISSION (the r19 emission
+  // re-scan, closed): p17d's read path re-scores the accumulated pool
+  // per emission — exact, but linear per emission at an hourly cadence
+  // over 100 TB. Here the SCORING model is a frozen epoch: every batch
+  // scores its own docs under the frozen log-ratio table into a
+  // ≤ k-row top-k partial (immutable under a frozen epoch — the Gumbel
+  // key is a salted per-doc hash, and every doc is in exactly one
+  // batch, so top-k-of-union IS the global top-k), and an emission
+  // merges parameter-sized partials instead of re-scanning history.
+  // A MODEL REFRESH (refreshEpoch) re-scores once and REBASES the
+  // top-k state under the new epoch — the linear cost moves from
+  // per-emission to per-refresh. The entry drives the production
+  // lifecycle: stream (per-batch partials under the bootstrap epoch)
+  // → refresh at the final model → emit through the merged-partial
+  // path, require-pinned fresh; the oracle is the same full batch
+  // p17b chain — epochs, partials, and the rebase must be invisible
+  // in the sample (IncrementalDsirSpec pins the frozen-epoch
+  // incremental ≡ one-pass identity and the refresh crash matrix).
+  private val p17fRuns = new java.util.concurrent.atomic.AtomicLong(0)
+  private val p17f = QueryDef(
+    "p17f_stream_dsir_emit",
+    (s, dir) => {
+      val runId = p17fRuns.incrementAndGet()
+      val workDir = s"$e3TmpRoot/p17f_$runId"
+      val d = Records.table(s, dir, "documents")
+      val target = d.filter(col("source") === "src0")
+      val pool = d.filter(col("source") =!= "src0")
+      graft.streaming.IncrementalDsir.runScored(s, dir, workDir, target,
+        k = 150)
+      graft.streaming.IncrementalDsir.refreshEpoch(s, workDir, target,
+        pool, k = 150)
+      require(graft.streaming.IncrementalDsir.emissionFresh(s, workDir),
+        "emission state not fresh after refreshEpoch")
+      graft.streaming.IncrementalDsir.resampleIncremental(s, workDir,
+        k = 150)
+    },
+    Some(
+      """WITH dsir_target AS (
+        |  SELECT doc_id, text FROM documents WHERE source = 'src0'),
+        |dsir_raw AS (
+        |  SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        |""".stripMargin + OracleSql.dsirScoredSql(4096) + "\n" +
+      OracleSql.dsirGumbelSelect(150)))
+
   // D21 — STREAMING ANN INDEX MAINTENANCE (the d18/p17d discipline
   // applied to the IVF wing): an arriving embedding stream maintains
   // the seed state (each batch's nCells smallest seed hashes — a
@@ -1358,7 +1402,7 @@ object StreamingQueries {
 
   val defs: Seq[QueryDef] =
     Seq(k2, s2, s2b, k2b, k2c, k2d, k2e, e3, d7, d8, d12, d13, d14, d18, d19,
-      p17d, d21,
+      p17d, p17f, d21,
       e4,
       e6, e7)
 }

@@ -156,4 +156,50 @@ private[streaming] object AdditiveBatchState {
         throw new RuntimeException("injected compaction crash mid-delete")
     }
   }
+
+  /** Highest visible partition id (batch or compacted), or -1 when the
+    * root holds no state — the boundary a caller-driven REBASE
+    * ([[publishRebase]]) must cover. */
+  def maxVisibleId(s: SparkSession, root: Path): Long = {
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    visibleParts(fs, root)
+      .flatMap(p => partId(p.getName).map(_._2))
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Publish EXTERNALLY-computed content as `compacted=<upToBatch>`,
+    * replacing every partition with id ≤ upToBatch — [[compact]]'s
+    * commit protocol (tmp write → rename publish → sweep) for rebases
+    * whose new content cannot be derived from the partials alone
+    * (e.g. a re-score of the source corpus under a refreshed model:
+    * the partials hold scores, not the text). Crash-safe by the same
+    * argument: before the rename the old state is fully visible;
+    * after it the preference rule hides everything the rebase
+    * replaced; a re-run finishes the sweep. The caller must guarantee
+    * `df` covers (supersedes) all partials with id ≤ upToBatch. */
+  def publishRebase(s: SparkSession, root: Path, upToBatch: Long,
+      df: DataFrame, failpoint: String = ""): Unit = {
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("_compact_"))
+      .foreach(p => fs.delete(p, true))
+    val target = new Path(root, s"compacted=$upToBatch")
+    val tmp = new Path(root, s"_compact_$upToBatch")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (failpoint == "before-publish")
+      throw new RuntimeException("injected rebase crash before publish")
+    fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"rename $tmp -> $target failed")
+    if (failpoint == "after-publish")
+      throw new RuntimeException("injected rebase crash after publish")
+    allParts(fs, root).collect {
+      case (p, _, n) if n <= upToBatch && p.getName != target.getName => p
+    }.foreach { p =>
+      fs.delete(p, true)
+      if (failpoint == "mid-delete")
+        throw new RuntimeException("injected rebase crash mid-delete")
+    }
+  }
 }

@@ -161,6 +161,119 @@ class IncrementalDsirSpec extends AnyFunSuite {
     assert(modelMap(workDir) === before, "sweep changed the visible model")
   }
 
+  test("frozen-epoch emission: merged per-batch top-k partials ≡ the one-pass top-k under the SAME frozen table") {
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_p17f_docs_").toString
+    val workDir = java.nio.file.Files.createTempDirectory("graft_p17f_work_").toString
+    writeSlices(docsDir)
+    val d = docs(docsDir)
+    val target = d.filter(col("source") === "src0")
+    val pool = d.filter(col("source") =!= "src0")
+    // NO refresh: every batch scored under the bootstrap epoch — the
+    // "score only new batches and merge a retained top-k" identity
+    IncrementalDsir.runScored(spark, docsDir, workDir, target, k = 10,
+      buckets = Buckets)
+    val (epochLr, _) = IncrementalDsir.currentEpochLr(spark, workDir).get
+    val viaPartials = IncrementalDsir.resampleIncremental(spark, workDir,
+      k = 10).collect().map(_.toSeq).toSeq
+    val onePass = graft.operators.Dsir.gumbelResample(
+        graft.operators.Dsir.importanceWeights(pool, epochLr)
+          .select(col("doc_id"), col("logw")), k = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(viaPartials === onePass,
+      "merged partials != one-pass scoring under the same frozen epoch")
+    // the emission read parameter-sized state only: every visible
+    // top-k partial is ≤ k rows
+    val st = spark.read.parquet(s"$workDir/topk")
+    assert(st.groupBy().count().collect()(0).getLong(0) <= 4L * 10,
+      "top-k partials not bounded by k per batch")
+  }
+
+  test("refreshEpoch rebases to the full-model emission; crash matrix at every failpoint stays emittable or fails loudly") {
+    for (failpoint <- Seq("before-publish", "after-publish", "mid-delete")) {
+      val docsDir = java.nio.file.Files
+        .createTempDirectory("graft_p17fr_docs_").toString
+      val workDir = java.nio.file.Files
+        .createTempDirectory("graft_p17fr_work_").toString
+      writeSlices(docsDir)
+      val d = docs(docsDir)
+      val target = d.filter(col("source") === "src0")
+      val pool = d.filter(col("source") =!= "src0")
+      IncrementalDsir.runScored(spark, docsDir, workDir, target, k = 10,
+        buckets = Buckets)
+      val crashed = intercept[RuntimeException] {
+        IncrementalDsir.refreshEpoch(spark, workDir, target, pool,
+          k = 10, buckets = Buckets, failpoint = failpoint)
+      }
+      assert(crashed.getMessage.contains("injected rebase crash"),
+        s"[$failpoint] unexpected failure: $crashed")
+      val expected = IncrementalDsir.resampleAccumulated(spark, workDir,
+        target, pool, k = 10, buckets = Buckets)
+        .collect().map(_.toSeq).toSeq
+      if (failpoint == "before-publish") {
+        // new epoch persisted, rebase NOT published: the state mixes
+        // epochs — emitting must fail loudly, never mix two models
+        assert(!IncrementalDsir.emissionFresh(spark, workDir),
+          s"[$failpoint] claims fresh over a mixed-epoch state")
+        val ex = intercept[IllegalStateException] {
+          IncrementalDsir.resampleIncremental(spark, workDir, k = 10)
+            .collect()
+        }
+        assert(ex.getMessage.contains("displaced epoch"))
+      } else {
+        // rebase published before the crash: already emittable, and
+        // equal to the full accumulated re-score under the new model
+        assert(IncrementalDsir.emissionFresh(spark, workDir),
+          s"[$failpoint] published rebase not visible")
+        assert(IncrementalDsir.resampleIncremental(spark, workDir, k = 10)
+          .collect().map(_.toSeq).toSeq === expected, s"[$failpoint]")
+      }
+      // re-running the refresh heals every crash point
+      IncrementalDsir.refreshEpoch(spark, workDir, target, pool, k = 10,
+        buckets = Buckets)
+      assert(IncrementalDsir.emissionFresh(spark, workDir), s"[$failpoint]")
+      assert(IncrementalDsir.resampleIncremental(spark, workDir, k = 10)
+        .collect().map(_.toSeq).toSeq === expected,
+        s"[$failpoint] post-recovery emission drifted")
+    }
+  }
+
+  test("runScored crash after batch-1 writes, restart: emission ≡ the frozen-epoch one-pass; after refresh ≡ batch p17b") {
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_p17fc_docs_").toString
+    val workDir = java.nio.file.Files.createTempDirectory("graft_p17fc_work_").toString
+    writeSlices(docsDir)
+    val d = docs(docsDir)
+    val target = d.filter(col("source") === "src0")
+    val pool = d.filter(col("source") =!= "src0")
+    val crashed = intercept[Exception] {
+      IncrementalDsir.runScored(spark, docsDir, workDir, target, k = 10,
+        buckets = Buckets, failAtBatch = Some(1L))
+    }
+    assert(crashed.getMessage != null &&
+      (crashed.getMessage.contains("injected crash") ||
+        String.valueOf(crashed.getCause).contains("injected crash")),
+      s"unexpected failure: $crashed")
+    IncrementalDsir.runScored(spark, docsDir, workDir, target, k = 10,
+      buckets = Buckets)
+    val (epochLr, _) = IncrementalDsir.currentEpochLr(spark, workDir).get
+    assert(IncrementalDsir.resampleIncremental(spark, workDir, k = 10)
+      .collect().map(_.toSeq).toSeq ===
+      graft.operators.Dsir.gumbelResample(
+          graft.operators.Dsir.importanceWeights(pool, epochLr)
+            .select(col("doc_id"), col("logw")), k = 10)
+        .collect().map(_.toSeq).toSeq,
+      "replayed batch double-scored or lost docs")
+    IncrementalDsir.refreshEpoch(spark, workDir, target, pool, k = 10,
+      buckets = Buckets)
+    val viaBatch = graft.operators.Dsir.gumbelResample(
+        graft.operators.Dsir.importanceWeights(pool,
+          graft.operators.Dsir.importanceLogRatios(target, pool, Buckets))
+          .select(col("doc_id"), col("logw")), k = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(IncrementalDsir.resampleIncremental(spark, workDir, k = 10)
+      .collect().map(_.toSeq).toSeq === viaBatch,
+      "refreshed emission != batch p17b chain")
+  }
+
   test("digest-gated sampled fit: streaming ≡ batch p17c (the gate is a per-doc function)") {
     val docsDir = java.nio.file.Files.createTempDirectory("graft_p17ds_docs_").toString
     val workDir = java.nio.file.Files.createTempDirectory("graft_p17ds_work_").toString

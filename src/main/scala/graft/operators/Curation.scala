@@ -60,6 +60,19 @@ object Curation {
         Seq("doc_id"), "left_semi")
     })
 
+  /** Keep-first exact dedup against an EXTERNALLY-maintained keeper
+    * set (`keepers(keeper_doc_id)` — e.g.
+    * [[graft.streaming.IncrementalDedup.kept]]'s durable index): the
+    * streaming twin of [[exactDedup]], for funnels over an ARRIVING
+    * corpus where the keeper set is maintained incrementally instead
+    * of recomputed per run. Same physical shape — one hash semi
+    * join. */
+  def exactDedupKept(keepers: DataFrame): Stage =
+    Stage("exact_dedup_kept", { d =>
+      d.join(keepers.select(col("keeper_doc_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+    })
+
   /** Eval-set decontamination: drop the eval slice itself AND every
     * remaining doc sharing an exact `n`-gram hash with it
     * ([[Decontamination.ngramHashes]] → [[Decontamination.flagExact]]

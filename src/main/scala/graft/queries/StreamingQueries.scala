@@ -1028,6 +1028,41 @@ object StreamingQueries {
     },
     PipelineQueries.defs.find(_.name == "sim_topk_ivf").get.oracle)
 
+  // P21 — STREAMING CURATION FUNNEL (d12 + p19 composed): the
+  // production training-set build consumed on an ARRIVING corpus. The
+  // stream maintains d12's durable content-hash keeper index
+  // (exactly-once, batch-addressed, compacted in-pipeline); the
+  // snapshot then runs the p19 funnel over the accumulated pool with
+  // the dedup stage swapped for a semi join against that index
+  // (Curation.exactDedupKept — the only stage whose work the stream
+  // already did; decontamination/metric/mix are snapshot-relative by
+  // definition, since the eval set and the mix weights are emission-
+  // time choices). The oracle is p19's full batch SQL over the same
+  // documents: incremental index maintenance and batch slicing must
+  // be invisible in the curated mix (StreamCurationSpec drives the
+  // mid-stream crash + restart and pins funnel-over-index ≡ the
+  // all-batch p19 funnel).
+  private val p21Runs = new java.util.concurrent.atomic.AtomicLong(0)
+  private val p21 = QueryDef(
+    "p21_stream_curation",
+    (s, dir) => {
+      import s.implicits._
+      val runId = p21Runs.incrementAndGet()
+      val workDir = s"$e3TmpRoot/p21_$runId"
+      graft.streaming.IncrementalDedup.run(s, dir, workDir)
+      val kept = graft.streaming.IncrementalDedup.kept(s, workDir)
+      val weights = (0 until 20)
+        .map(i => (s"src$i", if (i < 3) 150000L else 25000L))
+        .toDF("source", "w_micro")
+      import graft.operators.Curation
+      Curation.funnel(Records.table(s, dir, "documents"), Seq(
+        Curation.exactDedupKept(kept),
+        Curation.decontaminate(pmod(col("doc_id"), lit(97)) === 0),
+        Curation.qualityMetric(carryCols = Seq("source")),
+        Curation.domainMix(weights)))
+    },
+    PipelineQueries.defs.find(_.name == "p19_curation_mix").get.oracle)
+
   // ---- shared topic-log fixture plumbing (s2b / k2b) ----
 
   private val topicsCache =
@@ -1402,7 +1437,7 @@ object StreamingQueries {
 
   val defs: Seq[QueryDef] =
     Seq(k2, s2, s2b, k2b, k2c, k2d, k2e, e3, d7, d8, d12, d13, d14, d18, d19,
-      p17d, p17f, d21,
+      p17d, p17f, d21, p21,
       e4,
       e6, e7)
 }

@@ -740,7 +740,8 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("curation funnels (p15, p18, p19, p20): hash-joined stages, no cartesian") {
     for (name <- Seq("p15_curation_pipeline", "p18_dsir_pipeline",
-        "p19_curation_mix", "p20_curation_mix_epochs")) {
+        "p19_curation_mix", "p20_curation_mix_epochs",
+        "p21_stream_curation")) {
       val plan = finalPlan(name)
       assert(!plan.contains("CartesianProduct"),
         s"$name: funnel stage degenerated to a cartesian:\n$plan")

@@ -161,4 +161,82 @@ object Curation {
         df.sparkSession.read.parquet(tmp)
       }
     }
+
+  /** [[funnel]] with a VERIFIED audit trail: every stage boundary gets
+    * an `observe()` counter (rows out + whitespace tokens out — free
+    * aggregates riding the stage's own execution, no extra pass), and
+    * the report comes back as a small relation
+    * (stage_idx, stage, rows_out, tokens_out) with stage 0 = the
+    * input corpus. The audit form materializes EVERY stage: a stage
+    * consumed by two downstream branches (decontaminate's gram and
+    * corpus sides) would otherwise execute its observe node once per
+    * branch and double-count — materialization makes each observe
+    * node's single consumer the stage's own write, so the counts are
+    * exact by construction (CurationSpec pins materialization
+    * behavior-invisible, so the result relation is [[funnel]]'s).
+    * Returns (result, report). */
+  def funnelWithReport(corpus: DataFrame,
+      stages: Seq[Stage]): (DataFrame, DataFrame) = {
+    val s = corpus.sparkSession
+    val prefix = "graft_obs_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12) + "_"
+    val acc =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (n, row) =>
+          if (n.startsWith(prefix))
+            acc.put(n, (row.getLong(0), row.getLong(1)))
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    def observed(df: DataFrame, i: Int, name: String): DataFrame = {
+      // tokens: whitespace tokens where the stage still carries text;
+      // the metric/mix stages carry the already-counted n_tok
+      val tokens =
+        if (df.columns.contains("text"))
+          sum(size(filter(split(coalesce(col("text"), lit("")), " "),
+            t => t =!= "")).cast("long"))
+        else if (df.columns.contains("n_tok")) sum(col("n_tok"))
+        else sum(lit(0L))
+      df.observe(s"$prefix${i}_$name",
+        count(lit(1)).as("rows_out"),
+        coalesce(tokens, lit(0L)).cast("long").as("tokens_out"))
+    }
+    s.listenerManager.register(listener)
+    try {
+      // input metrics ride a dedicated noop pass: an observed input
+      // consumed by a multi-branch first stage (exactDedup reads its
+      // input for both the keeper aggregate and the semi join) would
+      // execute the observe node once per branch and double-count
+      observed(corpus, 0, "input")
+        .write.format("noop").mode("overwrite").save()
+      var cur = corpus
+      for ((st, i) <- stages.zipWithIndex) {
+        val out = observed(st.transform(cur), i + 1, st.name)
+        val tmp = graft.SessionTemp.dir(s"graft_obs_${st.name}_")
+        out.write.mode("overwrite").parquet(tmp)
+        cur = s.read.parquet(tmp)
+      }
+      // observed metrics arrive on an ASYNC listener bus — bounded wait
+      val names = ("input" +: stages.map(_.name)).zipWithIndex
+        .map { case (n, i) => s"$prefix${i}_$n" }
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!names.forall(acc.containsKey) && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      require(names.forall(acc.containsKey),
+        s"observed ${acc.size}/${names.size} stage metrics within 30s")
+      import s.implicits._
+      val report = ("input" +: stages.map(_.name)).zipWithIndex
+        .map { case (n, i) =>
+          val (r, t) = acc.get(s"$prefix${i}_$n")
+          (i.toLong, n, r, t)
+        }.toDF("stage_idx", "stage", "rows_out", "tokens_out")
+      (cur, report)
+    } finally s.listenerManager.unregister(listener)
+  }
 }

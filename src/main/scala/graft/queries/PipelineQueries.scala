@@ -3759,6 +3759,89 @@ object PipelineQueries {
         |FROM (SELECT * FROM fullpass UNION ALL SELECT * FROM frac)
         |ORDER BY source, epoch, quality_micro DESC, doc_id""".stripMargin))
 
+  // P22 — VERIFIED FUNNEL OBSERVABILITY: production curation needs a
+  // per-stage audit (rows/tokens in → out per stage), and an audit
+  // nobody checks is log prose. Curation.funnelWithReport attaches
+  // observe() counters at every stage boundary (free aggregates riding
+  // each stage's own execution — no extra counting pass; the audit
+  // form materializes stages so each observe node has exactly ONE
+  // consumer and can never double-count through a multi-branch stage)
+  // and surfaces the trail as a relation. The entry runs p19's exact
+  // stage list and gates the REPORT itself: the oracle recomputes
+  // every stage's row and token count relationally (input → dd →
+  // clean → metric → mix over the curation prefix CTEs), so a stage
+  // that silently dropped or duplicated rows fails the hash gate.
+  private val p22 = QueryDef(
+    "p22_curation_report",
+    (s, dir) => {
+      import graft.operators.Curation
+      import s.implicits._
+      val weights = (0 until 20)
+        .map(i => (s"src$i", if (i < 3) 150000L else 25000L))
+        .toDF("source", "w_micro")
+      val (_, report) = Curation.funnelWithReport(docs(s, dir), Seq(
+        Curation.exactDedup(),
+        Curation.decontaminate(pmod(col("doc_id"), lit(97)) === 0),
+        Curation.qualityMetric(carryCols = Seq("source")),
+        Curation.domainMix(weights)))
+      report.orderBy("stage_idx")
+    },
+    Some(OracleSql.curationPrefixSql +
+      """,
+        |clean AS (
+        |  SELECT dd.doc_id, dd.source, dd.text FROM dd
+        |  WHERE doc_id % 97 <> 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+        |m AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(ts) AS BIGINT) AS n_tok,
+        |    CASE WHEN len(ts) = 0 THEN 0
+        |         ELSE CAST(CAST(1000000 AS BIGINT) * len(list_distinct(ts))
+        |              // len(ts) AS BIGINT) END AS quality_micro
+        |  FROM (SELECT doc_id, source,
+        |          list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |        FROM clean)),
+        |w AS (
+        |  SELECT DISTINCT source,
+        |    CASE WHEN source IN ('src0', 'src1', 'src2') THEN 150000
+        |         ELSE 25000 END AS w_micro
+        |  FROM documents),
+        |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t FROM m),
+        |b AS (SELECT source, CAST(t * w_micro // 1000000 AS BIGINT) AS b
+        |      FROM w, tot),
+        |sel AS (
+        |  SELECT doc_id, source, quality_micro, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source
+        |      ORDER BY quality_micro DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM m),
+        |mix AS (SELECT m2.doc_id, m2.n_tok FROM sel m2
+        |        JOIN b USING (source) WHERE cum <= b.b),
+        |tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage,
+        |    CAST(COUNT(*) AS BIGINT) AS rows_out,
+        |    CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS tokens_out FROM tk
+        |  UNION ALL
+        |  SELECT 1, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
+        |  FROM dd JOIN tk USING (doc_id)
+        |  UNION ALL
+        |  SELECT 2, 'decontaminate', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
+        |  FROM clean JOIN tk USING (doc_id)
+        |  UNION ALL
+        |  SELECT 3, 'metric', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM m
+        |  UNION ALL
+        |  SELECT 4, 'domain_mix', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM mix)
+        |ORDER BY stage_idx""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     d1, d2, d3, d4, d5, d6, d9, d10, d11, d15, d16, d17, d17b, d17c,
     c1q, c1bq, c2q,
@@ -3767,5 +3850,5 @@ object PipelineQueries {
     x13, x14, x15, x15b, x16, x17,
     m1, m2, m3, e1, e1b, e2, e5, e5b, e5c, e9, e10, e10b,
     p1, p2, p3, p4, p5, p6, p6b, p6c, p7, p8, p9, p10, p11, p12, p13, p13b,
-    p14, p15, p16, p16b, p17, p17b, p17c, p17e, p18, p19, p20)
+    p14, p15, p16, p16b, p17, p17b, p17c, p17e, p18, p19, p20, p22)
 }

@@ -138,6 +138,36 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("funnelWithReport: result == funnel; the observed trail == direct per-stage counts") {
+    val d = corpus
+    val stages = Seq(
+      Curation.exactDedup(),
+      Curation.decontaminate(evalPred),
+      Curation.qualityMetric(carryCols = Seq("source")))
+    val (result, report) = Curation.funnelWithReport(d, stages)
+    assert(result.collect().map(_.toSeq).toSet ===
+      Curation.funnel(d, stages).collect().map(_.toSeq).toSet,
+      "audit form changed the funnel's result")
+    // recompute every stage boundary directly and compare the trail
+    val toks = sum(size(filter(split(coalesce(col("text"), lit("")), " "),
+      t => t =!= "")).cast("long"))
+    def countsOf(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val agg =
+        if (df.columns.contains("text")) df.agg(count(lit(1)), toks)
+        else df.agg(count(lit(1)), sum(col("n_tok")))
+      val r = agg.collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val expected = stages.inits.toSeq.reverse // prefixes: [], [s1], ...
+      .map(prefix => countsOf(Curation.funnel(d, prefix)))
+    val got = report.orderBy("stage_idx").collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected,
+      s"observed trail $got != recomputed per-stage counts $expected")
+    assert(report.orderBy("stage_idx").collect().map(_.getString(1)).toSeq
+      === ("input" +: stages.map(_.name)))
+  }
+
   test("stage names are validated (they name temp dirs)") {
     intercept[IllegalArgumentException] {
       Curation.Stage("../evil", identity)

@@ -31,7 +31,16 @@ import graft.sources.Records
   * big-corpus point record train + via-vocab without the known-bad
   * phase.
   *
-  * Usage: BpeScaleBench <sfDir> [nMerges] [batchSize] [skipDirect]
+  * `<sfDir>` may instead be `zipf:<docs>:<vmax>` — a synthesized
+  * Heaps-law-richer corpus (the fixture documents' ~982-type vocab
+  * exhausts real merge budgets early, recorded in notes_r19): each doc
+  * is 40 tokens drawn log-uniformly over ranks 1..vmax (≈ Zipf
+  * p(r) ∝ 1/r) with the token string the rank's base-36 encoding —
+  * tens of thousands of types sharing character structure, so
+  * 4k–8k-merge budgets have real material. Deterministic (xxhash64 of
+  * (doc, position) — no driver RNG, no collect).
+  *
+  * Usage: BpeScaleBench <sfDir>|zipf:<docs>:<vmax> [nMerges] [batchSize] [skipDirect]
   */
 object BpeScaleBench {
   def main(args: Array[String]): Unit = {
@@ -43,7 +52,17 @@ object BpeScaleBench {
     val spark = Sessions.local("graft-bpe-scale", cpus)
     spark.sparkContext.setLogLevel("WARN")
 
-    val raw = Records.table(spark, sfDir, "documents")
+    val raw =
+      if (sfDir.startsWith("zipf:")) {
+        val parts = sfDir.split(":")
+        val (nDocs, vmax) = (parts(1).toLong, parts(2).toLong)
+        spark.range(nDocs).select(col("id").as("doc_id"),
+          expr(s"""concat_ws(' ', transform(sequence(1, 40), j ->
+            |conv(cast(pow($vmax,
+            |  (pmod(xxhash64(concat(cast(id as string), '_',
+            |    cast(j as string))), 1000000) + 0.5) / 1000000.0)
+            |  as bigint), 10, 36)))""".stripMargin).as("text"))
+      } else Records.table(spark, sfDir, "documents")
     val par = spark.sparkContext.defaultParallelism
     val base = if (raw.rdd.getNumPartitions < par) raw.repartition(par) else raw
     val n = base.count()

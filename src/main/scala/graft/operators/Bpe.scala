@@ -146,16 +146,28 @@ object Bpe {
     *
     * Batch rule (each clause is load-bearing for equivalence):
     *  1. Scan the ranked list (cnt DESC, left, right) and accept
-    *     candidates until one INTERACTS with an accepted merge —
-    *     shares a symbol with {leftⱼ, rightⱼ, leftⱼ+rightⱼ}. Applying
-    *     a merge only changes counts of interacting pairs (decreases
-    *     pairs overlapping its instances; creates pairs involving its
-    *     merged symbol, each bounded by an interacting pre-image's
-    *     count: (x, m) ≤ old (x, left), (m, y) ≤ old (right, y),
-    *     (m, m) ≤ old (right, left)) — so every non-interacting
-    *     accepted candidate's count is still exact at its sequential
-    *     turn.
-    *  2. STOP at the first interacting candidate (never skip past it):
+    *     candidates until one is STOPPER-CLASS for an accepted merge
+    *     m = (a, b). The predicate is TIGHT (r20 — it was coarse
+    *     any-shared-symbol before, which stopped provably-exact
+    *     candidates): applying m rewrites every `y a b z` to
+    *     `y (ab) z`, so the only DESTROYED pair types are (·, a)
+    *     (right symbol = a) and (b, ·) (left symbol = b); original
+    *     types never increase; and every CREATED type involves the
+    *     new symbol ab — which cannot alias an existing symbol ("ab"
+    *     existing would mean (a, b) already merged, after which its
+    *     adjacency count is 0 and can never be re-created, since
+    *     creations always involve their own new symbol — so (a, b)
+    *     could not be a candidate now) — with count bounded by a
+    *     stopper-class pre-image's: (y, ab) ≤ old (y, a),
+    *     (ab, z) ≤ old (b, z), (ab, ab) ≤ old (b, a). A
+    *     stopper-class pair scanned ABOVE a later accepted candidate
+    *     ends the batch first; one below the scan (or uncollected) is
+    *     folded by rule 3's strict trim. A candidate sharing merely
+    *     a's LEFT symbol or b's RIGHT symbol is therefore EXACT at
+    *     its sequential turn and accepted — the acceptance lift
+    *     measured in `bpe_scale` (same-left/same-right clusters
+    *     dominate real ranked pair lists).
+    *  2. STOP at the first stopper-class candidate (never skip past it):
     *     sequentially it may still outrank later candidates after its
     *     count decreases, so nothing below it may enter this batch.
     *     A SELF-merge (left == right) also ends the batch after being
@@ -208,11 +220,14 @@ object Bpe {
         while (!stopped && accepted.size < maxAccept && i < top.length) {
           val (l, r, cnt) =
             (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
-          val interacts = accepted.exists { case (la, ra, _) =>
-            l == la || l == ra || l == la + ra ||
-              r == la || r == ra || r == la + ra
+          // the TIGHT stopper predicate (rule 1): destroyed-class
+          // ((·, a) / (b, ·)) or merged-symbol involvement (defensive
+          // — see the aliasing argument in the Scaladoc); same-left /
+          // same-right sharing is exact and accepted
+          val stopperClass = accepted.exists { case (la, ra, _) =>
+            r == la || l == ra || l == la + ra || r == la + ra
           }
-          if (interacts) stopped = true
+          if (stopperClass) stopped = true
           else {
             accepted += ((l, r, cnt))
             i += 1

@@ -182,6 +182,58 @@ class BpeSpec extends AnyFunSuite {
         .orderBy("round").collect().map(_.toSeq).toSeq
       assert(batR == seqR, s"tie trial $trial on $vocab")
     }
+    // same-left / same-right clusters (the r20 TIGHT stopper predicate:
+    // merely sharing a's left or b's right symbol is provably exact) —
+    // equality must hold AND the batch must actually accept the whole
+    // cluster in one driver round (the refinement is live, not inert)
+    val sameLeft = Map("ab" -> 9L, "ac" -> 7L, "ad" -> 5L, "ae" -> 3L)
+    val slSeq = Bpe.trainMerges(vocabDf(sameLeft), 4)
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    val slRounds = new java.util.concurrent.atomic.AtomicLong(0)
+    val slBat = Bpe.trainMergesBatched(vocabDf(sameLeft), 4, batchSize = 8,
+        roundsOut = Some(slRounds))
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    assert(slBat == slSeq, "same-left cluster diverged")
+    assert(slRounds.get() === 1L,
+      s"same-left cluster should batch in ONE round, took ${slRounds.get()}")
+    val sameRight = Map("xq" -> 9L, "yq" -> 7L, "zq" -> 5L)
+    val srSeq = Bpe.trainMerges(vocabDf(sameRight), 3)
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    val srRounds = new java.util.concurrent.atomic.AtomicLong(0)
+    val srBat = Bpe.trainMergesBatched(vocabDf(sameRight), 3, batchSize = 8,
+        roundsOut = Some(srRounds))
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    assert(srBat == srSeq, "same-right cluster diverged")
+    assert(srRounds.get() === 1L,
+      s"same-right cluster should batch in ONE round, took ${srRounds.get()}")
+    // destroyed-class regime: (x,a) after accepted (a,b) MUST still
+    // stop (its count falls when (a,b) consumes the a's; sequential
+    // picks the created (x,ab) next — a batch that kept going would
+    // emit (x,a) with a stale count)
+    val destroyed = Map("xab" -> 5L, "xa" -> 2L)
+    val dSeq = Bpe.trainMerges(vocabDf(destroyed), 3)
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    val dBat = Bpe.trainMergesBatched(vocabDf(destroyed), 3, batchSize = 8)
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    assert(dBat == dSeq, "destroyed-class candidate not stopped")
+    // interaction-dense fuzz on a wider alphabet (stresses the tight
+    // predicate's accept side harder than the abcd fuzz above)
+    val rnd3 = new scala.util.Random(77L)
+    for (trial <- 1 to 6) {
+      val alphabet = "abcdef"
+      val vocab = (1 to 120).map { _ =>
+        (1 to (2 + rnd3.nextInt(6)))
+          .map(_ => alphabet(rnd3.nextInt(alphabet.length))).mkString
+      }.groupBy(identity).view
+        .mapValues(_.size.toLong * (1 + rnd3.nextInt(3))).toMap
+      val sq = Bpe.trainMerges(vocabDf(vocab), 14)
+        .orderBy("round").collect().map(_.toSeq).toSeq
+      for (b <- Seq(4, 16)) {
+        val bt = Bpe.trainMergesBatched(vocabDf(vocab), 14, batchSize = b)
+          .orderBy("round").collect().map(_.toSeq).toSeq
+        assert(bt == sq, s"interaction-dense trial $trial batchSize $b")
+      }
+    }
     // chained-top regime: every leading pair interacts -> batch
     // degrades toward 1 but stays equivalent (aaaa...: (a,a) then
     // (aa,a)/(aa,aa) chains share symbols)

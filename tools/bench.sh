@@ -41,46 +41,84 @@ if [ "$1" = "--ab" ]; then
     echo "[ab] post-compile loadavg $L — cooling ($i/16)" 1>&2
     sleep 30
   done
-  # ONE recorded pass per arm, back-to-back. (A warm-up pass per arm
-  # was tried and retired: the box degrades over consecutive full
-  # benches — a 4th-in-a-row run recorded 599 s for a tree that
-  # benches 170 s solo — so extra passes ADD the confound they were
-  # meant to remove. The one deterministic worktree failure mode,
-  # missing copied resources, is fixed above.)
-  #
-  # ARM ORDER: shipped FIRST, prev second. Both arms read the same
-  # fixture parquet and jars, so the second arm rides the first's page
-  # cache — the orientation is chosen so any residual warmth favors
-  # the PREV tree, making a "shipped is not slower" reading
-  # conservative (the CompactionScaleBench discipline). The order is
-  # recorded in the artifact.
+  # A-B-A ARMS (r20 — the r19 round proved arm-ORDER bias exceeds the
+  # tree delta: the same pair flipped sign with orientation). Three
+  # recorded passes — shipped, prev, shipped — give every entry TWO
+  # (shipped, prev) pairings with the prev arm time-centered between
+  # them, so linear box drift cancels per-entry when the two shipped
+  # readings are averaged, and the two pairings' delta totals expose
+  # any residual order bias as a sign-stability check instead of a
+  # hidden confound. A loadavg-gated cooldown runs between arms (the
+  # consecutive-full-bench degradation is real — 599 s recorded for a
+  # 170 s tree on the 4th back-to-back pass — cooling bounds it; the
+  # pairing structure cancels what remains).
+  cooldown() {
+    for i in $(seq 1 8); do
+      L=$(cut -d' ' -f1 /proc/loadavg)
+      awk -v l="$L" 'BEGIN{exit !(l < 0.7)}' && break
+      echo "[ab] loadavg $L — cooling ($i/8)" 1>&2
+      sleep 15
+    done
+  }
   LOAD0=$(cut -d' ' -f1 /proc/loadavg)
-  echo "[ab] benching shipped (HEAD), loadavg $LOAD0" 1>&2
-  SHIP_LINE=$("$REPO_ROOT/tools/bench.sh" "$@" | head -1)
+  echo "[ab] arm 1/3: shipped (HEAD), loadavg $LOAD0" 1>&2
+  SHIP1_LINE=$("$REPO_ROOT/tools/bench.sh" "$@" | head -1)
+  cooldown
   LOAD1=$(cut -d' ' -f1 /proc/loadavg)
-  echo "[ab] benching prev ($REF_SHA), loadavg $LOAD1" 1>&2
+  echo "[ab] arm 2/3: prev ($REF_SHA), loadavg $LOAD1" 1>&2
   PREV_LINE=$("$AB_DIR/tools/bench.sh" "$@" | head -1)
+  cooldown
   LOAD2=$(cut -d' ' -f1 /proc/loadavg)
+  echo "[ab] arm 3/3: shipped (HEAD), loadavg $LOAD2" 1>&2
+  SHIP2_LINE=$("$REPO_ROOT/tools/bench.sh" "$@" | head -1)
+  LOAD3=$(cut -d' ' -f1 /proc/loadavg)
   SHIP_SHA=$(git -C "$REPO_ROOT" rev-parse --short HEAD)
-  python3 - "$REF_SHA" "$LOAD0" "$LOAD1" "$LOAD2" "$REPO_ROOT" \
-      "$PREV_LINE" "$SHIP_LINE" "$SHIP_SHA" <<'PYEOF' 1>&2
+  python3 - "$REF_SHA" "$LOAD0" "$LOAD1" "$LOAD2" "$LOAD3" "$REPO_ROOT" \
+      "$PREV_LINE" "$SHIP1_LINE" "$SHIP2_LINE" "$SHIP_SHA" <<'PYEOF' 1>&2
 import json, sys, time
-ref, l0, l1, l2, root, prev_line, ship_line, ship_sha = sys.argv[1:9]
-prev, ship = json.loads(prev_line), json.loads(ship_line)
+ref, l0, l1, l2, l3, root, prev_line, s1_line, s2_line, ship_sha = sys.argv[1:11]
+prev = json.loads(prev_line)
+s1, s2 = json.loads(s1_line), json.loads(s2_line)
+common = sorted(set(prev["queries"]) & set(s1["queries"]) & set(s2["queries"]))
+# per-entry drift-cancelled delta: prev - mean(shipped1, shipped2);
+# positive = shipped is faster than prev on that entry
+deltas = {q: round(prev["queries"][q]
+               - (s1["queries"][q] + s2["queries"][q]) / 2.0, 3)
+          for q in common}
+pair1 = sum(prev["queries"][q] - s1["queries"][q] for q in common)
+pair2 = sum(prev["queries"][q] - s2["queries"][q] for q in common)
 rec = {"ref": ref, "shipped_sha": ship_sha,
-       "prev_total": prev["value"], "shipped_total": ship["value"],
-       "prev_n": len(prev["queries"]), "shipped_n": len(ship["queries"]),
+       "prev_total": prev["value"],
+       "shipped_total": round((s1["value"] + s2["value"]) / 2.0, 3),
+       "shipped_totals": [s1["value"], s2["value"]],
+       "delta_total": round(sum(deltas.values()), 3),
+       "delta_total_pair1": round(pair1, 3),
+       "delta_total_pair2": round(pair2, 3),
+       "sign_stable": (pair1 > 0) == (pair2 > 0),
+       "prev_n": len(prev["queries"]), "shipped_n": len(s1["queries"]),
+       "common_n": len(common),
        "prev_failed": prev.get("failed", []),
-       "shipped_failed": ship.get("failed", []),
-       "order": "shipped-first (residual cache warmth favors prev)",
-       "loadavg": [float(l0), float(l1), float(l2)],
-       "sf": ship.get("sf", ""), "recorded_unix": int(time.time())}
+       "shipped_failed": sorted(set(s1.get("failed", []))
+                                | set(s2.get("failed", []))),
+       "top_regressions": dict(sorted(deltas.items(),
+                                      key=lambda kv: kv[1])[:8]),
+       "top_improvements": dict(sorted(deltas.items(),
+                                       key=lambda kv: -kv[1])[:8]),
+       "order": "A-B-A (shipped, prev, shipped): prev time-centered, "
+                "linear drift cancels per-entry; sign_stable compares "
+                "the two pairings' totals",
+       "loadavg": [float(l0), float(l1), float(l2), float(l3)],
+       "sf": s1.get("sf", ""), "recorded_unix": int(time.time())}
 with open(f"{root}/BENCH_AB.json", "w") as f:
     f.write(json.dumps(rec) + "\n")
-print("[ab] wrote BENCH_AB.json:", json.dumps(rec))
+print("[ab] wrote BENCH_AB.json:",
+      json.dumps({k: rec[k] for k in ("prev_total", "shipped_total",
+        "delta_total", "delta_total_pair1", "delta_total_pair2",
+        "sign_stable")}))
 PYEOF
   echo "$PREV_LINE"
-  echo "$SHIP_LINE"
+  echo "$SHIP1_LINE"
+  echo "$SHIP2_LINE"
   exit 0
 fi
 

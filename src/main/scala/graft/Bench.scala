@@ -198,8 +198,15 @@ object Bench {
               case None => true
               case Some(m) =>
                 try {
-                  val pr = new ProcessBuilder("git", "rev-parse",
-                    "--short", "HEAD").start()
+                  // anchored to the record's own directory — the
+                  // JVM's cwd could be a different repo/worktree,
+                  // whose HEAD would wrongly reject (or admit) the
+                  // record
+                  val pb = new ProcessBuilder("git", "rev-parse",
+                    "--short", "HEAD")
+                  Option(p.toAbsolutePath.getParent)
+                    .foreach(d => pb.directory(d.toFile))
+                  val pr = pb.start()
                   val head = new String(pr.getInputStream.readAllBytes,
                     java.nio.charset.StandardCharsets.UTF_8).trim
                   pr.waitFor() != 0 || head.startsWith(m.group(1)) ||

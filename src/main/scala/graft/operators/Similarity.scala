@@ -182,6 +182,11 @@ object Similarity {
   def buildIvfIndex(emb: DataFrame, indexDir: String, fingerprint: String,
       nCells: Int = 8): Unit = {
     val s = emb.sparkSession
+    // UNCOMMIT first: a REBUILD that crashes between the centroid and
+    // assignment writes must not leave the PREVIOUS build's marker
+    // presiding over mixed index data — the marker's existence is the
+    // commit, so it goes away before any data is touched
+    java.nio.file.Files.deleteIfExists(ivfMarker(indexDir))
     val e = nonZero(emb)
     ivfSeeds(e, nCells).write.mode("overwrite")
       .parquet(s"$indexDir/centroids")

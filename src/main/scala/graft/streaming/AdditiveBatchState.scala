@@ -182,16 +182,27 @@ private[streaming] object AdditiveBatchState {
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
     fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith("_compact_"))
+      .filter(p => p.getName.startsWith("_compact_") ||
+        p.getName.startsWith("_retired_"))
       .foreach(p => fs.delete(p, true))
     val target = new Path(root, s"compacted=$upToBatch")
     val tmp = new Path(root, s"_compact_$upToBatch")
     df.write.mode("overwrite").parquet(tmp.toString)
     if (failpoint == "before-publish")
       throw new RuntimeException("injected rebase crash before publish")
-    fs.delete(target, true)
+    // REPUBLISH at the same boundary (the crash-heal path re-runs with
+    // an unchanged maxVisibleId) must not open a window with the live
+    // target DELETED while the new content is still a tmp dir: retire
+    // the old target by METADATA RENAME (invisible name, no recursive
+    // delete in the window) and swap the new one in — the exposed
+    // window is two renames, and a crash inside it re-runs to the
+    // identical content (the rebase derivation is deterministic).
+    if (fs.exists(target) &&
+        !fs.rename(target, new Path(root, s"_retired_$upToBatch")))
+      throw new java.io.IOException(s"retire $target failed")
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(s"rename $tmp -> $target failed")
+    fs.delete(new Path(root, s"_retired_$upToBatch"), true)
     if (failpoint == "after-publish")
       throw new RuntimeException("injected rebase crash after publish")
     allParts(fs, root).collect {

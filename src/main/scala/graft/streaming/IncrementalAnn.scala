@@ -68,8 +68,11 @@ object IncrementalAnn {
 
   /** Fingerprint of a centroid table: md5 over the exact (cell,
     * bit-pattern of every component) string — collision-safe identity
-    * for "assigned under the same table". */
-  private def centroidFp(rows: Array[org.apache.spark.sql.Row]): String = {
+    * for "assigned under the same table". (private[streaming] so the
+    * spec's fresh/stale audit computes the PRODUCTION fingerprint,
+    * not a copy that could drift.) */
+  private[streaming] def centroidFp(
+      rows: Array[org.apache.spark.sql.Row]): String = {
     val canon = rows.map { r =>
       val cv = r.getSeq[Double](1)
         .map(d => java.lang.Double.doubleToLongBits(d)).mkString(",")
@@ -99,7 +102,11 @@ object IncrementalAnn {
     if (ns.isEmpty) None
     else {
       val df = s.read.parquet(s"$workDir/centroids/batch=${ns.max}")
-      Some((df, centroidFp(df.collect())))
+      val rows = df.collect()
+      // an EMPTY frozen table (all batches so far empty/zero-norm) is
+      // "no epoch yet" — callers must re-freeze, never assign against
+      // zero centroids (see runBatch)
+      if (rows.isEmpty) None else Some((df, centroidFp(rows)))
     }
   }
 
@@ -134,9 +141,16 @@ object IncrementalAnn {
       .orderBy("h", "vec_id").limit(nCells)
       .select("h", "vec_id", "v")
       .write.mode("overwrite").parquet(s"$workDir/seed/batch=$id")
-    // centroids in effect for this batch: the latest frozen table
-    // (bootstrap: the first batch ever freezes one from its own seed
-    // partial — replay re-derives the identical table)
+    // centroids in effect for this batch: the latest NON-EMPTY frozen
+    // table (bootstrap: the first batch ever freezes one from its own
+    // seed partial — replay re-derives the identical table). An empty
+    // frozen table (the stream opened with empty / all-zero-norm
+    // batches) reads as "no epoch yet" and re-freezes here, picking up
+    // this batch's just-written seed partial: assigning against zero
+    // centroids would drop the batch's vectors from the assign state
+    // PERMANENTLY (ivfAssign's cross join with an empty broadcast
+    // emits nothing, and both the probe's stale path and compaction's
+    // re-assign only see rows that made it into the state).
     val (cents, fp) = centroidsAt(s, workDir, id)
       .getOrElse(freezeCentroids(s, workDir, id, nCells))
     Similarity.ivfAssign(e, cents)
@@ -185,8 +199,16 @@ object IncrementalAnn {
   def probeAccumulated(s: SparkSession, workDir: String,
       queries: DataFrame, k: Int, nCells: Int = 8,
       nprobe: Int = 2): DataFrame = {
-    val cents = currentCentroids(s, workDir, nCells)
-    val fp = centroidFp(cents.collect())
+    import s.implicits._
+    // ONE scan of the (parameter-sized) seed state: the collected
+    // rows feed the fingerprint AND rebuild the local table every
+    // downstream broadcast uses — the merge plan must not re-execute
+    // per consumer (the buildIvfIndex persist-once discipline)
+    val centRows = currentCentroids(s, workDir, nCells).collect()
+    val fp = centroidFp(centRows)
+    val cents = centRows.toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toDF("cell", "cv")
     val state = AdditiveBatchState.merged(s,
       new Path(s"$workDir/assign"), identity)
     val fresh = state.filter(col("epoch_fp") === fp)

@@ -60,6 +60,36 @@ class SimilarityIndexSpec extends AnyFunSuite {
       "missing marker (crash mid-build) must rebuild")
   }
 
+  test("a rebuild that FAILS mid-build uncommits: the old marker cannot preside over mixed index data") {
+    val e = embeddings(20)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivfidx_crash_").toString
+    Similarity.buildIvfIndex(e, idx, "fpA", nCells = 4)
+    assert(Similarity.readIvfMeta(idx).isDefined)
+    // a corpus whose evaluation throws at runtime (ANSI divide by
+    // zero) — the rebuild starts, removes the commit marker, then dies
+    import org.apache.spark.sql.functions.expr
+    val poisoned = e.withColumn("v",
+      expr("array(cast(vec_id as double) / 0.0)"))
+    intercept[Exception] {
+      Similarity.buildIvfIndex(poisoned, idx, "fpB", nCells = 4)
+    }
+    assert(Similarity.readIvfMeta(idx).isEmpty,
+      "failed rebuild left the PREVIOUS build's marker — probes would " +
+        "silently serve mixed index data")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    intercept[IllegalArgumentException] {
+      Similarity.probeIvfIndex(spark, idx, q, k = 3)
+    }
+    // ensure sees the uncommitted index and rebuilds cleanly
+    assert(Similarity.ensureIvfIndex(e, idx, "fpB", nCells = 4))
+    assert(Similarity.probeIvfIndex(spark, idx, q, k = 3, nprobe = 2)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq ===
+      Similarity.ivfTopK(e, col("vec_id") < 5, k = 3, nCells = 4,
+        nprobe = 2).orderBy("q_id", "rank").collect().map(_.toSeq).toSeq)
+  }
+
   test("probeIvfIndex without a committed index fails loudly") {
     val idx = java.nio.file.Files
       .createTempDirectory("graft_ivfidx_none_").toString

@@ -71,17 +71,10 @@ class IncrementalAnnSpec extends AnyFunSuite {
     * centroid table — how much of the probe is served persisted vs
     * re-assigned in-flight. */
   private def freshStale(workDir: String): (Long, Long) = {
-    val cents = IncrementalAnn.currentCentroids(spark, workDir, NCells)
-      .collect()
-    val fp = {
-      val canon = cents.map { r =>
-        val cv = r.getSeq[Double](1)
-          .map(d => java.lang.Double.doubleToLongBits(d)).mkString(",")
-        s"${r.getLong(0)}:$cv"
-      }.sorted.mkString("\n")
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    }
+    // the PRODUCTION fingerprint — a drifted copy here would classify
+    // every row stale and pass/fail the audit for the wrong reason
+    val fp = IncrementalAnn.centroidFp(
+      IncrementalAnn.currentCentroids(spark, workDir, NCells).collect())
     val st = AdditiveBatchState.merged(spark,
       new org.apache.hadoop.fs.Path(s"$workDir/assign"), identity)
     (st.filter(col("epoch_fp") === fp).count(),
@@ -159,6 +152,28 @@ class IncrementalAnnSpec extends AnyFunSuite {
       assert(probe(workDir, docsDir) === expected,
         s"[$failpoint] post-recovery")
     }
+  }
+
+  test("a stream opening with empty / zero-norm batches must not freeze an empty epoch (vectors would be dropped forever)") {
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_d21e_docs_").toString
+    val workDir = java.nio.file.Files.createTempDirectory("graft_d21e_work_").toString
+    // slice 0: one all-zero vector (excluded everywhere) — the seed
+    // partial is EMPTY; slices 1-2 carry the real corpus
+    writeSlice(docsDir, 0, Seq((7L, Seq.fill(8)(0.0))))
+    for (slice <- 1 to 2)
+      writeSlice(docsDir, slice, (0 until 8).map { i =>
+        val id = slice * 8L + i
+        (id, Seq.tabulate(8)(d => ((id * 31 + d * 17) % 19 - 9) / 9.5))
+      })
+    IncrementalAnn.run(spark, docsDir, workDir, nCells = NCells,
+      compactEvery = 16)
+    // every non-zero vector made it into the assign state
+    val stateVecs = AdditiveBatchState.merged(spark,
+        new org.apache.hadoop.fs.Path(s"$workDir/assign"), identity)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(stateVecs === (8L until 24L).toSet,
+      s"vectors dropped by an empty bootstrap epoch: $stateVecs")
+    assert(probe(workDir, docsDir) === batchTopK(docsDir))
   }
 
   test("in-pipeline cadence bounds partitions over 12 batches; probe exact") {

@@ -234,6 +234,19 @@ class IncrementalDsirSpec extends AnyFunSuite {
       assert(IncrementalDsir.resampleIncremental(spark, workDir, k = 10)
         .collect().map(_.toSeq).toSeq === expected,
         s"[$failpoint] post-recovery emission drifted")
+      // REPUBLISH at the same boundary (the heal path's shape): a
+      // crash BEFORE the swap must leave the previously-published
+      // rebase fully emittable — the retire-swap commit, not a
+      // delete-then-rename that opens a no-state window
+      intercept[RuntimeException] {
+        IncrementalDsir.refreshEpoch(spark, workDir, target, pool,
+          k = 10, buckets = Buckets, failpoint = "before-publish")
+      }
+      assert(IncrementalDsir.emissionFresh(spark, workDir),
+        s"[$failpoint] republish crash hid the live rebase")
+      assert(IncrementalDsir.resampleIncremental(spark, workDir, k = 10)
+        .collect().map(_.toSeq).toSeq === expected,
+        s"[$failpoint] republish crash changed the emission")
     }
   }
 

@@ -186,6 +186,18 @@ class IncrementalDsirSpec extends AnyFunSuite {
     val st = spark.read.parquet(s"$workDir/topk")
     assert(st.groupBy().count().collect()(0).getLong(0) <= 4L * 10,
       "top-k partials not bounded by k per batch")
+    // and STRUCTURALLY never the corpus: the emission plan's only
+    // file scans are the top-k state partials (a regression that
+    // sneaks a pool scan back in would re-linearize every emission)
+    val emitDf = IncrementalDsir.resampleIncremental(spark, workDir,
+      k = 10)
+    emitDf.collect()
+    val scanned = emitDf.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scanned.nonEmpty && scanned.forall(_.contains("/topk/")),
+      s"emission scanned outside the top-k state: $scanned")
   }
 
   test("refreshEpoch rebases to the full-model emission; crash matrix at every failpoint stays emittable or fails loudly") {

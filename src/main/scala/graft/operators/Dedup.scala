@@ -339,7 +339,7 @@ object Dedup {
     * `('0x'||substr(h,1,15))::BIGINT`; the Bloom key of
     * [[spanDedupBloom]] (key collisions only ever ADD Bloom false
     * positives, which the exact span_h join removes). */
-  private def spanKey(h: org.apache.spark.sql.Column) =
+  private[graft] def spanKey(h: org.apache.spark.sql.Column) =
     conv(substring(h, 1, 15), 16, 10).cast("long")
 
   /** Shared output projection over the rewrite kernels' (kept,

@@ -916,6 +916,68 @@ object StreamingQueries {
     },
     Some(OracleSql.spanDedupSql(8)))
 
+  // D20 — BOUNDED-COST STREAMING SPAN-DEDUP EMISSION (the d19
+  // emission re-rewrite, closed): d19's read path rewrites the FULL
+  // accumulated corpus per emission — exact under any arrival order,
+  // but linear in the corpus per emission. Keep-first by (doc_id, pos)
+  // is MONOTONE under doc_id-ordered arrival (the census min never
+  // moves below anything that decides an already-arrived doc, and
+  // count thresholds only ever confirm a keeper), so a doc's rewrite
+  // against the census as of its own batch IS its final full-corpus
+  // rewrite — the bounded emission rewrites ONLY the docs that arrived
+  // since the last emission and appends them to a durable emitted
+  // corpus; per-emission cost scales with the delta plus one
+  // duplicated-span census read, never the accumulated corpus. Unlike
+  // p17f this needs NO epochs: the census is the one model and it only
+  // ever confirms earlier decisions. The monotonicity contract is
+  // validated loudly at every emission (watermark check over the
+  // LATEST emission only — monotone emissions make its max the global
+  // max). The entry drives the production lifecycle — three
+  // doc_id-ordered arrival slices, each absorbed into the census and
+  // then emitted as a delta — and the oracle is d17's full batch SQL:
+  // bounded emissions must be invisible in the rewritten corpus
+  // (IncrementalSpanCensusSpec pins delta-emission ≡ accumulated ≡
+  // batch, the crash-heal overwrite, and the loud non-monotone and
+  // regressed-state rejections).
+  private val d20Runs = new java.util.concurrent.atomic.AtomicLong(0)
+  private val d20 = QueryDef(
+    "d20_stream_span_emit",
+    (s, dir) => {
+      val runId = d20Runs.incrementAndGet()
+      val workDir = s"$e3TmpRoot/d20_$runId"
+      val streamDir = s"$workDir/docs"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(streamDir))
+      val docs = Records.table(s, dir, "documents")
+      val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val span = hi - lo + 1
+      val cuts = Seq(lo, lo + span / 3, lo + 2 * (span / 3), hi + 1)
+      for (i <- 0 until 3) {
+        val delta = docs.filter(col("doc_id") >= cuts(i) &&
+          col("doc_id") < cuts(i + 1))
+        // one file per slice: a slice IS a micro-batch under the
+        // runner's maxFilesPerTrigger=1
+        val stage = s"$streamDir/_stage_$i"
+        delta.coalesce(1).write.mode("overwrite").parquet(stage)
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        val part =
+          try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+          finally ls.close()
+        java.nio.file.Files.move(part, java.nio.file.Paths.get(
+          f"$streamDir/documents-$i%02d.parquet"))
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(stage))
+        // absorb the arrival into the census, then emit ONLY the delta
+        graft.streaming.IncrementalSpanCensus.run(s, streamDir, workDir)
+        graft.streaming.IncrementalSpanCensus.emitNewDocs(s, workDir,
+          delta)
+      }
+      graft.streaming.IncrementalSpanCensus.emittedCorpus(s, workDir)
+        .orderBy("doc_id")
+    },
+    Some(OracleSql.spanDedupSql(8)))
+
   // P17D — STREAMING DSIR (the d18 → d19 discipline applied to the
   // p17 wing): the raw pool's hashed-bigram bucket-count model is
   // maintained INCREMENTALLY across micro-batches — per-batch
@@ -1437,7 +1499,7 @@ object StreamingQueries {
 
   val defs: Seq[QueryDef] =
     Seq(k2, s2, s2b, k2b, k2c, k2d, k2e, e3, d7, d8, d12, d13, d14, d18, d19,
-      p17d, p17f, d21, p21,
+      d20, p17d, p17f, d21, p21,
       e4,
       e6, e7)
 }

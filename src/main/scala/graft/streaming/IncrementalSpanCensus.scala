@@ -147,4 +147,164 @@ object IncrementalSpanCensus {
     AdditiveBatchState.compact(s, new Path(s"$workDir/census"), upToBatch,
       mergeAgg, keyCols = Seq("span_h"), targetFileBytes = targetFileBytes,
       failpoint = failpoint)
+
+  // ---- bounded-cost emission: delta rewrites under monotone arrival ----
+  //
+  // [[dedupAccumulated]] rewrites the full accumulated corpus per
+  // emission — exact under ANY arrival order, but linear in the corpus
+  // per emission: at an hourly cadence over 100 TB the re-rewrite of
+  // history is the dominant recurring cost (the same observation that
+  // produced [[IncrementalDsir]]'s frozen-epoch emission). The span
+  // wing admits a STRONGER fix than DSIR's, with no epochs at all,
+  // because keep-first by (doc_id, pos) is MONOTONE under
+  // doc_id-ordered arrival: a doc D's rewrite drops a span occurrence
+  // iff some occurrence with a smaller (doc_id, pos) exists in the
+  // FULL corpus, and once every doc_id below D's has reached the
+  // census, later arrivals can only ADD occurrences with LARGER ids —
+  // the census min never moves below anything that decides D. So D's
+  // rewrite against the census as of any batch ≥ D's own is already
+  // its final full-corpus rewrite (count thresholds are monotone too:
+  // a span D keeps as its first occurrence stays kept however large
+  // its count grows). The bounded emission therefore rewrites ONLY the
+  // docs that arrived since the last emission ([[emitNewDocs]]) and
+  // appends them to a durable emitted-corpus state
+  // (`emitted/batch=<censusBoundary>`, overwrite — a crashed emission
+  // re-runs with the same delta and heals in place); [[emittedCorpus]]
+  // is the union, row-identical to [[dedupAccumulated]] over the same
+  // docs (spec-pinned).
+  //
+  // The census side is delta-restricted too: a delta doc can only be
+  // cut on spans IT CONTAINS, and a per-row key filter commutes with
+  // the key-grouped merge, so filtering the state partials to the
+  // delta's own span set before merging yields exact counts and
+  // firsts for every span that matters. The filter is a bloom of the
+  // delta's spans probed inside the state scan (false positives are
+  // removed by an exact semi join after the merge), so the emission
+  // SHUFFLES and MATERIALIZES only delta-sized census rows — the
+  // remaining census-sized term is one columnar scan of the state,
+  // with no shuffle, no wide write, and no corpus text. Per-emission
+  // cost therefore scales with the delta plus one state scan — never
+  // the accumulated corpus rewrite the d19 path pays.
+  //
+  // The monotonicity precondition is validated LOUDLY: each delta's
+  // min doc_id must exceed the emitted watermark (the max doc_id of
+  // the latest emission — monotone emissions make the latest
+  // partition's max the global max, so the check reads ONE delta-sized
+  // partition, not the accumulated state). A violated precondition
+  // throws instead of silently emitting a rewrite the full-corpus
+  // oracle would contradict; non-monotone pipelines keep
+  // [[dedupAccumulated]].
+
+  private def emittedRoot(workDir: String) = new Path(s"$workDir/emitted")
+
+  /** (id, path) of every emitted partition, ascending by id. */
+  private def emittedParts(s: SparkSession,
+      workDir: String): Seq[(Long, Path)] = {
+    val root = emittedRoot(workDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (!n.startsWith("batch=")) None
+        else try Some((n.drop(6).toLong, p))
+        catch { case _: NumberFormatException => None }
+      }.sortBy(_._1)
+  }
+
+  /** Rewrite ONLY `newDocs` — the docs that arrived since the last
+    * emission, all already absorbed into the census (run [[run]] over
+    * them first) — against the incrementally-maintained census, and
+    * append them to the emitted-corpus state. Exact under
+    * doc_id-monotone arrival (see the section comment; validated
+    * loudly). Idempotent: a crashed emission re-runs with the same
+    * delta and overwrites its own partition. An empty delta is a
+    * no-op. */
+  def emitNewDocs(s: SparkSession, workDir: String, newDocs: DataFrame,
+      spanTokens: Int = 8): Unit = {
+    val boundary = AdditiveBatchState.maxVisibleId(s,
+      new Path(s"$workDir/census"))
+    require(boundary >= 0,
+      s"no census state under $workDir — run the stream before emitting")
+    val mm = newDocs.agg(min(col("doc_id")), max(col("doc_id")),
+      count(lit(1))).collect()(0)
+    if (mm.getLong(2) == 0L) return
+    val minNew = mm.getLong(0)
+    val parts = emittedParts(s, workDir)
+    // a partition AT the boundary is a prior attempt of THIS emission
+    // (the census did not advance) — the overwrite below heals it; the
+    // watermark comes from the emissions strictly before it
+    val prior = parts.filter(_._1 != boundary)
+    require(prior.forall(_._1 < boundary),
+      s"emitted state holds partitions beyond census boundary $boundary" +
+        s" (${prior.map(_._1).filter(_ > boundary).mkString(",")}) — " +
+        "the census state regressed; rebuild before emitting")
+    prior.lastOption.foreach { case (lastId, lastPath) =>
+      val wmRow = s.read.parquet(lastPath.toString)
+        .agg(max(col("doc_id")), count(lit(1))).collect()(0)
+      require(wmRow.getLong(1) > 0L,
+        s"emitted partition batch=$lastId is empty — a prior emission " +
+          "crashed mid-write; re-run it with its own delta before advancing")
+      val wm = wmRow.getLong(0)
+      require(minNew > wm,
+        s"non-monotone arrival: delta min doc_id $minNew ≤ emitted " +
+          s"watermark $wm — the bounded emission's keep-first finality " +
+          "needs doc_id-ordered arrival; use dedupAccumulated")
+    }
+    graft.operators.Dedup.spanDedupCorpus(newDocs,
+        censusForDelta(s, workDir, newDocs, spanTokens), spanTokens)
+      .write.mode("overwrite")
+      .parquet(new Path(emittedRoot(workDir), s"batch=$boundary").toString)
+  }
+
+  /** [[censusWithFirst]] restricted to the DELTA'S OWN span set — see
+    * the section comment: the key filter commutes with the key-grouped
+    * merge, so the surviving rows are exact, and the bloom-inside-the-
+    * scan keeps non-matching state rows out of the merge shuffle
+    * (the exact semi join after the merge removes the fpp trickle). */
+  private def censusForDelta(s: SparkSession, workDir: String,
+      newDocs: DataFrame, spanTokens: Int): DataFrame = {
+    import graft.operators.Dedup.spanKey
+    // materialize the delta's distinct spans once — consumed by the
+    // bloom build and the exact semi join (delta-sized by definition)
+    val spansTmp = graft.SessionTemp.dir("graft_emit_spans_")
+    newDocs.select(explode_outer(
+        expr(s"span_hashes(text, $spanTokens, 1L)")).as("span_h"))
+      .filter(col("span_h").isNotNull).distinct()
+      .write.mode("overwrite").parquet(spansTmp)
+    val spans = s.read.parquet(spansTmp)
+    val nSpans = spans.count()
+    if (nSpans == 0L)
+      // every delta doc is shorter than the span width — nothing can
+      // be cut; hand the rewrite an empty, correctly-typed census
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "span_h STRING, n_docs BIGINT, n_occurrences BIGINT, " +
+            "first_doc BIGINT, first_pos INT"))
+    val bf = spans.stat.bloomFilter(spanKey(col("span_h")), nSpans, 0.001)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    AdditiveBatchState.merged(s, new Path(s"$workDir/census"),
+        partials => mergeAgg(partials.filter(call_function(
+          "bloom_contains", lit(bytes), spanKey(col("span_h"))))))
+      .filter(col("n_occurrences") >= 2L)
+      .join(spans, Seq("span_h"), "left_semi")
+      .select(col("span_h"), col("n_docs"), col("n_occurrences"),
+        col("first").getField("doc_id").as("first_doc"),
+        col("first").getField("pos").as("first_pos"))
+  }
+
+  /** The emitted deduplicated corpus — the union of every emission's
+    * partition: (doc_id, n_tokens, n_kept, kept_text), row-identical
+    * to [[dedupAccumulated]] over the same docs under the monotone-
+    * arrival contract (spec-pinned). Partition count equals the number
+    * of emissions — caller-cadence-bounded by construction, so no
+    * compaction is maintained for this state. */
+  def emittedCorpus(s: SparkSession, workDir: String): DataFrame = {
+    val parts = emittedParts(s, workDir)
+    require(parts.nonEmpty, s"no emitted state under $workDir")
+    s.read.parquet(parts.map(_._2.toString): _*)
+  }
 }

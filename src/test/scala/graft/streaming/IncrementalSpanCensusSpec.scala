@@ -157,6 +157,87 @@ class IncrementalSpanCensusSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded emission: per-slice deltas == dedupAccumulated == batch d17; heals a crashed attempt; rejects non-monotone arrival") {
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_d20_docs_").toString
+    val workDir = java.nio.file.Files.createTempDirectory("graft_d20_work_").toString
+    // the production lifecycle: per slice — absorb into the census,
+    // then emit ONLY the delta (writeSlices' ids are doc_id-monotone
+    // across slices, the bounded emission's contract)
+    for (slice <- 0 until 4) {
+      writeSlice(docsDir, slice, (0 until 6).map { i =>
+        val id = slice * 6L + i
+        val toks = (0 until 6).map(j => s"w${(id + j) % 5}")
+        id -> toks.mkString(" ")
+      })
+      IncrementalSpanCensus.run(spark, docsDir, workDir,
+        spanTokens = SpanTokens)
+      val delta = spark.read.parquet(f"$docsDir/documents-$slice%02d.parquet")
+      IncrementalSpanCensus.emitNewDocs(spark, workDir, delta, SpanTokens)
+    }
+    val docs = spark.read.option("pathGlobFilter", "documents*.parquet")
+      .parquet(docsDir)
+    def emitted(): Seq[Seq[Any]] =
+      IncrementalSpanCensus.emittedCorpus(spark, workDir)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val viaBounded = emitted()
+    val viaAccumulated = IncrementalSpanCensus
+      .dedupAccumulated(spark, workDir, docs, SpanTokens)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaBounded === viaAccumulated,
+      "bounded emission drifted from the accumulated rewrite")
+    val viaBatch = graft.operators.Dedup.spanDedupCorpus(docs,
+        graft.operators.Dedup.spanCensusWithFirst(docs, SpanTokens),
+        SpanTokens)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaBounded === viaBatch, "bounded emission != pure-batch d17")
+    // a re-run of the last emission (the crash-heal path: same delta,
+    // census unadvanced) overwrites its own partition — idempotent
+    IncrementalSpanCensus.emitNewDocs(spark, workDir,
+      spark.read.parquet(s"$docsDir/documents-03.parquet"), SpanTokens)
+    assert(emitted() === viaBounded, "emission re-run is not idempotent")
+    // a crashed attempt at a NEW boundary (empty partition dir) heals
+    // when the emission re-runs with its delta
+    writeSlice(docsDir, 4, Seq(
+      24L -> "w0 w1 w2 w3 w4 w0",
+      25L -> "zz yy xx"))
+    IncrementalSpanCensus.run(spark, docsDir, workDir,
+      spanTokens = SpanTokens)
+    val boundary = AdditiveBatchState.maxVisibleId(spark,
+      new org.apache.hadoop.fs.Path(s"$workDir/census"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$workDir/emitted/batch=$boundary"))
+    IncrementalSpanCensus.emitNewDocs(spark, workDir,
+      spark.read.parquet(s"$docsDir/documents-04.parquet"), SpanTokens)
+    val allDocs = spark.read.option("pathGlobFilter", "documents*.parquet")
+      .parquet(docsDir)
+    val viaBatchAll = graft.operators.Dedup.spanDedupCorpus(allDocs,
+        graft.operators.Dedup.spanCensusWithFirst(allDocs, SpanTokens),
+        SpanTokens)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(emitted() === viaBatchAll, "healed emission != pure-batch d17")
+    // a non-monotone delta (doc_id below the emitted watermark) is
+    // rejected LOUDLY — silently emitting it would contradict the
+    // full-corpus keep-first oracle
+    val bad = Seq((0L, "w0 w1 w2", "en", "srcX", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val err = intercept[IllegalArgumentException] {
+      IncrementalSpanCensus.emitNewDocs(spark, workDir, bad, SpanTokens)
+    }
+    assert(err.getMessage.contains("non-monotone arrival"),
+      s"wrong rejection: ${err.getMessage}")
+    // emitted partitions beyond the census boundary mean the census
+    // state regressed — also loud
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$workDir/emitted/batch=${boundary + 7}"))
+    val err2 = intercept[IllegalArgumentException] {
+      IncrementalSpanCensus.emitNewDocs(spark, workDir,
+        Seq((99L, "a b c", "en", "srcX", 5L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"), SpanTokens)
+    }
+    assert(err2.getMessage.contains("census state regressed"),
+      s"wrong rejection: ${err2.getMessage}")
+  }
+
   test("in-pipeline cadence bounds partitions over 30 batches; census exact") {
     val docsDir = java.nio.file.Files.createTempDirectory("graft_d18l_docs_").toString
     val workDir = java.nio.file.Files.createTempDirectory("graft_d18l_work_").toString

@@ -262,7 +262,7 @@ object IncrementalSpanCensus {
     * merge, so the surviving rows are exact, and the bloom-inside-the-
     * scan keeps non-matching state rows out of the merge shuffle
     * (the exact semi join after the merge removes the fpp trickle). */
-  private def censusForDelta(s: SparkSession, workDir: String,
+  private[streaming] def censusForDelta(s: SparkSession, workDir: String,
       newDocs: DataFrame, spanTokens: Int): DataFrame = {
     import graft.operators.Dedup.spanKey
     // materialize the delta's distinct spans once — consumed by the

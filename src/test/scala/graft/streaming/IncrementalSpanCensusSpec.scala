@@ -236,6 +236,78 @@ class IncrementalSpanCensusSpec extends AnyFunSuite {
     }
     assert(err2.getMessage.contains("census state regressed"),
       s"wrong rejection: ${err2.getMessage}")
+    // the emission's census path must stay DELTA-RESTRICTED: the bloom
+    // probe gates state rows out of the merge shuffle and the exact
+    // semi join removes its fpp trickle — a regression that swaps the
+    // full censusWithFirst back in would re-linearize the emission's
+    // shuffle and materialization (the cost d20 exists to avoid)
+    val restricted = IncrementalSpanCensus.censusForDelta(spark, workDir,
+      spark.read.parquet(s"$docsDir/documents-04.parquet"), SpanTokens)
+    val plan = restricted.queryExecution.optimizedPlan.toString
+    assert(plan.contains("bloom_contains"),
+      s"delta-span bloom probe missing from the emission census plan:\n$plan")
+    assert(plan.toLowerCase.contains("leftsemi"),
+      s"exact delta-span semi join missing from the emission census plan:\n$plan")
+  }
+
+  test("bounded emission fuzz: random slicings and emission cadences == batch d17") {
+    // the monotonicity theorem under ARBITRARY arrival shapes: random
+    // corpus over a tiny alphabet (dense span collisions), random
+    // slice boundaries, and a random emission cadence — a delta may
+    // span SEVERAL census batches (emissions are caller-cadence, not
+    // per-batch). Every shape must reproduce the pure-batch keep-first
+    // rewrite exactly.
+    val rnd = new scala.util.Random(42)
+    for (round <- 0 until 3) {
+      val docsDir = java.nio.file.Files
+        .createTempDirectory(s"graft_d20f${round}_docs_").toString
+      val workDir = java.nio.file.Files
+        .createTempDirectory(s"graft_d20f${round}_work_").toString
+      val spanTokens = 2 + rnd.nextInt(2) // 2 or 3
+      val nDocs = 30 + rnd.nextInt(31)
+      val texts = (0 until nDocs).map { id =>
+        val n = 1 + rnd.nextInt(9)
+        id.toLong -> (0 until n).map(_ => s"t${rnd.nextInt(6)}").mkString(" ")
+      }
+      // random doc_id-ordered slice boundaries
+      var slices = Seq.empty[Seq[(Long, String)]]
+      var rest = texts
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(math.min(rest.size, 12))
+        slices :+= rest.take(take)
+        rest = rest.drop(take)
+      }
+      var sliceIdx = 0
+      var pendingSince = 0 // first slice index not yet emitted
+      def emitPending(): Unit = {
+        if (pendingSince < sliceIdx) {
+          val files = (pendingSince until sliceIdx).map(i =>
+            f"$docsDir/documents-$i%02d.parquet")
+          IncrementalSpanCensus.emitNewDocs(spark, workDir,
+            spark.read.parquet(files: _*), spanTokens)
+          pendingSince = sliceIdx
+        }
+      }
+      for (slice <- slices) {
+        writeSlice(docsDir, sliceIdx, slice)
+        sliceIdx += 1
+        IncrementalSpanCensus.run(spark, docsDir, workDir,
+          spanTokens = spanTokens)
+        if (rnd.nextBoolean()) emitPending()
+      }
+      emitPending()
+      val docs = spark.read.option("pathGlobFilter", "documents*.parquet")
+        .parquet(docsDir)
+      val viaBounded = IncrementalSpanCensus.emittedCorpus(spark, workDir)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val viaBatch = graft.operators.Dedup.spanDedupCorpus(docs,
+          graft.operators.Dedup.spanCensusWithFirst(docs, spanTokens),
+          spanTokens)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(viaBounded === viaBatch,
+        s"[round $round spanTokens=$spanTokens slices=${slices.size}] " +
+          "bounded emission drifted from pure-batch d17")
+    }
   }
 
   test("in-pipeline cadence bounds partitions over 30 batches; census exact") {

@@ -35,6 +35,15 @@ object Bench {
       }.count().toInt
     } catch { case _: Throwable => -1 }
 
+  /** True when a repo-relative path can change what a bench run
+    * EXECUTES — the A/B stamp's doc-only-successor rule rejects any
+    * commit range touching one of these (source, build definition,
+    * the bench wrapper itself); artifacts and prose (BENCH_*.json,
+    * SURVEY.md, README…) never invalidate a measured stamp. */
+  private[graft] def abExecutablePath(f: String): Boolean =
+    f.startsWith("src/") || f.startsWith("tools/") ||
+      f.startsWith("project/") || f == "build.sbt"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -202,15 +211,42 @@ object Bench {
                   // JVM's cwd could be a different repo/worktree,
                   // whose HEAD would wrongly reject (or admit) the
                   // record
-                  val pb = new ProcessBuilder("git", "rev-parse",
-                    "--short", "HEAD")
-                  Option(p.toAbsolutePath.getParent)
-                    .foreach(d => pb.directory(d.toFile))
-                  val pr = pb.start()
-                  val head = new String(pr.getInputStream.readAllBytes,
-                    java.nio.charset.StandardCharsets.UTF_8).trim
-                  pr.waitFor() != 0 || head.startsWith(m.group(1)) ||
-                    m.group(1).startsWith(head)
+                  def git(args: String*): (Int, String) = {
+                    val pb = new ProcessBuilder(("git" +: args): _*)
+                    Option(p.toAbsolutePath.getParent)
+                      .foreach(d => pb.directory(d.toFile))
+                    val pr = pb.start()
+                    val out = new String(pr.getInputStream.readAllBytes,
+                      java.nio.charset.StandardCharsets.UTF_8).trim
+                    (pr.waitFor(), out)
+                  }
+                  val (rc, head) = git("rev-parse", "--short", "HEAD")
+                  if (rc != 0) true // git unavailable → mtime rule
+                  else if (head.startsWith(m.group(1)) ||
+                      m.group(1).startsWith(head)) true
+                  else {
+                    // DOC-ONLY SUCCESSORS: committing the stamp (and
+                    // the survey prose that cites it) necessarily
+                    // advances HEAD past shipped_sha, so an exact
+                    // match un-embeds every stamp one commit after it
+                    // is taken. A stamp still controls THIS tree when
+                    // its sha is an ancestor of HEAD and nothing that
+                    // EXECUTES changed since — any touch under the
+                    // executable paths (abExecutablePath) rejects.
+                    val (rcA, _) =
+                      git("merge-base", "--is-ancestor", m.group(1), "HEAD")
+                    // diff vs the WORKING TREE (not HEAD): the bench
+                    // executes working-tree classes, so an uncommitted
+                    // source edit must invalidate too — as must an
+                    // untracked source file
+                    val (rcD, diff) =
+                      git("diff", "--name-only", m.group(1))
+                    val (rcU, untracked) =
+                      git("ls-files", "--others", "--exclude-standard")
+                    rcA == 0 && rcD == 0 && rcU == 0 &&
+                      (diff + "\n" + untracked).split('\n')
+                        .filter(_.nonEmpty).forall(!abExecutablePath(_))
+                  }
                 } catch { case _: Throwable => true }
             }
           if (shaOk && s.startsWith("{") && s.endsWith("}") &&

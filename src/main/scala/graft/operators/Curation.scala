@@ -31,9 +31,20 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** One funnel stage: `transform` the corpus, optionally materialize
-    * the result (session-temp parquet, read back once). */
+    * the result (session-temp parquet, read back once).
+    *
+    * `inputReadOnce` declares that `transform` references its input
+    * relation exactly ONCE in the plan it returns (a single linear
+    * chain — no self-join, no aggregate-plus-join fan-out back to the
+    * input). [[funnelWithReport]] uses it to skip materializing the
+    * PRECEDING stage's output: an observe node is exact iff its subtree
+    * executes exactly once, so a single-reader consumer can carry its
+    * input's observe inside its own plan for free, while a multi-branch
+    * consumer (the default, `false` — the safe claim) needs the
+    * boundary materialized first. Purely a physical hint: stage
+    * semantics and [[funnel]] are unaffected. */
   final case class Stage(name: String, transform: DataFrame => DataFrame,
-      materialize: Boolean = false) {
+      materialize: Boolean = false, inputReadOnce: Boolean = false) {
     // ASCII-explicit (not isLetterOrDigit, which is Unicode-wide and
     // would admit names the documented contract excludes)
     require(name.nonEmpty && name.forall(c =>
@@ -71,7 +82,7 @@ object Curation {
     Stage("exact_dedup_kept", { d =>
       d.join(keepers.select(col("keeper_doc_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
-    })
+    }, inputReadOnce = true) // one semi join; keepers is external
 
   /** Eval-set decontamination: drop the eval slice itself AND every
     * remaining doc sharing an exact `n`-gram hash with it
@@ -100,7 +111,8 @@ object Curation {
       idCol: String = "doc_id"): Stage =
     Stage("metric",
       d => Selection.vocabRichnessMicro(d, idCol, carryCols = carryCols),
-      materialize = true)
+      materialize = true,
+      inputReadOnce = true) // one linear select chain over the input
 
   /** Best-quality-first selection to a `num/den` fraction of the
     * pool's tokens ([[Selection.selectByTokenBudget]] over
@@ -167,14 +179,35 @@ object Curation {
     * aggregates riding the stage's own execution, no extra pass), and
     * the report comes back as a small relation
     * (stage_idx, stage, rows_out, tokens_out) with stage 0 = the
-    * input corpus. The audit form materializes EVERY stage: a stage
-    * consumed by two downstream branches (decontaminate's gram and
-    * corpus sides) would otherwise execute its observe node once per
-    * branch and double-count — materialization makes each observe
-    * node's single consumer the stage's own write, so the counts are
-    * exact by construction (CurationSpec pins materialization
-    * behavior-invisible, so the result relation is [[funnel]]'s).
-    * Returns (result, report). */
+    * input corpus. An observe node is exact iff its subtree executes
+    * exactly once, so a boundary is materialized only where that is
+    * not already true ([[materializeBoundary]]): a stage consumed by a
+    * multi-branch successor (decontaminate's gram and corpus sides)
+    * would execute its observe node once per branch — materialization
+    * makes the write the single consumer — while a single-reader
+    * successor (`inputReadOnce`) carries the observe inside its own
+    * plan, so that boundary costs NOTHING over the plain funnel (no
+    * extra scan, write, or exchange — at 100 TB a skipped boundary is
+    * a full corpus write+read avoided). The final stage and
+    * `materialize`-flagged stages still land in session-temp parquet
+    * (the report needs every metric observed before it is built, and
+    * the funnel's own multi-consumer policy is unchanged). CurationSpec
+    * pins the audit form result- and report-identical to the
+    * all-materialized form. Returns (result, report). */
+  /** Whether [[funnelWithReport]] must land stage `i`'s output in
+    * session-temp parquet: yes for the LAST stage (every observe has
+    * to have fired before the report is assembled, and the returned
+    * result must not re-run the funnel per consumer), for stages whose
+    * output the funnel's own policy multi-consumes (`materialize`),
+    * and for stages whose SUCCESSOR reads its input through more than
+    * one plan branch (the observe node would execute per branch).
+    * A single-reader successor (`inputReadOnce`) makes the boundary
+    * free — the observe rides the successor's execution. */
+  private[operators] def materializeBoundary(stages: Seq[Stage],
+      i: Int): Boolean =
+    i == stages.size - 1 || stages(i).materialize ||
+      !stages(i + 1).inputReadOnce
+
   def funnelWithReport(corpus: DataFrame,
       stages: Seq[Stage]): (DataFrame, DataFrame) = {
     val s = corpus.sparkSession
@@ -213,14 +246,26 @@ object Curation {
       // consumed by a multi-branch first stage (exactDedup reads its
       // input for both the keeper aggregate and the semi join) would
       // execute the observe node once per branch and double-count
-      observed(corpus, 0, "input")
-        .write.format("noop").mode("overwrite").save()
-      var cur = corpus
+      // the input boundary follows the same single-reader rule as any
+      // other: a single-reader first stage carries the input observe in
+      // its own plan; a multi-branch first stage (exactDedup reads its
+      // input for both the keeper aggregate and the semi join) would
+      // execute it once per branch, so the metrics ride a dedicated
+      // noop pass instead
+      var cur = observed(corpus, 0, "input")
+      if (!stages.headOption.forall(_.inputReadOnce)) {
+        cur.write.format("noop").mode("overwrite").save()
+        cur = corpus
+      }
       for ((st, i) <- stages.zipWithIndex) {
         val out = observed(st.transform(cur), i + 1, st.name)
-        val tmp = graft.SessionTemp.dir(s"graft_obs_${st.name}_")
-        out.write.mode("overwrite").parquet(tmp)
-        cur = s.read.parquet(tmp)
+        cur =
+          if (!materializeBoundary(stages, i)) out
+          else {
+            val tmp = graft.SessionTemp.dir(s"graft_obs_${st.name}_")
+            out.write.mode("overwrite").parquet(tmp)
+            s.read.parquet(tmp)
+          }
       }
       // observed metrics arrive on an ASYNC listener bus — bounded wait
       val names = ("input" +: stages.map(_.name)).zipWithIndex

@@ -168,6 +168,65 @@ class CurationSpec extends AnyFunSuite {
       === ("input" +: stages.map(_.name)))
   }
 
+  test("audit materialization is selective and exact: single-reader boundaries ride free") {
+    // boundary decisions: only multi-branch successors (and the last
+    // stage / funnel-policy materializations) force a parquet landing
+    val stages = Seq(
+      Curation.exactDedup(),                                // multi-reader
+      Curation.decontaminate(evalPred),                     // multi-reader
+      Curation.qualityMetric(carryCols = Seq("source")),    // single-reader
+      Curation.domainMix(Seq(("srcA", 300000L), ("srcB", 200000L))
+        .toDF("source", "w_micro")))                        // multi-reader
+    assert(Curation.materializeBoundary(stages, 0),
+      "decontaminate multi-reads its input — boundary 0 must land")
+    assert(!Curation.materializeBoundary(stages, 1),
+      "qualityMetric single-reads its input — boundary 1 rides free")
+    assert(Curation.materializeBoundary(stages, 2),
+      "metric output is funnel-policy materialized")
+    assert(Curation.materializeBoundary(stages, 3), "last stage lands")
+
+    // the skipped boundary must not change the result or the trail:
+    // compare against per-stage direct recomputation (the same oracle
+    // as the main report test, now crossing a free boundary)
+    val (result, report) = Curation.funnelWithReport(corpus, stages)
+    assert(result.collect().map(_.toSeq).toSet ===
+      Curation.funnel(corpus, stages).collect().map(_.toSeq).toSet)
+    val toks = sum(size(filter(split(coalesce(col("text"), lit("")), " "),
+      t => t =!= "")).cast("long"))
+    def countsOf(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val agg =
+        if (df.columns.contains("text")) df.agg(count(lit(1)), toks)
+        else df.agg(count(lit(1)), sum(col("n_tok")))
+      val r = agg.collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val expected = stages.inits.toSeq.reverse
+      .map(prefix => countsOf(Curation.funnel(corpus, prefix)))
+    val got = report.orderBy("stage_idx").collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
+
+  test("audit input boundary rides a single-reader first stage for free") {
+    // first stage single-reader (exactDedupKept): the input observe
+    // rides its plan — no dedicated noop pass — and the trail is exact
+    val keepers = Dedup.exactDuplicates(corpus)
+      .select(col("keeper_doc_id"))
+    val stages = Seq(
+      Curation.exactDedupKept(keepers),
+      Curation.qualityMetric(carryCols = Seq("source")))
+    assert(stages.head.inputReadOnce)
+    val (result, report) = Curation.funnelWithReport(corpus, stages)
+    assert(result.collect().map(_.toSeq).toSet ===
+      Curation.funnel(corpus, stages).collect().map(_.toSeq).toSet)
+    val rows = report.orderBy("stage_idx").collect()
+    assert(rows.map(_.getString(1)).toSeq ===
+      Seq("input", "exact_dedup_kept", "metric"))
+    assert(rows(0).getLong(2) === corpus.count())
+    assert(rows(1).getLong(2) ===
+      Curation.funnel(corpus, Seq(stages.head)).count())
+  }
+
   test("stage names are validated (they name temp dirs)") {
     intercept[IllegalArgumentException] {
       Curation.Stage("../evil", identity)

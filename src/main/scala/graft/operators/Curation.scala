@@ -242,10 +242,6 @@ object Curation {
     }
     s.listenerManager.register(listener)
     try {
-      // input metrics ride a dedicated noop pass: an observed input
-      // consumed by a multi-branch first stage (exactDedup reads its
-      // input for both the keeper aggregate and the semi join) would
-      // execute the observe node once per branch and double-count
       // the input boundary follows the same single-reader rule as any
       // other: a single-reader first stage carries the input observe in
       // its own plan; a multi-branch first stage (exactDedup reads its

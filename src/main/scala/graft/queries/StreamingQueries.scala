@@ -970,8 +970,13 @@ object StreamingQueries {
           new java.io.File(stage))
         // absorb the arrival into the census, then emit ONLY the delta
         graft.streaming.IncrementalSpanCensus.run(s, streamDir, workDir)
+        // the emission consumes the STAGED slice file (same rows as
+        // `delta`): each of the emission's delta passes then reads the
+        // slice-sized file instead of rescanning + refiltering the full
+        // documents table — the shape a production stream has anyway
+        // (the arriving slice IS a file)
         graft.streaming.IncrementalSpanCensus.emitNewDocs(s, workDir,
-          delta)
+          s.read.parquet(f"$streamDir/documents-$i%02d.parquet"))
       }
       graft.streaming.IncrementalSpanCensus.emittedCorpus(s, workDir)
         .orderBy("doc_id")

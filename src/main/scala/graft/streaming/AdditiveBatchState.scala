@@ -135,8 +135,17 @@ private[streaming] object AdditiveBatchState {
       val n = BatchedParquetIndex.compactionPartitions(
         fs, mergeable, targetFileBytes)
       val merged = mergeAgg(s.read.parquet(mergeable.map(_.toString): _*))
+      // sortWithinPartitions on the key: each compacted file's row
+      // groups then cover a narrow key range, so a later selective read
+      // (a delta-restricted emission probing few keys) can skip row
+      // groups via parquet min/max stats — without it a hash key's
+      // uniform spread makes every row group's [min,max] span the whole
+      // domain and nothing ever prunes. Cost is one in-task sort of
+      // rows the repartition already co-located; merge results are
+      // row-order-free so downstream reads are unaffected.
       val laid =
         if (keyCols.nonEmpty) merged.repartition(n, keyCols.map(col): _*)
+          .sortWithinPartitions(keyCols.map(col): _*)
         else merged.repartition(n)
       laid.write.mode("overwrite").parquet(tmp.toString)
       if (failpoint == "before-publish")

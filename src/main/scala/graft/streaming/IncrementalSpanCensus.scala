@@ -212,24 +212,56 @@ object IncrementalSpanCensus {
       }.sortBy(_._1)
   }
 
+  /** True when an emitted partition finished its parquet job commit:
+    * the committer's `_SUCCESS` marker is the completion record (the
+    * default local/HDFS committer writes it atomically after every
+    * task's output is moved in). A partition without it is a crashed
+    * attempt — its rows may be a partial subset of its delta, so its
+    * max doc_id UNDERSTATES the watermark and it must never be trusted
+    * as a complete emission. */
+  private def committed(s: SparkSession, p: Path): Boolean =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .exists(new Path(p, "_SUCCESS"))
+
   /** Rewrite ONLY `newDocs` — the docs that arrived since the last
     * emission, all already absorbed into the census (run [[run]] over
     * them first) — against the incrementally-maintained census, and
     * append them to the emitted-corpus state. Exact under
     * doc_id-monotone arrival (see the section comment; validated
     * loudly). Idempotent: a crashed emission re-runs with the same
-    * delta and overwrites its own partition. An empty delta is a
-    * no-op. */
+    * delta and overwrites its own partition — a COMMITTED partition at
+    * the boundary is overwritten only when it holds exactly this
+    * delta's doc_id range (a genuine crash re-run does; a second,
+    * different delta emitted at the same boundary would otherwise be
+    * silently discarded by the overwrite, so it throws: advance the
+    * census first, or emit the union). An empty delta is a no-op.
+    *
+    * Cost shape: TWO delta scans total — the span materialization
+    * (which also carries the delta's (min, max, count) bounds as
+    * observed metrics, so the monotonicity guards cost no scan of
+    * their own) and the rewrite pass — plus the bloom-probed census
+    * state read ([[censusForDelta]]). */
   def emitNewDocs(s: SparkSession, workDir: String, newDocs: DataFrame,
       spanTokens: Int = 8): Unit = {
     val boundary = AdditiveBatchState.maxVisibleId(s,
       new Path(s"$workDir/census"))
     require(boundary >= 0,
       s"no census state under $workDir — run the stream before emitting")
-    val mm = newDocs.agg(min(col("doc_id")), max(col("doc_id")),
-      count(lit(1))).collect()(0)
-    if (mm.getLong(2) == 0L) return
-    val minNew = mm.getLong(0)
+    // ONE delta scan feeds both the distinct-span materialization and
+    // the monotonicity bounds (observed metrics ride the same pass)
+    val obs = org.apache.spark.sql.Observation()
+    val spansTmp = graft.SessionTemp.dir("graft_emit_spans_")
+    newDocs
+      .observe(obs, min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"), count(lit(1)).as("n"))
+      .select(explode_outer(
+        expr(s"span_hashes(text, $spanTokens, 1L)")).as("span_h"))
+      .filter(col("span_h").isNotNull).distinct()
+      .write.mode("overwrite").parquet(spansTmp)
+    val bounds = obs.get
+    if (bounds("n").asInstanceOf[Long] == 0L) return
+    val minNew = bounds("min_id").asInstanceOf[Long]
+    val maxNew = bounds("max_id").asInstanceOf[Long]
     val parts = emittedParts(s, workDir)
     // a partition AT the boundary is a prior attempt of THIS emission
     // (the census did not advance) — the overwrite below heals it; the
@@ -240,6 +272,10 @@ object IncrementalSpanCensus {
         s" (${prior.map(_._1).filter(_ > boundary).mkString(",")}) — " +
         "the census state regressed; rebuild before emitting")
     prior.lastOption.foreach { case (lastId, lastPath) =>
+      require(committed(s, lastPath),
+        s"emitted partition batch=$lastId has no _SUCCESS marker — a " +
+          "prior emission crashed mid-write and its rows may be partial; " +
+          "re-run it with its own delta before advancing")
       val wmRow = s.read.parquet(lastPath.toString)
         .agg(max(col("doc_id")), count(lit(1))).collect()(0)
       require(wmRow.getLong(1) > 0L,
@@ -251,8 +287,28 @@ object IncrementalSpanCensus {
           s"watermark $wm — the bounded emission's keep-first finality " +
           "needs doc_id-ordered arrival; use dedupAccumulated")
     }
+    // a COMMITTED partition already at the boundary: a genuine crash
+    // re-run holds the identical delta (same doc_id range); anything
+    // else is a SECOND delta at one boundary (two emitNewDocs calls
+    // without a census advance between them) and the overwrite would
+    // silently discard the first — throw instead. An UNcommitted
+    // boundary partition is a crashed attempt; the overwrite heals it.
+    parts.find(_._1 == boundary)
+      .filter { case (_, p) => committed(s, p) }
+      .foreach { case (_, p) =>
+        val r = s.read.parquet(p.toString)
+          .agg(min(col("doc_id")), max(col("doc_id")), count(lit(1)))
+          .collect()(0)
+        require(r.getLong(2) > 0L && r.getLong(0) == minNew &&
+            r.getLong(1) == maxNew,
+          s"emitted partition batch=$boundary already holds a committed " +
+            s"emission of docs [${if (r.getLong(2) > 0L) s"${r.getLong(0)},${r.getLong(1)}" else "∅"}] " +
+            s"but this delta is [$minNew,$maxNew] — two different deltas " +
+            "at one census boundary; advance the census (run) before " +
+            "emitting again, or emit their union as one delta")
+      }
     graft.operators.Dedup.spanDedupCorpus(newDocs,
-        censusForDelta(s, workDir, newDocs, spanTokens), spanTokens)
+        censusForSpans(s, workDir, s.read.parquet(spansTmp)), spanTokens)
       .write.mode("overwrite")
       .parquet(new Path(emittedRoot(workDir), s"batch=$boundary").toString)
   }
@@ -264,7 +320,6 @@ object IncrementalSpanCensus {
     * (the exact semi join after the merge removes the fpp trickle). */
   private[streaming] def censusForDelta(s: SparkSession, workDir: String,
       newDocs: DataFrame, spanTokens: Int): DataFrame = {
-    import graft.operators.Dedup.spanKey
     // materialize the delta's distinct spans once — consumed by the
     // bloom build and the exact semi join (delta-sized by definition)
     val spansTmp = graft.SessionTemp.dir("graft_emit_spans_")
@@ -272,7 +327,16 @@ object IncrementalSpanCensus {
         expr(s"span_hashes(text, $spanTokens, 1L)")).as("span_h"))
       .filter(col("span_h").isNotNull).distinct()
       .write.mode("overwrite").parquet(spansTmp)
-    val spans = s.read.parquet(spansTmp)
+    censusForSpans(s, workDir, s.read.parquet(spansTmp))
+  }
+
+  /** [[censusForDelta]] over an ALREADY-MATERIALIZED distinct-span
+    * relation (`spans(span_h)`, session-temp parquet) — the entry point
+    * [[emitNewDocs]] uses so its own span materialization pass is not
+    * repeated. */
+  private def censusForSpans(s: SparkSession, workDir: String,
+      spans: DataFrame): DataFrame = {
+    import graft.operators.Dedup.spanKey
     val nSpans = spans.count()
     if (nSpans == 0L)
       // every delta doc is shorter than the span width — nothing can

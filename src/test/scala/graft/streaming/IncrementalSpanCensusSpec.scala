@@ -250,6 +250,71 @@ class IncrementalSpanCensusSpec extends AnyFunSuite {
       s"exact delta-span semi join missing from the emission census plan:\n$plan")
   }
 
+  test("bounded emission guards: uncommitted prior partition and second-delta-at-boundary reject loudly") {
+    val docsDir = java.nio.file.Files
+      .createTempDirectory("graft_d20g_docs_").toString
+    val workDir = java.nio.file.Files
+      .createTempDirectory("graft_d20g_work_").toString
+    writeSlice(docsDir, 0, (0 until 6).map { i =>
+      i.toLong -> (0 until 6).map(j => s"w${(i + j) % 5}").mkString(" ")
+    })
+    IncrementalSpanCensus.run(spark, docsDir, workDir,
+      spanTokens = SpanTokens)
+    val delta0 = spark.read.parquet(s"$docsDir/documents-00.parquet")
+    IncrementalSpanCensus.emitNewDocs(spark, workDir, delta0, SpanTokens)
+
+    // SECOND delta at the SAME boundary (no census advance between the
+    // two emitNewDocs calls): the overwrite would silently discard the
+    // first emission's docs — must throw, not heal
+    val second = Seq((50L, "a b c d e", "en", "srcX", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val err = intercept[IllegalArgumentException] {
+      IncrementalSpanCensus.emitNewDocs(spark, workDir, second, SpanTokens)
+    }
+    assert(err.getMessage.contains("two different deltas"),
+      s"wrong rejection: ${err.getMessage}")
+    // a re-run with the IDENTICAL delta still heals (crash re-run path)
+    IncrementalSpanCensus.emitNewDocs(spark, workDir, delta0, SpanTokens)
+
+    // a PRIOR partition without its _SUCCESS marker is a crashed
+    // emission whose max doc_id may understate the watermark — the next
+    // emission must refuse to advance past it
+    writeSlice(docsDir, 1, Seq(
+      10L -> "w0 w1 w2 w3", 11L -> "p q r s"))
+    IncrementalSpanCensus.run(spark, docsDir, workDir,
+      spanTokens = SpanTokens)
+    val boundary0 = java.nio.file.Files
+      .list(java.nio.file.Paths.get(s"$workDir/emitted"))
+      .iterator().next()
+    java.nio.file.Files.delete(boundary0.resolve("_SUCCESS"))
+    val err2 = intercept[IllegalArgumentException] {
+      IncrementalSpanCensus.emitNewDocs(spark, workDir,
+        spark.read.parquet(s"$docsDir/documents-01.parquet"), SpanTokens)
+    }
+    assert(err2.getMessage.contains("no _SUCCESS marker"),
+      s"wrong rejection: ${err2.getMessage}")
+    // re-running the crashed emission with its own delta heals it...
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$workDir/emitted"))
+      .iterator().forEachRemaining(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+    // (its partition removed entirely here to stand in for the re-run
+    // at its own old boundary, which this workDir's census has moved
+    // past) ...after which the new delta emits cleanly
+    IncrementalSpanCensus.emitNewDocs(spark, workDir,
+      spark.read.parquet(s"$docsDir/documents-00.parquet",
+        s"$docsDir/documents-01.parquet"), SpanTokens)
+    val docs = spark.read.option("pathGlobFilter", "documents*.parquet")
+      .parquet(docsDir)
+    val viaBatch = graft.operators.Dedup.spanDedupCorpus(docs,
+        graft.operators.Dedup.spanCensusWithFirst(docs, SpanTokens),
+        SpanTokens)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val viaEmitted = IncrementalSpanCensus.emittedCorpus(spark, workDir)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaEmitted === viaBatch,
+      "post-heal emitted corpus != pure-batch d17")
+  }
+
   test("bounded emission fuzz: random slicings and emission cadences == batch d17") {
     // the monotonicity theorem under ARBITRARY arrival shapes: random
     // corpus over a tiny alphabet (dense span collisions), random

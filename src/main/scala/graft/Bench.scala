@@ -77,6 +77,65 @@ object Bench {
     // measure the plan, not first-call classloading
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
+    // The q5 warm-up covers scan/join/agg shapes only; the OTHER
+    // heavyweight execution paths load their classes on first use and
+    // that cost lands in whichever alphabetically-first entry touches
+    // them (measured: q_scalar_funcs' 32-task JSON stage carried a
+    // 2.9-6.2 s max task on first execution vs 0.23 s on the second in
+    // the same JVM — pure get_json_object/codegen classloading, not
+    // plan work; the first window-exec and first streaming entries pay
+    // the same way). Warm those paths on literal rows, off the clock.
+    // SPARK_GRAFT_WARMUP=q5 restores the legacy warm-up so the effect
+    // of this isolation change stays separately measurable.
+    if (!sys.env.get("SPARK_GRAFT_WARMUP").contains("q5")) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      try {
+        val w = Window.partitionBy(lit(1)).orderBy("id")
+        spark.range(64)
+          .select(col("id"),
+            get_json_object(lit("""{"k": 7}"""), "$.k").as("jk"),
+            row_number().over(w).as("rn"),
+            lag(col("id"), 1).over(w).as("lg"),
+            sum(col("id")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+              .as("cum"))
+          .write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => }
+      try { // DataFrameStatFunctions bloom build + the probe kernel
+        val bf = spark.range(64).stat.bloomFilter("id", 64L, 0.01)
+        val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+        spark.range(64)
+          .filter(call_function("bloom_contains", lit(bos.toByteArray),
+            col("id")))
+          .write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => }
+      try { // the engine's codegen'd text kernels (GraftExtensions)
+        spark.range(16)
+          .select(expr("word_ngrams('a b c d', 3)").as("ng"),
+            expr("span_hashes('a b c d e f g h i j', 8, 1L)").as("sh"),
+            expr("minhash_lsh_bands(array('a b c', 'b c d'))").as("mh"))
+          .write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => }
+      try { // micro-batch machinery: file stream source → foreachBatch
+        // with a checkpoint — StreamExecution, offset/commit logs and
+        // the parquet file-index path all classload here instead of in
+        // the first streaming lifecycle entry
+        val tmp = SessionTemp.dir("graft_warm_stream_")
+        spark.range(8).write.mode("overwrite").parquet(s"$tmp/src")
+        val q = spark.readStream
+          .schema(spark.read.parquet(s"$tmp/src").schema)
+          .parquet(s"$tmp/src")
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame,
+              _: java.lang.Long) =>
+            b.write.format("noop").mode("overwrite").save(); ()
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } catch { case _: Throwable => }
+    }
     // optional query-name filter (scale-stress runs bench a SUBSET on a
     // generated fixture dir that only has the doc/emb/events tables);
     // the driver's no-arg invocation still runs everything

@@ -49,23 +49,32 @@ private[streaming] object MinRuleIncremental {
     // comparison table (future batches only ever need bucket minima)
     val idxRows = b.groupBy(bucketCols.map(col): _*)
       .agg(min(idCol).as("min_id"))
-    val mIn = b.join(idxRows, bucketCols)
-      .groupBy(idCol).agg(min("min_id").as("m_in"))
-    val m = BatchedParquetIndex.prior(ss, s"$workDir/index", id) match {
-      case Some(prior) =>
-        val mPrior = b.join(
-            prior.withColumnRenamed("min_id", "prior_id"), bucketCols)
-          .groupBy(idCol).agg(min("prior_id").as("m_prior"))
-        mIn.join(mPrior, Seq(idCol), "left")
-          .select(col(idCol),
-            least(col("m_in"), coalesce(col("m_prior"), col("m_in"))).as("m"))
-      case None => mIn.select(col(idCol), col("m_in").as("m"))
-    }
+    // the index partition lands FIRST so the status plan can read the
+    // narrow (bucket, min_id) parquet back instead of re-running
+    // bucketize+agg a second time — each write action executes its
+    // whole subtree, so the old status-then-index order priced the
+    // bucketize kernel (the batch's heavy work: the 64-permutation
+    // MinHash or the hyperplane kernel over every row) once per action
+    // PLUS once per join branch. Order is replay-safe: both writes are
+    // per-batch overwrites, the checkpoint only commits after both, and
+    // index readers see strictly-prior batches only.
+    idxRows.write.mode("overwrite").parquet(s"$workDir/index/batch=$id")
+    val idx = ss.read.parquet(s"$workDir/index/batch=$id")
+    // ONE min source: in-batch minima cover every bucket of b (built
+    // from it), so unioning the prior index and min-aggregating over
+    // all matches is exactly least(m_in, m_prior) — and b (the kernel)
+    // is referenced once instead of once per side. Duplicate bucket
+    // rows a crashed compaction may have left in the prior index are
+    // absorbed by the min, as before.
+    val minSources = BatchedParquetIndex.prior(ss, s"$workDir/index", id)
+      .fold(idx)(prior =>
+        idx.unionByName(prior.select(idx.columns.map(col): _*)))
+    val m = b.join(minSources, bucketCols)
+      .groupBy(idCol).agg(min("min_id").as("m"))
     val status = m.select(col(idCol),
       (col("m") === col(idCol)).as("kept"),
       when(col("m") < col(idCol), col("m")).as("dup_of"))
     status.write.mode("overwrite").parquet(s"$workDir/results/batch=$id")
-    idxRows.write.mode("overwrite").parquet(s"$workDir/index/batch=$id")
   }
 
   /** (idCol, kept, dup_of) across every processed batch. */

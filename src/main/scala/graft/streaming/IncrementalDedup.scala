@@ -57,10 +57,15 @@ object IncrementalDedup {
       case Some(ix) => inBatch.join(ix, Seq("content_hash"), "left_anti")
       case None => inBatch
     }
-    // batch-addressed partitions + overwrite = idempotent under replay
+    // batch-addressed partitions + overwrite = idempotent under replay.
+    // The index partition is the kept partition's hash column read back
+    // (a columnar read of what was just written) — deriving it from
+    // `fresh` again would re-run the whole md5+agg+anti-join subtree,
+    // since each write action executes its full plan. Crash between the
+    // two writes replays the batch and overwrites both.
     fresh.write.mode("overwrite").parquet(s"$workDir/kept/batch=$id")
-    fresh.select("content_hash").write.mode("overwrite")
-      .parquet(s"$workDir/index/batch=$id")
+    ss.read.parquet(s"$workDir/kept/batch=$id").select("content_hash")
+      .write.mode("overwrite").parquet(s"$workDir/index/batch=$id")
   }
 
   /** the deduplicated table: every batch's survivors */

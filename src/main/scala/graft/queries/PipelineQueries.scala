@@ -3593,7 +3593,13 @@ object PipelineQueries {
     "p18_dsir_pipeline",
     (s, dir) => {
       import graft.operators.Curation
-      val dd = Curation.funnel(docs(s, dir), Seq(Curation.exactDedup()))
+      // dd is consumed by INDEPENDENT ACTIONS (the decontaminate→pool
+      // write and the DSIR target fit — exchange reuse only dedups
+      // branches within one action), so it lands once in session-temp
+      // via a materialized identity stage instead of re-running the
+      // dedup join per action
+      val dd = Curation.funnel(docs(s, dir), Seq(Curation.exactDedup(),
+        Curation.materialized("p18dd")(d => d)))
       // the clean pool feeds BOTH the raw-model fit and the scoring
       // scan — materialized once (Curation's session-temp policy) so
       // the dedup + decontamination joins don't re-run per consumer;

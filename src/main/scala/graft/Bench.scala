@@ -98,7 +98,14 @@ object Bench {
             row_number().over(w).as("rn"),
             lag(col("id"), 1).over(w).as("lg"),
             sum(col("id")).over(w.rowsBetween(Window.unboundedPreceding, -1))
-              .as("cum"))
+              .as("cum"),
+            // timestamp/calendar classes (year/quarter/format paths)
+            year(to_timestamp(lit("1997-03-01 00:00:00"))).as("yr"),
+            quarter(to_timestamp(lit("1997-03-01 00:00:00"))).as("qt"),
+            date_format(to_timestamp(lit("1997-03-01 00:00:00")),
+              "yyyy-MM-dd").as("dfmt"),
+            unix_timestamp(to_timestamp(lit("1997-03-01 00:00:00")))
+              .as("uts"))
           .write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => }
       try { // DataFrameStatFunctions bloom build + the probe kernel

@@ -208,8 +208,17 @@ object Curation {
     i == stages.size - 1 || stages(i).materialize ||
       !stages(i + 1).inputReadOnce
 
+  /** @param materializeResult when false, the FINAL stage's observe
+    *   fires on a noop pass instead of a session-temp parquet landing —
+    *   for report-only callers (p22 discards the result) this removes
+    *   the result-sized write+read entirely; the returned result is the
+    *   declarative plan over the last materialized boundary, so a
+    *   caller that DOES consume it simply re-runs the final stage once
+    *   (its observe re-fires with identical values, after the report
+    *   was already assembled — harmless). */
   def funnelWithReport(corpus: DataFrame,
-      stages: Seq[Stage]): (DataFrame, DataFrame) = {
+      stages: Seq[Stage],
+      materializeResult: Boolean = true): (DataFrame, DataFrame) = {
     val s = corpus.sparkSession
     val prefix = "graft_obs_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12) + "_"
@@ -257,7 +266,13 @@ object Curation {
         val out = observed(st.transform(cur), i + 1, st.name)
         cur =
           if (!materializeBoundary(stages, i)) out
-          else {
+          else if (i == stages.size - 1 && !materializeResult &&
+              !stages(i).materialize) {
+            // report-only mode: the final observe fires on a noop pass;
+            // nothing result-sized lands on disk
+            out.write.format("noop").mode("overwrite").save()
+            out
+          } else {
             val tmp = graft.SessionTemp.dir(s"graft_obs_${st.name}_")
             out.write.mode("overwrite").parquet(tmp)
             s.read.parquet(tmp)

@@ -3785,11 +3785,14 @@ object PipelineQueries {
       val weights = (0 until 20)
         .map(i => (s"src$i", if (i < 3) 150000L else 25000L))
         .toDF("source", "w_micro")
+      // report-only: the funnel result is discarded, so the final
+      // stage's observe rides a noop pass instead of a parquet landing
       val (_, report) = Curation.funnelWithReport(docs(s, dir), Seq(
         Curation.exactDedup(),
         Curation.decontaminate(pmod(col("doc_id"), lit(97)) === 0),
         Curation.qualityMetric(carryCols = Seq("source")),
-        Curation.domainMix(weights)))
+        Curation.domainMix(weights)),
+        materializeResult = false)
       report.orderBy("stage_idx")
     },
     Some(OracleSql.curationPrefixSql +

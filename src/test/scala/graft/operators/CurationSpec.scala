@@ -227,6 +227,24 @@ class CurationSpec extends AnyFunSuite {
       Curation.funnel(corpus, Seq(stages.head)).count())
   }
 
+  test("report-only audit (materializeResult=false): same report, same result") {
+    val stages = Seq(
+      Curation.exactDedup(),
+      Curation.decontaminate(evalPred),
+      Curation.qualityMetric(carryCols = Seq("source")),
+      Curation.domainMix(Seq(("srcA", 300000L), ("srcB", 200000L))
+        .toDF("source", "w_micro")))
+    val (resM, repM) = Curation.funnelWithReport(corpus, stages)
+    val (resN, repN) = Curation.funnelWithReport(corpus, stages,
+      materializeResult = false)
+    assert(repN.orderBy("stage_idx").collect().map(_.toSeq).toSeq ===
+      repM.orderBy("stage_idx").collect().map(_.toSeq).toSeq,
+      "report drifted between materialized and noop final boundaries")
+    assert(resN.collect().map(_.toSeq).toSet ===
+      resM.collect().map(_.toSeq).toSet,
+      "re-derived result drifted from the materialized result")
+  }
+
   test("stage names are validated (they name temp dirs)") {
     intercept[IllegalArgumentException] {
       Curation.Stage("../evil", identity)

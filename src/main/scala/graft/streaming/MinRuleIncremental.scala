@@ -44,7 +44,15 @@ private[streaming] object MinRuleIncremental {
       idCol: String, bucketCols: Seq[String],
       bucketize: DataFrame => DataFrame): Unit = {
     val ss = batch.sparkSession
-    val b = bucketize(batch)
+    // the bucketize kernel (64-permutation MinHash / hyperplane over
+    // every batch row — the batch's heavy work) runs EXACTLY ONCE: its
+    // narrow (id, bucket) output lands in session-temp parquet and both
+    // write actions below read that. Derived data, not state — a replay
+    // recomputes it into a fresh dir; session temp is reclaimed at JVM
+    // exit.
+    val bTmp = graft.SessionTemp.dir("graft_minrule_b_")
+    bucketize(batch).write.mode("overwrite").parquet(bTmp)
+    val b = ss.read.parquet(bTmp)
     // per-bucket batch min — the index contribution AND the in-batch
     // comparison table (future batches only ever need bucket minima)
     val idxRows = b.groupBy(bucketCols.map(col): _*)

@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's one-line JSON from sbt's stdout; the
+// default LoggedOutput strategy prefixes every forked-run line with
+// "[info] ", which breaks a line-oriented JSON parse (per-query bench
+// data reached no PERF artifact in rounds 1-21). Pass the forked run's
+// stdout through verbatim.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -28,3 +35,60 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// ---- parallel forked test groups (r22) ----
+// One forked JVM ran the whole 680-test suite SERIALLY in 28:33 — past
+// the driver's verify budget (the r21 driver run was externally killed
+// mid-suite). The suites share only the read-only fixture dir; every
+// other resource is per-JVM (SessionTemp scratch roots, ephemeral
+// ports, an own local[4] SparkContext), so they parallelize cleanly
+// across forked JVMs. Suites are LPT-packed into groups using the
+// measured per-suite seconds below so no group carries two of the
+// heavy suites. GRAFT_TEST_GROUPS=1 restores the serial run.
+def graftTestGroups: Int =
+  sys.env.getOrElse("GRAFT_TEST_GROUPS", "6").toInt
+// measured wall seconds per suite (r22 timing run, -oD); unlisted
+// ScalaTest suites are small (≤ 10 s), ScalaCheck Properties objects
+// average ~55 s at the default minSuccessful=100
+val graftSuiteSeconds: Map[String, Int] = Map(
+  "graft.queries.CatalogSpec" -> 153,
+  "graft.streaming.IncrementalSpanCensusSpec" -> 100,
+  "graft.operators.BpeSpec" -> 90,
+  "graft.streaming.IncrementalDsirSpec" -> 71,
+  "graft.queries.PlanShapeSpec" -> 66,
+  "graft.streaming.IncrementalDedupSpec" -> 56,
+  "graft.streaming.IncrementalAnnSpec" -> 45,
+  "graft.operators.LibraryFuzzSpec" -> 39,
+  "graft.queries.TrainingPipelineSpec" -> 36,
+  "graft.operators.SpanDedupSpec" -> 28,
+  "graft.streaming.SliceInvarianceSpec" -> 18,
+  "graft.sources.DynamicTopicLogSpec" -> 17,
+  "graft.operators.CurationSpec" -> 17,
+  "graft.streaming.IncrementalNearDupSpec" -> 14,
+  "graft.operators.ClusteringSpec" -> 10,
+)
+Test / testGrouping := {
+  val n = math.max(1, graftTestGroups)
+  val opts = (Test / javaOptions).value.toVector
+  def weight(t: TestDefinition): Int =
+    graftSuiteSeconds.getOrElse(t.name,
+      if (t.name.endsWith("Props")) 55 else 6)
+  val bins = Array.fill(n)(Vector.empty[TestDefinition])
+  val load = Array.fill(n)(0L)
+  for (t <- (Test / definedTests).value.sortBy(t => (-weight(t), t.name))) {
+    val i = load.indexOf(load.min)
+    bins(i) :+= t
+    load(i) += weight(t)
+  }
+  bins.toSeq.zipWithIndex.filter(_._1.nonEmpty).map { case (ts, i) =>
+    Tests.Group(s"g$i", ts,
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+  }
+}
+// sbt's default restriction runs forked test groups one at a time;
+// lift it to the group count (the box has 32 cores, each group's
+// SparkContext is local[4])
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(math.max(2,
+    java.lang.Runtime.getRuntime.availableProcessors())),
+  Tags.limit(Tags.ForkedTestGroup, graftTestGroups))

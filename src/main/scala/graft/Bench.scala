@@ -323,16 +323,29 @@ object Bench {
       } catch { case _: Throwable => "" }
     val contentionStamp =
       f""","contended":${contended || rivalJvmsEnd > 0},"loadavg_start":$loadAtStart%.2f,"loadavg_end":$loadAtEnd%.2f,"other_jvms":${math.max(rivalJvms, rivalJvmsEnd)},"min2":$min2Stamp$abStamp"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"max_task_sec":$tm,"failed":$failed$contentionStamp,"sf":"$sfDir"}""")
-    // The harness keeps only a ~2000-char tail of this process's output,
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"max_task_sec":$tm,"failed":$failed$contentionStamp,"cpus":$cpus,"recorded_unix":${System.currentTimeMillis() / 1000L},"sf":"$sfDir"}"""
+    println(fullLine)
+    // The harness keeps only a ~2000-char tail of this process's output
     // and the full per-query line above outgrows it (the JSON gets cut
-    // mid-line and never parses). Emit a second, compact line LAST —
-    // total + the slowest queries — that always fits inside the tail.
+    // mid-line and never parses from the tail) — so per-query timings
+    // never reached the driver's PERF comparison in any round. Persist
+    // the full line as a repo-root artifact too: committed per round,
+    // it is the durable all-queries record the tail cannot carry.
+    val qFile = sys.env.getOrElse("GRAFT_BENCH_QUERIES_FILE",
+      "BENCH_QUERIES.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(qFile), fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $qFile: ${e.getMessage}")
+    }
+    // Emit a second, compact line LAST — total + the slowest queries —
+    // that always fits inside the ~2000-char tail.
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v, _, _) => "\"" + k + f"\":$v%.2f" }
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$slowest,"n_queries":${results.size},"failed":$failed$contentionStamp,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$slowest,"n_queries":${results.size},"failed":$failed$contentionStamp,"queries_file":"$qFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -256,9 +256,10 @@ object Curation {
       // its own plan; a multi-branch first stage (exactDedup reads its
       // input for both the keeper aggregate and the semi join) would
       // execute it once per branch, so the metrics ride a dedicated
-      // noop pass instead
+      // noop pass instead — as does an EMPTY stage list, where no
+      // successor exists to carry the input observe at all
       var cur = observed(corpus, 0, "input")
-      if (!stages.headOption.forall(_.inputReadOnce)) {
+      if (stages.isEmpty || !stages.head.inputReadOnce) {
         cur.write.format("noop").mode("overwrite").save()
         cur = corpus
       }

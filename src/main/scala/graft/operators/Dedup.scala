@@ -346,7 +346,17 @@ object Dedup {
     * n_tokens) struct. The kernel tokenizes anyway, so the projection
     * never re-tokenizes the text; CollapseProject leaves the non-cheap
     * kernel in its own Project, evaluated once per row for all three
-    * consumers. */
+    * consumers.
+    *
+    * INVARIANT (load-bearing downstream): this emits exactly ONE output
+    * row per input doc — docs are never dropped, only their text cut
+    * (a fully-cut doc keeps `n_kept = 0`, `kept_text = ""`).
+    * [[graft.streaming.IncrementalSpanCensus.emitNewDocs]]'s
+    * second-delta-at-boundary guard compares a committed partition's
+    * (min, max, count) of doc_id against the incoming delta's, which is
+    * exact ONLY under this one-row-per-doc rule; a change that drops
+    * empty docs would make an identical-delta crash re-run look like
+    * "two different deltas" and break the documented replay healing. */
   private def emitCut(withCut: DataFrame, idCol: String): DataFrame =
     withCut.select(col(idCol),
       col("__cut").getField("n_tokens").cast("long").as("n_tokens"),

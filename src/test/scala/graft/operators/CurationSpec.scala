@@ -245,6 +245,21 @@ class CurationSpec extends AnyFunSuite {
       "re-derived result drifted from the materialized result")
   }
 
+  test("empty stage list: input-only report, no 30s spin-wait") {
+    // regression: the single-reader short-circuit was vacuously true on
+    // Nil, so the input observe never executed and the report assembly
+    // spun its full 30s deadline before throwing
+    val t0 = System.nanoTime()
+    val (res, rep) = Curation.funnelWithReport(corpus, Nil)
+    val rows = rep.orderBy("stage_idx").collect()
+    assert((System.nanoTime() - t0) / 1e9 < 25.0,
+      "empty-stage report hit the observe deadline")
+    assert(rows.length === 1)
+    assert(rows(0).getString(1) === "input")
+    assert(rows(0).getLong(2) === corpus.count())
+    assert(res.count() === corpus.count())
+  }
+
   test("stage names are validated (they name temp dirs)") {
     intercept[IllegalArgumentException] {
       Curation.Stage("../evil", identity)

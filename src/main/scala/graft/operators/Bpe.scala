@@ -416,13 +416,29 @@ object Bpe {
   def tokenCountsViaVocab(docs: DataFrame, merges: Seq[(String, String)],
       idCol: String = "doc_id", textCol: String = "text",
       keepCols: Seq[String] = Nil,
-      broadcastMaxRows: Long = Broadcasts.defaultMaxRows): DataFrame = {
+      broadcastMaxRows: Long = Broadcasts.defaultMaxRows,
+      materializeTokens: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     val ts = filter(split(col(textCol), " "), t => t =!= "")
     val keep = keepCols.map(col)
-    val exploded = docs.select(
+    val derived = docs.select(
       (col(idCol) +: keep) ++ Seq(size(ts).cast("long").as("n_tokens"),
         explode_outer(ts).as("token")): _*)
+    // The narrow token stream feeds TWO consumers — the vocabulary
+    // aggregation below and the final per-doc join+sum — and each is a
+    // separate action, so an unmaterialized stream re-runs the
+    // corpus tokenize+explode per consumer. Land it once in
+    // session-temp parquet (the x14 bigram-stream pattern; per call,
+    // reclaimed at JVM exit): the second pass becomes a narrow
+    // columnar scan instead of a second tokenize of every document.
+    // `materializeTokens = false` keeps the re-deriving shape as the
+    // A/B baseline BpeSpec pins equal.
+    val exploded =
+      if (materializeTokens) {
+        val tmpT = graft.SessionTemp.dir("bpe_token_stream_")
+        derived.write.mode("overwrite").parquet(tmpT)
+        spark.read.parquet(tmpT)
+      } else derived
     // vocabulary of THIS corpus -> symbol counts, materialized (the
     // trainer's pattern: the chain is evaluated once, never per branch)
     val vocab = exploded.filter(col("token").isNotNull)

@@ -32,9 +32,13 @@ import org.apache.spark.sql.functions._
  *    practice: Heaps-law vocabularies reach millions of types on a
  *    real corpus and observed bigrams grow into the billions — far
  *    past Spark's 8 GB broadcast ceiling (and any driver's memory).
- *    So the broadcast hint is applied only while the materialized
- *    model is at most [[defaultBroadcastMaxRows]] rows (counted from
- *    the parquet we just wrote — a metadata-cheap job); above it the
+ *    So the broadcast hint is applied only while the model is at most
+ *    [[defaultBroadcastMaxRows]] rows (known from the cached model's
+ *    count — and below the gate the probs rows are collected once and
+ *    broadcast as a local relation, with no parquet round-trip at all:
+ *    the collect ships exactly the bytes the broadcast build would
+ *    have). Above the gate the probs table lands in session-temp
+ *    parquet (durable past executor loss) and the
  *    join runs as a plain shuffle join on (prev, cur) — a perfectly
  *    partitionable key, so the 100-TB plan is one corpus shuffle of
  *    narrow (id, prev, cur) rows against a model partitioned the same
@@ -93,6 +97,7 @@ object LanguageModel {
       } else { () => derived }
     val model = bg().groupBy("prev", "cur").agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val modelRows = model.count() // materializes the cache; probs is 1:1
     val ptot = model.groupBy("prev").agg(sum("cnt").as("tot"))
     val vocab = model.select(col("prev").as("t"))
       .union(model.select(col("cur").as("t")))
@@ -100,11 +105,30 @@ object LanguageModel {
     val probs = model.join(ptot, "prev").crossJoin(vocab)
       .select(col("prev"), col("cur"),
         log((col("cnt") + lit(1.0)) / (col("tot") + col("v"))).as("lp"))
-    val tmp = graft.SessionTemp.dir("graft_bigram_model_")
-    probs.write.mode("overwrite").parquet(tmp) // the model build runs here
-    model.unpersist()
-    val modelDf = Broadcasts.sizeGated(spark.read.parquet(tmp),
-      broadcastMaxRows)
+    // Size-gated model delivery (same gate, same two relations — only
+    // WHERE the probs rows live differs):
+    //  - at or below the broadcast ceiling, the probs table is exactly
+    //    what a broadcast build would collect to the driver anyway —
+    //    collect it once from the cached model and broadcast a local
+    //    relation, skipping the parquet write+read round-trip outright
+    //    (the round-trip existed to make the row count metadata-cheap,
+    //    but the count is already known from the cache);
+    //  - above the ceiling the DURABLE path is unchanged: probs land in
+    //    session-temp parquet (survives executor loss; the broadcast
+    //    would not fit regardless) and the score join shuffles on the
+    //    perfectly partitionable (prev, cur).
+    val modelDf =
+      if (modelRows <= broadcastMaxRows) {
+        val rows = probs.collect()
+        model.unpersist()
+        broadcast(spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), probs.schema))
+      } else {
+        val tmp = graft.SessionTemp.dir("graft_bigram_model_")
+        probs.write.mode("overwrite").parquet(tmp)
+        model.unpersist()
+        spark.read.parquet(tmp)
+      }
     bg().join(modelDf, Seq("prev", "cur"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"),

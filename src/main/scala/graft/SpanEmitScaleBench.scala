@@ -69,6 +69,18 @@ object SpanEmitScaleBench {
       f"$streamDir/documents-$mainSlices%03d.parquet")
     IncrementalSpanCensus.run(spark, streamDir, workDir)
 
+    // SPAN_EMIT_COMPACT=1 (default): run the production compaction
+    // cadence before the timed arms, so the emission probes the
+    // key-BUCKETED compacted layout (the r22 state change) instead of
+    // loose batch partials; =0 keeps the un-compacted layout as the
+    // A/B baseline. Both timed arms read the same state either way.
+    val compacted =
+      !sys.env.get("SPAN_EMIT_COMPACT").contains("0")
+    if (compacted) {
+      val upTo = mainSlices.toLong // batches 0..mainSlices all visible
+      IncrementalSpanCensus.compact(spark, workDir, upTo)
+    }
+
     // warm the census state (page cache + codegen) so arm ORDER does
     // not decide the comparison — both arms read the same partials
     IncrementalSpanCensus.censusWithFirst(spark, workDir).count()
@@ -92,7 +104,7 @@ object SpanEmitScaleBench {
     val nAcc = spark.read.parquet(accOut).count()
     require(nBounded == nAcc, s"row counts drifted: $nBounded vs $nAcc")
 
-    println(f"""{"docs":$nDocs,"delta_rows":$deltaRows,"emit_bounded_sec":$boundedSec%.2f,"emit_accumulated_sec":$accSec%.2f}""")
+    println(f"""{"docs":$nDocs,"delta_rows":$deltaRows,"emit_bounded_sec":$boundedSec%.2f,"emit_accumulated_sec":$accSec%.2f,"compacted":$compacted}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 /** Batch-addressed parquet layout for ADDITIVE streaming state — the
   * [[IncrementalSpanCensus]] discipline extracted so other
@@ -69,14 +69,77 @@ private[streaming] object AdditiveBatchState {
     }
   }
 
+  /** Bucket-layout marker a bucketed compacted partition carries at its
+    * root (underscore-prefixed → invisible to Spark's file listing):
+    * its text content is the bucket MODULUS the `kb=<b>` partition
+    * directories were written with. A partition without the marker is
+    * plain (pre-bucketing layout or a per-batch partial). */
+  private val BucketMarker = "_kb"
+
+  /** Name of the bucket partition column a bucketed compacted
+    * partition is laid out by. Deliberately NOT underscore-prefixed:
+    * hidden-path filters would make `kb=<b>` directories invisible. */
+  private[streaming] val BucketCol = "kb"
+
+  private def bucketModulus(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[Int] = {
+    val m = new Path(p, BucketMarker)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+      finally in.close()
+    }
+  }
+
+  /** One state partition as a relation. A bucketed compacted partition
+    * reads through partition discovery (its [[BucketCol]] column is
+    * RETAINED so a probe can partition-prune on it) and carries its
+    * modulus; plain partitions carry None. An empty bucketed partition
+    * (zero rows ⇒ zero `kb=` subdirectories ⇒ nothing to infer a
+    * schema from) contributes nothing and is skipped. */
+  private def partRelation(s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[(DataFrame, Option[Int])] =
+    bucketModulus(fs, p) match {
+      case None => Some((s.read.parquet(p.toString), None))
+      case Some(nB) =>
+        if (!fs.listStatus(p).exists(_.getPath.getName.startsWith(
+            BucketCol + "=")))
+          None
+        else Some((s.read.parquet(p.toString), Some(nB)))
+    }
+
+  /** Every visible partition as a relation (see [[partRelation]]) —
+    * the read primitive [[merged]] / [[mergedUpTo]] and key-probing
+    * readers ([[graft.streaming.IncrementalSpanCensus]]'s
+    * delta-restricted census) build on. */
+  private[streaming] def visibleRelations(s: SparkSession, root: Path,
+      upTo: Long = Long.MaxValue): Seq[(DataFrame, Option[Int])] = {
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ps = visibleParts(fs, root).filter(p =>
+      partId(p.getName).exists(_._2 <= upTo))
+    require(ps.nonEmpty, s"no state partitions ≤ $upTo under $root")
+    ps.flatMap(p => partRelation(s, fs, p))
+  }
+
+  /** Union of relations with any bucket partition column dropped —
+    * every non-probing reader's view of the state. */
+  private def unionPlain(rels: Seq[(DataFrame, Option[Int])],
+      root: Path): DataFrame = {
+    val dfs = rels.map { case (df, nB) =>
+      if (nB.isDefined) df.drop(BucketCol) else df
+    }
+    require(dfs.nonEmpty,
+      s"every visible state partition under $root is empty-bucketed")
+    dfs.reduce(_.unionByName(_))
+  }
+
   /** mergeAgg over every visible partition — the one read path. */
   def merged(s: SparkSession, root: Path,
-      mergeAgg: DataFrame => DataFrame): DataFrame = {
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val ps = visibleParts(fs, root)
-    require(ps.nonEmpty, s"no state partitions under $root")
-    mergeAgg(s.read.parquet(ps.map(_.toString): _*))
-  }
+      mergeAgg: DataFrame => DataFrame): DataFrame =
+    mergeAgg(unionPlain(visibleRelations(s, root), root))
 
   /** [[merged]] restricted to visible partitions with id ≤ `upTo` — the
     * deterministic "state as of batch upTo" read a compaction-boundary
@@ -86,13 +149,8 @@ private[streaming] object AdditiveBatchState {
     * overwrite, and a compaction that already folded them publishes a
     * `compacted=<n>` with n ≤ upTo holding identical content. */
   def mergedUpTo(s: SparkSession, root: Path, upTo: Long,
-      mergeAgg: DataFrame => DataFrame): DataFrame = {
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val ps = visibleParts(fs, root).filter(p =>
-      partId(p.getName).exists(_._2 <= upTo))
-    require(ps.nonEmpty, s"no state partitions ≤ $upTo under $root")
-    mergeAgg(s.read.parquet(ps.map(_.toString): _*))
-  }
+      mergeAgg: DataFrame => DataFrame): DataFrame =
+    mergeAgg(unionPlain(visibleRelations(s, root, upTo), root))
 
   /** mergeAgg every visible partition with id ≤ `upToBatch` into ONE
     * `compacted=<upToBatch>` partition (hash-partitioned on `keyCols`
@@ -104,7 +162,9 @@ private[streaming] object AdditiveBatchState {
   def compact(s: SparkSession, root: Path, upToBatch: Long,
       mergeAgg: DataFrame => DataFrame, keyCols: Seq[String],
       targetFileBytes: Long = BatchedParquetIndex.DefaultTargetFileBytes,
-      failpoint: String = ""): Unit = {
+      failpoint: String = "",
+      bucketKey: Option[org.apache.spark.sql.Column] = None,
+      minBuckets: Int = 64): Unit = {
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
     fs.listStatus(root).map(_.getPath)
@@ -134,7 +194,9 @@ private[streaming] object AdditiveBatchState {
       val tmp = new Path(root, s"_compact_$upToBatch")
       val n = BatchedParquetIndex.compactionPartitions(
         fs, mergeable, targetFileBytes)
-      val merged = mergeAgg(s.read.parquet(mergeable.map(_.toString): _*))
+      val mergedSrc = unionPlain(
+        mergeable.flatMap(p => partRelation(s, fs, p)), root)
+      val merged = mergeAgg(mergedSrc)
       // sortWithinPartitions on the key: each compacted file's row
       // groups then cover a narrow key range, so a later selective read
       // (a delta-restricted emission probing few keys) can skip row
@@ -143,11 +205,42 @@ private[streaming] object AdditiveBatchState {
       // domain and nothing ever prunes. Cost is one in-task sort of
       // rows the repartition already co-located; merge results are
       // row-order-free so downstream reads are unaffected.
-      val laid =
-        if (keyCols.nonEmpty) merged.repartition(n, keyCols.map(col): _*)
-          .sortWithinPartitions(keyCols.map(col): _*)
-        else merged.repartition(n)
-      laid.write.mode("overwrite").parquet(tmp.toString)
+      //
+      // With `bucketKey` set the partition is additionally laid out as
+      // `kb=<pmod(key, nB)>` DIRECTORIES (nB scales with the write
+      // width so bucket byte-size tracks targetFileBytes/4, floored at
+      // `minBuckets`): a key-probing reader partition-PRUNES to the
+      // buckets its probe set hashes into, so a probe of |S| keys reads
+      // ≈ min(1, |S|/nB) of the state instead of all of it — the
+      // probe-side term goes flat in census size once nB (∝ census)
+      // outgrows |S|. The repartition moves to the bucket id so each
+      // bucket lands in ONE task (≈ one file per bucket, never
+      // n × nB); parallelism is min(n, nB) ≥ n for nB = 4n. The rename
+      // commit is unchanged — it moves the directory, subdirs and all —
+      // and the `_kb` modulus marker rides INSIDE it, so the layout
+      // publishes atomically with the data.
+      val nBOpt = bucketKey.map(_ => math.max(minBuckets, 4 * n))
+      (bucketKey, nBOpt) match {
+        case (Some(key), Some(nB)) =>
+          merged
+            .withColumn(BucketCol, pmod(key, lit(nB)).cast("int"))
+            .repartition(math.max(n, s.sparkContext.defaultParallelism),
+              col(BucketCol))
+            .sortWithinPartitions(
+              (col(BucketCol) +: keyCols.map(col)): _*)
+            .write.mode("overwrite").partitionBy(BucketCol)
+            .parquet(tmp.toString)
+          val out = fs.create(new Path(tmp, BucketMarker), true)
+          try out.write(nB.toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        case _ =>
+          val laid =
+            if (keyCols.nonEmpty) merged.repartition(n, keyCols.map(col): _*)
+              .sortWithinPartitions(keyCols.map(col): _*)
+            else merged.repartition(n)
+          laid.write.mode("overwrite").parquet(tmp.toString)
+      }
       if (failpoint == "before-publish")
         throw new RuntimeException("injected compaction crash before publish")
       if (!fs.rename(tmp, target))

@@ -146,7 +146,14 @@ object IncrementalSpanCensus {
       targetFileBytes: Long = BatchedParquetIndex.DefaultTargetFileBytes): Unit =
     AdditiveBatchState.compact(s, new Path(s"$workDir/census"), upToBatch,
       mergeAgg, keyCols = Seq("span_h"), targetFileBytes = targetFileBytes,
-      failpoint = failpoint)
+      failpoint = failpoint,
+      // key-bucketed compacted layout: [[censusForDelta]]'s probe
+      // partition-prunes to the delta's own bucket set, so the
+      // state-scan term of an emission reads ≈ min(1, |S|/nB) of the
+      // compacted census instead of all of it (sub-linear in census
+      // size once nB, which scales with the census, outgrows the
+      // delta's distinct-span count)
+      bucketKey = Some(graft.operators.Dedup.spanKey(col("span_h"))))
 
   // ---- bounded-cost emission: delta rewrites under monotone arrival ----
   //
@@ -236,6 +243,14 @@ object IncrementalSpanCensus {
     * silently discarded by the overwrite, so it throws: advance the
     * census first, or emit the union). An empty delta is a no-op.
     *
+    * CONFIG REQUIREMENT: completeness of a prior emission is read from
+    * the committer's `_SUCCESS` marker, so
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs` must stay
+    * enabled (its default). On clusters that disable it every
+    * successfully committed prior emission would look crashed and the
+    * stream could never advance — checked loudly at entry instead of
+    * failing one emission later with a misleading "crashed mid-write".
+    *
     * Cost shape: TWO delta scans total — the span materialization
     * (which also carries the delta's (min, max, count) bounds as
     * observed metrics, so the monotonicity guards cost no scan of
@@ -243,6 +258,13 @@ object IncrementalSpanCensus {
     * state read ([[censusForDelta]]). */
   def emitNewDocs(s: SparkSession, workDir: String, newDocs: DataFrame,
       spanTokens: Int = 8): Unit = {
+    require(s.sparkContext.hadoopConfiguration.getBoolean(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", true),
+      "mapreduce.fileoutputcommitter.marksuccessfuljobs is disabled — " +
+        "the bounded emission reads each prior emission's completeness " +
+        "from its _SUCCESS marker and would treat every committed " +
+        "partition as a crashed attempt; re-enable the marker (default) " +
+        "to use emitNewDocs")
     val boundary = AdditiveBatchState.maxVisibleId(s,
       new Path(s"$workDir/census"))
     require(boundary >= 0,
@@ -334,6 +356,12 @@ object IncrementalSpanCensus {
     * relation (`spans(span_h)`, session-temp parquet) — the entry point
     * [[emitNewDocs]] uses so its own span materialization pass is not
     * repeated. */
+  /** Largest bucket in-list a probe pushes as a partition filter —
+    * past it the list costs more to plan than the pruning saves (and
+    * a probe that hits this many buckets reads most of the state
+    * anyway, so the filter would prune ~nothing). */
+  private val maxProbeBuckets = 16384
+
   private def censusForSpans(s: SparkSession, workDir: String,
       spans: DataFrame): DataFrame = {
     import graft.operators.Dedup.spanKey
@@ -350,9 +378,33 @@ object IncrementalSpanCensus {
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     val bytes = bos.toByteArray
-    AdditiveBatchState.merged(s, new Path(s"$workDir/census"),
-        partials => mergeAgg(partials.filter(call_function(
-          "bloom_contains", lit(bytes), spanKey(col("span_h"))))))
+    // Per-partition state read. A key-BUCKETED compacted partition
+    // (the [[compact]] layout) is first partition-PRUNED to the
+    // delta's own bucket set: every occurrence of a delta span hashes
+    // to the same bucket, so a bucket outside the set cannot hold a
+    // matching row — the scan reads ≈ min(1, |S|/nB) of the compacted
+    // census. Un-bucketed partials (per-batch, or pre-bucketing
+    // compactions) are bloom-probed in full as before; the row-level
+    // bloom + the exact semi join below are unchanged either way.
+    val partials = AdditiveBatchState
+      .visibleRelations(s, new Path(s"$workDir/census"))
+      .map {
+        case (df, Some(nB)) =>
+          val bs = spans
+            .select(pmod(spanKey(col("span_h")), lit(nB)).cast("int")
+              .as("b"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          val pruned =
+            if (bs.size < nB && bs.size <= maxProbeBuckets)
+              df.filter(col(AdditiveBatchState.BucketCol).isin(bs: _*))
+            else df
+          pruned.drop(AdditiveBatchState.BucketCol)
+        case (df, None) => df
+      }
+      .map(_.filter(call_function(
+        "bloom_contains", lit(bytes), spanKey(col("span_h")))))
+      .reduce(_.unionByName(_))
+    mergeAgg(partials)
       .filter(col("n_occurrences") >= 2L)
       .join(spans, Seq("span_h"), "left_semi")
       .select(col("span_h"), col("n_docs"), col("n_occurrences"),

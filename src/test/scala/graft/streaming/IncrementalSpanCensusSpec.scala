@@ -108,9 +108,13 @@ class IncrementalSpanCensusSpec extends AnyFunSuite {
     assert(viaStream === viaBatch, "streaming action pass != batch d17")
   }
 
-  private def partFileCount(dir: String): Int =
-    new java.io.File(dir).listFiles()
-      .count(_.getName.endsWith(".parquet"))
+  private def partFileCount(dir: String): Int = {
+    // recursive: the bucketed compacted layout nests its part files
+    // inside kb=<b> partition directories
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try walk.filter(_.toString.endsWith(".parquet")).count().toInt
+    finally walk.close()
+  }
 
   test("compaction crash at every failpoint: the census stays EXACT, never a superset — over a MULTI-FILE compacted target") {
     // a tiny target file size forces compactionPartitions > 1, so the
@@ -155,6 +159,51 @@ class IncrementalSpanCensusSpec extends AnyFunSuite {
       assert(censusSet(workDir) === oracleSet(docsDir),
         s"[$failpoint] post-recovery")
     }
+  }
+
+  test("bucketed compacted layout: pruned emission probe and merged census stay exact") {
+    val docsDir = java.nio.file.Files
+      .createTempDirectory("graft_d20b_docs_").toString
+    val workDir = java.nio.file.Files
+      .createTempDirectory("graft_d20b_work_").toString
+    // absorb 4 monotone slices, emitting each delta; compact after the
+    // third arrival so the later probes face the kb-bucketed layout
+    // (compacted=2 pruned by the delta's bucket set + batch=3 plain)
+    for (slice <- 0 until 4) {
+      writeSlice(docsDir, slice, (0 until 6).map { i =>
+        val id = slice * 6L + i
+        val toks = (0 until 6).map(j => s"w${(id + j) % 5}")
+        id -> toks.mkString(" ")
+      })
+      IncrementalSpanCensus.run(spark, docsDir, workDir,
+        spanTokens = SpanTokens)
+      if (slice == 2)
+        IncrementalSpanCensus.compact(spark, workDir, upToBatch = 2L)
+      IncrementalSpanCensus.emitNewDocs(spark, workDir,
+        spark.read.parquet(f"$docsDir/documents-$slice%02d.parquet"),
+        SpanTokens)
+    }
+    // the layout really is bucketed: modulus marker + kb= partition dirs
+    val cdir = new java.io.File(s"$workDir/census/compacted=2")
+    assert(cdir.isDirectory, partNames(workDir).toString)
+    assert(new java.io.File(cdir, "_kb").isFile,
+      "bucket-modulus marker missing from the compacted partition")
+    assert(cdir.listFiles().exists(_.getName.startsWith("kb=")),
+      s"no kb= bucket directories under $cdir")
+    // emissions that probed the bucketed state == pure-batch d17
+    val docs = spark.read.option("pathGlobFilter", "documents*.parquet")
+      .parquet(docsDir)
+    val viaBounded = IncrementalSpanCensus.emittedCorpus(spark, workDir)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val viaBatch = graft.operators.Dedup.spanDedupCorpus(docs,
+        graft.operators.Dedup.spanCensusWithFirst(docs, SpanTokens),
+        SpanTokens)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaBounded === viaBatch,
+      "emission over the bucketed layout != pure-batch d17")
+    // the plain merged read (kb dropped) is exact too
+    assert(censusSet(workDir) === oracleSet(docsDir),
+      "merged census over the bucketed layout drifted")
   }
 
   test("bounded emission: per-slice deltas == dedupAccumulated == batch d17; heals a crashed attempt; rejects non-monotone arrival") {

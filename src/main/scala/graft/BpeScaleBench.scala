@@ -102,6 +102,12 @@ object BpeScaleBench {
     Bpe.tokenCountsViaVocab(base, ms)
       .agg(sum("n_bpe_tokens")).collect()
     val tokVocabSec = (System.nanoTime() - t3) / 1e9
+    // the re-deriving legacy shape (tokenize runs once per consumer) —
+    // the A/B for the materialized token stream
+    val t4 = System.nanoTime()
+    Bpe.tokenCountsViaVocab(base, ms, materializeTokens = false)
+      .agg(sum("n_bpe_tokens")).collect()
+    val tokVocabNomatSec = (System.nanoTime() - t4) / 1e9
 
     println(f"""{"metric":"bpe_scale","docs":$n,"vocab":$v,""" +
       f""""build_sec":$buildSec%.2f,"rounds":$merges,""" +
@@ -111,6 +117,7 @@ object BpeScaleBench {
       f""""rounds_sec":$roundsSec%.2f,""" +
       f""""sec_per_merge":${roundsSec / math.max(merges, 1)}%.3f,""" +
       f""""tokenize_sec":$tokSec%.2f,"tokenize_vocab_sec":$tokVocabSec%.2f,""" +
+      f""""tokenize_vocab_nomat_sec":$tokVocabNomatSec%.2f,""" +
       f""""sf":"$sfDir"}""")
     spark.stop()
   }

@@ -330,9 +330,31 @@ object IncrementalSpanCensus {
             "emitting again, or emit their union as one delta")
       }
     graft.operators.Dedup.spanDedupCorpus(newDocs,
-        censusForSpans(s, workDir, s.read.parquet(spansTmp)), spanTokens)
+        censusForSpans(s, workDir, s.read.parquet(spansTmp),
+          parquetRowCount(s, spansTmp)), spanTokens)
       .write.mode("overwrite")
       .parquet(new Path(emittedRoot(workDir), s"batch=$boundary").toString)
+  }
+
+  /** Exact row count of a just-written parquet directory from its file
+    * FOOTERS — a driver-side metadata read, no Spark job. The emission
+    * needs its distinct-span count twice (the empty-delta gate and the
+    * bloom sizing); re-counting the relation with `count()` costs a
+    * spans-relation scan per emission that the footers already paid
+    * for at write time. */
+  private def parquetRowCount(s: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).filter(st => st.isFile &&
+        st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf))
+        try r.getRecordCount
+        finally r.close()
+      }.sum
   }
 
   /** [[censusWithFirst]] restricted to the DELTA'S OWN span set — see
@@ -349,7 +371,8 @@ object IncrementalSpanCensus {
         expr(s"span_hashes(text, $spanTokens, 1L)")).as("span_h"))
       .filter(col("span_h").isNotNull).distinct()
       .write.mode("overwrite").parquet(spansTmp)
-    censusForSpans(s, workDir, s.read.parquet(spansTmp))
+    censusForSpans(s, workDir, s.read.parquet(spansTmp),
+      parquetRowCount(s, spansTmp))
   }
 
   /** [[censusForDelta]] over an ALREADY-MATERIALIZED distinct-span
@@ -363,9 +386,10 @@ object IncrementalSpanCensus {
   private val maxProbeBuckets = 16384
 
   private def censusForSpans(s: SparkSession, workDir: String,
-      spans: DataFrame): DataFrame = {
+      spans: DataFrame, knownSpanCount: Long = -1L): DataFrame = {
     import graft.operators.Dedup.spanKey
-    val nSpans = spans.count()
+    val nSpans =
+      if (knownSpanCount >= 0L) knownSpanCount else spans.count()
     if (nSpans == 0L)
       // every delta doc is shorter than the span width — nothing can
       // be cut; hand the rewrite an empty, correctly-typed census

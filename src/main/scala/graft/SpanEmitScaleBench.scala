@@ -78,7 +78,17 @@ object SpanEmitScaleBench {
       !sys.env.get("SPAN_EMIT_COMPACT").contains("0")
     if (compacted) {
       val upTo = mainSlices.toLong // batches 0..mainSlices all visible
-      IncrementalSpanCensus.compact(spark, workDir, upTo)
+      // SPAN_EMIT_TARGET_BYTES scales the compaction's file count (and
+      // with it the bucket count nB = 4·files) down to sizes where the
+      // probe's bucket pruning is exercisable at local fixture scale —
+      // production keeps the 128 MB default, where nB tracks census
+      // bytes the same way
+      sys.env.get("SPAN_EMIT_TARGET_BYTES").map(_.toLong) match {
+        case Some(t) =>
+          IncrementalSpanCensus.compact(spark, workDir, upTo,
+            targetFileBytes = t)
+        case None => IncrementalSpanCensus.compact(spark, workDir, upTo)
+      }
     }
 
     // warm the census state (page cache + codegen) so arm ORDER does
